@@ -1,0 +1,88 @@
+"""Deterministic vectorized 64-bit hashing for sketch updates.
+
+The reference (DuckDB DataSketches extension) relies on the Apache
+DataSketches C++ MurmurHash3 with a fixed seed (see
+/root/reference/src/theta_sketch.cpp update paths); hashes live in the
+positive 63-bit space (0, 2^63).  We reproduce the *semantics* (fixed
+seed, 63-bit positive hash space, per-type canonicalization) with a
+numpy-vectorized splitmix64 finalizer so the hot path never drops to
+per-row Python.
+
+Canonicalization rules (documented divergence from the reference --
+cross-engine blob compatibility is out of scope because the
+`datasketches` PyPI package is not available in this environment):
+
+- all integer dtypes (8/16/32/64, signed) -> int64 bit pattern
+- float32/float64 -> float64 bit pattern, with -0.0 canonicalized to 0.0
+- str -> UTF-8 via pandas' fixed-key SipHash (``hash_pandas_object``),
+  then finalized with splitmix64
+- bytes -> same as str
+- NaN / None are dropped by callers before hashing (NULL-skipping,
+  reference codegen/generated.cpp.j2:244)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+MASK63 = np.uint64((1 << 63) - 1)
+MAX_HASH = 1 << 63  # exclusive upper bound of the hash space ("theta = 1.0")
+
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64, copy=True)
+        if seed:
+            z ^= np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+        z += _C1
+        z = (z ^ (z >> np.uint64(30))) * _C2
+        z = (z ^ (z >> np.uint64(27))) * _C3
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def _canonical_uint64(values) -> np.ndarray:
+    """Map a numeric numpy array to its canonical uint64 bit pattern."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iub":
+        return arr.astype(np.int64).view(np.uint64)
+    if arr.dtype.kind == "f":
+        a = arr.astype(np.float64, copy=True)
+        a[a == 0.0] = 0.0  # -0.0 -> 0.0
+        return a.view(np.uint64)
+    raise TypeError(f"unsupported dtype for hashing: {arr.dtype}")
+
+
+def hash_values(values, seed: int = 0) -> np.ndarray:
+    """Hash a pandas Series / numpy array into the positive 63-bit space.
+
+    Returns uint64 values in [1, 2^63).  Callers must drop nulls first.
+    """
+    if isinstance(values, pd.Series):
+        if values.dtype == object or pd.api.types.is_string_dtype(values.dtype):
+            h = pd.util.hash_pandas_object(values.astype(object), index=False)
+            raw = splitmix64(h.to_numpy(dtype=np.uint64), seed=seed)
+        else:
+            raw = splitmix64(_canonical_uint64(values.to_numpy()), seed=seed)
+    else:
+        arr = np.asarray(values)
+        if arr.dtype == object:
+            h = pd.util.hash_pandas_object(pd.Series(arr, dtype=object), index=False)
+            raw = splitmix64(h.to_numpy(dtype=np.uint64), seed=seed)
+        else:
+            raw = splitmix64(_canonical_uint64(arr), seed=seed)
+    raw &= MASK63
+    raw[raw == 0] = 1
+    return raw
+
+
+def drop_nulls(series: pd.Series) -> pd.Series:
+    """NULL-skipping identical to the reference's IgnoreNull aggregates."""
+    s = series.dropna()
+    return s

@@ -1,0 +1,60 @@
+"""Pure-Python (numpy-vectorized) sketch cores for all 8 reference families.
+
+Family inventory mirrors /root/reference/src/datasketches_extension.cpp:32-39
+(SURVEY.md §0).  Every sketch is: mergeable in any order, serializable
+to a framed BLOB (base.py), and NULL-skipping at the update layer.
+"""
+
+from .base import (
+    FAMILY_CPC,
+    FAMILY_FREQUENT_ITEMS,
+    FAMILY_HLL,
+    FAMILY_KLL,
+    FAMILY_QUANTILES,
+    FAMILY_REQ,
+    FAMILY_TDIGEST,
+    FAMILY_THETA,
+    SketchDeserializeError,
+    peek_family,
+)
+from .compactor import KllSketch, QuantilesSketch, ReqSketch
+from .frequent_items import FrequentItemsSketch
+from .hll import CpcSketch, HllSketch
+from .tdigest import TDigestSketch
+from .theta import ThetaSketch, theta_a_not_b, theta_intersect, theta_union
+
+FAMILY_CLASSES = {
+    FAMILY_THETA: ThetaSketch,
+    FAMILY_KLL: KllSketch,
+    FAMILY_QUANTILES: QuantilesSketch,
+    FAMILY_REQ: ReqSketch,
+    FAMILY_TDIGEST: TDigestSketch,
+    FAMILY_HLL: HllSketch,
+    FAMILY_CPC: CpcSketch,
+    FAMILY_FREQUENT_ITEMS: FrequentItemsSketch,
+}
+
+
+def deserialize_any(blob: bytes):
+    fam = peek_family(blob)
+    if fam is None or fam not in FAMILY_CLASSES:
+        raise SketchDeserializeError("Failed to deserialize sketch")
+    return FAMILY_CLASSES[fam].deserialize(blob)
+
+
+__all__ = [
+    "ThetaSketch",
+    "KllSketch",
+    "QuantilesSketch",
+    "ReqSketch",
+    "TDigestSketch",
+    "HllSketch",
+    "CpcSketch",
+    "FrequentItemsSketch",
+    "theta_union",
+    "theta_intersect",
+    "theta_a_not_b",
+    "deserialize_any",
+    "SketchDeserializeError",
+    "peek_family",
+]

@@ -1,0 +1,73 @@
+"""Binary serialization framing shared by all sketch families.
+
+The reference exposes sketch state as opaque BLOBs (SURVEY.md §1.2);
+here every blob is::
+
+    b'DSKS' | family:uint8 | version:uint8 | payload...
+
+Corrupt or truncated blobs raise ``SketchDeserializeError`` whose
+message mirrors the reference's "Failed to deserialize ..." text
+(reference codegen/generator.py:71-87).
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAGIC = b"DSKS"
+VERSION = 1
+
+FAMILY_THETA = 1
+FAMILY_KLL = 2
+FAMILY_QUANTILES = 3
+FAMILY_REQ = 4
+FAMILY_TDIGEST = 5
+FAMILY_HLL = 6
+FAMILY_CPC = 7
+FAMILY_FREQUENT_ITEMS = 8
+
+FAMILY_NAMES = {
+    FAMILY_THETA: "Theta",
+    FAMILY_KLL: "KLL",
+    FAMILY_QUANTILES: "Quantiles",
+    FAMILY_REQ: "REQ",
+    FAMILY_TDIGEST: "TDigest",
+    FAMILY_HLL: "HLL",
+    FAMILY_CPC: "CPC",
+    FAMILY_FREQUENT_ITEMS: "Frequent Items",
+}
+
+# dtype codes for typed quantile sketches (sketch_kll_double etc.)
+DTYPE_FLOAT64 = 1
+DTYPE_FLOAT32 = 2
+DTYPE_INT64 = 3
+
+DTYPE_CODES = {"float64": DTYPE_FLOAT64, "float32": DTYPE_FLOAT32, "int64": DTYPE_INT64}
+DTYPE_FROM_CODE = {v: k for k, v in DTYPE_CODES.items()}
+
+
+class SketchDeserializeError(ValueError):
+    pass
+
+
+def frame(family: int, payload: bytes) -> bytes:
+    return MAGIC + struct.pack("<BB", family, VERSION) + payload
+
+
+def unframe(blob: bytes, expected_family: int) -> bytes:
+    name = FAMILY_NAMES.get(expected_family, "sketch")
+    if not isinstance(blob, (bytes, bytearray)) or len(blob) < 6:
+        raise SketchDeserializeError(f"Failed to deserialize {name} sketch")
+    if bytes(blob[:4]) != MAGIC:
+        raise SketchDeserializeError(f"Failed to deserialize {name} sketch")
+    family, version = struct.unpack_from("<BB", blob, 4)
+    if family != expected_family or version != VERSION:
+        raise SketchDeserializeError(f"Failed to deserialize {name} sketch")
+    return bytes(blob[6:])
+
+
+def peek_family(blob: bytes) -> int | None:
+    """Return the family byte of one of our blobs, or None if foreign."""
+    if isinstance(blob, (bytes, bytearray)) and len(blob) >= 6 and bytes(blob[:4]) == MAGIC:
+        return blob[4]
+    return None

@@ -1,0 +1,372 @@
+"""Shared compactor-stack core for the mergeable quantile families.
+
+The reference ships three rank-error quantile sketches -- classic
+Quantiles, KLL, REQ -- all generated from the same aggregate template
+(/root/reference/codegen/generated.cpp.j2, spec codegen/generator.py).
+They share one structure: a stack of levels of items where level *i*
+items carry weight 2^i, and an over-full level is compacted by sorting
+and promoting a random half (even/odd offset) to the next level.  The
+families differ only in their level-capacity policy:
+
+- KLL: capacity k * (2/3)^(depth-from-top), floor 8 (near-optimal size,
+  KLL paper: Karnin, Lang, Liberty, FOCS'16);
+- classic Quantiles: constant capacity k per level, 2k base
+  (Manku-Rajagopalan-Lindsay style low-discrepancy design);
+- REQ: constant capacity with *tail protection* -- the highest items of
+  a level are exempt from compaction, which concentrates accuracy in
+  high ranks (relative-error behavior, HRA mode; simplified from the
+  REQ paper: Cormode et al., 2021).
+
+Exactness contract (relied on by the oracle test corpus, FIXTURES.md):
+until the first compaction, the sketch holds every item, so n / min /
+max / rank / quantile / cdf / pmf are EXACT and deterministic.  After a
+compaction the estimates are randomized (reference docs/README.md:240-247).
+All query-time semantics use *inclusive* ranks by default, matching the
+reference's default ``inclusive := true`` arguments.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .base import (
+    DTYPE_CODES,
+    DTYPE_FROM_CODE,
+    FAMILY_KLL,
+    FAMILY_QUANTILES,
+    FAMILY_REQ,
+    SketchDeserializeError,
+    frame,
+    unframe,
+)
+
+_NP_DTYPES = {"float64": np.float64, "float32": np.float32, "int64": np.int64}
+
+
+class CompactorSketch:
+    """Base compactor stack; subclasses define capacity policy + family."""
+
+    FAMILY: int = 0
+    K_MIN = 1
+    K_MAX = 32768
+    NAME = "compactor"
+
+    __slots__ = ("k", "dtype", "levels", "n", "min_item", "max_item", "compacted", "_coin")
+
+    def __init__(self, k: int, dtype: str = "float64"):
+        self.validate_k(k)
+        if dtype not in _NP_DTYPES:
+            raise ValueError(f"unsupported sketch dtype: {dtype}")
+        self.k = int(k)
+        self.dtype = dtype
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=_NP_DTYPES[dtype])]
+        self.n = 0
+        self.min_item = None
+        self.max_item = None
+        self.compacted = False
+        self._coin = 0  # deterministic counter-based coin for compaction offsets
+
+    # -- capacity policy ------------------------------------------------
+    @classmethod
+    def validate_k(cls, k: int) -> None:
+        if not (cls.K_MIN <= k <= cls.K_MAX):
+            raise ValueError(
+                f"Invalid k for {cls.NAME} sketch: {k} (must be in "
+                f"[{cls.K_MIN}, {cls.K_MAX}])"
+            )
+
+    def _capacity(self, level: int, num_levels: int) -> int:
+        raise NotImplementedError
+
+    def _protect_high(self, level: int) -> int:
+        return 0
+
+    def _total_capacity(self) -> int:
+        L = len(self.levels)
+        return sum(self._capacity(i, L) for i in range(L))
+
+    # -- building -------------------------------------------------------
+    def update(self, values: np.ndarray) -> None:
+        arr = np.asarray(values, dtype=_NP_DTYPES[self.dtype])
+        if arr.dtype.kind == "f":
+            arr = arr[~np.isnan(arr)]
+        if arr.size == 0:
+            return
+        lo, hi = arr.min(), arr.max()
+        self.min_item = lo if self.min_item is None else min(self.min_item, lo)
+        self.max_item = hi if self.max_item is None else max(self.max_item, hi)
+        self.n += int(arr.size)
+        self.levels[0] = np.concatenate([self.levels[0], arr])
+        self._compress()
+
+    def merge(self, other: "CompactorSketch") -> None:
+        if other.dtype != self.dtype:
+            raise ValueError("cannot merge sketches of different value types")
+        if other.n == 0:
+            return
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=_NP_DTYPES[self.dtype]))
+        for i, lv in enumerate(other.levels):
+            if lv.size:
+                self.levels[i] = np.concatenate([self.levels[i], lv])
+        self.n += other.n
+        self.compacted = self.compacted or other.compacted
+        if self.min_item is None:
+            self.min_item, self.max_item = other.min_item, other.max_item
+        else:
+            self.min_item = min(self.min_item, other.min_item)
+            self.max_item = max(self.max_item, other.max_item)
+        self._compress()
+
+    def _retained(self) -> int:
+        return sum(lv.size for lv in self.levels)
+
+    def _compress(self) -> None:
+        while self._retained() > self._total_capacity():
+            L = len(self.levels)
+            target = None
+            for i in range(L):
+                if self.levels[i].size >= self._capacity(i, L):
+                    target = i
+                    break
+            if target is None:
+                break
+            self._compact_level(target)
+
+    def _compact_level(self, i: int) -> None:
+        if i + 1 >= len(self.levels):
+            self.levels.append(np.empty(0, dtype=_NP_DTYPES[self.dtype]))
+        lv = np.sort(self.levels[i])
+        hi = min(self._protect_high(i), max(lv.size - 2, 0))
+        body, keep = (lv[: lv.size - hi], lv[lv.size - hi :]) if hi else (lv, lv[:0])
+        if body.size < 2:
+            # nothing compactable; force-keep to avoid infinite loops
+            self.levels[i] = lv
+            self.levels.append(np.empty(0, dtype=_NP_DTYPES[self.dtype]))
+            return
+        if body.size % 2 == 1:
+            # odd item stays at this level (standard KLL handling)
+            keep = np.concatenate([body[-1:], keep])
+            body = body[:-1]
+        offset = self._next_coin()
+        promoted = body[offset::2]
+        self.levels[i] = keep
+        self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+        self.compacted = True
+
+    def _next_coin(self) -> int:
+        # counter-based deterministic pseudo-random bit: reproducible for a
+        # given operation order while still alternating irregularly
+        self._coin += 1
+        x = (self._coin * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        return (x >> 61) & 1
+
+    # -- queries --------------------------------------------------------
+    @property
+    def is_empty(self) -> bool:
+        return self.n == 0
+
+    @property
+    def is_estimation_mode(self) -> bool:
+        return self.compacted
+
+    @property
+    def num_retained(self) -> int:
+        return self._retained()
+
+    def _sorted_items_weights(self):
+        arrs, ws = [], []
+        for i, lv in enumerate(self.levels):
+            if lv.size:
+                arrs.append(lv)
+                ws.append(np.full(lv.size, 1 << i, dtype=np.int64))
+        if not arrs:
+            return (np.empty(0, dtype=_NP_DTYPES[self.dtype]), np.empty(0, dtype=np.int64))
+        items = np.concatenate(arrs)
+        weights = np.concatenate(ws)
+        order = np.argsort(items, kind="stable")
+        return items[order], weights[order]
+
+    def get_rank(self, item, inclusive: bool = True) -> float:
+        if self.n == 0:
+            return float("nan")
+        items, weights = self._sorted_items_weights()
+        side = "right" if inclusive else "left"
+        idx = int(np.searchsorted(items, _NP_DTYPES[self.dtype](item), side=side))
+        return float(weights[:idx].sum()) / float(self.n)
+
+    def get_quantile(self, q: float, inclusive: bool = True):
+        if self.n == 0:
+            return None
+        if q <= 0.0:
+            return self._pyval(self.min_item)
+        if q >= 1.0:
+            return self._pyval(self.max_item)
+        items, weights = self._sorted_items_weights()
+        ranks = np.cumsum(weights).astype(np.float64) / float(self.n)
+        side = "left" if inclusive else "right"
+        idx = int(np.searchsorted(ranks, q, side=side))
+        idx = min(idx, items.size - 1)
+        return self._pyval(items[idx])
+
+    def get_cdf(self, split_points, inclusive: bool = True) -> list[float]:
+        if self.n == 0:
+            return []
+        sp = np.asarray(split_points, dtype=np.float64)
+        if sp.size and np.any(np.diff(sp) <= 0):
+            raise ValueError("split points must be unique and monotonically increasing")
+        items, weights = self._sorted_items_weights()
+        cum = np.concatenate([[0], np.cumsum(weights)]).astype(np.float64)
+        side = "right" if inclusive else "left"
+        idx = np.searchsorted(items.astype(np.float64), sp, side=side)
+        out = (cum[idx] / float(self.n)).tolist()
+        out.append(1.0)
+        return out
+
+    def get_pmf(self, split_points, inclusive: bool = True) -> list[float]:
+        cdf = self.get_cdf(split_points, inclusive)
+        if not cdf:
+            return []
+        return [cdf[0]] + [cdf[i] - cdf[i - 1] for i in range(1, len(cdf))]
+
+    def _pyval(self, v):
+        return None if v is None else (int(v) if self.dtype == "int64" else float(v))
+
+    def get_min_item(self):
+        return self._pyval(self.min_item)
+
+    def get_max_item(self):
+        return self._pyval(self.max_item)
+
+    def describe(self, include_levels: bool = False, include_items: bool = False) -> str:
+        lines = [
+            f"### {self.NAME} sketch summary:",
+            f"   K              : {self.k}",
+            f"   N              : {self.n}",
+            f"   retained items : {self.num_retained}",
+            f"   levels         : {len(self.levels)}",
+            f"   empty?         : {self.is_empty}",
+            f"   estimation?    : {self.is_estimation_mode}",
+            f"   min item       : {self.get_min_item()}",
+            f"   max item       : {self.get_max_item()}",
+        ]
+        if include_levels:
+            for i, lv in enumerate(self.levels):
+                lines.append(f"   level {i}: {lv.size} items (weight {1 << i})")
+        if include_items:
+            items, weights = self._sorted_items_weights()
+            lines.append("   items: " + ", ".join(f"{v}x{w}" for v, w in zip(items, weights)))
+        return "\n".join(lines) + "\n"
+
+    # -- serialization --------------------------------------------------
+    def serialize(self) -> bytes:
+        dt = _NP_DTYPES[self.dtype]
+        if self.dtype == "int64":
+            mn = struct.pack("<q", int(self.min_item) if self.min_item is not None else 0)
+            mx = struct.pack("<q", int(self.max_item) if self.max_item is not None else 0)
+        else:
+            mn = struct.pack("<d", float(self.min_item) if self.min_item is not None else 0.0)
+            mx = struct.pack("<d", float(self.max_item) if self.max_item is not None else 0.0)
+        head = struct.pack(
+            "<IBBQ", self.k, DTYPE_CODES[self.dtype], 1 if self.compacted else 0, self.n
+        )
+        body = struct.pack("<B", len(self.levels))
+        for lv in self.levels:
+            body += struct.pack("<I", lv.size)
+            body += np.ascontiguousarray(lv, dtype=dt).tobytes()
+        return frame(self.FAMILY, head + mn + mx + body)
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "CompactorSketch":
+        payload = unframe(blob, cls.FAMILY)
+        try:
+            k, dcode, compacted, n = struct.unpack_from("<IBBQ", payload, 0)
+            dtype = DTYPE_FROM_CODE[dcode]
+            off = 14
+            if dtype == "int64":
+                mn = struct.unpack_from("<q", payload, off)[0]
+                mx = struct.unpack_from("<q", payload, off + 8)[0]
+            else:
+                mn = struct.unpack_from("<d", payload, off)[0]
+                mx = struct.unpack_from("<d", payload, off + 8)[0]
+            off += 16
+            (num_levels,) = struct.unpack_from("<B", payload, off)
+            off += 1
+            sk = cls(k, dtype)
+            sk.n = n
+            sk.compacted = bool(compacted)
+            sk.min_item = None if n == 0 else _NP_DTYPES[dtype](mn)
+            sk.max_item = None if n == 0 else _NP_DTYPES[dtype](mx)
+            sk.levels = []
+            itemsize = np.dtype(_NP_DTYPES[dtype]).itemsize
+            for _ in range(num_levels):
+                (count,) = struct.unpack_from("<I", payload, off)
+                off += 4
+                lv = np.frombuffer(payload, dtype=_NP_DTYPES[dtype], count=count, offset=off)
+                off += count * itemsize
+                sk.levels.append(lv.copy())
+            if not sk.levels:
+                sk.levels = [np.empty(0, dtype=_NP_DTYPES[dtype])]
+            return sk
+        except (struct.error, ValueError, KeyError, IndexError) as exc:
+            raise SketchDeserializeError(f"Failed to deserialize {cls.NAME} sketch") from exc
+
+
+class KllSketch(CompactorSketch):
+    """KLL quantile sketch (reference src/generated.cpp:3108-4485)."""
+
+    FAMILY = FAMILY_KLL
+    K_MIN, K_MAX = 1, 32768  # bind validation, codegen/generated.cpp.j2:65-69
+    NAME = "KLL"
+
+    def _capacity(self, level: int, num_levels: int) -> int:
+        depth = num_levels - 1 - level
+        return max(8, int(np.ceil(self.k * (2.0 / 3.0) ** depth)))
+
+    def normalized_rank_error(self, pmf: bool) -> float:
+        # calibrated to the reference's published numbers: ~1.33%
+        # single-sided / ~1.65% double-sided at K=200 (docs/README.md:532)
+        return (2.443 if pmf else 1.970) / self.k**0.9433
+
+
+class QuantilesSketch(CompactorSketch):
+    """Classic quantiles sketch (reference src/generated.cpp:1695-3107)."""
+
+    FAMILY = FAMILY_QUANTILES
+    K_MIN, K_MAX = 1, 32768
+    NAME = "Quantiles"
+
+    def _capacity(self, level: int, num_levels: int) -> int:
+        return 2 * self.k if level == 0 else self.k
+
+    def normalized_rank_error(self, pmf: bool) -> float:
+        # empirical constants from the Apache DataSketches classic
+        # quantiles analysis (docs/README.md:259-261 table shape)
+        return (1.854 if pmf else 1.576) / self.k**0.9657
+
+
+class ReqSketch(CompactorSketch):
+    """Relative-error quantiles, HRA mode (reference src/generated.cpp:4486-5673).
+
+    Simplified from the REQ paper: constant level capacity 3k with the
+    top k items of every level exempt from compaction, concentrating
+    retained items (hence accuracy) at high ranks.
+    """
+
+    FAMILY = FAMILY_REQ
+    K_MIN, K_MAX = 4, 1024  # codegen/generated.cpp.j2:70-74
+    NAME = "REQ"
+
+    @classmethod
+    def validate_k(cls, k: int) -> None:
+        super().validate_k(k)
+        if k % 2 != 0:
+            raise ValueError(f"Invalid k for REQ sketch: {k} (must be even)")
+
+    def _capacity(self, level: int, num_levels: int) -> int:
+        return 3 * self.k
+
+    def _protect_high(self, level: int) -> int:
+        return self.k

@@ -1,0 +1,197 @@
+"""Merging t-digest for extreme-tail quantile accuracy.
+
+Reference surface: ``datasketch_tdigest`` aggregate + scalar fns
+(/root/reference/src/generated.cpp:5674-6197; spec
+codegen/generator.py:46-47 -- FLOAT/DOUBLE inputs only).  Implemented
+as Dunning's *merging* t-digest with the k1 (arcsine) scale function,
+fully numpy-vectorized: buffered values are merged with existing
+centroids by bucketing the cumulative quantile through
+K(q) = (delta/(2*pi)) * asin(2q-1) and reducing each bucket to a single
+weighted-mean centroid (np.add.reduceat), so compression is O(m log m)
+with no per-row Python.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .base import FAMILY_TDIGEST, SketchDeserializeError, frame, unframe
+
+
+class TDigestSketch:
+    __slots__ = ("delta", "means", "weights", "total", "min_item", "max_item", "_buf")
+
+    def __init__(self, delta: int = 100):
+        if delta <= 0:
+            raise ValueError(f"Invalid k for tdigest sketch: {delta} (must be > 0)")
+        self.delta = int(delta)
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.total = 0.0
+        self.min_item = None
+        self.max_item = None
+        self._buf: list[np.ndarray] = []
+
+    # -- building -------------------------------------------------------
+    def update(self, values: np.ndarray) -> None:
+        arr = np.asarray(values, dtype=np.float64)
+        arr = arr[~np.isnan(arr)]
+        if arr.size == 0:
+            return
+        lo, hi = float(arr.min()), float(arr.max())
+        self.min_item = lo if self.min_item is None else min(self.min_item, lo)
+        self.max_item = hi if self.max_item is None else max(self.max_item, hi)
+        self._buf.append(arr)
+        if sum(a.size for a in self._buf) >= 8 * self.delta:
+            self._compress()
+
+    def merge(self, other: "TDigestSketch") -> None:
+        other._compress()
+        if other.total == 0:
+            return
+        self._buf.append(np.repeat(other.means, 0))  # no-op keeps dtype stable
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        if self.min_item is None:
+            self.min_item, self.max_item = other.min_item, other.max_item
+        else:
+            self.min_item = min(self.min_item, other.min_item)
+            self.max_item = max(self.max_item, other.max_item)
+        self._compress(force=True)
+
+    def _compress(self, force: bool = False) -> None:
+        buf_n = sum(a.size for a in self._buf)
+        if buf_n == 0 and not force:
+            return
+        if buf_n:
+            vals = np.concatenate(self._buf)
+            self._buf = []
+            self.means = np.concatenate([self.means, vals])
+            self.weights = np.concatenate([self.weights, np.ones(vals.size)])
+        if self.means.size == 0:
+            return
+        order = np.argsort(self.means, kind="stable")
+        means = self.means[order]
+        weights = self.weights[order]
+        W = weights.sum()
+        self.total = float(W)
+        # centroid midpoint quantiles -> k1 scale buckets
+        cum = np.cumsum(weights)
+        q_mid = (cum - weights / 2.0) / W
+        kvals = (self.delta / (2.0 * np.pi)) * np.arcsin(np.clip(2.0 * q_mid - 1.0, -1, 1))
+        buckets = np.floor(kvals).astype(np.int64)
+        boundaries = np.flatnonzero(np.diff(buckets)) + 1
+        starts = np.concatenate([[0], boundaries])
+        wsum = np.add.reduceat(weights, starts)
+        msum = np.add.reduceat(weights * means, starts)
+        self.means = msum / wsum
+        self.weights = wsum
+
+    # -- queries --------------------------------------------------------
+    @property
+    def is_empty(self) -> bool:
+        self._compress()
+        return self.means.size == 0
+
+    @property
+    def k(self) -> int:
+        return self.delta
+
+    def total_weight(self) -> int:
+        self._compress()
+        return int(round(self.total))
+
+    def _support(self):
+        """Piecewise-linear (position, value) support for interpolation."""
+        self._compress()
+        cum = np.cumsum(self.weights)
+        pos = cum - self.weights / 2.0
+        xs = np.concatenate([[0.0], pos, [self.total]])
+        vs = np.concatenate([[self.min_item], self.means, [self.max_item]])
+        return xs, vs
+
+    def get_quantile(self, q: float) -> float | None:
+        if self.is_empty:
+            return None
+        q = min(max(q, 0.0), 1.0)
+        xs, vs = self._support()
+        return float(np.interp(q * self.total, xs, vs))
+
+    def get_rank(self, item: float) -> float:
+        if self.is_empty:
+            return float("nan")
+        xs, vs = self._support()
+        if item <= vs[0]:
+            return 0.0 if item < vs[0] else float(np.interp(vs[0] + 0.0, vs, xs) / self.total)
+        if item >= vs[-1]:
+            return 1.0
+        return float(np.interp(item, vs, xs) / self.total)
+
+    def get_cdf(self, split_points) -> list[float]:
+        if self.is_empty:
+            return []
+        sp = np.asarray(split_points, dtype=np.float64)
+        if sp.size and np.any(np.diff(sp) <= 0):
+            raise ValueError("split points must be unique and monotonically increasing")
+        out = [self.get_rank(float(s)) for s in sp]
+        out.append(1.0)
+        return out
+
+    def get_pmf(self, split_points) -> list[float]:
+        cdf = self.get_cdf(split_points)
+        if not cdf:
+            return []
+        return [cdf[0]] + [cdf[i] - cdf[i - 1] for i in range(1, len(cdf))]
+
+    def describe(self, include_centroids: bool = False) -> str:
+        self._compress()
+        lines = [
+            "### t-Digest summary:",
+            f"   compression (k) : {self.delta}",
+            f"   total weight    : {self.total_weight()}",
+            f"   centroids       : {self.means.size}",
+            f"   empty?          : {self.is_empty}",
+            f"   min             : {self.min_item}",
+            f"   max             : {self.max_item}",
+        ]
+        if include_centroids:
+            for m, w in zip(self.means, self.weights):
+                lines.append(f"   centroid mean={m} weight={w}")
+        return "\n".join(lines) + "\n"
+
+    # -- serialization --------------------------------------------------
+    def serialize(self) -> bytes:
+        self._compress()
+        head = struct.pack(
+            "<IdddI",
+            self.delta,
+            self.total,
+            self.min_item if self.min_item is not None else 0.0,
+            self.max_item if self.max_item is not None else 0.0,
+            self.means.size,
+        )
+        return frame(
+            FAMILY_TDIGEST,
+            head + self.means.tobytes() + self.weights.tobytes(),
+        )
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "TDigestSketch":
+        payload = unframe(blob, FAMILY_TDIGEST)
+        try:
+            delta, total, mn, mx, count = struct.unpack_from("<IdddI", payload, 0)
+            off = struct.calcsize("<IdddI")
+            means = np.frombuffer(payload, dtype=np.float64, count=count, offset=off)
+            off += count * 8
+            weights = np.frombuffer(payload, dtype=np.float64, count=count, offset=off)
+        except (struct.error, ValueError) as exc:
+            raise SketchDeserializeError("Failed to deserialize TDigest sketch") from exc
+        sk = cls(delta)
+        sk.total = total
+        sk.means = means.copy()
+        sk.weights = weights.copy()
+        sk.min_item = mn if count else None
+        sk.max_item = mx if count else None
+        return sk

@@ -1,0 +1,166 @@
+"""Theta sketch: distinct counting with set algebra (union / intersect / A\\B).
+
+Re-implements the semantics of the reference's hand-written Theta support
+(/root/reference/src/theta_sketch.cpp) as a bottom-k ("KMV with theta")
+sketch over the positive 63-bit hash space:
+
+- exact mode while the number of retained unique hashes <= 2^lg_k
+  (theta == 1.0, estimate is exact -- reference
+  test/sql/datasketch_theta.test:26-29 relies on this);
+- estimation mode keeps the k smallest unique hashes and
+  theta = (k+1)-th smallest hash / 2^63; estimate = retained / theta
+  (the standard theta-sketch estimator);
+- union / intersection / a_not_b operate on (theta, hash-set) pairs with
+  theta = min over the inputs, so exact-mode inputs give exact set
+  algebra (reference test/sql/datasketch_theta.test:73-104);
+- aggregation state is mergeable in any order (NOT_ORDER_DEPENDENT,
+  reference codegen/generated.cpp.j2:745).
+
+Default lg_k = 12 (4096 nominal entries) matching
+/root/reference/src/theta_sketch.cpp:22,59.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..hashing import MAX_HASH, hash_values
+from .base import FAMILY_THETA, SketchDeserializeError, frame, unframe
+
+DEFAULT_LG_K = 12
+
+_FLAG_EMPTY = 1
+
+
+class ThetaSketch:
+    __slots__ = ("lg_k", "theta", "hashes")
+
+    def __init__(self, lg_k: int = DEFAULT_LG_K):
+        if not (4 <= lg_k <= 26):
+            raise ValueError(f"Invalid lg_k for theta sketch: {lg_k}")
+        self.lg_k = lg_k
+        self.theta = MAX_HASH  # exclusive threshold; MAX_HASH == "theta = 1.0"
+        self.hashes = np.empty(0, dtype=np.uint64)
+
+    # ---- building ----
+    def update_hashes(self, h: np.ndarray) -> None:
+        if h.size == 0:
+            return
+        if self.theta < MAX_HASH:
+            h = h[h < np.uint64(self.theta)]
+        self.hashes = np.unique(np.concatenate([self.hashes, h]))
+        self._purge()
+
+    def update_values(self, values) -> None:
+        self.update_hashes(hash_values(values))
+
+    def _purge(self) -> None:
+        k = 1 << self.lg_k
+        if self.hashes.size > k:
+            # hashes are sorted unique; keep the k smallest, theta = (k+1)-th
+            self.theta = int(self.hashes[k])
+            self.hashes = self.hashes[:k]
+
+    def merge(self, other: "ThetaSketch") -> None:
+        self.theta = min(self.theta, other.theta)
+        combined = np.concatenate([self.hashes, other.hashes])
+        combined = combined[combined < np.uint64(self.theta)]
+        self.hashes = np.unique(combined)
+        self._purge()
+
+    # ---- queries ----
+    @property
+    def is_empty(self) -> bool:
+        return self.hashes.size == 0 and self.theta == MAX_HASH
+
+    @property
+    def is_estimation_mode(self) -> bool:
+        return self.theta < MAX_HASH
+
+    @property
+    def num_retained(self) -> int:
+        return int(self.hashes.size)
+
+    def get_theta(self) -> float:
+        return self.theta / MAX_HASH
+
+    def get_estimate(self) -> float:
+        if self.theta == MAX_HASH:
+            return float(self.hashes.size)
+        return self.hashes.size / (self.theta / MAX_HASH)
+
+    def get_bound(self, num_std_devs: int, upper: bool) -> float:
+        if not (1 <= num_std_devs <= 3):
+            raise ValueError("num_std_devs must be 1..3")
+        if not self.is_estimation_mode:
+            return self.get_estimate()
+        r = max(self.hashes.size, 1)
+        est = self.get_estimate()
+        # Gaussian approximation of the binomial bounds the reference's
+        # library uses; preserves the bounds ordering asserted in
+        # test/sql/datasketch_theta.test:511-546.
+        factor = num_std_devs / np.sqrt(r)
+        return est * (1.0 + factor) if upper else est / (1.0 + factor)
+
+    def describe(self) -> str:
+        return (
+            "### Theta sketch summary:\n"
+            f"   lg nominal size      : {self.lg_k}\n"
+            f"   num retained entries : {self.num_retained}\n"
+            f"   seed hash            : 0\n"
+            f"   empty?               : {self.is_empty}\n"
+            f"   estimation mode?     : {self.is_estimation_mode}\n"
+            f"   theta (fraction)     : {self.get_theta():.6f}\n"
+            f"   estimate             : {self.get_estimate():.3f}\n"
+        )
+
+    # ---- serialization ----
+    def serialize(self) -> bytes:
+        flags = _FLAG_EMPTY if self.is_empty else 0
+        payload = struct.pack("<BBQI", self.lg_k, flags, self.theta, self.hashes.size)
+        payload += np.ascontiguousarray(self.hashes).tobytes()
+        return frame(FAMILY_THETA, payload)
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "ThetaSketch":
+        payload = unframe(blob, FAMILY_THETA)
+        try:
+            lg_k, _flags, theta, count = struct.unpack_from("<BBQI", payload, 0)
+            hashes = np.frombuffer(payload, dtype=np.uint64, count=count, offset=14)
+        except (struct.error, ValueError) as exc:
+            raise SketchDeserializeError("Failed to deserialize Theta sketch") from exc
+        sk = cls(lg_k)
+        sk.theta = theta
+        sk.hashes = hashes.copy()
+        return sk
+
+
+# ---- scalar set algebra (reference src/theta_sketch.cpp:221-270) ----
+
+def theta_union(a: ThetaSketch, b: ThetaSketch, lg_k: int = DEFAULT_LG_K) -> ThetaSketch:
+    out = ThetaSketch(lg_k)
+    out.merge(a)
+    out.merge(b)
+    return out
+
+
+def theta_intersect(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+    out = ThetaSketch(max(a.lg_k, b.lg_k))
+    theta = min(a.theta, b.theta)
+    ah = a.hashes[a.hashes < np.uint64(theta)]
+    bh = b.hashes[b.hashes < np.uint64(theta)]
+    out.theta = theta
+    out.hashes = np.intersect1d(ah, bh)
+    return out
+
+
+def theta_a_not_b(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+    out = ThetaSketch(max(a.lg_k, b.lg_k))
+    theta = min(a.theta, b.theta)
+    ah = a.hashes[a.hashes < np.uint64(theta)]
+    bh = b.hashes[b.hashes < np.uint64(theta)]
+    out.theta = theta
+    out.hashes = np.setdiff1d(ah, bh)
+    return out

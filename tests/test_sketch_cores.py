@@ -1,0 +1,332 @@
+"""Unit tests for the pure-Python sketch cores (no Spark needed).
+
+Scenarios ported from the reference sqllogictests (SURVEY.md §5):
+exact-mode identities, merge/union correctness, error bands on
+estimates, edge cases, corrupt-blob errors.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datasketches_spark.sketches import (
+    CpcSketch,
+    FrequentItemsSketch,
+    HllSketch,
+    KllSketch,
+    QuantilesSketch,
+    ReqSketch,
+    SketchDeserializeError,
+    TDigestSketch,
+    ThetaSketch,
+    deserialize_any,
+    theta_a_not_b,
+    theta_intersect,
+    theta_union,
+)
+
+
+# ---------------- Theta (test/sql/datasketch_theta.test idioms) --------
+
+
+class TestTheta:
+    def test_exact_small(self):
+        sk = ThetaSketch()
+        sk.update_values(np.array([1, 2, 3, 4, 5, 1, 2, 3], dtype=np.int64))
+        assert sk.get_estimate() == 5.0
+        assert not sk.is_estimation_mode
+        assert sk.num_retained == 5
+        assert sk.get_theta() == 1.0
+
+    def test_set_algebra_exact(self):
+        # A = {1..5}, B = {4..8}: A∩B=2, A\B=3, B\A=3, A∪B=8 (FIXTURES F7)
+        a, b = ThetaSketch(), ThetaSketch()
+        a.update_values(np.arange(1, 6, dtype=np.int64))
+        b.update_values(np.arange(4, 9, dtype=np.int64))
+        assert theta_union(a, b).get_estimate() == 8.0
+        assert theta_intersect(a, b).get_estimate() == 2.0
+        assert theta_a_not_b(a, b).get_estimate() == 3.0
+        assert theta_a_not_b(b, a).get_estimate() == 3.0
+
+    def test_estimation_band(self):
+        sk = ThetaSketch(12)
+        sk.update_values(np.arange(100_000, dtype=np.int64))
+        est = sk.get_estimate()
+        assert 95_000 <= est <= 105_000  # reference asserts ±2% at lg_k=12
+        assert sk.is_estimation_mode
+        assert sk.get_bound(3, False) <= sk.get_bound(1, False) <= est
+        assert est <= sk.get_bound(1, True) <= sk.get_bound(3, True)
+
+    def test_merge_matches_single_build(self):
+        parts = [np.arange(i, 50_000, 3, dtype=np.int64) for i in range(3)]
+        merged = ThetaSketch(12)
+        for p in parts:
+            s = ThetaSketch(12)
+            s.update_values(p)
+            merged.merge(ThetaSketch.deserialize(s.serialize()))
+        whole = ThetaSketch(12)
+        whole.update_values(np.arange(50_000, dtype=np.int64))
+        assert merged.get_estimate() == pytest.approx(whole.get_estimate(), rel=0.05)
+
+    def test_empty_and_nulls(self):
+        sk = ThetaSketch()
+        assert sk.is_empty and sk.get_estimate() == 0.0
+        s = pd.Series([1.0, None, 2.0, None, 3.0])
+        sk.update_values(s.dropna())
+        assert sk.get_estimate() == 3.0
+
+    def test_strings_and_empty_string(self):
+        sk = ThetaSketch()
+        sk.update_values(pd.Series(["hello", "world", "hello world", "", "hello"]))
+        assert sk.get_estimate() == 4.0
+
+    def test_serialize_roundtrip(self):
+        sk = ThetaSketch(10)
+        sk.update_values(np.arange(10_000, dtype=np.int64))
+        rt = ThetaSketch.deserialize(sk.serialize())
+        assert rt.get_estimate() == sk.get_estimate()
+        assert rt.num_retained == sk.num_retained
+
+    def test_corrupt_blob(self):
+        with pytest.raises(SketchDeserializeError, match="Failed to deserialize"):
+            ThetaSketch.deserialize(b"\x01\x02garbage")
+
+
+# ---------------- Quantile families -----------------------------------
+
+
+@pytest.mark.parametrize("cls,k", [(KllSketch, 200), (QuantilesSketch, 128), (ReqSketch, 12)])
+class TestQuantileFamilies:
+    def test_exact_mode(self, cls, k):
+        sk = cls(max(k, 1024) if cls is not ReqSketch else 1024, "float64")
+        vals = np.arange(1.0, 1001.0)
+        sk.update(vals)
+        assert not sk.is_estimation_mode
+        assert sk.n == 1000
+        assert sk.get_min_item() == 1.0 and sk.get_max_item() == 1000.0
+        assert sk.get_quantile(0.5) == 500.0
+        assert sk.get_rank(500.0) == 0.5
+        cdf = sk.get_cdf([100.5, 900.5])
+        assert cdf == [0.1, 0.9, 1.0]
+        pmf = sk.get_pmf([100.5, 900.5])
+        assert pmf == pytest.approx([0.1, 0.8, 0.1])
+
+    def test_estimation_band(self, cls, k):
+        sk = cls(k, "float64")
+        sk.update(np.arange(1.0, 100_001.0))
+        assert sk.is_estimation_mode
+        assert sk.n == 100_000
+        q = sk.get_quantile(0.5)
+        assert 40_000 <= q <= 60_000
+        r = sk.get_rank(50_000.0)
+        assert 0.4 <= r <= 0.6
+        assert sk.get_min_item() == 1.0 and sk.get_max_item() == 100_000.0
+
+    def test_merge(self, cls, k):
+        a, b = cls(k, "float64"), cls(k, "float64")
+        a.update(np.arange(0.0, 5000.0))
+        b.update(np.arange(5000.0, 10000.0))
+        b_rt = cls.deserialize(b.serialize())
+        a.merge(b_rt)
+        assert a.n == 10_000
+        assert 0.35 <= a.get_rank(4000.0) <= 0.45
+
+    def test_int64_dtype(self, cls, k):
+        sk = cls(k if cls is ReqSketch else 1024, "int64")
+        sk.update(np.arange(100, dtype=np.int64))
+        assert sk.get_min_item() == 0
+        assert isinstance(sk.get_quantile(0.5), int)
+
+    def test_corrupt(self, cls, k):
+        with pytest.raises(SketchDeserializeError):
+            cls.deserialize(b"DSKS\xff\xffgarbage")
+
+
+class TestKllSpecific:
+    def test_rank_error_formula(self):
+        assert KllSketch(200, "float64").normalized_rank_error(False) == pytest.approx(
+            0.0133, abs=0.002
+        )
+
+    def test_split_points_validation(self):
+        sk = KllSketch(200, "float64")
+        sk.update(np.arange(10.0))
+        with pytest.raises(ValueError, match="split points"):
+            sk.get_cdf([5.0, 1.0])
+
+
+# ---------------- TDigest ----------------------------------------------
+
+
+class TestTDigest:
+    def test_exact_small(self):
+        sk = TDigestSketch(100)
+        sk.update(np.arange(1.0, 11.0))
+        assert sk.total_weight() == 10
+        assert sk.get_quantile(0.0) == 1.0
+        assert sk.get_quantile(1.0) == 10.0
+
+    def test_accuracy(self):
+        sk = TDigestSketch(200)
+        rng = np.random.default_rng(42)
+        vals = rng.normal(0, 1, 200_000)
+        sk.update(vals)
+        assert sk.get_quantile(0.5) == pytest.approx(np.quantile(vals, 0.5), abs=0.02)
+        assert sk.get_quantile(0.999) == pytest.approx(np.quantile(vals, 0.999), abs=0.05)
+        assert sk.get_rank(0.0) == pytest.approx(0.5, abs=0.01)
+
+    def test_merge(self):
+        a, b = TDigestSketch(100), TDigestSketch(100)
+        a.update(np.arange(0.0, 1000.0))
+        b.update(np.arange(1000.0, 2000.0))
+        a.merge(TDigestSketch.deserialize(b.serialize()))
+        assert a.total_weight() == 2000
+        assert a.get_quantile(0.5) == pytest.approx(1000.0, rel=0.05)
+
+    def test_cdf(self):
+        sk = TDigestSketch(100)
+        sk.update(np.arange(1.0, 101.0))
+        cdf = sk.get_cdf([50.0])
+        assert len(cdf) == 2 and cdf[1] == 1.0
+        assert cdf[0] == pytest.approx(0.5, abs=0.05)
+
+
+# ---------------- HLL / CPC ---------------------------------------------
+
+
+@pytest.mark.parametrize("cls", [HllSketch, CpcSketch])
+class TestCounting:
+    def test_exact_sparse(self, cls):
+        sk = cls(12)
+        sk.update_values(pd.Series(["a", "b", "c", "a"]))
+        assert sk.get_estimate() == 3.0
+
+    def test_dense_band(self, cls):
+        sk = cls(12)
+        sk.update_values(np.arange(100_000, dtype=np.int64))
+        est = sk.get_estimate()
+        assert 95_000 <= est <= 105_000  # reference ±5% gate at lg_k=12
+        assert sk.get_bound(2, False) <= est <= sk.get_bound(2, True)
+
+    def test_union_disjoint(self, cls):
+        a, b = cls(12), cls(12)
+        a.update_values(np.arange(0, 30_000, dtype=np.int64))
+        b.update_values(np.arange(30_000, 60_000, dtype=np.int64))
+        a.merge(cls.deserialize(b.serialize()))
+        assert a.get_estimate() == pytest.approx(60_000, rel=0.05)
+
+    def test_union_overlap(self, cls):
+        a, b = cls(12), cls(12)
+        a.update_values(np.arange(0, 50_000, dtype=np.int64))
+        b.update_values(np.arange(25_000, 75_000, dtype=np.int64))
+        a.merge(b)
+        assert a.get_estimate() == pytest.approx(75_000, rel=0.05)
+
+    def test_mixed_k_union(self, cls):
+        # reference unions k=8 and k=14 sketches (datasketch_hll.test:224-234)
+        a, b = cls(8), cls(14)
+        a.update_values(np.arange(0, 20_000, dtype=np.int64))
+        b.update_values(np.arange(10_000, 30_000, dtype=np.int64))
+        a.merge(b)
+        assert a.get_estimate() == pytest.approx(30_000, rel=0.25)
+
+    def test_roundtrip(self, cls):
+        sk = cls(10)
+        sk.update_values(np.arange(5_000, dtype=np.int64))
+        rt = cls.deserialize(sk.serialize())
+        assert rt.get_estimate() == sk.get_estimate()
+
+
+def test_cpc_smaller_than_hll():
+    h, c = HllSketch(12), CpcSketch(12)
+    data = np.arange(100_000, dtype=np.int64)
+    h.update_values(data)
+    c.update_values(data)
+    assert len(c.serialize()) < len(h.serialize())
+
+
+# ---------------- Frequent Items ----------------------------------------
+
+
+class TestFrequentItems:
+    def test_exact_counts(self):
+        sk = FrequentItemsSketch()
+        sk.update_series(pd.Series(["apple"] * 3 + ["banana"] * 2 + ["cherry"]))
+        assert sk.get_estimate("apple") == 3
+        assert sk.get_estimate("banana") == 2
+        assert sk.get_estimate("missing") == 0
+        assert sk.total_weight() == 6
+        assert sk.num_active == 3
+        rows = sk.get_frequent_items()
+        assert [r[0] for r in rows] == ["apple", "banana", "cherry"]
+        assert [r[1] for r in rows] == [3, 2, 1]
+
+    def test_epsilon(self):
+        assert FrequentItemsSketch(10).epsilon == pytest.approx(0.00341796875)
+
+    def test_heavy_hitter_survives_purge(self):
+        # 100x heavy hitter among 2000 singletons at lg_k=6
+        # (docs/README.md:1284-1310)
+        sk = FrequentItemsSketch(6)
+        items = ["heavy_hitter"] * 100 + [f"noise_{i}" for i in range(2000)]
+        sk.update_series(pd.Series(items))
+        assert sk.get_estimate("heavy_hitter") >= 100
+        assert sk.get_lower_bound("heavy_hitter") <= 100 <= sk.get_upper_bound("heavy_hitter")
+        rows = sk.get_frequent_items("NO_FALSE_POSITIVES")
+        assert rows and rows[0][0] == "heavy_hitter"
+
+    def test_numeric_canonicalization(self):
+        sk = FrequentItemsSketch()
+        sk.update_series(pd.Series([5, 5, 7], dtype=np.int64))
+        assert sk.get_estimate(5) == 2
+        assert sk.get_estimate("5") == 2
+        skf = FrequentItemsSketch()
+        skf.update_series(pd.Series([1.5, 1.5]))
+        assert skf.get_estimate(1.5) == 2
+        assert skf.get_estimate("1.500000") == 2
+
+    def test_merge_exact(self):
+        a, b = FrequentItemsSketch(), FrequentItemsSketch()
+        a.update_series(pd.Series(["x"] * 5 + ["y"]))
+        b.update_series(pd.Series(["x"] * 3 + ["z"]))
+        a.merge(FrequentItemsSketch.deserialize(b.serialize()))
+        assert a.get_estimate("x") == 8
+        assert a.total_weight() == 10
+
+    def test_bad_error_type(self):
+        sk = FrequentItemsSketch()
+        with pytest.raises(ValueError):
+            sk.get_frequent_items("BOGUS")
+
+
+# ---------------- framing ------------------------------------------------
+
+
+def test_deserialize_any_dispatch():
+    sk = ThetaSketch()
+    sk.update_values(np.arange(10, dtype=np.int64))
+    assert isinstance(deserialize_any(sk.serialize()), ThetaSketch)
+    kll = KllSketch(200, "float64")
+    kll.update(np.arange(10.0))
+    assert isinstance(deserialize_any(kll.serialize()), KllSketch)
+    with pytest.raises(SketchDeserializeError):
+        deserialize_any(b"not a sketch")
+
+
+def test_k_validation_ranges():
+    with pytest.raises(ValueError):
+        KllSketch(0, "float64")
+    with pytest.raises(ValueError):
+        KllSketch(32769, "float64")
+    with pytest.raises(ValueError):
+        ReqSketch(3, "float64")  # odd
+    with pytest.raises(ValueError):
+        ReqSketch(2048, "float64")
+    with pytest.raises(ValueError):
+        HllSketch(3)
+    with pytest.raises(ValueError):
+        HllSketch(22)
+    with pytest.raises(ValueError):
+        CpcSketch(27)
+    with pytest.raises(ValueError):
+        TDigestSketch(0)
