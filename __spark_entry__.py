@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exercises the engine's operator inventory (SURVEY.md §2)
+on deterministic surfaces so the DuckDB oracle can hash-match values:
+exact-mode sketches (cardinality below the sketch's exact threshold),
+exact metadata (n/min/max/total_weight), and set-algebra identities.
+Estimation-mode accuracy is covered by range assertions in tests/
+(the reference itself cannot golden-test randomized estimates,
+SURVEY.md §5 note).
 """
 
 from __future__ import annotations
@@ -12,27 +14,394 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import datasketches_spark as dss
+from datasketches_spark.aggregation import sketch_agg
+
+_REGISTERED: set[int] = set()
+
+
+def _ensure(spark: SparkSession) -> None:
+    key = id(spark)
+    if key not in _REGISTERED:
+        dss.register(spark)
+        _REGISTERED.add(key)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# sketch-family queries (deterministic / exact-mode surfaces)
+# --------------------------------------------------------------------------
+
+
+def q_theta_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase theta build over l_orderkey; exact at lg_k=16."""
+    _ensure(spark)
+    sk = sketch_agg(_t(spark, sf_dir, "lineitem"), "l_orderkey", "theta", k=16)
+    return sk.select(
+        F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
+            "distinct_orders"
+        )
+    )
+
+
+def q_theta_distinct_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "lineitem"), "l_suppkey", "theta", group_cols=["l_returnflag"], k=16
+    )
+    return sk.select(
+        "l_returnflag",
+        F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
+            "distinct_suppliers"
+        ),
+    )
+
+
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers by order status: union / intersect / a_not_b identities."""
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    a = sketch_agg(
+        orders.filter(F.col("o_orderstatus") == "F"), "o_custkey", "theta", k=16
+    ).select(F.col("sketch").alias("a"))
+    b = sketch_agg(
+        orders.filter(F.col("o_orderstatus") == "O"), "o_custkey", "theta", k=16
+    ).select(F.col("sketch").alias("b"))
+    return a.crossJoin(b).select(
+        F.expr(
+            "CAST(round(datasketch_theta_estimate(datasketch_theta_union(a, b))) AS BIGINT)"
+        ).alias("union_cnt"),
+        F.expr(
+            "CAST(round(datasketch_theta_estimate(datasketch_theta_intersect(a, b))) AS BIGINT)"
+        ).alias("intersect_cnt"),
+        F.expr(
+            "CAST(round(datasketch_theta_estimate(datasketch_theta_a_not_b(a, b))) AS BIGINT)"
+        ).alias("anotb_cnt"),
+    )
+
+
+def q_theta_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark)
+    sk = sketch_agg(_t(spark, sf_dir, "nation"), "n_nationkey", "theta", k=12)
+    return sk.select(
+        F.expr("datasketch_theta_num_retained(sketch)").alias("num_retained"),
+        F.expr("datasketch_theta_is_estimation_mode(sketch)").alias("is_est"),
+        F.expr("datasketch_theta_get_theta(sketch)").alias("theta_f"),
+        F.expr("datasketch_theta_is_empty(sketch)").alias("is_empty"),
+    )
+
+
+def q_kll_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mode KLL (k=32768 > group size at sf0.01) quantiles."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "kll",
+        group_cols=["l_returnflag"],
+        k=32768,
+    )
+    return sk.select(
+        "l_returnflag",
+        F.expr("datasketch_kll_quantile(sketch, 0.25D, true)").alias("p25"),
+        F.expr("datasketch_kll_quantile(sketch, 0.5D, true)").alias("p50"),
+        F.expr("datasketch_kll_quantile(sketch, 0.75D, true)").alias("p75"),
+    )
+
+
+def q_kll_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "kll",
+        group_cols=["l_returnflag"],
+        k=32768,
+    )
+    return sk.select(
+        "l_returnflag",
+        F.expr("datasketch_kll_n(sketch)").alias("n_items"),
+        F.expr("datasketch_kll_min_item(sketch)").alias("min_price"),
+        F.expr("datasketch_kll_max_item(sketch)").alias("max_price"),
+    )
+
+
+def q_kll_cdf_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "kll",
+        group_cols=["l_returnflag"],
+        k=32768,
+    )
+    cdf = sk.select(
+        "l_returnflag",
+        F.expr("datasketch_kll_cdf(sketch, array(20000.0D, 50000.0D, 80000.0D), true)").alias(
+            "cdf"
+        ),
+    )
+    return cdf.select(
+        "l_returnflag",
+        F.col("cdf")[0].alias("cdf_20k"),
+        F.col("cdf")[1].alias("cdf_50k"),
+        F.col("cdf")[2].alias("cdf_80k"),
+    )
+
+
+def q_kll_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "kll",
+        group_cols=["l_returnflag"],
+        k=32768,
+    )
+    return sk.select(
+        "l_returnflag",
+        F.expr("datasketch_kll_rank(sketch, 25.0D, true)").alias("rank_25"),
+    )
+
+
+def q_quantiles_median_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic quantiles family, exact mode (2k base buffer > group size)."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "quantiles",
+        group_cols=["o_orderpriority"],
+        k=16384,
+    )
+    return sk.select(
+        "o_orderpriority",
+        F.expr("datasketch_quantiles_quantile(sketch, 0.5D, true)").alias("median_price"),
+        F.expr("datasketch_quantiles_n(sketch)").alias("n_orders"),
+    )
+
+
+def q_req_tail_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REQ exact mode at sf0.01 (3k capacity=3072 > max group 3020)."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "req",
+        group_cols=["o_orderpriority"],
+        k=1024,
+    )
+    return sk.select(
+        "o_orderpriority",
+        F.expr("datasketch_req_quantile(sketch, 0.95D, true)").alias("p95_price"),
+        F.expr("datasketch_req_n(sketch)").alias("n_orders"),
+    )
+
+
+def q_tdigest_weight_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "tdigest",
+        group_cols=["l_returnflag"],
+        k=200,
+    )
+    return sk.select(
+        "l_returnflag",
+        F.expr("datasketch_tdigest_total_weight(sketch)").alias("total_weight"),
+        F.expr("datasketch_tdigest_k(sketch)").alias("k_param"),
+    )
+
+
+def q_hll_distinct_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sparse-exact mode (5 distinct per region << 2^11)."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "nation"), "n_nationkey", "hll", group_cols=["n_regionkey"], k=12
+    )
+    return sk.select(
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        F.expr("CAST(round(datasketch_hll_estimate(sketch)) AS BIGINT)").alias(
+            "distinct_nations"
+        ),
+    )
+
+
+def q_hll_union_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status HLL sketches merged: 1500 distinct < sparse limit 2048."""
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    parts = sketch_agg(orders, "o_custkey", "hll", group_cols=["o_orderstatus"], k=12)
+    merged = sketch_agg(parts, "sketch", "hll", k=12)
+    return merged.select(
+        F.expr("CAST(round(datasketch_hll_estimate(sketch)) AS BIGINT)").alias(
+            "distinct_customers"
+        )
+    )
+
+
+def q_cpc_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPC sparse-exact mode (2000 distinct < 2^13)."""
+    _ensure(spark)
+    sk = sketch_agg(_t(spark, sf_dir, "lineitem"), "l_partkey", "cpc", k=14)
+    return sk.select(
+        F.expr("CAST(round(datasketch_cpc_estimate(sketch)) AS BIGINT)").alias(
+            "distinct_parts"
+        )
+    )
+
+
+def q_frequent_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mode frequent items (5 distinct << map capacity)."""
+    _ensure(spark)
+    sk = sketch_agg(_t(spark, sf_dir, "orders"), "o_orderpriority", "frequent_items")
+    return sk.select(
+        F.expr(
+            "explode(datasketch_frequent_items_get_frequent(sketch, 'NO_FALSE_POSITIVES'))"
+        ).alias("r")
+    ).select(
+        F.col("r.item").alias("item"),
+        F.col("r.estimate").alias("estimate"),
+    )
+
+
+def q_frequent_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark)
+    sk = sketch_agg(_t(spark, sf_dir, "orders"), "o_orderpriority", "frequent_items")
+    return sk.select(
+        F.expr("datasketch_frequent_items_estimate(sketch, '1-URGENT')").alias("urgent_cnt"),
+        F.expr("datasketch_frequent_items_total_weight(sketch)").alias("total_weight"),
+        F.expr("datasketch_frequent_items_num_active(sketch)").alias("num_active"),
+        F.expr("datasketch_frequent_items_epsilon(sketch)").alias("epsilon"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-flag distinct suppliers (theta) + exact quantiles (KLL)
+    on sf0.001, both via the two-phase map-side-combine path."""
+    sf_dir = "/root/testdata/sf0.001"
+    _ensure(spark)
+    theta = q_theta_distinct_by_flag(spark, sf_dir)
+    kll = q_kll_quantiles_by_flag(spark, sf_dir)
+    return theta.join(kll, "l_returnflag")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "theta_distinct_orders": q_theta_distinct_orders,
+        "theta_distinct_by_flag": q_theta_distinct_by_flag,
+        "theta_set_ops": q_theta_set_ops,
+        "theta_metadata": q_theta_metadata,
+        "kll_quantiles_by_flag": q_kll_quantiles_by_flag,
+        "kll_stats_by_flag": q_kll_stats_by_flag,
+        "kll_cdf_by_flag": q_kll_cdf_by_flag,
+        "kll_rank": q_kll_rank,
+        "quantiles_median_by_priority": q_quantiles_median_by_priority,
+        "req_tail_by_priority": q_req_tail_by_priority,
+        "tdigest_weight_by_flag": q_tdigest_weight_by_flag,
+        "hll_distinct_nations_by_region": q_hll_distinct_nations_by_region,
+        "hll_union_custkey": q_hll_union_custkey,
+        "cpc_distinct_parts": q_cpc_distinct_parts,
+        "frequent_priorities": q_frequent_priorities,
+        "frequent_meta": q_frequent_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_CUME = (
+    "SELECT {g} AS g, {v} AS v, cume_dist() OVER (PARTITION BY {g} ORDER BY {v}) AS cd "
+    "FROM {t}"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "theta_distinct_orders": (
+            "SELECT count(DISTINCT l_orderkey) AS distinct_orders FROM lineitem"
+        ),
+        "theta_distinct_by_flag": (
+            "SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_suppliers "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "theta_set_ops": """
+            SELECT
+              (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+                UNION SELECT o_custkey FROM orders WHERE o_orderstatus='O')) AS union_cnt,
+              (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+                INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O')) AS intersect_cnt,
+              (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+                EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='O')) AS anotb_cnt
+        """,
+        "theta_metadata": (
+            "SELECT count(DISTINCT n_nationkey) AS num_retained, false AS is_est, "
+            "1.0::DOUBLE AS theta_f, false AS is_empty FROM nation"
+        ),
+        "kll_quantiles_by_flag": (
+            "SELECT g AS l_returnflag, "
+            "min(CASE WHEN cd >= 0.25 THEN v END) AS p25, "
+            "min(CASE WHEN cd >= 0.5 THEN v END) AS p50, "
+            "min(CASE WHEN cd >= 0.75 THEN v END) AS p75 FROM ("
+            + _CUME.format(g="l_returnflag", v="l_quantity", t="lineitem")
+            + ") GROUP BY g"
+        ),
+        "kll_stats_by_flag": (
+            "SELECT l_returnflag, count(*) AS n_items, "
+            "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "kll_cdf_by_flag": (
+            "SELECT l_returnflag, "
+            "(count(*) FILTER (l_extendedprice <= 20000.0))::DOUBLE / count(*) AS cdf_20k, "
+            "(count(*) FILTER (l_extendedprice <= 50000.0))::DOUBLE / count(*) AS cdf_50k, "
+            "(count(*) FILTER (l_extendedprice <= 80000.0))::DOUBLE / count(*) AS cdf_80k "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "kll_rank": (
+            "SELECT l_returnflag, "
+            "(count(*) FILTER (l_quantity <= 25.0))::DOUBLE / count(*) AS rank_25 "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "quantiles_median_by_priority": (
+            "SELECT g AS o_orderpriority, "
+            "min(CASE WHEN cd >= 0.5 THEN v END) AS median_price, "
+            "count(*) AS n_orders FROM ("
+            + _CUME.format(g="o_orderpriority", v="o_totalprice", t="orders")
+            + ") GROUP BY g"
+        ),
+        "req_tail_by_priority": (
+            "SELECT g AS o_orderpriority, "
+            "min(CASE WHEN cd >= 0.95 THEN v END) AS p95_price, "
+            "count(*) AS n_orders FROM ("
+            + _CUME.format(g="o_orderpriority", v="o_totalprice", t="orders")
+            + ") GROUP BY g"
+        ),
+        "tdigest_weight_by_flag": (
+            "SELECT l_returnflag, count(*) AS total_weight, 200 AS k_param "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "hll_distinct_nations_by_region": (
+            "SELECT n_regionkey::BIGINT AS n_regionkey, "
+            "count(DISTINCT n_nationkey) AS distinct_nations "
+            "FROM nation GROUP BY n_regionkey"
+        ),
+        "hll_union_custkey": (
+            "SELECT count(DISTINCT o_custkey) AS distinct_customers FROM orders"
+        ),
+        "cpc_distinct_parts": (
+            "SELECT count(DISTINCT l_partkey) AS distinct_parts FROM lineitem"
+        ),
+        "frequent_priorities": (
+            "SELECT o_orderpriority AS item, count(*) AS estimate "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "frequent_meta": (
+            "SELECT (SELECT count(*) FROM orders WHERE o_orderpriority='1-URGENT') AS urgent_cnt, "
+            "count(*) AS total_weight, count(DISTINCT o_orderpriority) AS num_active, "
+            "(3.5 / 1024)::DOUBLE AS epsilon FROM orders"
+        ),
+    }

@@ -1,0 +1,53 @@
+"""datasketches_spark: a PySpark-native probabilistic analytics engine.
+
+Re-expresses the full query surface of the DuckDB DataSketches
+extension (Query-farm/datasketches, studied read-only at
+/root/reference) as idiomatic PySpark: sketch state is a BinaryType
+column, aggregates are map-side-combining two-phase jobs or pandas
+UDAFs, scalar queries are Arrow-vectorized pandas UDFs, and everything
+is registered into Spark SQL by :func:`register` -- the analog of the
+extension loader (/root/reference/src/datasketches_extension.cpp:30-46,
+minus the telemetry, which we deliberately do not replicate).
+
+Beyond reference parity, :mod:`datasketches_spark.pipeline` adds the
+large-scale training-data operators (dedup, similarity search, text
+analysis, multimodal plumbing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .aggregation import sketch_agg, sketch_merge, sketch_partial
+from .functions import hll_native
+from .functions.aggregates import build_aggregate_registry
+from .functions.scalars import build_scalar_registry
+
+__version__ = "0.1.0"
+
+
+def register(spark: SparkSession) -> list[str]:
+    """Register every sketch function into the session's SQL catalog.
+
+    Mirrors the reference extension's load-time registration loop
+    (src/datasketches_extension.cpp:30-41).  Idempotent.  UDF objects
+    are built lazily because Spark parses their return-type DDL against
+    the active session.
+    """
+    names = []
+    for name, udf in {**build_aggregate_registry(), **build_scalar_registry()}.items():
+        spark.udf.register(name, udf)
+        names.append(name)
+    return names
+
+
+__all__ = [
+    "register",
+    "sketch_agg",
+    "sketch_partial",
+    "sketch_merge",
+    "hll_native",
+    "build_aggregate_registry",
+    "build_scalar_registry",
+    "__version__",
+]

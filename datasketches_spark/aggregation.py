@@ -1,0 +1,120 @@
+"""Two-phase distributed sketch aggregation -- the 100 TB scale path.
+
+The reference's aggregate state machine (Initialize / Operation /
+Combine / Finalize, codegen/generated.cpp.j2:230-357) crosses *thread*
+boundaries inside one DuckDB process.  On Spark the equivalent boundary
+crosses executors and nodes, so we re-express it as the canonical
+map-side-combine pattern (SURVEY.md §3):
+
+  phase 1 (map, no shuffle):   ``mapInPandas`` folds every Arrow batch
+      of a partition into one partition-local sketch per group key --
+      this is the reference's ``Operation`` loop;
+  shuffle boundary:            only (group key, serialized sketch blob)
+      rows move -- bounded-size state, exactly the reference's
+      ``Combine`` hand-off but across nodes;
+  phase 2 (reduce):            ``applyInPandas`` merges the few blobs
+      per group -- ``Combine`` + ``Finalize``.
+
+At 100 TB this shuffles kilobytes per (group x input-partition) instead
+of the raw rows, and the map phase is embarrassingly parallel.  The
+alternative single-phase pandas grouped-agg UDFs (functions/aggregates)
+are provided for SQL ergonomics but shuffle raw rows; use this module
+for large inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+from .families import build_params, create_sketch, update_sketch
+
+
+def _out_schema(df: DataFrame, group_cols: list[str], output_col: str) -> StructType:
+    fields = [df.schema[c] for c in group_cols]
+    return StructType(list(fields) + [StructField(output_col, BinaryType(), True)])
+
+
+def sketch_partial(
+    df: DataFrame,
+    input_col: str,
+    family: str,
+    group_cols: list[str] | None = None,
+    k: int | None = None,
+    output_col: str = "sketch",
+) -> DataFrame:
+    """Phase 1: one partition-local sketch blob per (partition, group)."""
+    group_cols = list(group_cols or [])
+    schema = _out_schema(df, group_cols, output_col)
+    cols = group_cols + [input_col]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, object] = {}
+        for pdf in batches:
+            if group_cols:
+                grouped = pdf.groupby(group_cols, dropna=False, sort=False)
+                for key, sub in grouped:
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    sk = acc.get(key)
+                    series = sub[input_col]
+                    if sk is None:
+                        sk = acc[key] = create_sketch(
+                            family, build_params(family, k, series)
+                        )
+                    update_sketch(family, sk, series)
+            else:
+                series = pdf[input_col]
+                sk = acc.get(())
+                if sk is None:
+                    sk = acc[()] = create_sketch(family, build_params(family, k, series))
+                update_sketch(family, sk, series)
+        if acc:
+            rows = [list(key) + [sk.serialize()] for key, sk in acc.items()]
+            out = pd.DataFrame(rows, columns=group_cols + [output_col])
+            yield out
+
+    return df.select(*cols).mapInPandas(build, schema=schema)
+
+
+def sketch_merge(
+    partial: DataFrame,
+    family: str,
+    group_cols: list[str] | None = None,
+    k: int | None = None,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Phase 2: merge partition-local blobs per group into final blobs."""
+    group_cols = list(group_cols or [])
+    schema = _out_schema(partial, group_cols, sketch_col)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        series = pdf[sketch_col]
+        sk = create_sketch(family, build_params(family, k, series))
+        update_sketch(family, sk, series)  # blob series -> merge path
+        row = [pdf[c].iloc[0] for c in group_cols] + [sk.serialize()]
+        return pd.DataFrame([row], columns=group_cols + [sketch_col])
+
+    if group_cols:
+        return partial.groupBy(*group_cols).applyInPandas(merge, schema=schema)
+    return partial.groupBy().applyInPandas(merge, schema=schema)
+
+
+def sketch_agg(
+    df: DataFrame,
+    input_col: str,
+    family: str,
+    group_cols: list[str] | None = None,
+    k: int | None = None,
+    output_col: str = "sketch",
+) -> DataFrame:
+    """Build sketches over raw values (or merge blobs) with map-side combine.
+
+    Returns ``group_cols + [output_col BINARY]``.  Equivalent of
+    ``SELECT g, datasketch_<family>(k, x) FROM t GROUP BY g`` at scale.
+    """
+    partial = sketch_partial(df, input_col, family, group_cols, k, output_col)
+    return sketch_merge(partial, family, group_cols, k, output_col)

@@ -1,0 +1,118 @@
+"""Family adapters: uniform create/update/merge over the 8 sketch cores.
+
+This is the glue the Spark layer (aggregation.py, functions/) uses so
+that every aggregate behaves like the reference's overload sets: fed
+raw values it *builds*, fed sketch blobs it *merges* (reference
+docs/README.md:346-348 -- "This same aggregate function can perform a
+union of multiple sketches").  Dispatch is on the pandas dtype of the
+incoming batch: binary -> merge, anything else -> build.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .sketches import (
+    CpcSketch,
+    FrequentItemsSketch,
+    HllSketch,
+    KllSketch,
+    QuantilesSketch,
+    ReqSketch,
+    TDigestSketch,
+    ThetaSketch,
+)
+
+QUANTILE_FAMILIES = {"quantiles": QuantilesSketch, "kll": KllSketch, "req": ReqSketch}
+
+FAMILY_CLASSES = {
+    "theta": ThetaSketch,
+    "kll": KllSketch,
+    "quantiles": QuantilesSketch,
+    "req": ReqSketch,
+    "tdigest": TDigestSketch,
+    "hll": HllSketch,
+    "cpc": CpcSketch,
+    "frequent_items": FrequentItemsSketch,
+}
+
+
+def infer_value_dtype(series: pd.Series) -> str:
+    kind = series.dtype.kind
+    if kind in "iu" or series.dtype == object and isinstance(series.iloc[0], (int, np.integer)):
+        return "int64"
+    if series.dtype == np.float32:
+        return "float32"
+    return "float64"
+
+
+def create_sketch(family: str, params: dict):
+    params = dict(params or {})
+    if family == "theta":
+        return ThetaSketch(int(params.get("lg_k", 12)))
+    if family in QUANTILE_FAMILIES:
+        return QUANTILE_FAMILIES[family](
+            int(params.get("k", 200)), params.get("dtype", "float64")
+        )
+    if family == "tdigest":
+        return TDigestSketch(int(params.get("k", 100)))
+    if family == "hll":
+        return HllSketch(int(params.get("lg_k", 12)))
+    if family == "cpc":
+        return CpcSketch(int(params.get("lg_k", 12)))
+    if family == "frequent_items":
+        return FrequentItemsSketch(int(params.get("lg_max_k", 10)))
+    raise ValueError(f"unknown sketch family: {family}")
+
+
+def is_blob_series(series: pd.Series) -> bool:
+    if series.dtype != object:
+        return False
+    for v in series:
+        if v is None:
+            continue
+        return isinstance(v, (bytes, bytearray))
+    return False
+
+
+def update_sketch(family: str, sk, series: pd.Series) -> None:
+    """Feed one Arrow batch into a sketch: values build, blobs merge."""
+    s = series.dropna()
+    if s.empty:
+        return
+    cls = FAMILY_CLASSES[family]
+    if is_blob_series(s):
+        for blob in s:
+            if blob is not None:
+                sk.merge(cls.deserialize(bytes(blob)))
+        return
+    if family in ("theta", "hll", "cpc"):
+        sk.update_values(s)
+    elif family in QUANTILE_FAMILIES or family == "tdigest":
+        sk.update(s.to_numpy())
+    elif family == "frequent_items":
+        sk.update_series(s)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown sketch family: {family}")
+
+
+def build_params(family: str, k: int | None, series: pd.Series | None) -> dict:
+    """Resolve constructor params from a constant-K argument plus the
+    batch dtype (typed quantile sketches, SURVEY.md §1.2)."""
+    params: dict = {}
+    if family == "theta":
+        if k is not None:
+            params["lg_k"] = k
+    elif family in ("hll", "cpc"):
+        if k is not None:
+            params["lg_k"] = k
+    elif family == "frequent_items":
+        if k is not None:
+            params["lg_max_k"] = k
+    else:
+        if k is not None:
+            params["k"] = k
+    if family in QUANTILE_FAMILIES and series is not None and not is_blob_series(series):
+        params["dtype"] = infer_value_dtype(series)
+    return params

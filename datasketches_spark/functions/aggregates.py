@@ -1,0 +1,79 @@
+"""Sketch-building aggregate functions as pandas grouped-agg UDFs.
+
+These give the same SQL surface as the reference's aggregate
+registrations (codegen/generated.cpp.j2:731-788, theta
+src/theta_sketch.cpp:401-428): ``SELECT g, datasketch_kll(200, x) FROM
+t GROUP BY g``, usable from ``spark.sql``, ``df.groupBy().agg`` and
+window frames.  Fed raw values they build; fed sketch blobs they merge
+(the reference's create/merge overload pair).
+
+SCALE NOTE: Spark executes pandas grouped-agg UDFs without partial
+aggregation -- raw rows shuffle to the reducer.  That is fine for
+interactive SQL and small groups; the 100 TB path is
+``datasketches_spark.aggregation.sketch_agg`` (map-side combine,
+blob-only shuffle).  Semantics are identical.
+
+Empty-input semantics match the reference: generated families return
+NULL for an empty/all-NULL group (codegen/generated.cpp.j2:291-294);
+Theta returns an empty compact sketch (src/theta_sketch.cpp:156-165)
+and Frequent Items a serialized empty sketch
+(src/frequent_items_sketch.cpp:133-139).
+
+K-argument handling: the reference validates K as a bind-time constant
+and erases it from the runtime plan (generated.cpp.j2:50-94).  Spark
+has no custom bind hook, so K arrives as a (constant) column; we
+validate the first value per group -- same effect, validated lazily.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from ..families import build_params, create_sketch, update_sketch
+
+
+def _finalize(family: str, sk) -> bytes | None:
+    if family not in ("theta", "frequent_items") and sk.is_empty:
+        return None  # generated families: NULL on empty input
+    return sk.serialize()
+
+
+def _agg_with_k(family: str):
+    @pandas_udf("binary")
+    def agg(k: pd.Series, v: pd.Series) -> bytes:
+        kk = k.dropna()
+        kval = int(kk.iloc[0]) if kk.size else None
+        sk = create_sketch(family, build_params(family, kval, v))
+        update_sketch(family, sk, v)
+        return _finalize(family, sk)
+
+    return agg
+
+
+def _agg_default(family: str):
+    @pandas_udf("binary")
+    def agg(v: pd.Series) -> bytes:
+        sk = create_sketch(family, build_params(family, None, v))
+        update_sketch(family, sk, v)
+        return _finalize(family, sk)
+
+    return agg
+
+
+def build_aggregate_registry() -> dict[str, object]:
+    reg: dict[str, object] = {}
+    # generated families: K is a required leading argument
+    for fam in ("quantiles", "kll", "req", "tdigest", "hll", "cpc"):
+        reg[f"datasketch_{fam}"] = _agg_with_k(fam)
+    # the union aggregates are the same machinery fed blobs
+    # (DSHLLMergeOperation, codegen/generated.cpp.j2:429-450)
+    reg["datasketch_hll_union"] = _agg_with_k("hll")
+    reg["datasketch_cpc_union"] = _agg_with_k("cpc")
+    # hand-written families default their size parameter; Spark UDFs
+    # cannot overload arity, so the K-taking variant gets a `_lgk` name
+    reg["datasketch_theta"] = _agg_default("theta")
+    reg["datasketch_theta_lgk"] = _agg_with_k("theta")
+    reg["datasketch_frequent_items"] = _agg_default("frequent_items")
+    reg["datasketch_frequent_items_lgk"] = _agg_with_k("frequent_items")
+    return reg

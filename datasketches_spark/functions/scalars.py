@@ -1,0 +1,269 @@
+"""Scalar sketch-query functions as Arrow-vectorized pandas UDFs.
+
+One UDF per reference scalar name (SURVEY.md §2.2 tables; generated
+spec /root/reference/codegen/generator.py:132-528, hand-written Theta
+src/theta_sketch.cpp:221-354 and Frequent Items
+src/frequent_items_sketch.cpp:193-348).
+
+Execution shape mirrors the reference's chunk-at-a-time executors
+(generator.py:531-539) with one improvement it doesn't have: blob
+deserialization is memoized per Arrow batch (SURVEY.md §3 noted this
+easy win), so querying the same stored sketch across many rows decodes
+it once per batch instead of per row.
+
+SQL note: Spark cannot overload UDFs by arity, so the optional
+``inclusive`` / describe-verbosity arguments that DuckDB overloads
+provide are REQUIRED positional arguments on the SQL surface; the
+Python helpers give them defaults.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from ..sketches import (
+    CpcSketch,
+    FrequentItemsSketch,
+    HllSketch,
+    KllSketch,
+    QuantilesSketch,
+    ReqSketch,
+    TDigestSketch,
+    ThetaSketch,
+    theta_a_not_b,
+    theta_intersect,
+    theta_union,
+)
+
+_QUANTILE_FAMILIES = [
+    ("quantiles", QuantilesSketch),
+    ("kll", KllSketch),
+    ("req", ReqSketch),
+]
+
+
+def _deser_batch(cls, s: pd.Series) -> list:
+    cache: dict[bytes, object] = {}
+    out = []
+    for b in s:
+        if b is None:
+            out.append(None)
+            continue
+        key = bytes(b)
+        sk = cache.get(key)
+        if sk is None:
+            sk = cache[key] = cls.deserialize(key)
+        out.append(sk)
+    return out
+
+
+def _obj_series(values: list) -> pd.Series:
+    return pd.Series(values, dtype=object)
+
+
+def _unary(cls, fn: Callable, ret: str):
+    @pandas_udf(ret)
+    def udf(s: pd.Series) -> pd.Series:
+        return _obj_series([None if sk is None else fn(sk) for sk in _deser_batch(cls, s)])
+
+    return udf
+
+
+def _with_args(cls, fn: Callable, ret: str, nargs: int):
+    if nargs == 1:
+
+        @pandas_udf(ret)
+        def udf(s: pd.Series, a: pd.Series) -> pd.Series:
+            sks = _deser_batch(cls, s)
+            return _obj_series(
+                [
+                    None if sk is None or x is None else fn(sk, x)
+                    for sk, x in zip(sks, a)
+                ]
+            )
+
+    else:
+
+        @pandas_udf(ret)
+        def udf(s: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
+            sks = _deser_batch(cls, s)
+            return _obj_series(
+                [
+                    None if sk is None or x is None else fn(sk, x, y)
+                    for sk, x, y in zip(sks, a, b)
+                ]
+            )
+
+    return udf
+
+
+def _sketch_pair(cls, fn: Callable):
+    @pandas_udf("binary")
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        sa = _deser_batch(cls, a)
+        sb = _deser_batch(cls, b)
+        return _obj_series(
+            [
+                None if x is None or y is None else fn(x, y).serialize()
+                for x, y in zip(sa, sb)
+            ]
+        )
+
+    return udf
+
+
+_FREQ_ROW_SCHEMA = (
+    "array<struct<item: string, estimate: long, lower_bound: long, upper_bound: long>>"
+)
+
+
+def build_scalar_registry() -> dict[str, object]:
+    """All scalar UDFs keyed by their SQL/reference name."""
+    reg: dict[str, object] = {}
+
+    # ---- quantile families: Quantiles, KLL, REQ ----
+    for fam, cls in _QUANTILE_FAMILIES:
+        p = f"datasketch_{fam}_"
+        reg[p + "is_empty"] = _unary(cls, lambda sk: bool(sk.is_empty), "boolean")
+        reg[p + "k"] = _unary(cls, lambda sk: int(sk.k), "int")
+        reg[p + "n"] = _unary(cls, lambda sk: int(sk.n), "long")
+        reg[p + "is_estimation_mode"] = _unary(
+            cls, lambda sk: bool(sk.is_estimation_mode), "boolean"
+        )
+        reg[p + "num_retained"] = _unary(cls, lambda sk: int(sk.num_retained), "long")
+        reg[p + "min_item"] = _unary(
+            cls, lambda sk: None if sk.is_empty else float(sk.get_min_item()), "double"
+        )
+        reg[p + "max_item"] = _unary(
+            cls, lambda sk: None if sk.is_empty else float(sk.get_max_item()), "double"
+        )
+        reg[p + "rank"] = _with_args(
+            cls, lambda sk, v, inc: float(sk.get_rank(float(v), bool(inc))), "double", 2
+        )
+        reg[p + "quantile"] = _with_args(
+            cls,
+            lambda sk, q, inc: None
+            if sk.is_empty
+            else float(sk.get_quantile(float(q), bool(inc))),
+            "double",
+            2,
+        )
+        reg[p + "cdf"] = _with_args(
+            cls,
+            lambda sk, sp, inc: sk.get_cdf(list(sp), bool(inc)),
+            "array<double>",
+            2,
+        )
+        reg[p + "pmf"] = _with_args(
+            cls,
+            lambda sk, sp, inc: sk.get_pmf(list(sp), bool(inc)),
+            "array<double>",
+            2,
+        )
+        reg[p + "describe"] = _with_args(
+            cls, lambda sk, a, b: sk.describe(bool(a), bool(b)), "string", 2
+        )
+        if fam in ("quantiles", "kll"):
+            reg[p + "normalized_rank_error"] = _with_args(
+                cls, lambda sk, pmf: float(sk.normalized_rank_error(bool(pmf))), "double", 1
+            )
+
+    # ---- TDigest (no `inclusive` args, generator.py:160-166) ----
+    p = "datasketch_tdigest_"
+    reg[p + "is_empty"] = _unary(TDigestSketch, lambda sk: bool(sk.is_empty), "boolean")
+    reg[p + "k"] = _unary(TDigestSketch, lambda sk: int(sk.k), "int")
+    reg[p + "total_weight"] = _unary(
+        TDigestSketch, lambda sk: int(sk.total_weight()), "long"
+    )
+    reg[p + "rank"] = _with_args(
+        TDigestSketch, lambda sk, v: float(sk.get_rank(float(v))), "double", 1
+    )
+    reg[p + "quantile"] = _with_args(
+        TDigestSketch,
+        lambda sk, q: None if sk.is_empty else float(sk.get_quantile(float(q))),
+        "double",
+        1,
+    )
+    reg[p + "cdf"] = _with_args(
+        TDigestSketch, lambda sk, sp: sk.get_cdf(list(sp)), "array<double>", 1
+    )
+    reg[p + "pmf"] = _with_args(
+        TDigestSketch, lambda sk, sp: sk.get_pmf(list(sp)), "array<double>", 1
+    )
+    reg[p + "describe"] = _with_args(
+        TDigestSketch, lambda sk, a: sk.describe(bool(a)), "string", 1
+    )
+
+    # ---- Theta (src/theta_sketch.cpp:221-354) ----
+    p = "datasketch_theta_"
+    reg[p + "union"] = _sketch_pair(ThetaSketch, lambda a, b: theta_union(a, b))
+    reg[p + "intersect"] = _sketch_pair(ThetaSketch, theta_intersect)
+    reg[p + "a_not_b"] = _sketch_pair(ThetaSketch, theta_a_not_b)
+    reg[p + "estimate"] = _unary(ThetaSketch, lambda sk: float(sk.get_estimate()), "double")
+    reg[p + "lower_bound"] = _with_args(
+        ThetaSketch, lambda sk, sd: float(sk.get_bound(int(sd), False)), "double", 1
+    )
+    reg[p + "upper_bound"] = _with_args(
+        ThetaSketch, lambda sk, sd: float(sk.get_bound(int(sd), True)), "double", 1
+    )
+    reg[p + "describe"] = _unary(ThetaSketch, lambda sk: sk.describe(), "string")
+    reg[p + "is_empty"] = _unary(ThetaSketch, lambda sk: bool(sk.is_empty), "boolean")
+    reg[p + "is_estimation_mode"] = _unary(
+        ThetaSketch, lambda sk: bool(sk.is_estimation_mode), "boolean"
+    )
+    reg[p + "get_theta"] = _unary(ThetaSketch, lambda sk: float(sk.get_theta()), "double")
+    reg[p + "num_retained"] = _unary(
+        ThetaSketch, lambda sk: int(sk.num_retained), "long"
+    )
+    # fixed default seed -> constant seed hash, mirroring the reference's
+    # default-seed behavior (src/theta_sketch.cpp:346-354)
+    reg[p + "get_seed"] = _unary(ThetaSketch, lambda sk: 0, "long")
+
+    # ---- HLL / CPC ----
+    for fam, cls in (("hll", HllSketch), ("cpc", CpcSketch)):
+        p = f"datasketch_{fam}_"
+        reg[p + "estimate"] = _unary(cls, lambda sk: float(sk.get_estimate()), "double")
+        reg[p + "lower_bound"] = _with_args(
+            cls, lambda sk, sd: float(sk.get_bound(int(sd), False)), "double", 1
+        )
+        reg[p + "upper_bound"] = _with_args(
+            cls, lambda sk, sd: float(sk.get_bound(int(sd), True)), "double", 1
+        )
+        reg[p + "is_empty"] = _unary(cls, lambda sk: bool(sk.is_empty), "boolean")
+        reg[p + "describe"] = _with_args(
+            cls, lambda sk, a, b: sk.describe(bool(a), bool(b)), "string", 2
+        )
+    reg["datasketch_hll_lg_config_k"] = _unary(
+        HllSketch, lambda sk: int(sk.lg_config_k), "int"
+    )
+    reg["datasketch_hll_is_compact"] = _unary(
+        HllSketch, lambda sk: bool(sk.is_compact), "boolean"
+    )
+
+    # ---- Frequent Items ----
+    p = "datasketch_frequent_items_"
+    F = FrequentItemsSketch
+    reg[p + "estimate"] = _with_args(F, lambda sk, it: int(sk.get_estimate(it)), "long", 1)
+    reg[p + "lower_bound"] = _with_args(
+        F, lambda sk, it: int(sk.get_lower_bound(it)), "long", 1
+    )
+    reg[p + "upper_bound"] = _with_args(
+        F, lambda sk, it: int(sk.get_upper_bound(it)), "long", 1
+    )
+    reg[p + "epsilon"] = _unary(F, lambda sk: float(sk.epsilon), "double")
+    reg[p + "total_weight"] = _unary(F, lambda sk: int(sk.total_weight()), "long")
+    reg[p + "is_empty"] = _unary(F, lambda sk: bool(sk.is_empty), "boolean")
+    reg[p + "num_active"] = _unary(F, lambda sk: int(sk.num_active), "long")
+    reg[p + "get_frequent"] = _with_args(
+        F,
+        lambda sk, et: [
+            {"item": r[0], "estimate": r[1], "lower_bound": r[2], "upper_bound": r[3]}
+            for r in sk.get_frequent_items(str(et))
+        ],
+        _FREQ_ROW_SCHEMA,
+        1,
+    )
+    return reg

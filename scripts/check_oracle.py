@@ -1,0 +1,103 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark at sf0.01 and
+its ``oracle_sql()`` twin on DuckDB over the same parquet, then
+compares row count, column names, and order-insensitive values
+(rounded to 9 significant-ish decimals for float stability).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in sorted(cols):
+            v = row[c] if isinstance(row, dict) else row[cols.index(c)]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "6g")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    passed = failed = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+            if name not in oracles:
+                print(f"  [rows-only] {name}: {len(srows)} rows")
+                passed += 1
+                continue
+            ores = con.execute(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+            s_canon = canon([r.asDict() for r in srows], scols)
+            o_canon = canon(orows, ocols)
+            ok_cols = sorted(scols) == sorted(ocols)
+            ok_vals = s_canon == o_canon
+            if ok_cols and ok_vals:
+                print(f"  [PASS] {name} ({len(srows)} rows)")
+                passed += 1
+            else:
+                failed += 1
+                print(f"  [FAIL] {name}: cols_match={ok_cols} vals_match={ok_vals}")
+                if not ok_cols:
+                    print(f"    spark cols: {sorted(scols)}\n    duck  cols: {sorted(ocols)}")
+                else:
+                    for s, o in list(zip(s_canon, o_canon))[:5]:
+                        if s != o:
+                            print(f"    spark: {s}\n    duck : {o}")
+        except Exception as exc:  # noqa: BLE001
+            failed += 1
+            print(f"  [ERROR] {name}: {type(exc).__name__}: {str(exc)[:300]}")
+    print(f"\n{passed} passed, {failed} failed")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

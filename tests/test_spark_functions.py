@@ -1,0 +1,260 @@
+"""Spark integration tests: SQL surface + two-phase aggregation.
+
+Ports the reference sqllogictest idioms (SURVEY.md §5) to a local
+SparkSession.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datasketches_spark import hll_native, sketch_agg
+from datasketches_spark.sketches import ThetaSketch
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    # FIXTURES F1: ids 1..N each twice
+    df = spark.range(1, 1001).union(spark.range(1, 1001)).withColumnRenamed("id", "v")
+    df.createOrReplaceTempView("items")
+    return df
+
+
+class TestThetaSQL:
+    def test_exact_estimate(self, spark, items):
+        row = spark.sql(
+            "SELECT datasketch_theta_estimate(datasketch_theta(v)) AS est FROM items"
+        ).first()
+        assert row.est == 1000.0
+
+    def test_grouped(self, spark, items):
+        rows = spark.sql(
+            """
+            SELECT v % 2 AS g,
+                   datasketch_theta_estimate(datasketch_theta(v)) AS est
+            FROM items GROUP BY v % 2 ORDER BY g
+            """
+        ).collect()
+        assert [r.est for r in rows] == [500.0, 500.0]
+
+    def test_set_algebra(self, spark):
+        # F7: A={1..5}, B={4..8}
+        spark.sql("SELECT explode(sequence(1, 5)) AS i").createOrReplaceTempView("set_a")
+        spark.sql("SELECT explode(sequence(4, 8)) AS i").createOrReplaceTempView("set_b")
+        spark.sql(
+            """
+            SELECT a, b
+            FROM (SELECT datasketch_theta(i) AS a FROM set_a)
+            CROSS JOIN (SELECT datasketch_theta(i) AS b FROM set_b)
+            """
+        ).createOrReplaceTempView("ab")
+        row = spark.sql(
+            """
+            SELECT datasketch_theta_estimate(datasketch_theta_union(a, b)) AS u,
+                   datasketch_theta_estimate(datasketch_theta_intersect(a, b)) AS i,
+                   datasketch_theta_estimate(datasketch_theta_a_not_b(a, b)) AS d
+            FROM ab
+            """
+        ).first()
+        assert (row.u, row.i, row.d) == (8.0, 2.0, 3.0)
+
+    def test_empty_and_null_semantics(self, spark):
+        spark.createDataFrame(
+            [Row(v=None), Row(v=None)], "v int"
+        ).createOrReplaceTempView("all_nulls")
+        row = spark.sql(
+            """
+            SELECT datasketch_theta_is_empty(datasketch_theta(v)) AS empty,
+                   datasketch_theta_estimate(datasketch_theta(v)) AS est,
+                   datasketch_kll(200, v) AS kll_blob
+            FROM all_nulls
+            """
+        ).first()
+        assert row.empty is True
+        assert row.est == 0.0
+        assert row.kll_blob is None  # generated families: NULL on empty
+
+    def test_metadata_scalars(self, spark, items):
+        row = spark.sql(
+            """
+            SELECT datasketch_theta_num_retained(s) AS nr,
+                   datasketch_theta_get_theta(s) AS th,
+                   datasketch_theta_is_estimation_mode(s) AS em
+            FROM (SELECT datasketch_theta(v) AS s FROM items)
+            """
+        ).first()
+        assert row.nr == 1000 and row.th == 1.0 and row.em is False
+
+    def test_merge_stored_sketches(self, spark, items):
+        # build per-group sketches, store, then aggregate-merge the blobs
+        spark.sql(
+            "SELECT v % 3 AS g, datasketch_theta(v) AS s FROM items GROUP BY v % 3"
+        ).createOrReplaceTempView("stored")
+        row = spark.sql(
+            "SELECT datasketch_theta_estimate(datasketch_theta(s)) AS est FROM stored"
+        ).first()
+        assert row.est == 1000.0
+
+
+class TestQuantileSQL:
+    def test_kll_exact(self, spark):
+        spark.range(1, 1001).selectExpr("CAST(id AS double) AS x").createOrReplaceTempView(
+            "readings"
+        )
+        row = spark.sql(
+            """
+            SELECT datasketch_kll_quantile(s, 0.5, true) AS med,
+                   datasketch_kll_rank(s, 500.0, true) AS rk,
+                   datasketch_kll_n(s) AS n,
+                   datasketch_kll_min_item(s) AS mn,
+                   datasketch_kll_max_item(s) AS mx,
+                   datasketch_kll_cdf(s, array(100.5D, 900.5D), true) AS cdf,
+                   datasketch_kll_is_estimation_mode(s) AS em,
+                   datasketch_kll_k(s) AS k
+            FROM (SELECT datasketch_kll(1024, x) AS s FROM readings)
+            """
+        ).first()
+        assert row.med == 500.0
+        assert row.rk == 0.5
+        assert row.n == 1000
+        assert (row.mn, row.mx) == (1.0, 1000.0)
+        assert row.cdf == [0.1, 0.9, 1.0]
+        assert row.em is False
+        assert row.k == 1024
+
+    @pytest.mark.parametrize("fam", ["quantiles", "req"])
+    def test_other_families_exact(self, spark, fam):
+        spark.range(1, 101).selectExpr("CAST(id AS double) AS x").createOrReplaceTempView(
+            "r100"
+        )
+        row = spark.sql(
+            f"""
+            SELECT datasketch_{fam}_quantile(s, 0.5, true) AS med,
+                   datasketch_{fam}_n(s) AS n
+            FROM (SELECT datasketch_{fam}(128, x) AS s FROM r100)
+            """
+        ).first()
+        assert row.med == 50.0 and row.n == 100
+
+    def test_tdigest(self, spark):
+        spark.range(1, 1001).selectExpr("CAST(id AS double) AS x").createOrReplaceTempView(
+            "rt"
+        )
+        row = spark.sql(
+            """
+            SELECT datasketch_tdigest_total_weight(s) AS tw,
+                   datasketch_tdigest_quantile(s, 0.5) AS med,
+                   datasketch_tdigest_k(s) AS k
+            FROM (SELECT datasketch_tdigest(100, x) AS s FROM rt)
+            """
+        ).first()
+        assert row.tw == 1000
+        assert row.med == pytest.approx(500.0, rel=0.05)
+        assert row.k == 100
+
+
+class TestCountingSQL:
+    def test_hll_exact_small(self, spark):
+        spark.sql(
+            "SELECT explode(array('a','b','c','a','b')) AS name"
+        ).createOrReplaceTempView("employees")
+        row = spark.sql(
+            """
+            SELECT datasketch_hll_estimate(s) AS est,
+                   datasketch_hll_lg_config_k(s) AS lgk,
+                   datasketch_hll_is_empty(s) AS emp
+            FROM (SELECT datasketch_hll(12, name) AS s FROM employees)
+            """
+        ).first()
+        assert row.est == 3.0 and row.lgk == 12 and row.emp is False
+
+    def test_hll_union_partitions(self, spark, items):
+        spark.sql(
+            "SELECT v % 3 AS g, datasketch_hll(12, v) AS s FROM items GROUP BY v % 3"
+        ).createOrReplaceTempView("hll_parts")
+        row = spark.sql(
+            "SELECT datasketch_hll_estimate(datasketch_hll_union(12, s)) AS est "
+            "FROM hll_parts"
+        ).first()
+        assert row.est == 1000.0  # sparse-exact mode
+
+    def test_cpc(self, spark, items):
+        row = spark.sql(
+            "SELECT datasketch_cpc_estimate(datasketch_cpc(12, v)) AS est FROM items"
+        ).first()
+        assert row.est == 1000.0
+
+    def test_native_hll_fast_path(self, spark, items):
+        df = items.agg(hll_native.hll_estimate(hll_native.hll_build("v", 12)).alias("est"))
+        est = df.first().est
+        assert est == pytest.approx(1000, rel=0.03)
+
+
+class TestFrequentItemsSQL:
+    def test_exact_and_explode(self, spark):
+        spark.sql(
+            "SELECT explode(array('apple','apple','apple','banana','banana','cherry')) AS f"
+        ).createOrReplaceTempView("fruits")
+        rows = spark.sql(
+            """
+            SELECT t.item, t.estimate
+            FROM (SELECT datasketch_frequent_items(f) AS s FROM fruits)
+            LATERAL VIEW explode(datasketch_frequent_items_get_frequent(s, 'NO_FALSE_POSITIVES')) AS t
+            ORDER BY t.estimate DESC, t.item
+            """
+        ).collect()
+        assert [(r.item, r.estimate) for r in rows] == [
+            ("apple", 3),
+            ("banana", 2),
+            ("cherry", 1),
+        ]
+
+    def test_scalar_lookups(self, spark):
+        spark.sql(
+            "SELECT explode(array('x','x','y')) AS f"
+        ).createOrReplaceTempView("fi_small")
+        row = spark.sql(
+            """
+            SELECT datasketch_frequent_items_estimate(s, 'x') AS ex,
+                   datasketch_frequent_items_total_weight(s) AS tw,
+                   datasketch_frequent_items_num_active(s) AS na,
+                   datasketch_frequent_items_epsilon(s) AS eps
+            FROM (SELECT datasketch_frequent_items(f) AS s FROM fi_small)
+            """
+        ).first()
+        assert row.ex == 2 and row.tw == 3 and row.na == 2
+        assert row.eps == pytest.approx(0.00341796875)
+
+
+class TestTwoPhaseAggregation:
+    def test_global_matches_sql(self, spark, items):
+        blob = sketch_agg(items, "v", "theta").first().sketch
+        assert ThetaSketch.deserialize(bytes(blob)).get_estimate() == 1000.0
+
+    def test_grouped_matches_sql(self, spark, items):
+        df = items.withColumn("g", F.col("v") % 2)
+        out = sketch_agg(df, "v", "theta", group_cols=["g"]).orderBy("g").collect()
+        assert len(out) == 2
+        for r in out:
+            assert ThetaSketch.deserialize(bytes(r.sketch)).get_estimate() == 500.0
+
+    def test_two_phase_kll(self, spark):
+        df = spark.range(0, 10_000).selectExpr(
+            "CAST(id AS double) AS x", "id % 4 AS g"
+        ).repartition(8)
+        out = sketch_agg(df, "x", "kll", group_cols=["g"], k=200)
+        from datasketches_spark.sketches import KllSketch
+
+        rows = out.collect()
+        assert len(rows) == 4
+        for r in rows:
+            sk = KllSketch.deserialize(bytes(r.sketch))
+            assert sk.n == 2500
+
+    def test_merge_blobs_two_phase(self, spark, items):
+        partials = sketch_agg(
+            items.withColumn("g", F.col("v") % 5), "v", "theta", group_cols=["g"]
+        )
+        merged = sketch_agg(partials, "sketch", "theta")
+        est = ThetaSketch.deserialize(bytes(merged.first().sketch)).get_estimate()
+        assert est == 1000.0
