@@ -1,0 +1,124 @@
+"""Benchmark harness (driver contract): headline queries at sf0.1.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Coverage per BASELINE.md bench definition: sketch-build throughput for
+each family, merge throughput over partition sketches, and scalar
+query throughput over >=1k stored sketches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from datasketches_spark import hll_native
+from datasketches_spark.aggregation import sketch_agg
+
+
+def _bench_hll_native(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return df.agg(
+        hll_native.hll_estimate(hll_native.hll_build("l_orderkey", 12)).alias("est")
+    )
+
+
+def _bench_scalar_over_stored(spark, sf_dir):
+    """Scalar query throughput over >=1k stored sketches (BASELINE.md)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    stored = sketch_agg(
+        orders.withColumn("g", F.col("o_custkey") % 2048),
+        "o_orderkey",
+        "theta",
+        group_cols=["g"],
+        k=12,
+    ).cache()
+    stored.count()  # materialize the build; timing covers the scalar pass
+    t0 = time.perf_counter()
+    out = stored.select(
+        F.expr("datasketch_theta_estimate(sketch)").alias("est"),
+        F.expr("datasketch_theta_num_retained(sketch)").alias("nr"),
+        F.expr("datasketch_theta_upper_bound(sketch, 2)").alias("ub"),
+    )
+    n = out.count()
+    dt = time.perf_counter() - t0
+    stored.unpersist()
+    return n, dt
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("datasketches-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    q = entrymod.queries()
+    heads = [
+        "theta_distinct_orders",
+        "theta_distinct_by_flag",
+        "kll_quantiles_by_flag",
+        "quantiles_median_by_priority",
+        "req_tail_by_priority",
+        "tdigest_weight_by_flag",
+        "hll_union_custkey",
+        "cpc_distinct_parts",
+        "frequent_priorities",
+    ]
+    timings: dict[str, float] = {}
+    # warm the JVM + python workers once so timings measure steady state
+    entrymod.q_theta_metadata(spark, sf_dir).collect()
+
+    for name in heads:
+        if name not in q:
+            continue
+        t0 = time.perf_counter()
+        q[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _bench_hll_native(spark, sf_dir).collect()
+    timings["hll_native_distinct"] = round(time.perf_counter() - t0, 3)
+
+    _, dt = _bench_scalar_over_stored(spark, sf_dir)
+    timings["scalar_over_2k_stored"] = round(dt, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,7 @@ _FLAG_EMPTY = 1
 
 
 class ThetaSketch:
-    __slots__ = ("lg_k", "theta", "hashes")
+    __slots__ = ("lg_k", "theta", "hashes", "_pending", "_pending_n")
 
     def __init__(self, lg_k: int = DEFAULT_LG_K):
         if not (4 <= lg_k <= 26):
@@ -43,6 +43,11 @@ class ThetaSketch:
         self.lg_k = lg_k
         self.theta = MAX_HASH  # exclusive threshold; MAX_HASH == "theta = 1.0"
         self.hashes = np.empty(0, dtype=np.uint64)
+        # update buffer: incoming batches accumulate un-deduplicated and are
+        # consolidated lazily, so building over many Arrow batches is
+        # amortized O(n log n) instead of a sort per batch
+        self._pending: list[np.ndarray] = []
+        self._pending_n = 0
 
     # ---- building ----
     def update_hashes(self, h: np.ndarray) -> None:
@@ -50,11 +55,20 @@ class ThetaSketch:
             return
         if self.theta < MAX_HASH:
             h = h[h < np.uint64(self.theta)]
-        self.hashes = np.unique(np.concatenate([self.hashes, h]))
-        self._purge()
+        self._pending.append(h)
+        self._pending_n += h.size
+        if self._pending_n > max(4 << self.lg_k, 1 << 17):
+            self._consolidate()
 
     def update_values(self, values) -> None:
         self.update_hashes(hash_values(values))
+
+    def _consolidate(self) -> None:
+        if self._pending:
+            self.hashes = np.unique(np.concatenate([self.hashes, *self._pending]))
+            self._pending = []
+            self._pending_n = 0
+            self._purge()
 
     def _purge(self) -> None:
         k = 1 << self.lg_k
@@ -64,6 +78,8 @@ class ThetaSketch:
             self.hashes = self.hashes[:k]
 
     def merge(self, other: "ThetaSketch") -> None:
+        self._consolidate()
+        other._consolidate()
         self.theta = min(self.theta, other.theta)
         combined = np.concatenate([self.hashes, other.hashes])
         combined = combined[combined < np.uint64(self.theta)]
@@ -73,6 +89,7 @@ class ThetaSketch:
     # ---- queries ----
     @property
     def is_empty(self) -> bool:
+        self._consolidate()
         return self.hashes.size == 0 and self.theta == MAX_HASH
 
     @property
@@ -81,12 +98,14 @@ class ThetaSketch:
 
     @property
     def num_retained(self) -> int:
+        self._consolidate()
         return int(self.hashes.size)
 
     def get_theta(self) -> float:
         return self.theta / MAX_HASH
 
     def get_estimate(self) -> float:
+        self._consolidate()
         if self.theta == MAX_HASH:
             return float(self.hashes.size)
         return self.hashes.size / (self.theta / MAX_HASH)
@@ -118,6 +137,7 @@ class ThetaSketch:
 
     # ---- serialization ----
     def serialize(self) -> bytes:
+        self._consolidate()
         flags = _FLAG_EMPTY if self.is_empty else 0
         payload = struct.pack("<BBQI", self.lg_k, flags, self.theta, self.hashes.size)
         payload += np.ascontiguousarray(self.hashes).tobytes()
@@ -147,6 +167,8 @@ def theta_union(a: ThetaSketch, b: ThetaSketch, lg_k: int = DEFAULT_LG_K) -> The
 
 
 def theta_intersect(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+    a._consolidate()
+    b._consolidate()
     out = ThetaSketch(max(a.lg_k, b.lg_k))
     theta = min(a.theta, b.theta)
     ah = a.hashes[a.hashes < np.uint64(theta)]
@@ -157,6 +179,8 @@ def theta_intersect(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
 
 
 def theta_a_not_b(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+    a._consolidate()
+    b._consolidate()
     out = ThetaSketch(max(a.lg_k, b.lg_k))
     theta = min(a.theta, b.theta)
     ah = a.hashes[a.hashes < np.uint64(theta)]
