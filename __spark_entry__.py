@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 import datasketches_spark as dss
 from datasketches_spark.aggregation import sketch_agg
+from datasketches_spark.pipeline import text as _T
 
 _REGISTERED: set[int] = set()
 
@@ -282,6 +283,144 @@ def q_frequent_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------------
+
+
+def q_docs_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_spark.pipeline import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct(T.doc_fingerprint(F.col("text"))).alias("distinct_docs"),
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_spark.pipeline import text as T
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.doc_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_spark.pipeline import text as T
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_spark.pipeline import text as T
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_spark.pipeline import text as T
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_char_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-set Jaccard of consecutive doc pairs (mirrors DuckDB jaccard())."""
+    from datasketches_spark.pipeline import text as T
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("text").alias("text_b"))
+    return a.join(b, "id_a").select(
+        "id_a", T.char_jaccard(F.col("text_a"), F.col("text_b")).alias("jac")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 5 vectors (broadcast join)."""
+    from datasketches_spark.pipeline import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_spark.pipeline import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("label"),
+        F.round(S.norm(F.col("embedding").cast("array<double>")), 6).alias("nrm"),
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
+def q_events_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped rollup: distinct users per hour via exact-mode theta.
+
+    The events parquet stores TIMESTAMP(NANOS); Spark reads it as raw
+    nanos (legacy conf) and we bucket arithmetically -- timezone-free,
+    so the oracle comparison cannot be skewed by session TZ.
+    """
+    _ensure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour_bucket", F.floor(F.col("ts") / F.lit(3_600_000_000_000)).cast("long")
+    )
+    sk = sketch_agg(ev, "user_id", "theta", group_cols=["hour_bucket"], k=12)
+    return sk.select(
+        "hour_bucket",
+        F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
+            "distinct_users"
+        ),
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata plumbing (text bytes stand in for media)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.col("text")).alias("n_bytes"),
+        F.hex(F.encode(F.substring(F.col("text"), 1, 4), "UTF-8")).alias("magic_hex"),
+    )
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate count (deterministic; rows-only check
+    -- LSH banding is not expressible in ANSI SQL)."""
+    from datasketches_spark.pipeline import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.2)
+    return pairs.agg(F.count("*").alias("n_candidate_pairs"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=16 pair count (rows-only check)."""
+    from datasketches_spark.pipeline import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sims = D.simhash64(docs, "doc_id", "text")
+    pairs = D.simhash_near_pairs(sims, "doc_id", max_hamming=16)
+    return pairs.agg(F.count("*").alias("n_pairs"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-flag distinct suppliers (theta) + exact quantiles (KLL)
     on sf0.001, both via the two-phase map-side-combine path."""
@@ -310,6 +449,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpc_distinct_parts": q_cpc_distinct_parts,
         "frequent_priorities": q_frequent_priorities,
         "frequent_meta": q_frequent_meta,
+        "docs_dedup_stats": q_docs_dedup_stats,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_quality_scores": q_doc_quality_scores,
+        "doc_lang_id": q_doc_lang_id,
+        "char_jaccard_adjacent": q_char_jaccard_adjacent,
+        "ann_topk": q_ann_topk,
+        "embedding_label_stats": q_embedding_label_stats,
+        "events_hourly_users": q_events_hourly_users,
+        "multimodal_meta": q_multimodal_meta,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -404,4 +555,54 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS total_weight, count(DISTINCT o_orderpriority) AS num_active, "
             "(3.5 / 1024)::DOUBLE AS epsilon FROM orders"
         ),
+        "docs_dedup_stats": (
+            f"SELECT count(*) AS total_docs, "
+            f"count(DISTINCT {_T.oracle_fingerprint_sql()}) AS distinct_docs FROM documents"
+        ),
+        "doc_fingerprints": (
+            f"SELECT doc_id, {_T.oracle_fingerprint_sql()} AS fp FROM documents"
+        ),
+        "doc_token_counts": (
+            f"SELECT doc_id, {_T.oracle_token_count_sql()} AS n_tokens FROM documents"
+        ),
+        "doc_quality_scores": (
+            f"SELECT doc_id, {_T.oracle_quality_score_sql()} AS quality FROM documents"
+        ),
+        "doc_lang_id": (
+            f"SELECT doc_id, {_T.oracle_lang_id_sql()} AS lang_pred FROM documents"
+        ),
+        "char_jaccard_adjacent": (
+            "SELECT a.doc_id AS id_a, jaccard(a.text, b.text) AS jac "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id < 100 AND b.doc_id < 100"
+        ),
+        "ann_topk": """
+            SELECT query_id, neighbor_id, rnk FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       q.embedding::DOUBLE[]) DESC,
+                                e.vec_id
+                     ) AS rnk
+              FROM embeddings e, embeddings q WHERE q.vec_id < 5
+            ) WHERE rnk <= 5
+        """,
+        "embedding_label_stats": (
+            "SELECT label::BIGINT AS label, count(*) AS n_vecs, "
+            "min(nrm) AS min_norm, max(nrm) AS max_norm FROM ("
+            "  SELECT label, round(sqrt(list_sum(list_transform(embedding::DOUBLE[], "
+            "x -> x * x))), 6) AS nrm FROM embeddings"
+            ") GROUP BY label"
+        ),
+        "events_hourly_users": (
+            "SELECT floor(epoch(ts) / 3600)::BIGINT AS hour_bucket, "
+            "count(DISTINCT user_id) AS distinct_users FROM events GROUP BY 1"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+            "hex(encode(substring(text, 1, 4))) AS magic_hex FROM documents"
+        ),
+        # minhash_candidates / simhash_pairs: LSH banding is not
+        # SQL-expressible -> rows-only checks (no oracle entries)
     }

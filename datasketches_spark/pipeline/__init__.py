@@ -1,0 +1,15 @@
+"""Large-scale training-data pipeline operators (beyond reference parity):
+
+- :mod:`.dedup` -- exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  connected-component duplicate clusters
+- :mod:`.similarity` -- brute-force + LSH cosine top-k, embedding
+  near-duplicates
+- :mod:`.text` -- language ID, quality scoring, token counting,
+  fingerprinting (all JVM-side Column expressions)
+- :mod:`.multimodal` -- opaque-binary columns, metadata extraction,
+  stubbed-but-plumbed decoders
+"""
+
+from . import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "similarity", "text", "multimodal"]

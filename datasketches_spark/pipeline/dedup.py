@@ -1,0 +1,334 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB framing):
+
+- *exact*: hash-groupBy on a canonical fingerprint -- one shuffle of
+  (hash, id), Catalyst handles partial aggregation.
+- *MinHash+LSH*: per-document signatures are computed in a single
+  Arrow-batched ``mapInPandas`` pass (numpy-vectorized rolling-hash
+  shingling; no per-char Python), then banded -- candidate generation
+  is an equi-join on (band_idx, band_hash), which Spark executes as a
+  shuffled hash join on small keys rather than an O(n^2) cross join.
+- *SimHash*: 64-bit signatures; candidate pairs via 16-bit band
+  equality (pigeonhole: hamming<=3 over 4 bands guarantees a shared
+  band), verified JVM-side with xor+bit_count.
+- duplicate *clusters* via iterative min-id label propagation
+  (bounded-iteration connected components over the pair list).
+
+All randomness is seeded -> deterministic results run-to-run.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.window import Window
+
+from ..hashing import splitmix64
+from .text import doc_fingerprint
+
+_MERSENNE = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# ----------------------------------------------------------------- exact
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of ids sharing an identical canonical fingerprint."""
+    fp = df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per identical canonical fingerprint."""
+    w = F.row_number().over(
+        Window.partitionBy(doc_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    )
+    return df.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# --------------------------------------------------------------- minhash
+
+
+def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
+    """uint64 rolling hashes of all char shingles (numpy-vectorized)."""
+    b = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+    if b.size < shingle:
+        b = np.pad(b, (0, shingle - b.size))
+    win = np.lib.stride_tricks.sliding_window_view(b, shingle).astype(np.uint64)
+    powers = np.uint64(1099511628211) ** np.arange(shingle, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle: int = 5,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, sig array<long>[num_hashes]) -- deterministic given seed."""
+    seeds = splitmix64(np.arange(num_hashes, dtype=np.uint64), seed=seed)
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("sig", ArrayType(LongType()), True),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                if text is None:
+                    sigs.append(None)
+                    continue
+                sh = _shingle_hashes(text, shingle)
+                # broadcast: (n_shingles, num_hashes) -> column-min
+                mixed = splitmix64(sh[:, None] ^ seeds[None, :])
+                sigs.append(mixed.min(axis=0).astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
+
+
+def minhash_band_buckets(
+    sig_df: DataFrame, id_col: str, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Explode signatures into (band_idx, band_hash, id) bucket keys."""
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.hash(*[F.col("sig")[i * rows + j] for j in range(rows)]).alias(
+                    "band_hash"
+                ),
+            )
+            for i in range(bands)
+        ]
+    )
+    return (
+        sig_df.select(id_col, F.explode(band_arr).alias("b"))
+        .select(id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+    )
+
+
+def minhash_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs sharing any LSH band."""
+    buckets = minhash_band_buckets(sig_df, id_col, bands, rows)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Fraction of agreeing minhash positions (JVM-side zip_with)."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree.cast("double") / F.size(sig_a).cast("double")
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    shingle: int = 5,
+    bands: int = 16,
+    rows: int = 4,
+    seed: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) pairs with estimated jaccard >= threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
+    pairs = minhash_candidate_pairs(sigs, id_col, bands, rows)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", estimated_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, seed: int = 7
+) -> DataFrame:
+    """(id, simhash long): sign-sum of token-hash bits (deterministic)."""
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("simhash", LongType(), True),
+        ]
+    )
+    bit_idx = np.arange(64, dtype=np.uint64)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                if text is None:
+                    out.append(None)
+                    continue
+                toks = pd.Series(text.lower().split())
+                if toks.empty:
+                    out.append(0)
+                    continue
+                h = splitmix64(
+                    pd.util.hash_pandas_object(toks, index=False).to_numpy(np.uint64),
+                    seed=seed,
+                )
+                bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                sig = np.uint64(0)
+                sig = np.bitwise_or.reduce(
+                    (votes > 0).astype(np.uint64) << bit_idx
+                )
+                out.append(int(sig.astype(np.int64)))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming) with hamming <= max_hamming.
+
+    Candidates come from 16-bit band equality (4 bands): any pair
+    within hamming distance 3 shares at least one intact band
+    (pigeonhole), so recall is exact for max_hamming <= 3.
+    Verification is JVM-side: bit_count(a XOR b).
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    exploded = sim_df.select(id_col, "simhash", F.explode(bands).alias("b")).select(
+        id_col, "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------- n-gram jaccard (exact)
+
+
+def ngram_jaccard_pairs(
+    df_pairs: DataFrame, text_a: str, text_b: str, n: int = 3
+) -> DataFrame:
+    """Exact char n-gram Jaccard for explicit row pairs (pandas UDF)."""
+
+    @F.pandas_udf("double")
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            sx = {x[i : i + n] for i in range(max(len(x) - n + 1, 1))}
+            sy = {y[i : i + n] for i in range(max(len(y) - n + 1, 1))}
+            u = len(sx | sy)
+            out.append(len(sx & sy) / u if u else 0.0)
+        return pd.Series(out, dtype=object)
+
+    return df_pairs.withColumn("ngram_jaccard", jac(F.col(text_a), F.col(text_b)))
+
+
+# ------------------------------------------------------- duplicate groups
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 10
+) -> DataFrame:
+    """(id, component) via iterative min-label propagation over pairs.
+
+    Each iteration is one shuffle (groupBy min); converges in
+    O(diameter) iterations -- bounded by ``max_iter`` for safety.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node, "left")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        done = changed.isEmpty()
+        labels = new_labels
+        if done:
+            break
+    return labels.withColumnRenamed("node", "id")

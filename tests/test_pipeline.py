@@ -1,0 +1,193 @@
+"""Tests for the training-data pipeline operators (dedup / similarity /
+text / multimodal)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datasketches_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),  # exact dup
+        Row(doc_id=2, text="the quick brown fox jumped over the lazy dog"),  # near dup
+        Row(doc_id=3, text="el rapido zorro marron salta sobre el perro"),
+        Row(doc_id=4, text="completely different content about spark engines"),
+        Row(doc_id=5, text="THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),  # case dup
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestText:
+    def test_token_count(self, spark, docs):
+        out = {r.doc_id: r.n for r in docs.select("doc_id", text.token_count("text").alias("n")).collect()}
+        assert out[0] == 9
+        assert out[4] == 6
+
+    def test_empty_text(self, spark):
+        df = spark.createDataFrame([Row(text="")])
+        assert df.select(text.token_count("text").alias("n")).first().n == 0
+
+    def test_lang_id(self, spark, docs):
+        out = {r.doc_id: r.lang for r in docs.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+        assert out[0] == "en"
+        assert out[3] == "es"
+
+    def test_quality_score_range(self, spark, docs):
+        scores = [r.q for r in docs.select(text.quality_score("text").alias("q")).collect()]
+        assert all(0.0 <= s <= 1.0 for s in scores)
+
+    def test_fingerprint_case_normalized(self, spark, docs):
+        fps = {r.doc_id: r.fp for r in docs.select("doc_id", text.doc_fingerprint("text").alias("fp")).collect()}
+        assert fps[0] == fps[1] == fps[5]
+        assert fps[0] != fps[2]
+
+    def test_char_jaccard_identity(self, spark, docs):
+        df = docs.alias("a").crossJoin(docs.alias("b")).filter(
+            (F.col("a.doc_id") == 0) & (F.col("b.doc_id").isin(0, 4))
+        )
+        out = {
+            r.b_id: r.j
+            for r in df.select(
+                F.col("b.doc_id").alias("b_id"),
+                text.char_jaccard(F.col("a.text"), F.col("b.text")).alias("j"),
+            ).collect()
+        }
+        assert out[0] == 1.0
+        assert 0.0 < out[4] < 1.0
+
+
+class TestDedup:
+    def test_exact_duplicates(self, spark, docs):
+        groups = dedup.exact_duplicates(docs, "text", "doc_id").collect()
+        assert len(groups) == 1
+        assert groups[0].n_docs == 3 and groups[0].keep_id == 0
+
+    def test_exact_dedup_keeps_min(self, spark, docs):
+        kept = dedup.exact_dedup(docs, "text", "doc_id")
+        ids = sorted(r.doc_id for r in kept.collect())
+        assert ids == [0, 2, 3, 4]
+
+    def test_minhash_identical_docs(self, spark, docs):
+        pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.9)
+        got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+        assert got[(0, 1)] == 1.0  # identical text
+        assert got[(0, 5)] == 1.0  # case-normalized
+        assert (0, 4) not in got
+
+    def test_minhash_near_dup_detected(self, spark, docs):
+        pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (0, 2) in got  # one-word edit
+
+    def test_minhash_deterministic(self, spark, docs):
+        s1 = dedup.minhash_signatures(docs, "doc_id", "text").collect()
+        s2 = dedup.minhash_signatures(docs, "doc_id", "text").collect()
+        assert sorted((r.doc_id, tuple(r.sig)) for r in s1) == sorted(
+            (r.doc_id, tuple(r.sig)) for r in s2
+        )
+
+    def test_simhash_pairs(self, spark, docs):
+        sims = dedup.simhash64(docs, "doc_id", "text")
+        pairs = dedup.simhash_near_pairs(sims, "doc_id", max_hamming=3)
+        got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+        assert got[(0, 1)] == 0
+        assert got[(0, 5)] == 0
+
+    def test_ngram_jaccard(self, spark, docs):
+        pairs = docs.alias("a").crossJoin(docs.alias("b")).filter(
+            (F.col("a.doc_id") == 0) & (F.col("b.doc_id") == 1)
+        ).select(F.col("a.text").alias("ta"), F.col("b.text").alias("tb"))
+        out = dedup.ngram_jaccard_pairs(pairs, "ta", "tb").first()
+        assert out.ngram_jaccard == 1.0
+
+    def test_connected_components(self, spark):
+        pairs = spark.createDataFrame(
+            [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)]
+        )
+        comps = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+        assert comps[1] == comps[2] == comps[3] == 1
+        assert comps[10] == comps[11] == 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    vecs[1] = vecs[0] * 1.5  # near-duplicate direction of 0
+    rows = [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(40)]
+    return spark.createDataFrame(rows)
+
+
+class TestSimilarity:
+    def test_brute_force_self_match(self, spark, emb):
+        queries = emb.filter("vec_id < 2").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = similarity.brute_force_topk(emb, queries, k=3)
+        top = {
+            r.query_id: (r.neighbor_id, r.cosine_sim)
+            for r in out.filter("rank = 1").collect()
+        }
+        # vec 1 is colinear with vec 0 -> cosine 1.0; tie broken by id
+        assert top[0][0] == 0
+        assert top[0][1] == pytest.approx(1.0)
+
+    def test_lsh_topk_contains_self(self, spark, emb):
+        queries = emb.filter("vec_id < 2").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = similarity.lsh_topk(emb, queries, dim=8, k=3, n_bits=6)
+        by_q = {}
+        for r in out.collect():
+            by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        assert 0 in by_q.get(0, []) or 1 in by_q.get(0, [])
+
+    def test_near_duplicate_pairs(self, spark, emb):
+        pairs = similarity.embedding_cosine_near_duplicates(
+            emb, threshold=0.99, dim=8, n_bits=4
+        )
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (0, 1) in got  # colinear vectors
+
+    def test_cosine_expression(self, spark, emb):
+        row = (
+            emb.filter("vec_id = 0")
+            .select(similarity.cosine(F.col("embedding"), F.col("embedding")).alias("c"))
+            .first()
+        )
+        assert row.c == pytest.approx(1.0)
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def bin_df(self, spark):
+        return spark.createDataFrame(
+            [Row(id=1, payload=b"\x89PNG\r\n fake image bytes"), Row(id=2, payload=b"RIFF fake audio")]
+        )
+
+    def test_metadata(self, spark, bin_df):
+        out = {r.id: r.meta for r in bin_df.select("id", multimodal.binary_metadata("payload").alias("meta")).collect()}
+        assert out[1].n_bytes == 23
+        assert out[1].magic_hex == "89504E47"
+        assert out[2].magic_hex == "52494646"
+
+    def test_decode_deterministic(self, spark, bin_df):
+        a = {r.id: r.features for r in multimodal.decode_image_features(bin_df, "payload", "id").collect()}
+        b = {r.id: r.features for r in multimodal.decode_image_features(bin_df, "payload", "id").collect()}
+        assert a == b
+        assert len(a[1]) == 16
+
+    def test_sample_frames_explodes(self, spark, bin_df):
+        out = multimodal.sample_frames(bin_df, "payload", "id", every_nth=5, max_frames=3)
+        rows = out.collect()
+        assert len(rows) > 2  # more output rows than input rows
+        assert {r.frame_idx for r in rows if r.id == 1} == {0, 1, 2}
+
+    def test_strict_raises(self, spark, bin_df):
+        with pytest.raises(Exception, match="NotImplementedError|real image decoding"):
+            multimodal.decode_image_features(bin_df, "payload", "id", strict=True).collect()
