@@ -1,0 +1,146 @@
+"""Structured Streaming integration: incremental sketch maintenance.
+
+The reference is batch-only, but its README sells exactly this pattern:
+store serialized sketches and merge them later/incrementally
+(SURVEY.md §2.1 streaming row; reference docs/README.md:190-192).  On
+Spark that maps naturally onto ``foreachBatch``:
+
+  micro-batch rows -> two-phase partial sketches (aggregation.py)
+  -> merge into a persistent blob store keyed by group
+
+The store is a parquet directory of (group..., sketch BINARY) rows.
+Each micro-batch shuffles only bounded-size blobs, and the store stays
+one row per group -- O(groups) state regardless of stream length,
+which is the whole point of sketches as streaming state.
+
+``foreachBatch`` is used instead of a streaming groupBy().agg because
+pandas grouped-agg UDAFs cannot participate in Spark's incremental
+streaming aggregation; the blob store *is* the state store here, and
+restarts resume from it idempotently per epoch via checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .aggregation import sketch_agg, sketch_merge, sketch_partial
+
+
+class SketchStore:
+    """Parquet-backed store of one sketch blob per group key."""
+
+    def __init__(
+        self,
+        path: str,
+        family: str,
+        group_cols: list[str] | None = None,
+        k: int | None = None,
+        sketch_col: str = "sketch",
+    ):
+        self.path = path
+        self.family = family
+        self.group_cols = list(group_cols or [])
+        self.k = k
+        self.sketch_col = sketch_col
+
+    def exists(self, spark: SparkSession) -> bool:
+        try:
+            spark.read.parquet(self.path).schema
+            return True
+        except Exception:  # noqa: BLE001 -- missing path
+            return False
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def absorb(self, batch_df: DataFrame, input_col: str) -> None:
+        """Fold a (micro-)batch of raw rows into the store."""
+        spark = batch_df.sparkSession
+        partial = sketch_agg(
+            batch_df, input_col, self.family, self.group_cols, self.k, self.sketch_col
+        )
+        if self.exists(spark):
+            combined = self.read(spark).unionByName(partial)
+            merged = sketch_merge(
+                combined, self.family, self.group_cols, self.k, self.sketch_col
+            )
+        else:
+            merged = partial
+        # write-then-swap so a failed write never corrupts current state
+        tmp = self.path + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path)
+
+    def foreach_batch(self, input_col: str) -> Callable[[DataFrame, int], None]:
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
+            if batch_df.isEmpty():
+                return
+            self.absorb(batch_df, input_col)
+
+        return fn
+
+
+def incremental_sketch_sink(
+    stream_df: DataFrame,
+    input_col: str,
+    store: SketchStore,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Attach a stream to a SketchStore; returns the started query.
+
+    Typical use::
+
+        store = SketchStore("/data/state/users_hll", "theta",
+                            group_cols=["country"], k=14)
+        q = incremental_sketch_sink(events_stream, "user_id", store)
+        q.awaitTermination()
+        estimates = store.read(spark).selectExpr(
+            "country", "datasketch_theta_estimate(sketch)")
+    """
+    writer = stream_df.writeStream.foreachBatch(store.foreach_batch(input_col))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_sketch_partials(
+    stream_df: DataFrame,
+    ts_col: str,
+    input_col: str,
+    family: str,
+    window_duration: str,
+    k: int | None = None,
+    watermark: str | None = None,
+    extra_group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Event-time-windowed partial sketches for a streaming DataFrame.
+
+    Buckets rows into tumbling windows (pure column expr -- streaming
+    compatible), then the *sink* side (SketchStore keyed by
+    window_start + extra groups) merges partials across micro-batches;
+    late data within the watermark folds into its window's sketch on
+    arrival because sketch merge is order-independent.
+    """
+    df = stream_df
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window_duration)
+    return df.withColumn("window_start", win.start).withColumn(
+        "window_end", win.end
+    )
+
+
+def store_estimates(
+    spark: SparkSession, store: SketchStore, estimate_fn: str
+) -> DataFrame:
+    """Read a store and decorate it with a scalar estimate column."""
+    df = store.read(spark)
+    return df.withColumn("estimate", F.expr(f"{estimate_fn}({store.sketch_col})"))

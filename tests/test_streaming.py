@@ -1,0 +1,66 @@
+"""Structured Streaming: incremental sketch maintenance end-to-end.
+
+Feeds a file-source stream (deterministic micro-batches) through a
+SketchStore sink and checks the final estimates equal a batch build
+over the same data -- the merge-anywhere contract under streaming.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import datasketches_spark as dss
+from datasketches_spark.sketches import ThetaSketch
+from datasketches_spark.streaming import SketchStore, incremental_sketch_sink
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dsk_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_theta_store(spark, tmpdir):
+    dss.register(spark)
+    src = f"{tmpdir}/src"
+    # two deterministic "arrival" files: overlapping user populations
+    spark.range(0, 500).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("user_id")
+    ).write.mode("overwrite").parquet(src)
+    spark.range(250, 750).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("user_id")
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("g BIGINT, user_id BIGINT").parquet(src)
+    store = SketchStore(f"{tmpdir}/state", "theta", group_cols=["g"], k=14)
+    q = incremental_sketch_sink(
+        stream, "user_id", store, checkpoint_dir=f"{tmpdir}/ckpt"
+    )
+    q.awaitTermination(120)
+
+    out = store.read(spark).collect()
+    assert len(out) == 7
+    total = 0
+    for r in out:
+        est = ThetaSketch.deserialize(bytes(r.sketch)).get_estimate()
+        total += est
+    # exact mode: distinct user_ids overall = 750, split across 7 groups
+    assert total == 750.0
+
+
+def test_store_absorb_twice_idempotent_groups(spark, tmpdir):
+    dss.register(spark)
+    store = SketchStore(f"{tmpdir}/state2", "hll", group_cols=[], k=12)
+    df1 = spark.range(0, 1000).selectExpr("id AS v")
+    df2 = spark.range(500, 1500).selectExpr("id AS v")
+    store.absorb(df1, "v")
+    store.absorb(df2, "v")
+    row = (
+        store.read(spark)
+        .selectExpr("datasketch_hll_estimate(sketch) AS est")
+        .first()
+    )
+    assert row.est == 1500.0  # sparse-exact mode
