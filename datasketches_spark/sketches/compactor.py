@@ -106,6 +106,9 @@ class CompactorSketch:
             raise ValueError("cannot merge sketches of different value types")
         if other.n == 0:
             return
+        # merging different K degrades to the coarser resolution, like the
+        # reference's mixed-K unions (test/sql/datasketch_hll.test:224-234)
+        self.k = min(self.k, other.k)
         while len(self.levels) < len(other.levels):
             self.levels.append(np.empty(0, dtype=_NP_DTYPES[self.dtype]))
         for i, lv in enumerate(other.levels):

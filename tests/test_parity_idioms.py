@@ -1,0 +1,156 @@
+"""Reference-test-idiom ports (SURVEY.md §5): golden determinism,
+mixed-K unions, windows over sketch aggregates, the Python column API.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+import datasketches_spark as dss
+from datasketches_spark import api as ds
+from datasketches_spark.sketches import (
+    HllSketch,
+    KllSketch,
+    ThetaSketch,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _reg(spark):
+    dss.register(spark)
+
+
+class TestGoldenDeterminism:
+    """Idiom 1: byte-exact outputs where deterministic
+    (reference test/sql/datasketch_hll.test:14-27)."""
+
+    def test_single_value_blob_stable(self, spark):
+        df = spark.createDataFrame([Row(v=42)])
+        b1 = df.agg(ds.theta_lgk(8, "v").alias("s")).first().s
+        b2 = df.agg(ds.theta_lgk(8, "v").alias("s")).first().s
+        assert bytes(b1) == bytes(b2)
+        sk = ThetaSketch.deserialize(bytes(b1))
+        assert sk.get_estimate() == 1.0 and sk.lg_k == 8
+
+    def test_blob_roundtrip_through_table(self, spark, tmp_path):
+        df = spark.range(1, 100).selectExpr("id AS v")
+        blobs = df.agg(ds.hll(10, "v").alias("sketch"))
+        path = str(tmp_path / "sketches")
+        blobs.write.mode("overwrite").parquet(path)
+        back = spark.read.parquet(path)
+        est = back.selectExpr("datasketch_hll_estimate(sketch) AS e").first().e
+        assert est == 99.0
+
+
+class TestMixedK:
+    """Idiom: union of different-K sketches degrades to coarser K
+    (reference test/sql/datasketch_hll.test:224-234)."""
+
+    def test_hll_mixed_k_union_sql(self, spark):
+        spark.range(0, 20000).selectExpr("id AS v").createOrReplaceTempView("mk1")
+        spark.range(10000, 30000).selectExpr("id AS v").createOrReplaceTempView("mk2")
+        spark.sql(
+            """
+            SELECT s FROM (SELECT datasketch_hll(8, v) AS s FROM mk1)
+            UNION ALL
+            SELECT s FROM (SELECT datasketch_hll(14, v) AS s FROM mk2)
+            """
+        ).createOrReplaceTempView("mixed")
+        row = spark.sql(
+            "SELECT datasketch_hll_estimate(datasketch_hll_union(10, s)) AS est, "
+            "datasketch_hll_lg_config_k(datasketch_hll_union(10, s)) AS lgk FROM mixed"
+        ).first()
+        assert row.est == pytest.approx(30000, rel=0.30)  # k=8 error regime
+        assert row.lgk <= 10
+
+    def test_kll_mixed_k_merge(self, spark):
+        a = KllSketch(512, "float64")
+        b = KllSketch(128, "float64")
+        import numpy as np
+
+        a.update(np.arange(0.0, 10000.0))
+        b.update(np.arange(10000.0, 20000.0))
+        a.merge(b)
+        assert a.k == 128
+        assert a.n == 20000
+
+
+class TestWindowFunctions:
+    """Sketch aggregates inside window frames (the reference gets this
+    from DuckDB's generic window support; Spark gives it to pandas
+    UDAFs over unbounded/growing frames)."""
+
+    def test_cumulative_distinct_users(self, spark):
+        df = spark.createDataFrame(
+            [Row(day=d, user=u) for d, users in [(1, [1, 2]), (2, [2, 3]), (3, [4, 5])] for u in users]
+        )
+        w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        out = (
+            df.withColumn("sk", ds.theta("user").over(w))
+            .withColumn("cum_distinct", F.call_udf("datasketch_theta_estimate", F.col("sk")))
+            .groupBy("day")
+            .agg(F.max("cum_distinct").alias("cum_distinct"))
+            .orderBy("day")
+        )
+        assert [r.cum_distinct for r in out.collect()] == [2.0, 3.0, 5.0]
+
+
+class TestColumnApi:
+    def test_groupby_agg_and_scalars(self, spark):
+        df = spark.range(0, 1000).selectExpr("id % 4 AS g", "CAST(id AS double) AS x")
+        out = (
+            df.groupBy("g")
+            .agg(ds.kll(1024, "x").alias("sk"))
+            .select("g", ds.kll_n("sk").alias("n"), ds.kll_quantile("sk", 0.5, True).alias("med"))
+            .orderBy("g")
+        )
+        rows = out.collect()
+        assert all(r.n == 250 for r in rows)
+        assert rows[0].med == pytest.approx(498.0, abs=4)
+
+    def test_getattr_scalars(self, spark):
+        df = spark.range(0, 10).selectExpr("id AS v")
+        row = (
+            df.agg(ds.frequent_items("v").alias("s"))
+            .select(
+                ds.frequent_items_total_weight("s").alias("tw"),
+                ds.frequent_items_num_active("s").alias("na"),
+            )
+            .first()
+        )
+        assert row.tw == 10 and row.na == 10
+
+
+class TestEdgeCasesSQL:
+    """Idiom 5: NULL-skipping / extreme values
+    (reference test/sql/datasketch_theta.test:159-191, 352-385)."""
+
+    def test_null_skipping_counts(self, spark):
+        spark.createDataFrame(
+            [Row(v=1), Row(v=None), Row(v=2), Row(v=None), Row(v=3)], "v int"
+        ).createOrReplaceTempView("with_nulls")
+        row = spark.sql(
+            "SELECT datasketch_theta_estimate(datasketch_theta(v)) AS est FROM with_nulls"
+        ).first()
+        assert row.est == 3.0
+
+    def test_extreme_bigints(self, spark):
+        vals = [9223372036854775807, 9223372036854775806, -9223372036854775808]
+        spark.createDataFrame([Row(v=v) for v in vals + [vals[0]]], "v long").createOrReplaceTempView(
+            "bigints"
+        )
+        row = spark.sql(
+            "SELECT datasketch_theta_estimate(datasketch_theta(v)) AS est FROM bigints"
+        ).first()
+        assert row.est == 3.0
+
+    def test_empty_table_generated_family_null(self, spark):
+        # all-NULL input -> NULL blob (reference codegen/generated.cpp.j2:291-294);
+        # zero-row input -> zero rows from Spark's global pandas UDAF (host
+        # divergence: DuckDB materializes one NULL row for global aggregates)
+        spark.range(0).selectExpr("CAST(id AS double) AS x").createOrReplaceTempView("empty_t")
+        assert spark.sql("SELECT datasketch_kll(200, x) AS s FROM empty_t").first() is None
+        spark.createDataFrame([(None,)], "x double").createOrReplaceTempView("null_t")
+        row = spark.sql("SELECT datasketch_kll(200, x) AS s FROM null_t").first()
+        assert row.s is None
