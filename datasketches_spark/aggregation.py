@@ -51,12 +51,24 @@ def sketch_partial(
     schema = _out_schema(df, group_cols, output_col)
     cols = group_cols + [input_col]
 
+    # accumulate Arrow batches into larger chunks before grouping so the
+    # pandas groupby + sketch-update cost is amortized (an Arrow batch is
+    # ~10k rows; a chunk is up to 512k) -- bounded memory per task
+    chunk_rows = 1 << 19
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, object] = {}
-        for pdf in batches:
+        buf: list[pd.DataFrame] = []
+        nbuf = 0
+
+        def flush() -> None:
+            nonlocal buf, nbuf
+            if not buf:
+                return
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            buf, nbuf = [], 0
             if group_cols:
-                grouped = pdf.groupby(group_cols, dropna=False, sort=False)
-                for key, sub in grouped:
+                for key, sub in pdf.groupby(group_cols, dropna=False, sort=False):
                     if not isinstance(key, tuple):
                         key = (key,)
                     sk = acc.get(key)
@@ -72,6 +84,13 @@ def sketch_partial(
                 if sk is None:
                     sk = acc[()] = create_sketch(family, build_params(family, k, series))
                 update_sketch(family, sk, series)
+
+        for pdf in batches:
+            buf.append(pdf)
+            nbuf += len(pdf)
+            if nbuf >= chunk_rows:
+                flush()
+        flush()
         if acc:
             rows = [list(key) + [sk.serialize()] for key, sk in acc.items()]
             out = pd.DataFrame(rows, columns=group_cols + [output_col])
@@ -118,3 +137,33 @@ def sketch_agg(
     """
     partial = sketch_partial(df, input_col, family, group_cols, k, output_col)
     return sketch_merge(partial, family, group_cols, k, output_col)
+
+
+def salted_sketch_agg(
+    df: DataFrame,
+    input_col: str,
+    family: str,
+    group_cols: list[str] | None = None,
+    k: int | None = None,
+    num_salts: int = 16,
+    output_col: str = "sketch",
+) -> DataFrame:
+    """Skew-resistant variant: salt heavy group keys across reducers.
+
+    Because sketches merge associatively, skew handling is free: phase 2a
+    merges per (group, salt) -- spreading a hot key over ``num_salts``
+    reducers -- and phase 2b merges the <=num_salts salted blobs per
+    group.  Use when a handful of keys dominate the input (AQE's skew
+    handling covers joins, not custom pandas aggregations).
+    """
+    from pyspark.sql import functions as F
+
+    group_cols = list(group_cols or [])
+    salted = df.withColumn("__salt", (F.rand(seed=42) * num_salts).cast("int"))
+    partial = sketch_partial(
+        salted, input_col, family, group_cols + ["__salt"], k, output_col
+    )
+    per_salt = sketch_merge(
+        partial, family, group_cols + ["__salt"], k, output_col
+    ).drop("__salt")
+    return sketch_merge(per_salt, family, group_cols, k, output_col)

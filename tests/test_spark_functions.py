@@ -258,3 +258,22 @@ class TestTwoPhaseAggregation:
         merged = sketch_agg(partials, "sketch", "theta")
         est = ThetaSketch.deserialize(bytes(merged.first().sketch)).get_estimate()
         assert est == 1000.0
+
+
+class TestSaltedAggregation:
+    def test_salted_equals_plain(self, spark, items):
+        from datasketches_spark.aggregation import salted_sketch_agg
+
+        df = items.withColumn("g", F.col("v") % 2)
+        out = salted_sketch_agg(df, "v", "theta", group_cols=["g"], num_salts=8)
+        rows = out.orderBy("g").collect()
+        assert len(rows) == 2
+        for r in rows:
+            assert ThetaSketch.deserialize(bytes(r.sketch)).get_estimate() == 500.0
+
+    def test_salted_global(self, spark, items):
+        from datasketches_spark.aggregation import salted_sketch_agg
+
+        out = salted_sketch_agg(items, "v", "theta", num_salts=4)
+        est = ThetaSketch.deserialize(bytes(out.first().sketch)).get_estimate()
+        assert est == 1000.0
