@@ -283,6 +283,159 @@ def q_frequent_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_pmf_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "kll",
+        group_cols=["l_returnflag"],
+        k=32768,
+    )
+    pmf = sk.select(
+        "l_returnflag",
+        F.expr("datasketch_kll_pmf(sketch, array(10.0D, 25.0D, 40.0D), true)").alias("pmf"),
+    )
+    return pmf.select(
+        "l_returnflag",
+        F.col("pmf")[0].alias("pmf_low"),
+        F.col("pmf")[1].alias("pmf_mid1"),
+        F.col("pmf")[2].alias("pmf_mid2"),
+        F.col("pmf")[3].alias("pmf_high"),
+    )
+
+
+def q_kll_metadata_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In exact mode num_retained == n and estimation flag is false."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "kll",
+        group_cols=["l_returnflag"],
+        k=32768,
+    )
+    return sk.select(
+        "l_returnflag",
+        F.expr("datasketch_kll_num_retained(sketch)").alias("num_retained"),
+        F.expr("datasketch_kll_is_estimation_mode(sketch)").alias("is_est"),
+        F.expr("datasketch_kll_k(sketch)").alias("k_param"),
+    )
+
+
+def q_kll_int64_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed int64 KLL sketch (sketch_kll_bigint analog)."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        "kll",
+        group_cols=["o_orderstatus"],
+        k=32768,
+    )
+    return sk.select(
+        "o_orderstatus",
+        F.expr("datasketch_kll_quantile(sketch, 0.5D, true)").alias("med_key"),
+        F.expr("datasketch_kll_min_item(sketch)").alias("min_key"),
+        F.expr("datasketch_kll_max_item(sketch)").alias("max_key"),
+    )
+
+
+def q_theta_bounds_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode: lower == estimate == upper at any std-dev."""
+    _ensure(spark)
+    sk = sketch_agg(_t(spark, sf_dir, "orders"), "o_custkey", "theta", k=16)
+    return sk.select(
+        F.expr("datasketch_theta_lower_bound(sketch, 3)").alias("lb"),
+        F.expr("datasketch_theta_estimate(sketch)").alias("est"),
+        F.expr("datasketch_theta_upper_bound(sketch, 3)").alias("ub"),
+    )
+
+
+def q_counting_bounds_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL/CPC sparse-exact: bounds collapse onto the exact estimate."""
+    _ensure(spark)
+    hll = sketch_agg(_t(spark, sf_dir, "orders"), "o_custkey", "hll", k=12)
+    cpc = sketch_agg(_t(spark, sf_dir, "orders"), "o_custkey", "cpc", k=12)
+    h = hll.select(
+        F.expr("datasketch_hll_lower_bound(sketch, 2)").alias("hll_lb"),
+        F.expr("datasketch_hll_estimate(sketch)").alias("hll_est"),
+        F.expr("datasketch_hll_upper_bound(sketch, 2)").alias("hll_ub"),
+        F.expr("datasketch_hll_is_compact(sketch)").alias("hll_compact"),
+    )
+    c = cpc.select(
+        F.expr("datasketch_cpc_lower_bound(sketch, 2)").alias("cpc_lb"),
+        F.expr("datasketch_cpc_estimate(sketch)").alias("cpc_est"),
+        F.expr("datasketch_cpc_upper_bound(sketch, 2)").alias("cpc_ub"),
+    )
+    return h.crossJoin(c)
+
+
+def q_frequent_bounds_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode: lower_bound == estimate == upper_bound per item."""
+    _ensure(spark)
+    sk = sketch_agg(_t(spark, sf_dir, "orders"), "o_orderpriority", "frequent_items")
+    ex = sk.select(
+        F.expr(
+            "explode(datasketch_frequent_items_get_frequent(sketch, 'NO_FALSE_NEGATIVES'))"
+        ).alias("r")
+    )
+    return ex.select(
+        F.col("r.item").alias("item"),
+        F.col("r.lower_bound").alias("lb"),
+        F.col("r.estimate").alias("est"),
+        F.col("r.upper_bound").alias("ub"),
+    )
+
+
+def q_quantiles_rank_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "quantiles",
+        group_cols=["o_orderpriority"],
+        k=16384,
+    )
+    return sk.select(
+        "o_orderpriority",
+        F.expr("datasketch_quantiles_rank(sketch, 250000.0D, true)").alias("rank_250k"),
+        F.expr("datasketch_quantiles_min_item(sketch)").alias("min_price"),
+        F.expr("datasketch_quantiles_max_item(sketch)").alias("max_price"),
+    )
+
+
+def q_req_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "req",
+        group_cols=["o_orderpriority"],
+        k=1024,
+    )
+    return sk.select(
+        "o_orderpriority",
+        F.expr("datasketch_req_rank(sketch, 300000.0D, true)").alias("rank_300k"),
+        F.expr("datasketch_req_num_retained(sketch)").alias("num_retained"),
+    )
+
+
+def q_theta_lgk_sql_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-taking SQL aggregate variants (datasketch_theta_lgk / _frequent_items_lgk)."""
+    _ensure(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT CAST(round(datasketch_theta_estimate(datasketch_theta_lgk(14, o_custkey))) AS BIGINT)
+                 AS distinct_customers,
+               datasketch_frequent_items_num_active(datasketch_frequent_items_lgk(12, o_orderstatus))
+                 AS n_statuses
+        FROM orders_v
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline queries (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -449,6 +602,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpc_distinct_parts": q_cpc_distinct_parts,
         "frequent_priorities": q_frequent_priorities,
         "frequent_meta": q_frequent_meta,
+        "kll_pmf_by_flag": q_kll_pmf_by_flag,
+        "kll_metadata_exact": q_kll_metadata_exact,
+        "kll_int64_quantiles": q_kll_int64_quantiles,
+        "theta_bounds_exact": q_theta_bounds_exact,
+        "counting_bounds_exact": q_counting_bounds_exact,
+        "frequent_bounds_exact": q_frequent_bounds_exact,
+        "quantiles_rank_cdf": q_quantiles_rank_cdf,
+        "req_rank": q_req_rank,
+        "theta_lgk_sql_variant": q_theta_lgk_sql_variant,
         "docs_dedup_stats": q_docs_dedup_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_token_counts": q_doc_token_counts,
@@ -554,6 +716,58 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (SELECT count(*) FROM orders WHERE o_orderpriority='1-URGENT') AS urgent_cnt, "
             "count(*) AS total_weight, count(DISTINCT o_orderpriority) AS num_active, "
             "(3.5 / 1024)::DOUBLE AS epsilon FROM orders"
+        ),
+        "kll_pmf_by_flag": (
+            "SELECT l_returnflag, "
+            "(count(*) FILTER (l_quantity <= 10.0))::DOUBLE / count(*) AS pmf_low, "
+            "((count(*) FILTER (l_quantity <= 25.0)) - (count(*) FILTER (l_quantity <= 10.0)))::DOUBLE / count(*) AS pmf_mid1, "
+            "((count(*) FILTER (l_quantity <= 40.0)) - (count(*) FILTER (l_quantity <= 25.0)))::DOUBLE / count(*) AS pmf_mid2, "
+            "((count(*)) - (count(*) FILTER (l_quantity <= 40.0)))::DOUBLE / count(*) AS pmf_high "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "kll_metadata_exact": (
+            "SELECT l_returnflag, count(*) AS num_retained, false AS is_est, "
+            "32768 AS k_param FROM lineitem GROUP BY l_returnflag"
+        ),
+        "kll_int64_quantiles": (
+            "SELECT g AS o_orderstatus, "
+            "min(CASE WHEN cd >= 0.5 THEN v END)::DOUBLE AS med_key, "
+            "min(v)::DOUBLE AS min_key, max(v)::DOUBLE AS max_key FROM ("
+            + _CUME.format(g="o_orderstatus", v="o_orderkey", t="orders")
+            + ") GROUP BY g"
+        ),
+        "theta_bounds_exact": (
+            "SELECT count(DISTINCT o_custkey)::DOUBLE AS lb, "
+            "count(DISTINCT o_custkey)::DOUBLE AS est, "
+            "count(DISTINCT o_custkey)::DOUBLE AS ub FROM orders"
+        ),
+        "counting_bounds_exact": (
+            "SELECT count(DISTINCT o_custkey)::DOUBLE AS hll_lb, "
+            "count(DISTINCT o_custkey)::DOUBLE AS hll_est, "
+            "count(DISTINCT o_custkey)::DOUBLE AS hll_ub, "
+            "true AS hll_compact, "
+            "count(DISTINCT o_custkey)::DOUBLE AS cpc_lb, "
+            "count(DISTINCT o_custkey)::DOUBLE AS cpc_est, "
+            "count(DISTINCT o_custkey)::DOUBLE AS cpc_ub FROM orders"
+        ),
+        "frequent_bounds_exact": (
+            "SELECT o_orderpriority AS item, count(*) AS lb, count(*) AS est, "
+            "count(*) AS ub FROM orders GROUP BY o_orderpriority"
+        ),
+        "quantiles_rank_cdf": (
+            "SELECT o_orderpriority, "
+            "(count(*) FILTER (o_totalprice <= 250000.0))::DOUBLE / count(*) AS rank_250k, "
+            "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "req_rank": (
+            "SELECT o_orderpriority, "
+            "(count(*) FILTER (o_totalprice <= 300000.0))::DOUBLE / count(*) AS rank_300k, "
+            "count(*) AS num_retained FROM orders GROUP BY o_orderpriority"
+        ),
+        "theta_lgk_sql_variant": (
+            "SELECT count(DISTINCT o_custkey) AS distinct_customers, "
+            "count(DISTINCT o_orderstatus) AS n_statuses FROM orders"
         ),
         "docs_dedup_stats": (
             f"SELECT count(*) AS total_docs, "

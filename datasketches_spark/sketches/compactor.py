@@ -103,7 +103,13 @@ class CompactorSketch:
 
     def merge(self, other: "CompactorSketch") -> None:
         if other.dtype != self.dtype:
-            raise ValueError("cannot merge sketches of different value types")
+            if self.n == 0:
+                # an empty accumulator adopts the dtype of its first input
+                # (phase-2 merges start from a default-constructed sketch)
+                self.dtype = other.dtype
+                self.levels = [np.empty(0, dtype=_NP_DTYPES[self.dtype])]
+            else:
+                raise ValueError("cannot merge sketches of different value types")
         if other.n == 0:
             return
         # merging different K degrades to the coarser resolution, like the
