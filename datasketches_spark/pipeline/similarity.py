@@ -153,6 +153,109 @@ def lsh_topk(
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# ------------------------------------------------------------------ IVF
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 8) -> np.ndarray:
+    """Small deterministic k-means (driver-side, on a bounded sample)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(sample.shape[0], size=min(n_centroids, sample.shape[0]), replace=False)
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        # cosine assignment: normalize then argmax dot
+        sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(sn @ cn.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = sample[assign == c]
+            if members.shape[0]:
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_build(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 29,
+    sample_limit: int = 10_000,
+):
+    """Train a coarse quantizer and assign every vector to a centroid.
+
+    Returns (assigned_df with ``centroid_id``, centroids ndarray).  At
+    scale, persist ``assigned_df`` partitioned by ``centroid_id`` so
+    probe-time reads prune partitions:
+    ``assigned.write.partitionBy('centroid_id').parquet(...)``.
+    The k-means runs driver-side on a bounded sample (deterministic
+    seed); assignment is a map-only Arrow pass.
+    """
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_limit).collect()],
+        dtype=np.float64,
+    )
+    cents = _kmeans(sample, n_centroids, seed)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("centroid_id", LongType(), True),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "centroid_id": np.argmax(mn @ cn.T, axis=1)}
+            )
+
+    assigned = df.join(
+        df.select(id_col, vec_col).mapInPandas(assign, schema=schema), id_col
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF search: per query, scan only the ``n_probes`` nearest
+    centroid cells (a pushed-down IN filter -> partition pruning when
+    the index is stored partitioned by centroid_id), re-rank exactly."""
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probe_rows = []
+    for r in q_rows:
+        v = np.asarray(r[1], dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        probes = np.argsort(-(cn @ v))[:n_probes]
+        probe_rows.extend((r[0], int(c)) for c in probes)
+    spark = assigned.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, f"{query_id_col} LONG, centroid_id LONG")
+    cand = assigned.join(F.broadcast(probe_df), "centroid_id").select(
+        query_id_col, F.col(id_col).alias("neighbor_id"), vec_col
+    )
+    joined = cand.join(F.broadcast(queries), query_id_col).select(
+        query_id_col,
+        "neighbor_id",
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_cosine_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

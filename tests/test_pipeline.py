@@ -191,3 +191,47 @@ class TestMultimodal:
     def test_strict_raises(self, spark, bin_df):
         with pytest.raises(Exception, match="NotImplementedError|real image decoding"):
             multimodal.decode_image_features(bin_df, "payload", "id", strict=True).collect()
+
+
+class TestIVF:
+    def test_ivf_recall_vs_brute_force(self, spark):
+        import numpy as np
+        from pyspark.sql import Row
+
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((300, 16)).astype(np.float64)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(300)]
+        )
+        assigned, cents = similarity.ivf_build(df, n_centroids=8, sample_limit=300)
+        queries = df.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = similarity.brute_force_topk(df, queries, k=5)
+        approx = similarity.ivf_topk(assigned, cents, queries, k=5, n_probes=4)
+        exact_sets = {}
+        for r in exact.collect():
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hit = total = 0
+        for r in approx.collect():
+            total += 1
+            if r.neighbor_id in exact_sets[r.query_id]:
+                hit += 1
+        assert total > 0
+        assert hit / max(len(exact_sets) * 5, 1) >= 0.5  # recall@5 with half the cells probed
+
+    def test_ivf_assignment_complete(self, spark):
+        import numpy as np
+        from pyspark.sql import Row
+
+        rng = np.random.default_rng(4)
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(8)])
+                for i in range(100)
+            ]
+        )
+        assigned, cents = similarity.ivf_build(df, n_centroids=4, sample_limit=100)
+        rows = assigned.collect()
+        assert len(rows) == 100
+        assert all(0 <= r.centroid_id < 4 for r in rows)

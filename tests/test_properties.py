@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the sketch cores.
+
+Invariants the reference's design guarantees and our engine must too:
+exactness below the sketch threshold, merge order-independence of
+estimates, weight conservation, bound ordering, serialization
+round-trip identity.
+"""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datasketches_spark.sketches import (
+    FrequentItemsSketch,
+    HllSketch,
+    KllSketch,
+    ThetaSketch,
+)
+
+ints = st.lists(st.integers(-(2**62), 2**62), min_size=0, max_size=300)
+floats = st.lists(
+    st.floats(allow_nan=False, allow_infinity=False, width=64), min_size=1, max_size=300
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(ints)
+def test_theta_exact_below_k(values):
+    sk = ThetaSketch(12)
+    sk.update_values(np.array(values, dtype=np.int64))
+    assert sk.get_estimate() == len(set(values))
+
+
+@settings(max_examples=30, deadline=None)
+@given(ints, ints)
+def test_theta_merge_order_independent(a, b):
+    s1, s2 = ThetaSketch(12), ThetaSketch(12)
+    s1.update_values(np.array(a, dtype=np.int64))
+    s2.update_values(np.array(b, dtype=np.int64))
+    m1, m2 = ThetaSketch(12), ThetaSketch(12)
+    m1.merge(s1)
+    m1.merge(s2)
+    m2.merge(s2)
+    m2.merge(s1)
+    assert m1.get_estimate() == m2.get_estimate() == len(set(a) | set(b))
+
+
+@settings(max_examples=30, deadline=None)
+@given(ints)
+def test_theta_roundtrip(values):
+    sk = ThetaSketch(10)
+    sk.update_values(np.array(values, dtype=np.int64))
+    rt = ThetaSketch.deserialize(sk.serialize())
+    assert rt.get_estimate() == sk.get_estimate()
+    assert rt.get_theta() == sk.get_theta()
+
+
+@settings(max_examples=50, deadline=None)
+@given(floats)
+def test_kll_exact_stats_always(values):
+    sk = KllSketch(200, "float64")
+    sk.update(np.array(values))
+    arr = np.array(values)
+    assert sk.n == len(values)
+    assert sk.get_min_item() == arr.min()
+    assert sk.get_max_item() == arr.max()
+    q = sk.get_quantile(0.5)
+    assert arr.min() <= q <= arr.max()
+    assert 0.0 <= sk.get_rank(float(np.median(arr))) <= 1.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(floats, floats)
+def test_kll_merge_conserves_n(a, b):
+    s1, s2 = KllSketch(128, "float64"), KllSketch(128, "float64")
+    s1.update(np.array(a))
+    s2.update(np.array(b))
+    s1.merge(KllSketch.deserialize(s2.serialize()))
+    assert s1.n == len(a) + len(b)
+    assert s1.get_min_item() == min(np.min(a), np.min(b))
+    assert s1.get_max_item() == max(np.max(a), np.max(b))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=10), min_size=0, max_size=200))
+def test_frequent_items_exact_under_capacity(items):
+    sk = FrequentItemsSketch(10)  # capacity 768 > max distinct here
+    sk.update_series(pd.Series(items, dtype=object))
+    assert sk.total_weight() == len(items)
+    from collections import Counter
+
+    for item, cnt in Counter(items).items():
+        assert sk.get_estimate(item) == cnt
+        assert sk.get_lower_bound(item) <= cnt <= sk.get_upper_bound(item)
+
+
+@settings(max_examples=30, deadline=None)
+@given(ints)
+def test_hll_sparse_exact_and_bounds(values):
+    sk = HllSketch(12)
+    sk.update_values(np.array(values, dtype=np.int64))
+    d = len(set(values))
+    if d <= 2048:  # sparse limit at lg_k=12
+        assert sk.get_estimate() == d
+    assert sk.get_bound(3, False) <= sk.get_estimate() <= sk.get_bound(3, True)
+
+
+@settings(max_examples=20, deadline=None)
+@given(ints, st.integers(4, 16), st.integers(4, 16))
+def test_hll_mixed_k_union_estimate_sane(values, k1, k2):
+    if not values:
+        return
+    a, b = HllSketch(k1), HllSketch(k2)
+    half = len(values) // 2
+    a.update_values(np.array(values[:half] or [0], dtype=np.int64))
+    b.update_values(np.array(values[half:] or [0], dtype=np.int64))
+    a.merge(b)
+    assert a.get_estimate() >= 0.0
+    assert a.lg_k == min(k1, k2) or a.mode == 0
