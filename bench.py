@@ -66,7 +66,10 @@ def main():
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("datasketches-spark-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
+        # sketch aggregation shuffles only (key, blob) rows, so a handful
+        # of reducers suffices locally; on a real cluster size this to
+        # cluster width (the map phase parallelism comes from input splits)
+        .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
