@@ -1,0 +1,77 @@
+"""Sketch-table IO: persist and reload sketch columns with provenance.
+
+The reference stores sketches in typed columns (``sketch_hll``,
+``sketch_kll_double`` -- SURVEY.md §1.2), so a reader knows how to
+interpret the bytes.  Spark has no catalog type aliases; instead we
+attach the family/K/value-dtype to the *column metadata*, which Spark
+persists through parquet, and validate blobs against it on load.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sketches import FAMILY_CLASSES as _BYTE_CLASSES
+from .sketches import peek_family
+
+_FAMILY_BYTES = {
+    "theta": 1, "kll": 2, "quantiles": 3, "req": 4,
+    "tdigest": 5, "hll": 6, "cpc": 7, "frequent_items": 8,
+}
+_META_KEY = "datasketches_spark"
+
+
+def with_sketch_metadata(
+    df: DataFrame, sketch_col: str, family: str, k: int | None = None
+) -> DataFrame:
+    """Tag a binary column as `sketch_<family>` (the typed-alias analog)."""
+    if family not in _FAMILY_BYTES:
+        raise ValueError(f"unknown sketch family: {family}")
+    meta = {_META_KEY: {"family": family, "k": k, "format_version": 1}}
+    return df.withMetadata(sketch_col, meta)
+
+
+def sketch_column_info(df: DataFrame, sketch_col: str) -> dict | None:
+    """Read back the sketch metadata tag, if present."""
+    for field in df.schema.fields:
+        if field.name == sketch_col:
+            md = field.metadata or {}
+            return md.get(_META_KEY)
+    return None
+
+
+def write_sketch_table(
+    df: DataFrame, path: str, sketch_col: str, family: str, k: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    with_sketch_metadata(df, sketch_col, family, k).write.mode(mode).parquet(path)
+
+
+def read_sketch_table(
+    spark: SparkSession, path: str, sketch_col: str = "sketch", validate: bool = True
+) -> DataFrame:
+    """Load a sketch table; optionally validate blob family bytes against
+    the column's metadata tag (cheap scan of one row)."""
+    df = spark.read.parquet(path)
+    info = sketch_column_info(df, sketch_col)
+    if validate and info is not None:
+        expected = _FAMILY_BYTES[info["family"]]
+        sample = df.select(sketch_col).filter(F.col(sketch_col).isNotNull()).first()
+        if sample is not None:
+            fam = peek_family(bytes(sample[0]))
+            if fam != expected:
+                raise ValueError(
+                    f"sketch table at {path}: column '{sketch_col}' tagged as "
+                    f"family '{info['family']}' but blobs have family byte {fam}"
+                )
+    return df
+
+
+def describe_sketch_table(spark: SparkSession, path: str, sketch_col: str = "sketch") -> str:
+    df = read_sketch_table(spark, path, sketch_col, validate=False)
+    info = sketch_column_info(df, sketch_col)
+    n = df.count()
+    return json.dumps({"path": path, "rows": n, "sketch_column": sketch_col, "meta": info})

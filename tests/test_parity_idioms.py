@@ -154,3 +154,60 @@ class TestEdgeCasesSQL:
         spark.createDataFrame([(None,)], "x double").createOrReplaceTempView("null_t")
         row = spark.sql("SELECT datasketch_kll(200, x) AS s FROM null_t").first()
         assert row.s is None
+
+
+class TestSketchIO:
+    def test_metadata_roundtrip_and_validation(self, spark, tmp_path):
+        from datasketches_spark import io as dio
+        from datasketches_spark.aggregation import sketch_agg
+
+        df = spark.range(0, 500).selectExpr("id % 3 AS g", "id AS v")
+        sk = sketch_agg(df, "v", "theta", group_cols=["g"], k=12)
+        path = str(tmp_path / "theta_table")
+        dio.write_sketch_table(sk, path, "sketch", "theta", k=12)
+
+        back = dio.read_sketch_table(spark, path)
+        assert back.count() == 3
+        info = dio.sketch_column_info(back, "sketch")
+        assert info["family"] == "theta" and info["k"] == 12
+
+    def test_validation_catches_family_mismatch(self, spark, tmp_path):
+        from datasketches_spark import io as dio
+        from datasketches_spark.aggregation import sketch_agg
+
+        df = spark.range(0, 100).selectExpr("id AS v")
+        sk = sketch_agg(df, "v", "hll", k=10)  # HLL blobs...
+        path = str(tmp_path / "mislabeled")
+        dio.write_sketch_table(sk, path, "sketch", "theta")  # ...tagged theta
+        with pytest.raises(ValueError, match="family"):
+            dio.read_sketch_table(spark, path)
+
+
+class TestDescribeAndErrors:
+    def test_describe_pattern(self, spark):
+        # idiom 7: describe-string pattern matching (datasketch_hll.test:83-86)
+        row = spark.sql(
+            "SELECT datasketch_theta_describe(datasketch_theta(id)) AS d FROM range(100)"
+        ).first()
+        assert "Theta sketch summary" in row.d
+        assert "num retained entries : 100" in row.d
+
+    def test_corrupt_blob_error_message(self, spark):
+        with pytest.raises(Exception, match="Failed to deserialize"):
+            spark.sql(
+                "SELECT datasketch_kll_n(CAST('junk' AS BINARY))"
+            ).collect()
+
+    def test_cube_rollup_compose(self, spark):
+        # grouping-set machinery is host-provided (SURVEY §2.1); verify our
+        # UDAFs plug into cube() like the reference's plug into DuckDB
+        df = spark.range(0, 100).selectExpr("id % 2 AS a", "id % 5 AS b", "id AS v")
+        out = (
+            df.cube("a", "b")
+            .agg(ds.theta("v").alias("sk"))
+            .select("a", "b", ds.theta_estimate("sk").alias("est"))
+        )
+        rows = {(r.a, r.b): r.est for r in out.collect()}
+        assert rows[(None, None)] == 100.0  # grand total
+        assert rows[(0, None)] == 50.0
+        assert rows[(0, 0)] == 10.0
