@@ -421,6 +421,29 @@ def q_req_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cumulative_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct customers by order month: per-month theta
+    sketches merged inside an expanding window frame (merge overload of
+    the aggregate, reference docs/README.md:346-348)."""
+    from pyspark.sql.window import Window
+
+    _ensure(spark)
+    monthly = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format(F.col("o_orderdate"), "yyyy-MM")
+    )
+    sk = sketch_agg(monthly, "o_custkey", "theta", group_cols=["month"], k=16)
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        sk.withColumn("cum_sk", F.call_udf("datasketch_theta", F.col("sketch")).over(w))
+        .select(
+            "month",
+            F.expr("CAST(round(datasketch_theta_estimate(cum_sk)) AS BIGINT)").alias(
+                "cum_distinct_customers"
+            ),
+        )
+    )
+
+
 def q_theta_lgk_sql_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-taking SQL aggregate variants (datasketch_theta_lgk / _frequent_items_lgk)."""
     _ensure(spark)
@@ -611,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_rank_cdf": q_quantiles_rank_cdf,
         "req_rank": q_req_rank,
         "theta_lgk_sql_variant": q_theta_lgk_sql_variant,
+        "cumulative_distinct_customers": q_cumulative_distinct_customers,
         "docs_dedup_stats": q_docs_dedup_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_token_counts": q_doc_token_counts,
@@ -769,6 +793,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(DISTINCT o_custkey) AS distinct_customers, "
             "count(DISTINCT o_orderstatus) AS n_statuses FROM orders"
         ),
+        "cumulative_distinct_customers": """
+            SELECT m AS month,
+                   (SELECT count(DISTINCT o_custkey) FROM orders o2
+                    WHERE strftime(o2.o_orderdate, '%Y-%m') <= t.m)
+                     AS cum_distinct_customers
+            FROM (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m FROM orders) t
+        """,
         "docs_dedup_stats": (
             f"SELECT count(*) AS total_docs, "
             f"count(DISTINCT {_T.oracle_fingerprint_sql()}) AS distinct_docs FROM documents"

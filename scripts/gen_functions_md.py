@@ -1,0 +1,56 @@
+"""Generate docs/FUNCTIONS.md: the registered SQL function inventory."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+import datasketches_spark as dss
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate()
+)
+agg = dss.build_aggregate_registry()
+sca = dss.build_scalar_registry()
+
+groups: dict[str, list[tuple[str, str]]] = {}
+for name in sorted(agg):
+    fam = name.replace("datasketch_", "").split("_")[0]
+    groups.setdefault(fam, []).append((name, "AGG"))
+for name in sorted(sca):
+    fam = name.replace("datasketch_", "").split("_")[0]
+    groups.setdefault(fam, []).append((name, "SCALAR"))
+
+lines = [
+    "# SQL function inventory",
+    "",
+    "Everything `datasketches_spark.register(spark)` adds to the SQL",
+    "catalog, mirroring the reference's registration loop",
+    "(/root/reference/src/datasketches_extension.cpp:30-41).  AGG entries",
+    "build sketches from raw values and merge when fed sketch blobs; all",
+    "are also reachable from the Column API (`datasketches_spark.api`).",
+    "",
+]
+total = 0
+for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent"]:
+    fns = groups.get(fam, [])
+    total += len(fns)
+    lines.append(f"## {fam} ({len(fns)} functions)")
+    lines.append("")
+    for name, kind in sorted(fns, key=lambda x: (x[1] != "AGG", x[0])):
+        lines.append(f"- `{name}` ({kind})")
+    lines.append("")
+lines.append(f"**Total: {total} registered functions** "
+             f"({len(agg)} aggregates, {len(sca)} scalars).")
+lines.append("")
+lines.append("Native JVM fast path (not in the SQL registry; Column API only):")
+lines.append("`hll_native.hll_build` / `hll_merge` / `hll_estimate` wrap Spark's")
+lines.append("built-in Apache DataSketches HLL (wire-compatible blobs).")
+
+open("/root/repo/docs/FUNCTIONS.md", "w").write("\n".join(lines) + "\n")
+print(f"wrote docs/FUNCTIONS.md: {total} functions")
+spark.stop()
