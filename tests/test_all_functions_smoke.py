@@ -1,0 +1,133 @@
+"""Execute every registered SQL function once against a live sketch.
+
+The reference's sqllogictests touch each function at least once; this
+is the equivalent blanket guarantee for our 90-function registry --
+any function that cannot execute end-to-end fails here by name.
+"""
+
+import pytest
+
+import datasketches_spark as dss
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    dss.register(spark)
+    spark.range(1, 201).selectExpr(
+        "CAST(id AS double) AS xd", "id AS xi", "CAST(id % 20 AS string) AS xs"
+    ).createOrReplaceTempView("smoke_t")
+    # one stored sketch per family
+    spark.sql(
+        """
+        SELECT
+          datasketch_theta(xi)               AS sk_theta,
+          datasketch_kll(200, xd)            AS sk_kll,
+          datasketch_quantiles(128, xd)      AS sk_quantiles,
+          datasketch_req(12, xd)             AS sk_req,
+          datasketch_tdigest(100, xd)        AS sk_tdigest,
+          datasketch_hll(12, xi)             AS sk_hll,
+          datasketch_cpc(12, xi)             AS sk_cpc,
+          datasketch_frequent_items(xs)      AS sk_frequent_items
+        FROM smoke_t
+        """
+    ).createOrReplaceTempView("smoke_sketches")
+    return spark
+
+
+def _args_for(name: str) -> str | None:
+    """SQL argument list for each scalar, keyed by name suffix."""
+    fam = None
+    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc"):
+        if name.startswith(f"datasketch_{f}_"):
+            fam = f
+            suffix = name[len(f"datasketch_{f}_") :]
+            break
+    else:
+        return None
+    sk = f"sk_{fam}"
+    table = {
+        "is_empty": f"{sk}",
+        "k": f"{sk}",
+        "n": f"{sk}",
+        "is_estimation_mode": f"{sk}",
+        "num_retained": f"{sk}",
+        "min_item": f"{sk}",
+        "max_item": f"{sk}",
+        "estimate": f"{sk}, 'x'" if fam == "frequent_items" else f"{sk}",
+        "lower_bound": f"{sk}, 'x'" if fam == "frequent_items" else f"{sk}, 2",
+        "upper_bound": f"{sk}, 'x'" if fam == "frequent_items" else f"{sk}, 2",
+        "rank": f"{sk}, 50.0" if fam == "tdigest" else f"{sk}, 50.0, true",
+        "quantile": f"{sk}, 0.5" if fam == "tdigest" else f"{sk}, 0.5, true",
+        "cdf": f"{sk}, array(50.0D, 150.0D)"
+        if fam == "tdigest"
+        else f"{sk}, array(50.0D, 150.0D), true",
+        "pmf": f"{sk}, array(50.0D, 150.0D)"
+        if fam == "tdigest"
+        else f"{sk}, array(50.0D, 150.0D), true",
+        "describe": f"{sk}, true"
+        if fam == "tdigest"
+        else (f"{sk}" if fam == "theta" else f"{sk}, true, false"),
+        "normalized_rank_error": f"{sk}, true",
+        "total_weight": f"{sk}",
+        "get_theta": f"{sk}",
+        "get_seed": f"{sk}",
+        "lg_config_k": f"{sk}",
+        "is_compact": f"{sk}",
+        "epsilon": f"{sk}",
+        "num_active": f"{sk}",
+        "get_frequent": f"{sk}, 'NO_FALSE_POSITIVES'",
+        "union": f"{sk}, {sk}",
+        "intersect": f"{sk}, {sk}",
+        "a_not_b": f"{sk}, {sk}",
+    }
+    return table.get(suffix)
+
+
+def test_every_scalar_executes(ctx):
+    spark = ctx
+    names = sorted(dss.build_scalar_registry().keys())
+    failures = []
+    for name in names:
+        args = _args_for(name)
+        if args is None:
+            failures.append((name, "no arg mapping in smoke test"))
+            continue
+        try:
+            row = spark.sql(f"SELECT {name}({args}) AS r FROM smoke_sketches").first()
+            assert row is not None
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, str(exc).splitlines()[0][:160]))
+    assert not failures, f"{len(failures)} scalar(s) failed: {failures}"
+
+
+def test_every_aggregate_executes(ctx):
+    spark = ctx
+    names = sorted(dss.build_aggregate_registry().keys())
+    two_arg_k = {
+        "datasketch_quantiles": 128,
+        "datasketch_kll": 200,
+        "datasketch_req": 12,
+        "datasketch_tdigest": 100,
+        "datasketch_hll": 12,
+        "datasketch_cpc": 12,
+        "datasketch_theta_lgk": 12,
+        "datasketch_frequent_items_lgk": 10,
+    }
+    failures = []
+    for name in names:
+        try:
+            if name in ("datasketch_hll_union", "datasketch_cpc_union"):
+                fam = "hll" if "hll" in name else "cpc"
+                sql = f"SELECT {name}(12, sk_{fam}) FROM smoke_sketches"
+            elif name in two_arg_k:
+                col = "xs" if "frequent" in name else "xd" if name in (
+                    "datasketch_kll", "datasketch_quantiles", "datasketch_req",
+                    "datasketch_tdigest") else "xi"
+                sql = f"SELECT {name}({two_arg_k[name]}, {col}) FROM smoke_t"
+            else:
+                col = "xs" if "frequent" in name else "xi"
+                sql = f"SELECT {name}({col}) FROM smoke_t"
+            assert spark.sql(sql).first() is not None
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, str(exc).splitlines()[0][:160]))
+    assert not failures, f"{len(failures)} aggregate(s) failed: {failures}"

@@ -211,3 +211,20 @@ class TestDescribeAndErrors:
         assert rows[(None, None)] == 100.0  # grand total
         assert rows[(0, None)] == 50.0
         assert rows[(0, 0)] == 10.0
+
+
+class TestSources:
+    def test_events_nanos_handling(self, spark):
+        from datasketches_spark import sources
+
+        ev = sources.read_table(spark, "/root/testdata/sf0.001", "events")
+        row = ev.select("ts", "ts_micros", "hour_bucket").first()
+        assert row.hour_bucket == row.ts // 3_600_000_000_000
+        assert row.ts_micros is not None
+
+    def test_load_star_schema(self, spark):
+        from datasketches_spark import sources
+
+        tables = sources.load_star_schema(spark, "/root/testdata/sf0.001")
+        assert set(tables) == set(sources.TABLES)
+        assert spark.sql("SELECT count(*) c FROM nation").first().c == 25
