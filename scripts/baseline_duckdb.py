@@ -1,0 +1,111 @@
+"""Local single-node baseline: DuckDB-native approximate analytics.
+
+The true reference (DuckDB + Query-farm/datasketches extension) cannot
+be loaded in this container (the community extension needs a network
+fetch, verified to fail offline), so this script measures the closest
+available single-node baseline: **stock DuckDB's own approximate
+functions** (`approx_count_distinct`, `approx_quantile`) plus exact
+group-counts where DuckDB has no sketch analog.  Each query mirrors one
+of bench.py's headline queries on the same parquet inputs, so the two
+JSON outputs are directly comparable per key.
+
+Differences vs the extension baseline (documented, not hidden):
+- DuckDB's approx_count_distinct is HLL-based but exposes no mergeable
+  state; `hll_union_custkey` is emulated as a flat distinct count.
+- `frequent_priorities` has no DuckDB-native sketch; the exact hash
+  aggregate is used (this *favors* DuckDB — it is the fast path).
+- `scalar_over_2k_stored` (scalar pass over stored sketch blobs) has no
+  DuckDB-native equivalent and is omitted.
+
+Usage: python scripts/baseline_duckdb.py  →  one JSON line, same shape
+as bench.py.  Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import duckdb
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={cpus}")
+    for t in ["lineitem", "orders", "nation"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = {
+        "theta_distinct_orders": (
+            "SELECT approx_count_distinct(l_orderkey) AS distinct_orders FROM lineitem"
+        ),
+        "theta_distinct_by_flag": (
+            "SELECT l_returnflag, approx_count_distinct(l_suppkey) AS distinct_suppliers"
+            " FROM lineitem GROUP BY 1"
+        ),
+        "kll_quantiles_by_flag": (
+            "SELECT l_returnflag, approx_quantile(l_quantity, 0.25) AS p25,"
+            " approx_quantile(l_quantity, 0.5) AS p50,"
+            " approx_quantile(l_quantity, 0.75) AS p75 FROM lineitem GROUP BY 1"
+        ),
+        "quantiles_median_by_priority": (
+            "SELECT o_orderpriority, approx_quantile(o_totalprice, 0.5) AS median_price,"
+            " count(*) AS n_orders FROM orders GROUP BY 1"
+        ),
+        "req_tail_by_priority": (
+            "SELECT o_orderpriority, approx_quantile(o_totalprice, 0.95) AS p95_price,"
+            " count(*) AS n_orders FROM orders GROUP BY 1"
+        ),
+        "tdigest_weight_by_flag": (
+            "SELECT l_returnflag, count(l_extendedprice) AS total_weight"
+            " FROM lineitem GROUP BY 1"
+        ),
+        "hll_union_custkey": (
+            "SELECT approx_count_distinct(o_custkey) AS distinct_customers FROM orders"
+        ),
+        "cpc_distinct_parts": (
+            "SELECT approx_count_distinct(l_partkey) AS distinct_parts FROM lineitem"
+        ),
+        "frequent_priorities": (
+            "SELECT o_orderpriority AS item, count(*) AS estimate"
+            " FROM orders GROUP BY 1 ORDER BY 2 DESC"
+        ),
+        "hll_native_distinct": (
+            "SELECT approx_count_distinct(l_orderkey) AS est FROM lineitem"
+        ),
+    }
+
+    timings: dict[str, float] = {}
+    # warm the buffer/OS cache once so both harnesses measure steady state
+    con.execute("SELECT count(*) FROM lineitem").fetchall()
+    for name, sql in queries.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_native_proxy_baseline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
