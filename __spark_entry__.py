@@ -607,6 +607,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return theta.join(kll, "l_returnflag")
 
 
+def q_bloom_contains_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime filter: every key inserted must probe true (no
+    false negatives), so counting semi-joined customers through the
+    filter is deterministic.  Beyond-reference family (sketches/bloom.py)."""
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    cust_with_orders = customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    )
+    flt = sketch_agg(orders, "o_custkey", "bloom", k=20).select(
+        F.col("sketch").alias("bf")
+    )
+    return (
+        cust_with_orders.join(F.broadcast(flt))
+        .where(F.call_udf("datasketch_bloom_might_contain", F.col("bf"), F.col("c_custkey")))
+        .agg(F.count("*").alias("contained_customers"))
+    )
+
+
+def q_theta_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches as re-aggregable partial state: build per-nation theta
+    sketches ONCE, then merge them up to region level — the reference's
+    'partial aggregate as data' pattern (docs/README.md:190-192) as a
+    rollup.  Exact at lg_k=16 (distinct customers per region << 2^16)."""
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey").alias("nationkey")
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_regionkey"
+    )
+    fact = orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+    per_nation = sketch_agg(fact, "o_custkey", "theta", group_cols=["nationkey"], k=16)
+    per_region_in = per_nation.join(F.broadcast(nation), "nationkey")
+    per_region = sketch_agg(
+        per_region_in, "sketch", "theta", group_cols=["n_regionkey"], k=16
+    )
+    return per_region.select(
+        F.col("n_regionkey").cast("long").alias("regionkey"),
+        F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
+            "distinct_customers"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -647,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "minhash_candidates": q_minhash_candidates,
         "simhash_pairs": q_simhash_pairs,
+        "bloom_contains_customers": q_bloom_contains_customers,
+        "theta_rollup_region": q_theta_rollup_region,
     }
 
 
@@ -847,6 +896,19 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
             "hex(encode(substring(text, 1, 4))) AS magic_hex FROM documents"
+        ),
+        "bloom_contains_customers": (
+            # no false negatives -> every customer with an order passes the
+            # probe; the count is exactly the distinct order-placing customers
+            "SELECT count(DISTINCT o_custkey) AS contained_customers FROM orders"
+        ),
+        "theta_rollup_region": (
+            "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"
+            " count(DISTINCT o_custkey) AS distinct_customers"
+            " FROM orders"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " GROUP BY n_regionkey"
         ),
         # minhash_candidates / simhash_pairs: LSH banding is not
         # SQL-expressible -> rows-only checks (no oracle entries)

@@ -22,6 +22,7 @@ from .aggregation import sketch_agg, sketch_merge, sketch_partial
 from .functions import hll_native
 from .functions.aggregates import build_aggregate_registry
 from .functions.scalars import build_scalar_registry
+from .runtime_filter import bloom_filter_of, bloom_prune
 
 __version__ = "0.1.0"
 
@@ -47,6 +48,8 @@ __all__ = [
     "sketch_partial",
     "sketch_merge",
     "hll_native",
+    "bloom_filter_of",
+    "bloom_prune",
     "build_aggregate_registry",
     "build_scalar_registry",
     "__version__",

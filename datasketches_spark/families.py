@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 
 from .sketches import (
+    BloomFilterSketch,
     CpcSketch,
     FrequentItemsSketch,
     HllSketch,
@@ -35,6 +36,7 @@ FAMILY_CLASSES = {
     "hll": HllSketch,
     "cpc": CpcSketch,
     "frequent_items": FrequentItemsSketch,
+    "bloom": BloomFilterSketch,
 }
 
 
@@ -63,6 +65,10 @@ def create_sketch(family: str, params: dict):
         return CpcSketch(int(params.get("lg_k", 12)))
     if family == "frequent_items":
         return FrequentItemsSketch(int(params.get("lg_max_k", 10)))
+    if family == "bloom":
+        return BloomFilterSketch(
+            int(params.get("lg_m", 20)), int(params.get("num_hashes", 6))
+        )
     raise ValueError(f"unknown sketch family: {family}")
 
 
@@ -87,7 +93,7 @@ def update_sketch(family: str, sk, series: pd.Series) -> None:
             if blob is not None:
                 sk.merge(cls.deserialize(bytes(blob)))
         return
-    if family in ("theta", "hll", "cpc"):
+    if family in ("theta", "hll", "cpc", "bloom"):
         sk.update_values(s)
     elif family in QUANTILE_FAMILIES or family == "tdigest":
         sk.update(s.to_numpy())
@@ -110,6 +116,9 @@ def build_params(family: str, k: int | None, series: pd.Series | None) -> dict:
     elif family == "frequent_items":
         if k is not None:
             params["lg_max_k"] = k
+    elif family == "bloom":
+        if k is not None:
+            params["lg_m"] = k
     else:
         if k is not None:
             params["k"] = k

@@ -76,4 +76,7 @@ def build_aggregate_registry() -> dict[str, object]:
     reg["datasketch_theta_lgk"] = _agg_with_k("theta")
     reg["datasketch_frequent_items"] = _agg_default("frequent_items")
     reg["datasketch_frequent_items_lgk"] = _agg_with_k("frequent_items")
+    # beyond-reference Bloom filter family: K argument is lg(num_bits)
+    reg["datasketch_bloom"] = _agg_with_k("bloom")
+    reg["datasketch_bloom_union_agg"] = _agg_with_k("bloom")
     return reg

@@ -21,10 +21,12 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 from ..sketches import (
+    BloomFilterSketch,
     CpcSketch,
     FrequentItemsSketch,
     HllSketch,
@@ -33,6 +35,8 @@ from ..sketches import (
     ReqSketch,
     TDigestSketch,
     ThetaSketch,
+    bloom_intersect,
+    bloom_union,
     theta_a_not_b,
     theta_intersect,
     theta_union,
@@ -257,6 +261,41 @@ def build_scalar_registry() -> dict[str, object]:
     reg[p + "total_weight"] = _unary(F, lambda sk: int(sk.total_weight()), "long")
     reg[p + "is_empty"] = _unary(F, lambda sk: bool(sk.is_empty), "boolean")
     reg[p + "num_active"] = _unary(F, lambda sk: int(sk.num_active), "long")
+    # ---- Bloom filter (beyond-reference family; see sketches/bloom.py) ----
+    p = "datasketch_bloom_"
+    B = BloomFilterSketch
+
+    @pandas_udf("boolean")
+    def _might_contain(s: pd.Series, items: pd.Series) -> pd.Series:
+        # vectorize per distinct blob: the common case is one broadcast
+        # filter probed by a whole column, so group row indices by blob
+        # and run one numpy membership pass per filter
+        out = pd.Series([None] * len(s), dtype=object)
+        if not len(s):
+            return out
+        frame_df = pd.DataFrame({"b": s, "i": range(len(s))})
+        for blob, sub in frame_df.dropna(subset=["b"]).groupby("b", sort=False):
+            sk = B.deserialize(bytes(blob))
+            vals = items.iloc[sub["i"].to_numpy()]
+            ok = vals.notna().to_numpy()
+            res = np.full(len(vals), None, dtype=object)
+            if ok.any():
+                res[ok] = sk.contains_values(vals[ok]).tolist()
+            out.iloc[sub["i"].to_numpy()] = res
+        return out
+
+    reg[p + "might_contain"] = _might_contain
+    reg[p + "union"] = _sketch_pair(B, bloom_union)
+    reg[p + "intersect"] = _sketch_pair(B, bloom_intersect)
+    reg[p + "estimate"] = _unary(B, lambda sk: float(sk.get_estimate()), "double")
+    reg[p + "is_empty"] = _unary(B, lambda sk: bool(sk.is_empty), "boolean")
+    reg[p + "num_bits"] = _unary(B, lambda sk: int(sk.num_bits), "long")
+    reg[p + "num_hashes"] = _unary(B, lambda sk: int(sk.num_hashes), "int")
+    reg[p + "bits_set"] = _unary(B, lambda sk: int(sk.bits_set()), "long")
+    reg[p + "current_fpp"] = _unary(B, lambda sk: float(sk.current_fpp()), "double")
+    reg[p + "describe"] = _unary(B, lambda sk: sk.describe(), "string")
+
+    p = "datasketch_frequent_items_"
     reg[p + "get_frequent"] = _with_args(
         F,
         lambda sk, et: [

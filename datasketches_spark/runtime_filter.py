@@ -1,0 +1,58 @@
+"""Bloom-filter runtime pruning: semi-join reduction without a shuffle.
+
+The classic 100 TB pattern: a huge fact table must be reduced to rows
+whose key appears in a (relatively) small dimension/allowlist before an
+expensive downstream join or shuffle.  A real semi-join shuffles the
+fact side; broadcasting the raw keyset is limited by driver memory.  A
+Bloom filter of the keyset is a few KB-MB regardless of key count, so:
+
+  phase 1: two-phase sketch build over the dim keys (blob-only shuffle)
+  phase 2: broadcast the single filter row; probe it with an
+           Arrow-vectorized UDF — the fact table streams through its
+           scan, no shuffle, no driver collect of the keyset.
+
+False positives pass the filter (tune via ``lg_m``) — downstream exact
+joins stay correct, they just see slightly more rows; false negatives
+cannot occur, so no matching row is ever lost.  This mirrors what
+Spark's AQE runtime filter / ``InjectRuntimeFilter`` does internally
+with ``BloomFilterAggregate`` (not exposed to the public SQL registry
+in this build), but works on any DataFrame pair and any key expression,
+and the filter itself is a storable, mergeable sketch column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .aggregation import sketch_agg
+
+
+def bloom_filter_of(
+    df: DataFrame, key_col: str, lg_m: int = 22, output_col: str = "sketch"
+) -> DataFrame:
+    """One-row DataFrame holding a Bloom filter of ``df[key_col]``."""
+    return sketch_agg(df, key_col, "bloom", k=lg_m, output_col=output_col)
+
+
+def bloom_prune(
+    fact: DataFrame,
+    fact_key,
+    dim: DataFrame,
+    dim_key: str,
+    lg_m: int = 22,
+) -> DataFrame:
+    """Rows of ``fact`` whose key is (probably) in ``dim[dim_key]``.
+
+    No false negatives: every fact row with a genuinely matching dim key
+    survives.  Output may contain a small fraction of non-matching rows
+    (FPP ~ (1-e^(-6n/m))^6); follow with an exact join if needed.
+    """
+    key = fact_key if isinstance(fact_key, Column) else F.col(fact_key)
+    flt = bloom_filter_of(dim, dim_key, lg_m=lg_m, output_col="__bloom")
+    pruned = (
+        fact.join(F.broadcast(flt))
+        .where(F.call_udf("datasketch_bloom_might_contain", F.col("__bloom"), key))
+        .drop("__bloom")
+    )
+    return pruned

@@ -6,6 +6,7 @@ to a framed BLOB (base.py), and NULL-skipping at the update layer.
 """
 
 from .base import (
+    FAMILY_BLOOM,
     FAMILY_CPC,
     FAMILY_FREQUENT_ITEMS,
     FAMILY_HLL,
@@ -17,6 +18,7 @@ from .base import (
     SketchDeserializeError,
     peek_family,
 )
+from .bloom import BloomFilterSketch, bloom_intersect, bloom_union
 from .compactor import KllSketch, QuantilesSketch, ReqSketch
 from .frequent_items import FrequentItemsSketch
 from .hll import CpcSketch, HllSketch
@@ -32,6 +34,7 @@ FAMILY_CLASSES = {
     FAMILY_HLL: HllSketch,
     FAMILY_CPC: CpcSketch,
     FAMILY_FREQUENT_ITEMS: FrequentItemsSketch,
+    FAMILY_BLOOM: BloomFilterSketch,
 }
 
 
@@ -54,6 +57,9 @@ __all__ = [
     "theta_union",
     "theta_intersect",
     "theta_a_not_b",
+    "BloomFilterSketch",
+    "bloom_union",
+    "bloom_intersect",
     "deserialize_any",
     "SketchDeserializeError",
     "peek_family",

@@ -25,6 +25,7 @@ FAMILY_TDIGEST = 5
 FAMILY_HLL = 6
 FAMILY_CPC = 7
 FAMILY_FREQUENT_ITEMS = 8
+FAMILY_BLOOM = 9
 
 FAMILY_NAMES = {
     FAMILY_THETA: "Theta",
@@ -35,6 +36,7 @@ FAMILY_NAMES = {
     FAMILY_HLL: "HLL",
     FAMILY_CPC: "CPC",
     FAMILY_FREQUENT_ITEMS: "Frequent Items",
+    FAMILY_BLOOM: "Bloom Filter",
 }
 
 # dtype codes for typed quantile sketches (sketch_kll_double etc.)

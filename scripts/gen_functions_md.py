@@ -36,7 +36,7 @@ lines = [
     "",
 ]
 total = 0
-for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent"]:
+for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom"]:
     fns = groups.get(fam, [])
     total += len(fns)
     lines.append(f"## {fam} ({len(fns)} functions)")

@@ -27,7 +27,8 @@ def ctx(spark):
           datasketch_tdigest(100, xd)        AS sk_tdigest,
           datasketch_hll(12, xi)             AS sk_hll,
           datasketch_cpc(12, xi)             AS sk_cpc,
-          datasketch_frequent_items(xs)      AS sk_frequent_items
+          datasketch_frequent_items(xs)      AS sk_frequent_items,
+          datasketch_bloom(12, xi)           AS sk_bloom
         FROM smoke_t
         """
     ).createOrReplaceTempView("smoke_sketches")
@@ -37,7 +38,7 @@ def ctx(spark):
 def _args_for(name: str) -> str | None:
     """SQL argument list for each scalar, keyed by name suffix."""
     fam = None
-    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc"):
+    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloom"):
         if name.startswith(f"datasketch_{f}_"):
             fam = f
             suffix = name[len(f"datasketch_{f}_") :]
@@ -56,6 +57,11 @@ def _args_for(name: str) -> str | None:
         "estimate": f"{sk}, 'x'" if fam == "frequent_items" else f"{sk}",
         "lower_bound": f"{sk}, 'x'" if fam == "frequent_items" else f"{sk}, 2",
         "upper_bound": f"{sk}, 'x'" if fam == "frequent_items" else f"{sk}, 2",
+        "might_contain": f"{sk}, 42",
+        "num_bits": f"{sk}",
+        "num_hashes": f"{sk}",
+        "bits_set": f"{sk}",
+        "current_fpp": f"{sk}",
         "rank": f"{sk}, 50.0" if fam == "tdigest" else f"{sk}, 50.0, true",
         "quantile": f"{sk}, 0.5" if fam == "tdigest" else f"{sk}, 0.5, true",
         "cdf": f"{sk}, array(50.0D, 150.0D)"
@@ -66,7 +72,7 @@ def _args_for(name: str) -> str | None:
         else f"{sk}, array(50.0D, 150.0D), true",
         "describe": f"{sk}, true"
         if fam == "tdigest"
-        else (f"{sk}" if fam == "theta" else f"{sk}, true, false"),
+        else (f"{sk}" if fam in ("theta", "bloom") else f"{sk}, true, false"),
         "normalized_rank_error": f"{sk}, true",
         "total_weight": f"{sk}",
         "get_theta": f"{sk}",
@@ -112,12 +118,17 @@ def test_every_aggregate_executes(ctx):
         "datasketch_cpc": 12,
         "datasketch_theta_lgk": 12,
         "datasketch_frequent_items_lgk": 10,
+        "datasketch_bloom": 12,
     }
     failures = []
     for name in names:
         try:
-            if name in ("datasketch_hll_union", "datasketch_cpc_union"):
-                fam = "hll" if "hll" in name else "cpc"
+            if name in (
+                "datasketch_hll_union",
+                "datasketch_cpc_union",
+                "datasketch_bloom_union_agg",
+            ):
+                fam = "hll" if "hll" in name else "cpc" if "cpc" in name else "bloom"
                 sql = f"SELECT {name}(12, sk_{fam}) FROM smoke_sketches"
             elif name in two_arg_k:
                 col = "xs" if "frequent" in name else "xd" if name in (
