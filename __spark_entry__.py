@@ -617,14 +617,8 @@ def q_bloom_contains_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_with_orders = customer.join(
         orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
     )
-    flt = sketch_agg(orders, "o_custkey", "bloom", k=20).select(
-        F.col("sketch").alias("bf")
-    )
-    return (
-        cust_with_orders.join(F.broadcast(flt))
-        .where(F.call_udf("datasketch_bloom_might_contain", F.col("bf"), F.col("c_custkey")))
-        .agg(F.count("*").alias("contained_customers"))
-    )
+    pruned = dss.bloom_prune(cust_with_orders, "c_custkey", orders, "o_custkey", lg_m=20)
+    return pruned.agg(F.count("*").alias("contained_customers"))
 
 
 def q_theta_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,6 +645,19 @@ def q_theta_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
             "distinct_customers"
         ),
+    )
+
+
+def q_native_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native approx_top_k fast path (functions/native.py): exact
+    because 5 distinct priorities << maxItemsTracked, so the oracle can
+    hash-match the full (item, count) set."""
+    from datasketches_spark.functions import native as _N
+
+    orders = _t(spark, sf_dir, "orders")
+    tk = orders.agg(_N.approx_top_k("o_orderpriority", 5, 1000).alias("tk"))
+    return tk.select(F.explode("tk").alias("r")).select(
+        F.col("r.item").alias("item"), F.col("r.count").alias("cnt")
     )
 
 
@@ -696,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "bloom_contains_customers": q_bloom_contains_customers,
         "theta_rollup_region": q_theta_rollup_region,
+        "native_topk_priorities": q_native_topk_priorities,
     }
 
 
@@ -896,6 +904,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
             "hex(encode(substring(text, 1, 4))) AS magic_hex FROM documents"
+        ),
+        "native_topk_priorities": (
+            "SELECT o_orderpriority AS item, count(*) AS cnt"
+            " FROM orders GROUP BY o_orderpriority"
         ),
         "bloom_contains_customers": (
             # no false negatives -> every customer with an order passes the

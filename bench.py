@@ -89,6 +89,9 @@ def main():
         "hll_union_custkey",
         "cpc_distinct_parts",
         "frequent_priorities",
+        "native_topk_priorities",
+        "bloom_contains_customers",
+        "theta_rollup_region",
     ]
     timings: dict[str, float] = {}
     # warm the JVM + python workers once so timings measure steady state

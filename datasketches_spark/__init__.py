@@ -19,10 +19,10 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from .aggregation import sketch_agg, sketch_merge, sketch_partial
-from .functions import hll_native
+from .functions import hll_native, native
 from .functions.aggregates import build_aggregate_registry
 from .functions.scalars import build_scalar_registry
-from .runtime_filter import bloom_filter_of, bloom_prune
+from .runtime_filter import bloom_filter_of, bloom_prune, bloom_prune_with
 
 __version__ = "0.1.0"
 
@@ -48,8 +48,10 @@ __all__ = [
     "sketch_partial",
     "sketch_merge",
     "hll_native",
+    "native",
     "bloom_filter_of",
     "bloom_prune",
+    "bloom_prune_with",
     "build_aggregate_registry",
     "build_scalar_registry",
     "__version__",

@@ -22,10 +22,13 @@ and the filter itself is a storable, mergeable sketch column.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from .aggregation import sketch_agg
+from .sketches import BloomFilterSketch
 
 
 def bloom_filter_of(
@@ -33,6 +36,32 @@ def bloom_filter_of(
 ) -> DataFrame:
     """One-row DataFrame holding a Bloom filter of ``df[key_col]``."""
     return sketch_agg(df, key_col, "bloom", k=lg_m, output_col=output_col)
+
+
+def bloom_prune_with(fact: DataFrame, fact_key, blob: bytes) -> DataFrame:
+    """Filter ``fact`` by a pre-built Bloom filter blob.
+
+    The blob travels to executors as a task broadcast (bounded size:
+    2^lg_m/8 bytes regardless of key count) and is deserialized ONCE
+    per Python worker — never shipped per-row through Arrow, which is
+    what makes probing O(keys) instead of O(keys x filter_size).
+    """
+    key = fact_key if isinstance(fact_key, Column) else F.col(fact_key)
+    bc = fact.sparkSession.sparkContext.broadcast(bytes(blob))
+    holder: list[BloomFilterSketch] = []
+
+    @pandas_udf("boolean")
+    def probe(keys: pd.Series) -> pd.Series:
+        if not holder:
+            holder.append(BloomFilterSketch.deserialize(bc.value))
+        sk = holder[0]
+        out = pd.Series(False, index=keys.index)
+        ok = keys.notna()
+        if ok.any():
+            out[ok] = sk.contains_values(keys[ok])
+        return out
+
+    return fact.where(probe(key))
 
 
 def bloom_prune(
@@ -47,12 +76,11 @@ def bloom_prune(
     No false negatives: every fact row with a genuinely matching dim key
     survives.  Output may contain a small fraction of non-matching rows
     (FPP ~ (1-e^(-6n/m))^6); follow with an exact join if needed.
+
+    The filter build is fully distributed (two-phase, blob-only
+    shuffle); only the single finished filter — bounded at 2^lg_m/8
+    bytes — is collected and re-broadcast, so this works unchanged when
+    ``dim`` has billions of keys.
     """
-    key = fact_key if isinstance(fact_key, Column) else F.col(fact_key)
-    flt = bloom_filter_of(dim, dim_key, lg_m=lg_m, output_col="__bloom")
-    pruned = (
-        fact.join(F.broadcast(flt))
-        .where(F.call_udf("datasketch_bloom_might_contain", F.col("__bloom"), key))
-        .drop("__bloom")
-    )
-    return pruned
+    blob = bloom_filter_of(dim, dim_key, lg_m=lg_m).collect()[0]["sketch"]
+    return bloom_prune_with(fact, fact_key, blob)

@@ -37,7 +37,7 @@ def main() -> None:
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={cpus}")
-    for t in ["lineitem", "orders", "nation"]:
+    for t in ["lineitem", "orders", "nation", "customer"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
@@ -79,6 +79,20 @@ def main() -> None:
         ),
         "hll_native_distinct": (
             "SELECT approx_count_distinct(l_orderkey) AS est FROM lineitem"
+        ),
+        "native_topk_priorities": (
+            "SELECT o_orderpriority AS item, count(*) AS cnt"
+            " FROM orders GROUP BY 1"
+        ),
+        "bloom_contains_customers": (
+            # proxy for the bloom semi-join probe: exact semi join
+            "SELECT count(*) AS contained FROM customer"
+            " WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "theta_rollup_region": (
+            "SELECT n_regionkey, count(DISTINCT o_custkey) AS distinct_customers"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"
         ),
     }
 

@@ -277,3 +277,26 @@ class TestSaltedAggregation:
         out = salted_sketch_agg(items, "v", "theta", num_salts=4)
         est = ThetaSketch.deserialize(bytes(out.first().sketch)).get_estimate()
         assert est == 1000.0
+
+
+# ---------------- native JVM frequency fast paths ----------------------
+
+
+def test_native_approx_top_k_matches_exact(spark):
+    from datasketches_spark.functions import native
+
+    df = spark.range(1000).selectExpr("CAST(id % 7 AS string) AS item")
+    rows = df.agg(native.approx_top_k("item", 7, 100).alias("tk")).collect()[0]["tk"]
+    got = {r["item"]: r["count"] for r in rows}
+    # 1000 rows over 7 items: items 0..5 appear 143, item 6 appears 142
+    exact = {str(i): (143 if i < 6 else 142) for i in range(7)}
+    assert got == exact
+
+
+def test_native_count_min_is_mergeable_binary(spark):
+    from datasketches_spark.functions import native
+
+    df = spark.range(500).selectExpr("id % 2 AS g", "CAST(id % 10 AS string) AS item")
+    parts = df.groupBy("g").agg(native.count_min_build("item").alias("cms"))
+    blobs = [r["cms"] for r in parts.collect()]
+    assert len(blobs) == 2 and all(isinstance(b, (bytes, bytearray)) for b in blobs)
