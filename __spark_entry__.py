@@ -661,6 +661,20 @@ def q_native_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reservoir_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reservoir sample in exact mode (k=50 >= 5 nations per region)
+    retains every item, so the sample IS the group — deterministic.
+    Beyond-reference family (sketches/reservoir.py)."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "nation"), "n_name", "reservoir", group_cols=["n_regionkey"], k=50
+    )
+    return sk.select(
+        F.col("n_regionkey").cast("long").alias("regionkey"),
+        F.explode(F.expr("datasketch_reservoir_items(sketch)")).alias("item"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -704,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contains_customers": q_bloom_contains_customers,
         "theta_rollup_region": q_theta_rollup_region,
         "native_topk_priorities": q_native_topk_priorities,
+        "reservoir_nations_by_region": q_reservoir_nations_by_region,
     }
 
 
@@ -908,6 +923,10 @@ def oracle_sql() -> dict[str, str]:
         "native_topk_priorities": (
             "SELECT o_orderpriority AS item, count(*) AS cnt"
             " FROM orders GROUP BY o_orderpriority"
+        ),
+        "reservoir_nations_by_region": (
+            "SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name AS item"
+            " FROM nation"
         ),
         "bloom_contains_customers": (
             # no false negatives -> every customer with an order passes the

@@ -21,6 +21,7 @@ from .sketches import (
     KllSketch,
     QuantilesSketch,
     ReqSketch,
+    ReservoirSampleSketch,
     TDigestSketch,
     ThetaSketch,
 )
@@ -37,6 +38,7 @@ FAMILY_CLASSES = {
     "cpc": CpcSketch,
     "frequent_items": FrequentItemsSketch,
     "bloom": BloomFilterSketch,
+    "reservoir": ReservoirSampleSketch,
 }
 
 
@@ -69,6 +71,8 @@ def create_sketch(family: str, params: dict):
         return BloomFilterSketch(
             int(params.get("lg_m", 20)), int(params.get("num_hashes", 6))
         )
+    if family == "reservoir":
+        return ReservoirSampleSketch(int(params.get("k", 1024)))
     raise ValueError(f"unknown sketch family: {family}")
 
 
@@ -97,7 +101,7 @@ def update_sketch(family: str, sk, series: pd.Series) -> None:
         sk.update_values(s)
     elif family in QUANTILE_FAMILIES or family == "tdigest":
         sk.update(s.to_numpy())
-    elif family == "frequent_items":
+    elif family in ("frequent_items", "reservoir"):
         sk.update_series(s)
     else:  # pragma: no cover
         raise ValueError(f"unknown sketch family: {family}")
@@ -119,6 +123,9 @@ def build_params(family: str, k: int | None, series: pd.Series | None) -> dict:
     elif family == "bloom":
         if k is not None:
             params["lg_m"] = k
+    elif family == "reservoir":
+        if k is not None:
+            params["k"] = k
     else:
         if k is not None:
             params["k"] = k

@@ -79,4 +79,7 @@ def build_aggregate_registry() -> dict[str, object]:
     # beyond-reference Bloom filter family: K argument is lg(num_bits)
     reg["datasketch_bloom"] = _agg_with_k("bloom")
     reg["datasketch_bloom_union_agg"] = _agg_with_k("bloom")
+    # beyond-reference reservoir sample: K is the sample size
+    reg["datasketch_reservoir"] = _agg_with_k("reservoir")
+    reg["datasketch_reservoir_union_agg"] = _agg_with_k("reservoir")
     return reg

@@ -33,6 +33,7 @@ from ..sketches import (
     KllSketch,
     QuantilesSketch,
     ReqSketch,
+    ReservoirSampleSketch,
     TDigestSketch,
     ThetaSketch,
     bloom_intersect,
@@ -294,6 +295,17 @@ def build_scalar_registry() -> dict[str, object]:
     reg[p + "bits_set"] = _unary(B, lambda sk: int(sk.bits_set()), "long")
     reg[p + "current_fpp"] = _unary(B, lambda sk: float(sk.current_fpp()), "double")
     reg[p + "describe"] = _unary(B, lambda sk: sk.describe(), "string")
+
+    # ---- Reservoir sample (beyond-reference; sketches/reservoir.py) ----
+    p = "datasketch_reservoir_"
+    R = ReservoirSampleSketch
+    reg[p + "items"] = _unary(R, lambda sk: sk.get_items(), "array<string>")
+    reg[p + "n"] = _unary(R, lambda sk: int(sk.n), "long")
+    reg[p + "k"] = _unary(R, lambda sk: int(sk.k), "int")
+    reg[p + "num_retained"] = _unary(R, lambda sk: int(sk.num_retained), "long")
+    reg[p + "is_exact"] = _unary(R, lambda sk: bool(sk.is_exact), "boolean")
+    reg[p + "is_empty"] = _unary(R, lambda sk: bool(sk.is_empty), "boolean")
+    reg[p + "describe"] = _unary(R, lambda sk: sk.describe(), "string")
 
     p = "datasketch_frequent_items_"
     reg[p + "get_frequent"] = _with_args(

@@ -9,6 +9,7 @@ from .base import (
     FAMILY_BLOOM,
     FAMILY_CPC,
     FAMILY_FREQUENT_ITEMS,
+    FAMILY_RESERVOIR,
     FAMILY_HLL,
     FAMILY_KLL,
     FAMILY_QUANTILES,
@@ -20,6 +21,7 @@ from .base import (
 )
 from .bloom import BloomFilterSketch, bloom_intersect, bloom_union
 from .compactor import KllSketch, QuantilesSketch, ReqSketch
+from .reservoir import ReservoirSampleSketch
 from .frequent_items import FrequentItemsSketch
 from .hll import CpcSketch, HllSketch
 from .tdigest import TDigestSketch
@@ -35,6 +37,7 @@ FAMILY_CLASSES = {
     FAMILY_CPC: CpcSketch,
     FAMILY_FREQUENT_ITEMS: FrequentItemsSketch,
     FAMILY_BLOOM: BloomFilterSketch,
+    FAMILY_RESERVOIR: ReservoirSampleSketch,
 }
 
 
@@ -60,6 +63,7 @@ __all__ = [
     "BloomFilterSketch",
     "bloom_union",
     "bloom_intersect",
+    "ReservoirSampleSketch",
     "deserialize_any",
     "SketchDeserializeError",
     "peek_family",

@@ -26,6 +26,7 @@ FAMILY_HLL = 6
 FAMILY_CPC = 7
 FAMILY_FREQUENT_ITEMS = 8
 FAMILY_BLOOM = 9
+FAMILY_RESERVOIR = 10
 
 FAMILY_NAMES = {
     FAMILY_THETA: "Theta",
@@ -37,6 +38,7 @@ FAMILY_NAMES = {
     FAMILY_CPC: "CPC",
     FAMILY_FREQUENT_ITEMS: "Frequent Items",
     FAMILY_BLOOM: "Bloom Filter",
+    FAMILY_RESERVOIR: "Reservoir Sample",
 }
 
 # dtype codes for typed quantile sketches (sketch_kll_double etc.)

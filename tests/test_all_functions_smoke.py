@@ -28,7 +28,8 @@ def ctx(spark):
           datasketch_hll(12, xi)             AS sk_hll,
           datasketch_cpc(12, xi)             AS sk_cpc,
           datasketch_frequent_items(xs)      AS sk_frequent_items,
-          datasketch_bloom(12, xi)           AS sk_bloom
+          datasketch_bloom(12, xi)           AS sk_bloom,
+          datasketch_reservoir(64, xs)       AS sk_reservoir
         FROM smoke_t
         """
     ).createOrReplaceTempView("smoke_sketches")
@@ -38,7 +39,7 @@ def ctx(spark):
 def _args_for(name: str) -> str | None:
     """SQL argument list for each scalar, keyed by name suffix."""
     fam = None
-    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloom"):
+    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloom", "reservoir"):
         if name.startswith(f"datasketch_{f}_"):
             fam = f
             suffix = name[len(f"datasketch_{f}_") :]
@@ -58,6 +59,8 @@ def _args_for(name: str) -> str | None:
         "lower_bound": f"{sk}, 'x'" if fam == "frequent_items" else f"{sk}, 2",
         "upper_bound": f"{sk}, 'x'" if fam == "frequent_items" else f"{sk}, 2",
         "might_contain": f"{sk}, 42",
+        "items": f"{sk}",
+        "is_exact": f"{sk}",
         "num_bits": f"{sk}",
         "num_hashes": f"{sk}",
         "bits_set": f"{sk}",
@@ -72,7 +75,7 @@ def _args_for(name: str) -> str | None:
         else f"{sk}, array(50.0D, 150.0D), true",
         "describe": f"{sk}, true"
         if fam == "tdigest"
-        else (f"{sk}" if fam in ("theta", "bloom") else f"{sk}, true, false"),
+        else (f"{sk}" if fam in ("theta", "bloom", "reservoir") else f"{sk}, true, false"),
         "normalized_rank_error": f"{sk}, true",
         "total_weight": f"{sk}",
         "get_theta": f"{sk}",
@@ -119,6 +122,7 @@ def test_every_aggregate_executes(ctx):
         "datasketch_theta_lgk": 12,
         "datasketch_frequent_items_lgk": 10,
         "datasketch_bloom": 12,
+        "datasketch_reservoir": 64,
     }
     failures = []
     for name in names:
@@ -127,9 +131,11 @@ def test_every_aggregate_executes(ctx):
                 "datasketch_hll_union",
                 "datasketch_cpc_union",
                 "datasketch_bloom_union_agg",
+                "datasketch_reservoir_union_agg",
             ):
-                fam = "hll" if "hll" in name else "cpc" if "cpc" in name else "bloom"
-                sql = f"SELECT {name}(12, sk_{fam}) FROM smoke_sketches"
+                fam = name.replace("datasketch_", "").replace("_union_agg", "").replace("_union", "")
+                kk = 64 if fam == "reservoir" else 12
+                sql = f"SELECT {name}({kk}, sk_{fam}) FROM smoke_sketches"
             elif name in two_arg_k:
                 col = "xs" if "frequent" in name else "xd" if name in (
                     "datasketch_kll", "datasketch_quantiles", "datasketch_req",
