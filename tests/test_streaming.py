@@ -64,3 +64,45 @@ def test_store_absorb_twice_idempotent_groups(spark, tmpdir):
         .first()
     )
     assert row.est == 1500.0  # sparse-exact mode
+
+
+def test_stateful_sketch_stream_engine_state(spark, tmpdir):
+    """applyInPandasWithState path: sketch blobs live in Spark's state
+    store and accumulate across micro-batches (maxFilesPerTrigger=1
+    forces two batches)."""
+    from datasketches_spark.streaming import stateful_sketch_stream
+
+    dss.register(spark)
+    src = f"{tmpdir}/src_state"
+    spark.range(0, 400).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("user_id")
+    ).write.mode("overwrite").parquet(src)
+    spark.range(200, 600).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("user_id")
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("g BIGINT, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_sketch_stream(stream, "user_id", "theta", ["g"], k=14)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_sketches")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM state_sketches").collect()
+    assert len(rows) >= 4  # at least one emission per key
+    # the LAST emission per key holds the cumulative sketch; distinct
+    # estimates are monotone here, so take the max per key
+    best = {}
+    for r in rows:
+        est = ThetaSketch.deserialize(bytes(r.sketch)).get_estimate()
+        best[r.g] = max(best.get(r.g, 0.0), est)
+    assert sum(best.values()) == 600.0  # exact mode: 600 distinct users
