@@ -92,6 +92,10 @@ def main():
         "native_topk_priorities",
         "bloom_contains_customers",
         "theta_rollup_region",
+        # training-data pipeline operators (beyond-reference surface)
+        "ann_topk",
+        "doc_token_counts",
+        "minhash_candidates",
     ]
     timings: dict[str, float] = {}
     # warm the JVM + python workers once so timings measure steady state

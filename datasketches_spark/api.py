@@ -76,6 +76,22 @@ def frequent_items(col) -> Column:
     return _call("datasketch_frequent_items", col)
 
 
+def bloom(lg_m: int, col) -> Column:
+    return F.call_udf("datasketch_bloom", F.lit(lg_m), _c(col))
+
+
+def bloom_union_agg(lg_m: int, col) -> Column:
+    return F.call_udf("datasketch_bloom_union_agg", F.lit(lg_m), _c(col))
+
+
+def reservoir(k: int, col) -> Column:
+    return F.call_udf("datasketch_reservoir", F.lit(k), _c(col))
+
+
+def reservoir_union_agg(k: int, col) -> Column:
+    return F.call_udf("datasketch_reservoir_union_agg", F.lit(k), _c(col))
+
+
 # ---- scalars (generated generically) --------------------------------------
 
 def __getattr__(name: str) -> object:

@@ -37,7 +37,7 @@ def main() -> None:
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={cpus}")
-    for t in ["lineitem", "orders", "nation", "customer"]:
+    for t in ["lineitem", "orders", "nation", "customer", "embeddings", "documents"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
@@ -94,6 +94,24 @@ def main() -> None:
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"
         ),
+        "ann_topk": (
+            # brute-force cosine top-5 for the first 5 query vectors
+            "SELECT query_id, neighbor_id, rnk FROM ("
+            "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+            "    row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+            "      list_cosine_similarity(q.embedding, c.embedding) DESC,"
+            "      c.vec_id) AS rnk"
+            "  FROM embeddings q, embeddings c WHERE q.vec_id < 5"
+            ") WHERE rnk <= 5"
+        ),
+        "doc_token_counts": (
+            "SELECT doc_id, length(text)"
+            "  - length(replace(text, ' ', '')) + 1 AS approx_tokens"
+            " FROM documents"
+        ),
+        # minhash_candidates has no DuckDB-native analog (LSH banding);
+        # nearest proxy is an exact all-pairs jaccard which is O(n^2) --
+        # omitted rather than pretending equivalence
     }
 
     timings: dict[str, float] = {}
