@@ -118,3 +118,77 @@ def test_hll_mixed_k_union_estimate_sane(values, k1, k2):
     a.merge(b)
     assert a.get_estimate() >= 0.0
     assert a.lg_k == min(k1, k2) or a.mode == 0
+
+
+# ---------------- Bloom filter (beyond-reference) ----------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(ints)
+def test_bloom_never_false_negative(values):
+    from datasketches_spark.sketches import BloomFilterSketch
+
+    sk = BloomFilterSketch(lg_m=12)
+    s = pd.Series(values, dtype=object)
+    sk.update_values(s)
+    if values:
+        assert sk.contains_values(pd.Series(values, dtype=object)).all()
+    assert sk.is_empty == (len(values) == 0)
+
+
+@settings(max_examples=30, deadline=None)
+@given(ints, ints)
+def test_bloom_union_is_commutative_superset(a, b):
+    from datasketches_spark.sketches import BloomFilterSketch, bloom_union
+
+    sa, sb = BloomFilterSketch(lg_m=12), BloomFilterSketch(lg_m=12)
+    sa.update_values(pd.Series(a, dtype=object))
+    sb.update_values(pd.Series(b, dtype=object))
+    u1, u2 = bloom_union(sa, sb), bloom_union(sb, sa)
+    assert (u1.bits == u2.bits).all()
+    both = a + b
+    if both:
+        assert u1.contains_values(pd.Series(both, dtype=object)).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(ints)
+def test_bloom_roundtrip(values):
+    from datasketches_spark.sketches import BloomFilterSketch
+
+    sk = BloomFilterSketch(lg_m=10, num_hashes=3)
+    sk.update_values(pd.Series(values, dtype=object))
+    back = BloomFilterSketch.deserialize(sk.serialize())
+    assert (back.bits == sk.bits).all()
+    assert back.num_hashes == 3 and back.lg_m == 10
+
+
+# ---------------- Reservoir sample (beyond-reference) ------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(ints)
+def test_reservoir_exact_below_k_any_split(values):
+    from datasketches_spark.sketches import ReservoirSampleSketch
+
+    mid = len(values) // 2
+    a, b = ReservoirSampleSketch(k=400), ReservoirSampleSketch(k=400)
+    a.update_series(pd.Series(values[:mid], dtype=object))
+    b.update_series(pd.Series(values[mid:], dtype=object))
+    a.merge(b)
+    assert a.n == len(values)
+    assert sorted(a.get_items()) == sorted(str(v) for v in values)
+
+
+@settings(max_examples=30, deadline=None)
+@given(ints, st.integers(1, 20))
+def test_reservoir_size_invariants(values, k):
+    from datasketches_spark.sketches import ReservoirSampleSketch
+
+    sk = ReservoirSampleSketch(k=k)
+    sk.update_series(pd.Series(values, dtype=object))
+    assert sk.num_retained == min(k, len(values))
+    assert sk.n == len(values)
+    assert set(sk.get_items()) <= {str(v) for v in values}
+    back = type(sk).deserialize(sk.serialize())
+    assert back.get_items() == sk.get_items() and back.n == sk.n
