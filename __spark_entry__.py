@@ -648,6 +648,33 @@ def q_theta_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-hour distinct users over the events stream: hourly
+    theta sketches built ONCE, merged in a bounded window frame — the
+    rollup pattern in time.  Exact at lg_k=16 (hourly distinct users
+    << 2^16)."""
+    from pyspark.sql.window import Window
+
+    _ensure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour_bucket", F.floor(F.col("ts") / F.lit(3_600_000_000_000)).cast("long")
+    )
+    hourly = sketch_agg(ev, "user_id", "theta", group_cols=["hour_bucket"], k=16)
+    w = Window.orderBy("hour_bucket").rowsBetween(-2, 0)
+    return (
+        hourly.withColumn(
+            "win_sk", F.call_udf("datasketch_theta", F.col("sketch")).over(w)
+        )
+        .select(
+            "hour_bucket",
+            F.expr("CAST(round(datasketch_theta_estimate(win_sk)) AS BIGINT)").alias(
+                "distinct_users_3h"
+            ),
+        )
+    )
+
+
 def q_native_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-native approx_top_k fast path (functions/native.py): exact
     because 5 distinct priorities << maxItemsTracked, so the oracle can
@@ -719,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_rollup_region": q_theta_rollup_region,
         "native_topk_priorities": q_native_topk_priorities,
         "reservoir_nations_by_region": q_reservoir_nations_by_region,
+        "sliding_distinct_users": q_sliding_distinct_users,
     }
 
 
@@ -928,6 +956,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name AS item"
             " FROM nation"
         ),
+        "sliding_distinct_users": """
+            WITH hours AS (
+              SELECT DISTINCT floor(epoch(ts) / 3600)::BIGINT AS h FROM events
+            ), r AS (
+              SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hours
+            ), pairs AS (
+              SELECT a.h AS hour_bucket, b.h AS member_h
+              FROM r a JOIN r b ON b.rn BETWEEN a.rn - 2 AND a.rn
+            )
+            SELECT p.hour_bucket, count(DISTINCT e.user_id) AS distinct_users_3h
+            FROM pairs p
+            JOIN events e ON floor(epoch(e.ts) / 3600)::BIGINT = p.member_h
+            GROUP BY p.hour_bucket
+        """,
         "bloom_contains_customers": (
             # no false negatives -> every customer with an order passes the
             # probe; the count is exactly the distinct order-placing customers
