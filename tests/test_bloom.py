@@ -173,3 +173,20 @@ def test_bloom_prune_no_false_negatives(spark):
     expect = set(range(0, 5000, 7))
     assert expect <= got  # nothing lost
     assert len(got) <= len(expect) * 1.05  # few false positives at this m/n
+
+
+def test_bloom_io_roundtrip_with_metadata(spark, tmp_path):
+    from datasketches_spark import io as dio
+    from datasketches_spark.aggregation import sketch_agg
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    sk = sketch_agg(df, "k", "bloom", k=14)
+    path = str(tmp_path / "bloom_tbl")
+    dio.write_sketch_table(sk, path, "sketch", "bloom", k=14)
+    back = dio.read_sketch_table(spark, path)
+    info = dio.sketch_column_info(back, "sketch")
+    assert info["family"] == "bloom" and info["k"] == 14
+    blob = back.collect()[0]["sketch"]
+    assert BloomFilterSketch.deserialize(bytes(blob)).contains_values(
+        pd.Series(range(500))
+    ).all()

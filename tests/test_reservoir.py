@@ -124,3 +124,18 @@ def test_two_phase_reservoir_estimation_mode(spark):
     sk = ReservoirSampleSketch.deserialize(bytes(blob))
     assert sk.n == 20_000 and sk.num_retained == 64
     assert all(0 <= int(i) < 20_000 for i in sk.get_items())
+
+
+def test_reservoir_io_roundtrip_with_metadata(spark, tmp_path):
+    from datasketches_spark import io as dio
+    from datasketches_spark.aggregation import sketch_agg
+
+    df = spark.range(40).selectExpr("CAST(id AS string) AS v")
+    sk = sketch_agg(df, "v", "reservoir", k=100)
+    path = str(tmp_path / "res_tbl")
+    dio.write_sketch_table(sk, path, "sketch", "reservoir", k=100)
+    back = dio.read_sketch_table(spark, path)
+    assert dio.sketch_column_info(back, "sketch")["family"] == "reservoir"
+    blob = back.collect()[0]["sketch"]
+    got = ReservoirSampleSketch.deserialize(bytes(blob))
+    assert sorted(got.get_items()) == sorted(str(i) for i in range(40))
