@@ -675,6 +675,28 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: quality-filter -> exact dedup
+    -> language partition -> uniform reservoir sample per language.
+    Deterministic because every stage is exact at sf0.01 (reservoir
+    k=2048 >= any language group) — the full pipeline hash-matches the
+    oracle."""
+    from datasketches_spark.pipeline import dedup as _D
+
+    _ensure(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "quality", _T.quality_score(F.col("text"))
+    )
+    filt = docs.filter(F.col("quality") >= 0.5)
+    dd = _D.exact_dedup(filt, "text", "doc_id")
+    lang = dd.withColumn("lang", _T.lang_id(F.col("text")))
+    sk = sketch_agg(lang, "doc_id", "reservoir", group_cols=["lang"], k=2048)
+    return sk.select(
+        "lang",
+        F.explode(F.expr("datasketch_reservoir_items(sketch)")).alias("doc_id_str"),
+    )
+
+
 def q_native_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-native approx_top_k fast path (functions/native.py): exact
     because 5 distinct priorities << maxItemsTracked, so the oracle can
@@ -747,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_topk_priorities": q_native_topk_priorities,
         "reservoir_nations_by_region": q_reservoir_nations_by_region,
         "sliding_distinct_users": q_sliding_distinct_users,
+        "curation_sample": q_curation_sample,
     }
 
 
@@ -956,6 +979,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name AS item"
             " FROM nation"
         ),
+        "curation_sample": f"""
+            WITH scored AS (
+              SELECT doc_id, text, {_T.oracle_quality_score_sql()} AS quality
+              FROM documents
+            ), filt AS (
+              SELECT * FROM scored WHERE quality >= 0.5
+            ), dd AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text, row_number() OVER (
+                  PARTITION BY {_T.oracle_fingerprint_sql()} ORDER BY doc_id
+                ) AS rn FROM filt
+              ) WHERE rn = 1
+            )
+            SELECT {_T.oracle_lang_id_sql()} AS lang,
+                   CAST(doc_id AS VARCHAR) AS doc_id_str
+            FROM dd
+        """,
         "sliding_distinct_users": """
             WITH hours AS (
               SELECT DISTINCT floor(epoch(ts) / 3600)::BIGINT AS h FROM events

@@ -96,6 +96,7 @@ def main():
         "ann_topk",
         "doc_token_counts",
         "minhash_candidates",
+        "curation_sample",
     ]
     timings: dict[str, float] = {}
     # warm the JVM + python workers once so timings measure steady state

@@ -113,6 +113,17 @@ def main() -> None:
         # nearest proxy is an exact all-pairs jaccard which is O(n^2) --
         # omitted rather than pretending equivalence
     }
+    # curation_sample: reuse the oracle SQL (same semantics) as the
+    # DuckDB side of the end-to-end curation pipeline
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        import __spark_entry__ as _entry
+
+        queries["curation_sample"] = _entry.oracle_sql()["curation_sample"]
+    except Exception:  # noqa: BLE001 -- keep the baseline runnable standalone
+        pass
 
     timings: dict[str, float] = {}
     # warm the buffer/OS cache once so both harnesses measure steady state
