@@ -697,6 +697,43 @@ def q_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min gap on raw
+    nanos): per-user session/event counts via two window expressions —
+    all Catalyst, one shuffle (pipeline/sessions.py)."""
+    from datasketches_spark.pipeline import sessions as _S
+
+    _ensure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    gap_ns = 30 * 60 * 1_000_000_000
+    return _S.session_stats(ev, "user_id", "ts", gap_ns).orderBy("user_id")
+
+
+def q_salted_theta_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted aggregation over a 3-value grouping key
+    (l_returnflag is maximally skewed).  Theta exact mode => the salted
+    two-level merge must produce IDENTICAL estimates to the unsalted
+    path and to the oracle's exact count."""
+    from datasketches_spark.aggregation import salted_sketch_agg
+
+    _ensure(spark)
+    sk = salted_sketch_agg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "theta",
+        group_cols=["l_returnflag"],
+        k=16,
+        num_salts=8,
+    )
+    return sk.select(
+        "l_returnflag",
+        F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
+            "distinct_orders"
+        ),
+    )
+
+
 def q_native_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-native approx_top_k fast path (functions/native.py): exact
     because 5 distinct priorities << maxItemsTracked, so the oracle can
@@ -770,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_nations_by_region": q_reservoir_nations_by_region,
         "sliding_distinct_users": q_sliding_distinct_users,
         "curation_sample": q_curation_sample,
+        "user_sessions": q_user_sessions,
+        "salted_theta_skew": q_salted_theta_skew,
     }
 
 
@@ -978,6 +1017,24 @@ def oracle_sql() -> dict[str, str]:
         "reservoir_nations_by_region": (
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name AS item"
             " FROM nation"
+        ),
+        "user_sessions": """
+            WITH s AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts)) > 1800000000000
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+            )
+            SELECT user_id,
+                   sum(new_session) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        "salted_theta_skew": (
+            "SELECT l_returnflag, count(DISTINCT l_orderkey) AS distinct_orders"
+            " FROM lineitem GROUP BY l_returnflag"
         ),
         "curation_sample": f"""
             WITH scored AS (

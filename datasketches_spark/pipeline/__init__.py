@@ -10,6 +10,6 @@
   stubbed-but-plumbed decoders
 """
 
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, sessions, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "sessions", "similarity", "text", "multimodal"]

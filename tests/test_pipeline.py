@@ -235,3 +235,31 @@ class TestIVF:
         rows = assigned.collect()
         assert len(rows) == 100
         assert all(0 <= r.centroid_id < 4 for r in rows)
+
+
+# ---------------- sessionization ---------------------------------------
+
+
+def test_sessionize_gap_semantics(spark):
+    from datasketches_spark.pipeline import sessions as S
+
+    rows = [
+        (1, 100), (1, 200), (1, 5000),   # user 1: gap>1000 at 5000 -> 2 sessions
+        (2, 50),                          # user 2: single event -> 1 session
+        (3, 10), (3, 2000), (3, 4000),    # user 3: two gaps -> 3 sessions
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts LONG")
+    out = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in S.session_stats(df, "user_id", "ts", gap=1000).collect()}
+    assert out == {1: (2, 3), 2: (1, 1), 3: (3, 3)}
+
+
+def test_sessionize_assigns_monotone_ids(spark):
+    from datasketches_spark.pipeline import sessions as S
+
+    df = spark.createDataFrame(
+        [(1, t) for t in (0, 10, 5000, 5010, 99999)], "user_id LONG, ts LONG"
+    )
+    got = [r["session_seq"] for r in
+           S.sessionize(df, "user_id", "ts", gap=1000).orderBy("ts").collect()]
+    assert got == [1, 1, 2, 2, 3]
