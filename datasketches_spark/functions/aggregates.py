@@ -82,4 +82,16 @@ def build_aggregate_registry() -> dict[str, object]:
     # beyond-reference reservoir sample: K is the sample size
     reg["datasketch_reservoir"] = _agg_with_k("reservoir")
     reg["datasketch_reservoir_union_agg"] = _agg_with_k("reservoir")
+
+    # weight-proportional variant (Efraimidis-Spirakis keys): the
+    # third argument is the per-row weight
+    @pandas_udf("binary")
+    def reservoir_weighted(k: pd.Series, v: pd.Series, w: pd.Series) -> bytes:
+        kk = k.dropna()
+        kval = int(kk.iloc[0]) if kk.size else None
+        sk = create_sketch("reservoir", build_params("reservoir", kval, v))
+        sk.update_series(v, weights=w)
+        return None if sk.is_empty else sk.serialize()
+
+    reg["datasketch_reservoir_weighted"] = reservoir_weighted
     return reg

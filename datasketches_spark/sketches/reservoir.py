@@ -8,12 +8,17 @@ The wider Apache DataSketches ecosystem ships reservoir/VarOpt
 sampling for exactly this reason; this is the same capability with a
 simpler, exactly-mergeable construction:
 
-- every incoming item gets an independent random tag u ~ U(0,1);
-- the sketch keeps the k items with the SMALLEST tags (bottom-k);
+- every incoming item gets an independent random exponential tag
+  t ~ Exp(w) = -ln(U)/w where w is the item's weight (1 when
+  unweighted) — the Efraimidis-Spirakis (2006) A-ES keys;
+- the sketch keeps the k items with the SMALLEST tags (bottom-k),
+  which samples WITHOUT replacement with inclusion probability
+  proportional to weight (uniform when all w=1);
 - union of two sketches = bottom-k of the tag-union — associative,
   commutative, and distributionally identical to sampling the
-  concatenated stream (order statistics of iid uniforms don't care
-  how the stream was split).
+  concatenated stream (order statistics of independent exponentials
+  don't care how the stream was split).  Weighted and unweighted
+  blobs are therefore mutually mergeable.
 
 So the two-phase pattern (partition-local sample -> merge) yields an
 exact uniform sample without replacement over the whole input, while
@@ -69,11 +74,20 @@ class ReservoirSampleSketch:
         self.tags = tags[idx]
         self.items = [items[i] for i in idx]
 
-    def update_series(self, s: pd.Series) -> None:
-        s = canonicalize_series(s.dropna())
+    def update_series(self, s: pd.Series, weights: pd.Series | None = None) -> None:
+        if weights is not None:
+            mask = s.notna() & weights.notna() & (weights > 0)
+            w = weights[mask].to_numpy(dtype=np.float64)
+            s = canonicalize_series(s[mask])
+        else:
+            s = canonicalize_series(s.dropna())
+            w = None
         if s.empty:
             return
-        new_tags = self._rng.random(len(s))
+        # Exp(w) keys: -ln(U)/w; numpy's exponential(scale) draws
+        # scale * Exp(1), so scale = 1/w
+        scale = 1.0 if w is None else 1.0 / w
+        new_tags = self._rng.exponential(scale, size=len(s))
         self.n += len(s)
         self._keep_bottom_k(
             np.concatenate([self.tags, new_tags]), self.items + s.tolist()

@@ -136,6 +136,8 @@ def test_every_aggregate_executes(ctx):
                 fam = name.replace("datasketch_", "").replace("_union_agg", "").replace("_union", "")
                 kk = 64 if fam == "reservoir" else 12
                 sql = f"SELECT {name}({kk}, sk_{fam}) FROM smoke_sketches"
+            elif name == "datasketch_reservoir_weighted":
+                sql = f"SELECT {name}(64, xs, xd) FROM smoke_t"
             elif name in two_arg_k:
                 col = "xs" if "frequent" in name else "xd" if name in (
                     "datasketch_kll", "datasketch_quantiles", "datasketch_req",

@@ -139,3 +139,50 @@ def test_reservoir_io_roundtrip_with_metadata(spark, tmp_path):
     blob = back.collect()[0]["sketch"]
     got = ReservoirSampleSketch.deserialize(bytes(blob))
     assert sorted(got.get_items()) == sorted(str(i) for i in range(40))
+
+
+# ---------------- weighted sampling (Efraimidis-Spirakis keys) ---------
+
+
+def test_weighted_inclusion_proportional():
+    # one heavy item (w=50) among 100 light items (w=1): P(include in
+    # k=10 sample) for heavy is ~1; each light ~<10/100
+    heavy_hits = 0
+    trials = 200
+    for _ in range(trials):
+        sk = ReservoirSampleSketch(k=10)
+        vals = pd.Series(["heavy"] + [f"light_{i}" for i in range(100)])
+        w = pd.Series([50.0] + [1.0] * 100)
+        sk.update_series(vals, weights=w)
+        if "heavy" in sk.get_items():
+            heavy_hits += 1
+    assert heavy_hits > trials * 0.9  # heavy weight dominates
+
+
+def test_weighted_exact_mode_keeps_all_and_drops_nonpositive():
+    sk = ReservoirSampleSketch(k=100)
+    vals = pd.Series(["a", "b", "c", "d"])
+    w = pd.Series([1.0, 0.0, -3.0, 2.0])  # zero/negative weights dropped
+    sk.update_series(vals, weights=w)
+    assert sorted(sk.get_items()) == ["a", "d"] and sk.n == 2
+
+
+def test_weighted_and_uniform_blobs_merge():
+    a = ReservoirSampleSketch(k=100)
+    a.update_series(pd.Series(["u1", "u2"]))
+    b = ReservoirSampleSketch(k=100)
+    b.update_series(pd.Series(["w1"]), weights=pd.Series([9.0]))
+    a.merge(ReservoirSampleSketch.deserialize(b.serialize()))
+    assert sorted(a.get_items()) == ["u1", "u2", "w1"] and a.n == 3
+
+
+def test_sql_weighted_aggregate(spark):
+    spark.range(50).selectExpr(
+        "CAST(id AS string) AS v", "CAST(1 + id % 3 AS double) AS w"
+    ).createOrReplaceTempView("wres_in")
+    row = spark.sql(
+        "SELECT datasketch_reservoir_n(datasketch_reservoir_weighted(100, v, w)) AS n,"
+        " datasketch_reservoir_is_exact(datasketch_reservoir_weighted(100, v, w)) AS ex"
+        " FROM wres_in"
+    ).collect()[0]
+    assert row["n"] == 50 and row["ex"]
