@@ -734,6 +734,49 @@ def q_salted_theta_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_price_median_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL exact-mode median of part retail price per brand (part table:
+    ~80 rows/brand at sf0.01 << k)."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "part"), "p_retailprice", "kll", group_cols=["p_brand"], k=32768
+    )
+    return sk.select(
+        "p_brand",
+        F.expr("datasketch_kll_quantile(sketch, 0.5D, true)").alias("median_price"),
+        F.expr("datasketch_kll_n(sketch)").alias("n_parts"),
+    )
+
+
+def q_supplier_stats_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta distinct + KLL min/max per region NAME: supplier->nation->
+    region chain, both dims broadcast; two sketch columns joined on the
+    group key.  All surfaces exact-mode deterministic."""
+    _ensure(spark)
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    joined = supplier.join(F.broadcast(nation), "s_nationkey").join(
+        F.broadcast(region), "n_regionkey"
+    )
+    distinct = sketch_agg(joined, "s_suppkey", "theta", group_cols=["r_name"], k=14)
+    balances = sketch_agg(
+        joined, "s_acctbal", "kll", group_cols=["r_name"], k=32768, output_col="bal_sk"
+    )
+    return distinct.join(balances, "r_name").select(
+        "r_name",
+        F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
+            "n_suppliers"
+        ),
+        F.expr("datasketch_kll_min_item(bal_sk)").alias("min_bal"),
+        F.expr("datasketch_kll_max_item(bal_sk)").alias("max_bal"),
+    )
+
+
 def q_native_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-native approx_top_k fast path (functions/native.py): exact
     because 5 distinct priorities << maxItemsTracked, so the oracle can
@@ -809,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sample": q_curation_sample,
         "user_sessions": q_user_sessions,
         "salted_theta_skew": q_salted_theta_skew,
+        "part_price_median_by_brand": q_part_price_median_by_brand,
+        "supplier_stats_by_region": q_supplier_stats_by_region,
     }
 
 
@@ -1017,6 +1062,21 @@ def oracle_sql() -> dict[str, str]:
         "reservoir_nations_by_region": (
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name AS item"
             " FROM nation"
+        ),
+        "part_price_median_by_brand": (
+            "SELECT g AS p_brand, "
+            "min(CASE WHEN cd >= 0.5 THEN v END) AS median_price, "
+            "count(*) AS n_parts FROM ("
+            + _CUME.format(g="p_brand", v="p_retailprice", t="part")
+            + ") GROUP BY g"
+        ),
+        "supplier_stats_by_region": (
+            "SELECT r_name, count(DISTINCT s_suppkey) AS n_suppliers,"
+            " min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal"
+            " FROM supplier"
+            " JOIN nation ON s_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " GROUP BY r_name"
         ),
         "user_sessions": """
             WITH s AS (
