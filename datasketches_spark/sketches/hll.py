@@ -241,7 +241,12 @@ class CpcSketch(HllSketch):
     FAMILY = FAMILY_CPC
     NAME = "CPC"
     LG_K_MIN, LG_K_MAX = 4, 26
-    RSE_COEFF = 0.679  # CPC's published accuracy-per-size advantage
+    # Our CPC core shares the HLL register estimator (the compressed
+    # representation gives the size advantage, not the estimator), so
+    # the honest error coefficient is HLL's 1.04 — NOT the true CPC
+    # paper's 0.679.  Claiming the tighter coefficient would emit
+    # over-narrow confidence bounds in dense mode.
+    RSE_COEFF = 1.04
 
     def serialize(self) -> bytes:
         return frame(self.FAMILY, zlib.compress(self._payload(), level=6))
