@@ -763,11 +763,15 @@ def q_supplier_stats_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = supplier.join(F.broadcast(nation), "s_nationkey").join(
         F.broadcast(region), "n_regionkey"
     )
-    distinct = sketch_agg(joined, "s_suppkey", "theta", group_cols=["r_name"], k=14)
-    balances = sketch_agg(
-        joined, "s_acctbal", "kll", group_cols=["r_name"], k=32768, output_col="bal_sk"
+    # both sketches in ONE scan + ONE shuffle (sketch_agg_multi)
+    from datasketches_spark.aggregation import sketch_agg_multi
+
+    both = sketch_agg_multi(
+        joined,
+        [("s_suppkey", "theta", 14, "sketch"), ("s_acctbal", "kll", 32768, "bal_sk")],
+        group_cols=["r_name"],
     )
-    return distinct.join(balances, "r_name").select(
+    return both.select(
         "r_name",
         F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
             "n_suppliers"

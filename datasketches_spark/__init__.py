@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from .aggregation import sketch_agg, sketch_merge, sketch_partial
+from .aggregation import sketch_agg, sketch_agg_multi, sketch_merge, sketch_partial
 from .functions import hll_native, native
 from .functions.aggregates import build_aggregate_registry
 from .functions.scalars import build_scalar_registry
@@ -45,6 +45,7 @@ def register(spark: SparkSession) -> list[str]:
 __all__ = [
     "register",
     "sketch_agg",
+    "sketch_agg_multi",
     "sketch_partial",
     "sketch_merge",
     "hll_native",

@@ -139,6 +139,92 @@ def sketch_agg(
     return sketch_merge(partial, family, group_cols, k, output_col)
 
 
+def sketch_agg_multi(
+    df: DataFrame,
+    specs: list[tuple],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build SEVERAL sketches per group in ONE scan + ONE shuffle.
+
+    ``specs`` is a list of ``(input_col, family, k, output_col)``
+    tuples.  Where ``sketch_agg`` called N times costs N scans of the
+    fact table and N shuffles (plus joins to reassemble), this costs
+    one of each: the phase-1 task folds every spec's column into its
+    own sketch per group, and the shuffle rows carry all N blobs.
+    At 100 TB the scan is the dominant term, so N sketches for the
+    price of one matters more than any constant-factor tuning.
+
+    Returns ``group_cols + [output_col BINARY per spec]``.
+    """
+    group_cols = list(group_cols or [])
+    specs = [tuple(s) for s in specs]
+    out_cols = [s[3] for s in specs]
+    if len(set(out_cols)) != len(out_cols):
+        raise ValueError("duplicate output_col in specs")
+    in_cols = list(dict.fromkeys([s[0] for s in specs]))  # stable unique
+
+    fields = [df.schema[c] for c in group_cols]
+    schema = StructType(
+        list(fields) + [StructField(c, BinaryType(), True) for c in out_cols]
+    )
+    chunk_rows = 1 << 19
+
+    def build(batches):
+        acc: dict[tuple, list] = {}
+        buf: list[pd.DataFrame] = []
+        nbuf = 0
+
+        def fold(key: tuple, sub: pd.DataFrame) -> None:
+            sks = acc.get(key)
+            if sks is None:
+                sks = acc[key] = [None] * len(specs)
+            for i, (col, family, k, _out) in enumerate(specs):
+                series = sub[col]
+                if sks[i] is None:
+                    sks[i] = create_sketch(family, build_params(family, k, series))
+                update_sketch(family, sks[i], series)
+
+        def flush() -> None:
+            nonlocal buf, nbuf
+            if not buf:
+                return
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            buf, nbuf = [], 0
+            if group_cols:
+                for key, sub in pdf.groupby(group_cols, dropna=False, sort=False):
+                    fold(key if isinstance(key, tuple) else (key,), sub)
+            else:
+                fold((), pdf)
+
+        for pdf in batches:
+            buf.append(pdf)
+            nbuf += len(pdf)
+            if nbuf >= chunk_rows:
+                flush()
+        flush()
+        if acc:
+            rows = [
+                list(key) + [sk.serialize() if sk is not None else None for sk in sks]
+                for key, sks in acc.items()
+            ]
+            yield pd.DataFrame(rows, columns=group_cols + out_cols)
+
+    partial = df.select(*(group_cols + in_cols)).mapInPandas(build, schema=schema)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = [pdf[c].iloc[0] for c in group_cols]
+        for col, family, k, out_col in specs:
+            series = pdf[out_col].dropna()
+            sk = create_sketch(family, build_params(family, k, series))
+            update_sketch(family, sk, series)  # blob series -> merge path
+            out.append(sk.serialize())
+        return pd.DataFrame([out], columns=group_cols + out_cols)
+
+    if group_cols:
+        return partial.groupBy(*group_cols).applyInPandas(merge, schema=schema)
+    return partial.groupBy().applyInPandas(merge, schema=schema)
+
+
 def salted_sketch_agg(
     df: DataFrame,
     input_col: str,

@@ -300,3 +300,42 @@ def test_native_count_min_is_mergeable_binary(spark):
     parts = df.groupBy("g").agg(native.count_min_build("item").alias("cms"))
     blobs = [r["cms"] for r in parts.collect()]
     assert len(blobs) == 2 and all(isinstance(b, (bytes, bytearray)) for b in blobs)
+
+
+def test_sketch_agg_multi_matches_single_passes(spark):
+    from datasketches_spark.aggregation import sketch_agg, sketch_agg_multi
+    from datasketches_spark.sketches import KllSketch, ThetaSketch
+
+    df = spark.range(5000).selectExpr(
+        "id % 4 AS g", "id AS k", "CAST(id % 100 AS double) AS x"
+    )
+    multi = sketch_agg_multi(
+        df, [("k", "theta", 14, "t_sk"), ("x", "kll", 1024, "k_sk")], group_cols=["g"]
+    ).collect()
+    assert len(multi) == 4
+    singles_t = {
+        r["g"]: r["sketch"]
+        for r in sketch_agg(df, "k", "theta", group_cols=["g"], k=14).collect()
+    }
+    for r in multi:
+        t = ThetaSketch.deserialize(bytes(r["t_sk"]))
+        ts = ThetaSketch.deserialize(bytes(singles_t[r["g"]]))
+        assert t.get_estimate() == ts.get_estimate() == 1250  # exact mode
+        kll = KllSketch.deserialize(bytes(r["k_sk"]))
+        assert kll.n == 1250 and kll.get_min_item() >= 0.0
+
+
+def test_sketch_agg_multi_global_and_validation(spark):
+    import pytest as _pt
+
+    from datasketches_spark.aggregation import sketch_agg_multi
+    from datasketches_spark.sketches import HllSketch, ReservoirSampleSketch
+
+    df = spark.range(300).selectExpr("id AS a", "CAST(id AS string) AS s")
+    row = sketch_agg_multi(
+        df, [("a", "hll", 12, "h"), ("s", "reservoir", 512, "r")]
+    ).collect()[0]
+    assert HllSketch.deserialize(bytes(row["h"])).get_estimate() == 300.0
+    assert ReservoirSampleSketch.deserialize(bytes(row["r"])).n == 300
+    with _pt.raises(ValueError, match="duplicate output_col"):
+        sketch_agg_multi(df, [("a", "hll", 12, "x"), ("s", "theta", None, "x")])
