@@ -46,9 +46,17 @@ def sketch_column_info(df: DataFrame, sketch_col: str) -> dict | None:
 
 def write_sketch_table(
     df: DataFrame, path: str, sketch_col: str, family: str, k: int | None = None,
-    mode: str = "overwrite",
+    mode: str = "overwrite", partition_by: list[str] | None = None,
 ) -> None:
-    with_sketch_metadata(df, sketch_col, family, k).write.mode(mode).parquet(path)
+    """Persist a sketch table; ``partition_by`` lays the blobs out by
+    group key so later reads of one group's sketches prune to a single
+    directory (partition pruning is the dominant saving when a 100 TB
+    pipeline stores per-(day, source) sketches and dashboards query
+    one slice)."""
+    w = with_sketch_metadata(df, sketch_col, family, k).write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
 
 
 def read_sketch_table(

@@ -106,3 +106,48 @@ def test_stateful_sketch_stream_engine_state(spark, tmpdir):
         est = ThetaSketch.deserialize(bytes(r.sketch)).get_estimate()
         best[r.g] = max(best.get(r.g, 0.0), est)
     assert sum(best.values()) == 600.0  # exact mode: 600 distinct users
+
+
+def test_stateful_stream_works_for_any_family(spark, tmpdir):
+    """The stateful operator is family-generic: run it with the
+    reservoir family and check cumulative exact-mode sampling."""
+    from datasketches_spark.sketches import ReservoirSampleSketch
+    from datasketches_spark.streaming import stateful_sketch_stream
+
+    dss.register(spark)
+    src = f"{tmpdir}/src_res"
+    spark.range(0, 60).selectExpr(
+        "id % 2 AS g", "CAST(id AS string) AS v"
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("g BIGINT, v STRING").parquet(src)
+    out = stateful_sketch_stream(stream, "v", "reservoir", ["g"], k=500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("res_state")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_res")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM res_state").collect()
+    items = set()
+    for r in rows:
+        items |= set(ReservoirSampleSketch.deserialize(bytes(r.sketch)).get_items())
+    assert items == {str(i) for i in range(60)}
+
+
+def test_partitioned_sketch_table_prunes(spark, tmpdir):
+    from datasketches_spark import io as dio
+    from datasketches_spark.aggregation import sketch_agg
+
+    df = spark.range(1000).selectExpr("id % 5 AS g", "id AS v")
+    sk = sketch_agg(df, "v", "theta", group_cols=["g"], k=14)
+    path = f"{tmpdir}/part_tbl"
+    dio.write_sketch_table(sk, path, "sketch", "theta", k=14, partition_by=["g"])
+    back = dio.read_sketch_table(spark, path)
+    one = back.filter("g = 3")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == 1
+    # partition pruning: the scan carries a partition filter on g
+    assert "PartitionFilters" in plan and "g" in plan
