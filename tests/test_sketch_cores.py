@@ -330,3 +330,42 @@ def test_k_validation_ranges():
         CpcSketch(27)
     with pytest.raises(ValueError):
         TDigestSketch(0)
+
+
+class TestPublishedErrorContracts:
+    """Empirical checks against BASELINE.md's published accuracy rows
+    (reference docs/README.md:532 KLL ~1.33% @ K=200; :683 REQ ~1%
+    tail relative error @ K=12)."""
+
+    def test_kll_k200_rank_error_band(self):
+        rng = np.random.RandomState(7)
+        sk = KllSketch(200, "float64")
+        data = rng.rand(100_000)
+        sk.update(data)
+        worst = 0.0
+        for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            true_val = np.quantile(data, q)
+            est_rank = sk.get_rank(true_val, True)
+            worst = max(worst, abs(est_rank - q))
+        # published single-sided error ~1.33%; allow 3x slack for one seed
+        assert worst < 0.04
+
+    def test_req_tail_relative_error(self):
+        rng = np.random.RandomState(11)
+        sk = ReqSketch(12, "float64")
+        data = rng.rand(100_000)
+        sk.update(data)
+        for q in (0.95, 0.99, 0.999):
+            est = sk.get_quantile(q, True)
+            true_val = np.quantile(data, q)
+            # ~1% relative RANK error near the tail -> value error is
+            # bounded by the local density; uniform data makes them equal
+            assert abs(est - true_val) < 0.03
+
+    def test_tdigest_extreme_tail(self):
+        rng = np.random.RandomState(13)
+        sk = TDigestSketch(200)
+        data = rng.rand(100_000)
+        sk.update(data)
+        for q in (0.001, 0.999):
+            assert abs(sk.get_quantile(q) - np.quantile(data, q)) < 0.01
