@@ -781,6 +781,36 @@ def q_supplier_stats_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_grouping_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregate under GROUP BY ROLLUP — the SURVEY §2.1 claim
+    that our UDAFs plug into Spark's grouping-sets machinery, proven in
+    the gate.  Exact mode => hash-matches DuckDB's ROLLUP."""
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey").alias("nationkey")
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_regionkey"
+    )
+    fact = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), "nationkey")
+    )
+    fact.createOrReplaceTempView("rollup_fact")
+    return spark.sql(
+        """
+        SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+               CAST(nationkey AS BIGINT) AS nationkey,
+               CAST(round(datasketch_theta_estimate(
+                   datasketch_theta_lgk(16, o_custkey))) AS BIGINT)
+                 AS distinct_customers
+        FROM rollup_fact
+        GROUP BY ROLLUP(n_regionkey, nationkey)
+        """
+    )
+
+
 def q_native_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-native approx_top_k fast path (functions/native.py): exact
     because 5 distinct priorities << maxItemsTracked, so the oracle can
@@ -858,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_theta_skew": q_salted_theta_skew,
         "part_price_median_by_brand": q_part_price_median_by_brand,
         "supplier_stats_by_region": q_supplier_stats_by_region,
+        "rollup_grouping_customers": q_rollup_grouping_customers,
     }
 
 
@@ -1066,6 +1097,15 @@ def oracle_sql() -> dict[str, str]:
         "reservoir_nations_by_region": (
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name AS item"
             " FROM nation"
+        ),
+        "rollup_grouping_customers": (
+            "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"
+            " CAST(c_nationkey AS BIGINT) AS nationkey,"
+            " count(DISTINCT o_custkey) AS distinct_customers"
+            " FROM orders"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " GROUP BY ROLLUP(n_regionkey, c_nationkey)"
         ),
         "part_price_median_by_brand": (
             "SELECT g AS p_brand, "
