@@ -811,6 +811,20 @@ def q_rollup_grouping_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min per-item frequency (beyond-reference; sketches/cms.py):
+    5 distinct priorities in 2^14 buckets -> collision-free, so the
+    estimates ARE the exact counts (fixed hash seeds => deterministic)."""
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    sk = sketch_agg(orders, "o_orderpriority", "cms", k=14)
+    prios = orders.select(F.col("o_orderpriority").alias("item")).distinct()
+    return prios.join(F.broadcast(sk)).select(
+        "item",
+        F.expr("datasketch_cms_estimate(sketch, item)").alias("cnt"),
+    )
+
+
 def q_native_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-native approx_top_k fast path (functions/native.py): exact
     because 5 distinct priorities << maxItemsTracked, so the oracle can
@@ -889,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_median_by_brand": q_part_price_median_by_brand,
         "supplier_stats_by_region": q_supplier_stats_by_region,
         "rollup_grouping_customers": q_rollup_grouping_customers,
+        "cms_priority_counts": q_cms_priority_counts,
     }
 
 
@@ -1097,6 +1112,10 @@ def oracle_sql() -> dict[str, str]:
         "reservoir_nations_by_region": (
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name AS item"
             " FROM nation"
+        ),
+        "cms_priority_counts": (
+            "SELECT o_orderpriority AS item, count(*) AS cnt"
+            " FROM orders GROUP BY o_orderpriority"
         ),
         "rollup_grouping_customers": (
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"

@@ -15,6 +15,7 @@ import pandas as pd
 
 from .sketches import (
     BloomFilterSketch,
+    CountMinSketch,
     CpcSketch,
     FrequentItemsSketch,
     HllSketch,
@@ -39,6 +40,7 @@ FAMILY_CLASSES = {
     "frequent_items": FrequentItemsSketch,
     "bloom": BloomFilterSketch,
     "reservoir": ReservoirSampleSketch,
+    "cms": CountMinSketch,
 }
 
 
@@ -73,6 +75,10 @@ def create_sketch(family: str, params: dict):
         )
     if family == "reservoir":
         return ReservoirSampleSketch(int(params.get("k", 1024)))
+    if family == "cms":
+        return CountMinSketch(
+            int(params.get("lg_w", 16)), int(params.get("depth", 5))
+        )
     raise ValueError(f"unknown sketch family: {family}")
 
 
@@ -101,7 +107,7 @@ def update_sketch(family: str, sk, series: pd.Series) -> None:
         sk.update_values(s)
     elif family in QUANTILE_FAMILIES or family == "tdigest":
         sk.update(s.to_numpy())
-    elif family in ("frequent_items", "reservoir"):
+    elif family in ("frequent_items", "reservoir", "cms"):
         sk.update_series(s)
     else:  # pragma: no cover
         raise ValueError(f"unknown sketch family: {family}")
@@ -126,6 +132,9 @@ def build_params(family: str, k: int | None, series: pd.Series | None) -> dict:
     elif family == "reservoir":
         if k is not None:
             params["k"] = k
+    elif family == "cms":
+        if k is not None:
+            params["lg_w"] = k
     else:
         if k is not None:
             params["k"] = k

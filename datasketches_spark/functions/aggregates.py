@@ -94,4 +94,7 @@ def build_aggregate_registry() -> dict[str, object]:
         return None if sk.is_empty else sk.serialize()
 
     reg["datasketch_reservoir_weighted"] = reservoir_weighted
+    # beyond-reference Count-Min: K argument is lg(width)
+    reg["datasketch_cms"] = _agg_with_k("cms")
+    reg["datasketch_cms_union_agg"] = _agg_with_k("cms")
     return reg

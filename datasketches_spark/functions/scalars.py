@@ -27,6 +27,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..sketches import (
     BloomFilterSketch,
+    CountMinSketch,
     CpcSketch,
     FrequentItemsSketch,
     HllSketch,
@@ -295,6 +296,19 @@ def build_scalar_registry() -> dict[str, object]:
     reg[p + "bits_set"] = _unary(B, lambda sk: int(sk.bits_set()), "long")
     reg[p + "current_fpp"] = _unary(B, lambda sk: float(sk.current_fpp()), "double")
     reg[p + "describe"] = _unary(B, lambda sk: sk.describe(), "string")
+
+    # ---- Count-Min (beyond-reference; sketches/cms.py) ----
+    p = "datasketch_cms_"
+    C = CountMinSketch
+    reg[p + "estimate"] = _with_args(
+        C, lambda sk, it: int(sk.get_estimate(it)), "long", 1
+    )
+    reg[p + "total_weight"] = _unary(C, lambda sk: int(sk.total_weight()), "long")
+    reg[p + "epsilon"] = _unary(C, lambda sk: float(sk.epsilon), "double")
+    reg[p + "width"] = _unary(C, lambda sk: int(sk.width), "long")
+    reg[p + "depth"] = _unary(C, lambda sk: int(sk.depth), "int")
+    reg[p + "is_empty"] = _unary(C, lambda sk: bool(sk.is_empty), "boolean")
+    reg[p + "describe"] = _unary(C, lambda sk: sk.describe(), "string")
 
     # ---- Reservoir sample (beyond-reference; sketches/reservoir.py) ----
     p = "datasketch_reservoir_"

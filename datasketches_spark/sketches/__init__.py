@@ -7,6 +7,7 @@ to a framed BLOB (base.py), and NULL-skipping at the update layer.
 
 from .base import (
     FAMILY_BLOOM,
+    FAMILY_CMS,
     FAMILY_CPC,
     FAMILY_FREQUENT_ITEMS,
     FAMILY_RESERVOIR,
@@ -20,6 +21,7 @@ from .base import (
     peek_family,
 )
 from .bloom import BloomFilterSketch, bloom_intersect, bloom_union
+from .cms import CountMinSketch
 from .compactor import KllSketch, QuantilesSketch, ReqSketch
 from .reservoir import ReservoirSampleSketch
 from .frequent_items import FrequentItemsSketch
@@ -38,6 +40,7 @@ FAMILY_CLASSES = {
     FAMILY_FREQUENT_ITEMS: FrequentItemsSketch,
     FAMILY_BLOOM: BloomFilterSketch,
     FAMILY_RESERVOIR: ReservoirSampleSketch,
+    FAMILY_CMS: CountMinSketch,
 }
 
 
@@ -64,6 +67,7 @@ __all__ = [
     "bloom_union",
     "bloom_intersect",
     "ReservoirSampleSketch",
+    "CountMinSketch",
     "deserialize_any",
     "SketchDeserializeError",
     "peek_family",

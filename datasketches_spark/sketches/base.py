@@ -27,6 +27,7 @@ FAMILY_CPC = 7
 FAMILY_FREQUENT_ITEMS = 8
 FAMILY_BLOOM = 9
 FAMILY_RESERVOIR = 10
+FAMILY_CMS = 11
 
 FAMILY_NAMES = {
     FAMILY_THETA: "Theta",
@@ -39,6 +40,7 @@ FAMILY_NAMES = {
     FAMILY_FREQUENT_ITEMS: "Frequent Items",
     FAMILY_BLOOM: "Bloom Filter",
     FAMILY_RESERVOIR: "Reservoir Sample",
+    FAMILY_CMS: "Count-Min",
 }
 
 # dtype codes for typed quantile sketches (sketch_kll_double etc.)

@@ -36,7 +36,7 @@ lines = [
     "",
 ]
 total = 0
-for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "reservoir"]:
+for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "reservoir", "cms"]:
     fns = groups.get(fam, [])
     total += len(fns)
     lines.append(f"## {fam} ({len(fns)} functions)")

@@ -29,7 +29,8 @@ def ctx(spark):
           datasketch_cpc(12, xi)             AS sk_cpc,
           datasketch_frequent_items(xs)      AS sk_frequent_items,
           datasketch_bloom(12, xi)           AS sk_bloom,
-          datasketch_reservoir(64, xs)       AS sk_reservoir
+          datasketch_reservoir(64, xs)       AS sk_reservoir,
+          datasketch_cms(12, xs)             AS sk_cms
         FROM smoke_t
         """
     ).createOrReplaceTempView("smoke_sketches")
@@ -39,7 +40,7 @@ def ctx(spark):
 def _args_for(name: str) -> str | None:
     """SQL argument list for each scalar, keyed by name suffix."""
     fam = None
-    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloom", "reservoir"):
+    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloom", "reservoir", "cms"):
         if name.startswith(f"datasketch_{f}_"):
             fam = f
             suffix = name[len(f"datasketch_{f}_") :]
@@ -55,7 +56,9 @@ def _args_for(name: str) -> str | None:
         "num_retained": f"{sk}",
         "min_item": f"{sk}",
         "max_item": f"{sk}",
-        "estimate": f"{sk}, 'x'" if fam == "frequent_items" else f"{sk}",
+        "estimate": f"{sk}, 'x'" if fam in ("frequent_items", "cms") else f"{sk}",
+        "width": f"{sk}",
+        "depth": f"{sk}",
         "lower_bound": f"{sk}, 'x'" if fam == "frequent_items" else f"{sk}, 2",
         "upper_bound": f"{sk}, 'x'" if fam == "frequent_items" else f"{sk}, 2",
         "might_contain": f"{sk}, 42",
@@ -75,7 +78,7 @@ def _args_for(name: str) -> str | None:
         else f"{sk}, array(50.0D, 150.0D), true",
         "describe": f"{sk}, true"
         if fam == "tdigest"
-        else (f"{sk}" if fam in ("theta", "bloom", "reservoir") else f"{sk}, true, false"),
+        else (f"{sk}" if fam in ("theta", "bloom", "reservoir", "cms") else f"{sk}, true, false"),
         "normalized_rank_error": f"{sk}, true",
         "total_weight": f"{sk}",
         "get_theta": f"{sk}",
@@ -123,6 +126,7 @@ def test_every_aggregate_executes(ctx):
         "datasketch_frequent_items_lgk": 10,
         "datasketch_bloom": 12,
         "datasketch_reservoir": 64,
+        "datasketch_cms": 12,
     }
     failures = []
     for name in names:
@@ -132,6 +136,7 @@ def test_every_aggregate_executes(ctx):
                 "datasketch_cpc_union",
                 "datasketch_bloom_union_agg",
                 "datasketch_reservoir_union_agg",
+                "datasketch_cms_union_agg",
             ):
                 fam = name.replace("datasketch_", "").replace("_union_agg", "").replace("_union", "")
                 kk = 64 if fam == "reservoir" else 12
