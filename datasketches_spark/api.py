@@ -92,6 +92,14 @@ def reservoir_union_agg(k: int, col) -> Column:
     return F.call_udf("datasketch_reservoir_union_agg", F.lit(k), _c(col))
 
 
+def cms(lg_w: int, col) -> Column:
+    return F.call_udf("datasketch_cms", F.lit(lg_w), _c(col))
+
+
+def cms_union_agg(lg_w: int, col) -> Column:
+    return F.call_udf("datasketch_cms_union_agg", F.lit(lg_w), _c(col))
+
+
 # ---- scalars (generated generically) --------------------------------------
 
 def __getattr__(name: str) -> object:

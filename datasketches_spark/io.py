@@ -20,7 +20,7 @@ from .sketches import peek_family
 _FAMILY_BYTES = {
     "theta": 1, "kll": 2, "quantiles": 3, "req": 4,
     "tdigest": 5, "hll": 6, "cpc": 7, "frequent_items": 8,
-    "bloom": 9, "reservoir": 10,
+    "bloom": 9, "reservoir": 10, "cms": 11,
 }
 _META_KEY = "datasketches_spark"
 
