@@ -1,0 +1,90 @@
+"""Reproduce the docs/BASELINE_LOCAL.md scaling measurement.
+
+Times the Python two-phase theta/kll path, the JVM-native HLL path,
+and a no-op mapInPandas (the Arrow transfer floor) on synthetic 6M and
+60M-row inputs, interleaved best-of-N so JVM warmup and machine drift
+don't bias any one variant (first runs are warmup, excluded).
+
+Usage: python scripts/bench_scaling.py  → one JSON line per size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import datasketches_spark as dss
+from datasketches_spark.aggregation import sketch_agg
+
+
+def _noop(batches):
+    c = 0
+    for b in batches:
+        c += len(b)
+    yield pd.DataFrame({"n": [c]})
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    dss.register(spark)
+
+    for n in (6_000_000, 60_000_000):
+        df = spark.range(n, numPartitions=32).select(
+            (F.col("id") % (n // 4)).alias("k")
+        )
+        dfd = spark.range(n, numPartitions=32).select(
+            (F.col("id") % 100_000).cast("double").alias("x")
+        )
+        variants = {
+            "theta_two_phase": lambda: sketch_agg(df, "k", "theta", k=16)
+            .select(F.expr("datasketch_theta_estimate(sketch)"))
+            .collect(),
+            "kll_two_phase": lambda: sketch_agg(dfd, "x", "kll", k=200)
+            .select(F.expr("datasketch_kll_quantile(sketch, 0.5D, true)"))
+            .collect(),
+            "hll_native_jvm": lambda: df.agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("k", 12))
+            ).collect(),
+            "noop_transfer_floor": lambda: df.mapInPandas(_noop, "n long").collect(),
+        }
+        best = {name: float("inf") for name in variants}
+        for it in range(3):  # interleaved; iteration 0 is warmup
+            for name, fn in variants.items():
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                if it > 0:
+                    best[name] = min(best[name], dt)
+        print(
+            json.dumps(
+                {
+                    "rows": n,
+                    "seconds": {k: round(v, 3) for k, v in best.items()},
+                    "m_rows_per_sec": {
+                        k: round(n / v / 1e6, 1) for k, v in best.items()
+                    },
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -192,3 +192,34 @@ def test_reservoir_size_invariants(values, k):
     assert set(sk.get_items()) <= {str(v) for v in values}
     back = type(sk).deserialize(sk.serialize())
     assert back.get_items() == sk.get_items() and back.n == sk.n
+
+
+# ---------------- deserialization fuzz (all families) ------------------
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(1, 11), st.binary(min_size=0, max_size=64))
+def test_framed_garbage_never_crashes(family_byte, junk):
+    """A well-framed blob with arbitrary payload either parses or
+    raises SketchDeserializeError -- never an unhandled exception."""
+    from datasketches_spark.sketches import deserialize_any
+    from datasketches_spark.sketches.base import SketchDeserializeError, frame
+
+    blob = frame(family_byte, junk)
+    try:
+        deserialize_any(blob)
+    except SketchDeserializeError:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_unframed_garbage_rejected(junk):
+    from datasketches_spark.sketches import deserialize_any
+    from datasketches_spark.sketches.base import SketchDeserializeError
+
+    try:
+        deserialize_any(junk)
+        assert False, "garbage accepted"
+    except SketchDeserializeError:
+        pass
