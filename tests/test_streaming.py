@@ -151,3 +151,58 @@ def test_partitioned_sketch_table_prunes(spark, tmpdir):
     assert one.count() == 1
     # partition pruning: the scan carries a partition filter on g
     assert "PartitionFilters" in plan and "g" in plan
+
+
+def test_windowed_partials_late_data_folds_in(spark, tmpdir):
+    """Event-time windows + late arrival: the late event lands in ITS
+    window's sketch on the next trigger because sketch merge is
+    order-independent (SURVEY §2.1 streaming row)."""
+    from datasketches_spark.streaming import (
+        SketchStore,
+        incremental_sketch_sink,
+        windowed_sketch_partials,
+    )
+    from datasketches_spark.sketches import ThetaSketch
+
+    dss.register(spark)
+    src = f"{tmpdir}/src_win"
+    # file 1: on-time events in hours 10:00 and 11:00
+    spark.createDataFrame(
+        [("2026-01-01 10:05:00", 1), ("2026-01-01 10:20:00", 2),
+         ("2026-01-01 11:10:00", 3)],
+        "ts_s STRING, user_id LONG",
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "user_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    # file 2: a LATE event for the 10:00 window + a new 12:00 window
+    spark.createDataFrame(
+        [("2026-01-01 10:40:00", 4), ("2026-01-01 12:01:00", 5)],
+        "ts_s STRING, user_id LONG",
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "user_id").write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, user_id LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    windowed = windowed_sketch_partials(
+        stream, "ts", "user_id", "theta", "1 hour", watermark="2 hours"
+    )
+    store = SketchStore(
+        f"{tmpdir}/win_state", "theta", group_cols=["window_start"], k=14
+    )
+    q = incremental_sketch_sink(
+        windowed, "user_id", store, checkpoint_dir=f"{tmpdir}/ckpt_win"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        str(r.window_start): ThetaSketch.deserialize(bytes(r.sketch)).get_estimate()
+        for r in store.read(spark).collect()
+    }
+    assert len(got) == 3
+    by_hour = {k[11:13]: v for k, v in got.items()}
+    assert by_hour["10"] == 3.0  # users 1,2 on time + late user 4 folded in
+    assert by_hour["11"] == 1.0 and by_hour["12"] == 1.0
