@@ -811,6 +811,32 @@ def q_rollup_grouping_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_sketch_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three different sketch families over lineitem in ONE scan + ONE
+    shuffle (aggregation.sketch_agg_multi) — exact modes, so all three
+    estimates hash-match."""
+    from datasketches_spark.aggregation import sketch_agg_multi
+
+    _ensure(spark)
+    multi = sketch_agg_multi(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            ("l_orderkey", "theta", 16, "t_sk"),
+            ("l_quantity", "kll", 32768, "q_sk"),
+            ("l_suppkey", "hll", 14, "h_sk"),
+        ],
+    )
+    return multi.select(
+        F.expr("CAST(round(datasketch_theta_estimate(t_sk)) AS BIGINT)").alias(
+            "distinct_orders"
+        ),
+        F.expr("datasketch_kll_quantile(q_sk, 0.5D, true)").alias("median_qty"),
+        F.expr("CAST(round(datasketch_hll_estimate(h_sk)) AS BIGINT)").alias(
+            "distinct_suppliers"
+        ),
+    )
+
+
 def q_cms_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min per-item frequency (beyond-reference; sketches/cms.py):
     5 distinct priorities in 2^14 buckets -> collision-free, so the
@@ -904,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_stats_by_region": q_supplier_stats_by_region,
         "rollup_grouping_customers": q_rollup_grouping_customers,
         "cms_priority_counts": q_cms_priority_counts,
+        "multi_sketch_one_pass": q_multi_sketch_one_pass,
     }
 
 
@@ -1116,6 +1143,14 @@ def oracle_sql() -> dict[str, str]:
         "cms_priority_counts": (
             "SELECT o_orderpriority AS item, count(*) AS cnt"
             " FROM orders GROUP BY o_orderpriority"
+        ),
+        "multi_sketch_one_pass": (
+            "SELECT count(DISTINCT l_orderkey) AS distinct_orders,"
+            " (SELECT min(v) FROM (SELECT l_quantity AS v,"
+            "    cume_dist() OVER (ORDER BY l_quantity) AS cd FROM lineitem)"
+            "  WHERE cd >= 0.5) AS median_qty,"
+            " count(DISTINCT l_suppkey) AS distinct_suppliers"
+            " FROM lineitem"
         ),
         "rollup_grouping_customers": (
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"

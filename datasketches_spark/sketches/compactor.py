@@ -71,10 +71,12 @@ class CompactorSketch:
     # -- capacity policy ------------------------------------------------
     @classmethod
     def validate_k(cls, k: int) -> None:
+        # message text mirrors the reference's bind-time validation
+        # (codegen/generated.cpp.j2:65-90)
         if not (cls.K_MIN <= k <= cls.K_MAX):
             raise ValueError(
-                f"Invalid k for {cls.NAME} sketch: {k} (must be in "
-                f"[{cls.K_MIN}, {cls.K_MAX}])"
+                f"{cls.NAME} K value must be between {cls.K_MIN} and "
+                f"{cls.K_MAX}, got: {k}"
             )
 
     def _capacity(self, level: int, num_levels: int) -> int:

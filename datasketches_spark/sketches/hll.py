@@ -57,9 +57,10 @@ class HllSketch:
 
     def __init__(self, lg_k: int = 12):
         if not (self.LG_K_MIN <= lg_k <= self.LG_K_MAX):
+            # text mirrors the reference (codegen/generated.cpp.j2:80-89)
             raise ValueError(
-                f"Invalid lg_k for {self.NAME} sketch: {lg_k} (must be in "
-                f"[{self.LG_K_MIN}, {self.LG_K_MAX}])"
+                f"{self.NAME} K (lg_k) value must be between "
+                f"{self.LG_K_MIN} and {self.LG_K_MAX}, got: {lg_k}"
             )
         self.lg_k = int(lg_k)
         self.mode = _MODE_SPARSE

@@ -25,7 +25,10 @@ class TDigestSketch:
 
     def __init__(self, delta: int = 100):
         if delta <= 0:
-            raise ValueError(f"Invalid k for tdigest sketch: {delta} (must be > 0)")
+            # text mirrors the reference (codegen/generated.cpp.j2:77-79)
+            raise ValueError(
+                f"TDigest K (compression) value must be positive, got: {delta}"
+            )
         self.delta = int(delta)
         self.means = np.empty(0, dtype=np.float64)
         self.weights = np.empty(0, dtype=np.float64)
