@@ -339,3 +339,42 @@ def test_sketch_agg_multi_global_and_validation(spark):
     assert ReservoirSampleSketch.deserialize(bytes(row["r"])).n == 300
     with _pt.raises(ValueError, match="duplicate output_col"):
         sketch_agg_multi(df, [("a", "hll", 12, "x"), ("s", "theta", None, "x")])
+
+
+def test_theta_chained_set_ops_sql(spark):
+    """Ported from reference test/sql/datasketch_theta.test:258-315:
+    chained (A UNION B) INTERSECT C, triple intersect, and symmetric
+    difference over STORED sketches — exact mode identities."""
+    spark.sql("SELECT * FROM range(1, 6)").createOrReplaceTempView("set_a")  # {1..5}
+    spark.sql("SELECT * FROM range(4, 9)").createOrReplaceTempView("set_b")  # {4..8}
+    spark.sql("SELECT * FROM range(1, 4)").createOrReplaceTempView("set_c")  # {1..3}
+    # pandas UDAFs cannot appear in scalar subqueries (Catalyst
+    # UnevaluableAggregateFunc) -> build one-row aggregates and UNION
+    spark.sql(
+        """
+        SELECT 'A' AS name, datasketch_theta(id) AS data FROM set_a
+        UNION ALL SELECT 'B', datasketch_theta(id) FROM set_b
+        UNION ALL SELECT 'C', datasketch_theta(id) FROM set_c
+        """
+    ).createOrReplaceTempView("sketches_abc")
+    got = spark.sql(
+        """
+        SELECT
+          CAST(datasketch_theta_estimate(
+            datasketch_theta_intersect(
+              datasketch_theta_union(a.data, b.data), c.data)) AS INT) AS aub_i_c,
+          CAST(datasketch_theta_estimate(
+            datasketch_theta_intersect(
+              datasketch_theta_intersect(a.data, b.data), c.data)) AS INT) AS triple_i,
+          CAST(datasketch_theta_estimate(
+            datasketch_theta_union(
+              datasketch_theta_a_not_b(a.data, b.data),
+              datasketch_theta_a_not_b(b.data, a.data))) AS INT) AS sym_diff
+        FROM (SELECT data FROM sketches_abc WHERE name='A') a,
+             (SELECT data FROM sketches_abc WHERE name='B') b,
+             (SELECT data FROM sketches_abc WHERE name='C') c
+        """
+    ).collect()[0]
+    assert got["aub_i_c"] == 3   # (A∪B)∩C = {1,2,3}
+    assert got["triple_i"] == 0  # A∩B∩C = {}
+    assert got["sym_diff"] == 6  # A xor B = {1,2,3,6,7,8}
