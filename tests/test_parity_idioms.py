@@ -228,3 +228,22 @@ class TestSources:
         tables = sources.load_star_schema(spark, "/root/testdata/sf0.001")
         assert set(tables) == set(sources.TABLES)
         assert spark.sql("SELECT count(*) c FROM nation").first().c == 25
+
+
+def test_blob_literal_roundtrip_sql(spark):
+    """Reference idiom (test/sql/datasketch_hll.test:19-27): a serialized
+    sketch fed back as a SQL BINARY literal queries identically."""
+    import datasketches_spark as dss
+    from datasketches_spark.sketches import ThetaSketch
+
+    dss.register(spark)
+    import numpy as np
+
+    sk = ThetaSketch(12)
+    sk.update_values(np.arange(7, dtype=np.int64))
+    hexs = sk.serialize().hex().upper()
+    row = spark.sql(
+        f"SELECT datasketch_theta_estimate(X'{hexs}') AS est,"
+        f" datasketch_theta_num_retained(X'{hexs}') AS nr"
+    ).collect()[0]
+    assert row["est"] == 7.0 and row["nr"] == 7
