@@ -837,6 +837,23 @@ def q_multi_sketch_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_jaccard_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity of the customer sets behind order statuses F
+    and O, from stored theta sketches — exact mode, so the ratio
+    hash-matches the oracle's exact set arithmetic."""
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    a = sketch_agg(
+        orders.filter(F.col("o_orderstatus") == "F"), "o_custkey", "theta", k=16
+    ).select(F.col("sketch").alias("a"))
+    b = sketch_agg(
+        orders.filter(F.col("o_orderstatus") == "O"), "o_custkey", "theta", k=16
+    ).select(F.col("sketch").alias("b"))
+    return a.crossJoin(b).select(
+        F.round(F.expr("datasketch_theta_jaccard(a, b)"), 6).alias("jaccard_fo")
+    )
+
+
 def q_cms_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min per-item frequency (beyond-reference; sketches/cms.py):
     5 distinct priorities in 2^14 buckets -> collision-free, so the
@@ -931,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_grouping_customers": q_rollup_grouping_customers,
         "cms_priority_counts": q_cms_priority_counts,
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
+        "theta_jaccard_statuses": q_theta_jaccard_statuses,
     }
 
 
@@ -1144,6 +1162,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority AS item, count(*) AS cnt"
             " FROM orders GROUP BY o_orderpriority"
         ),
+        "theta_jaccard_statuses": """
+            SELECT round(
+              (SELECT count(*) FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE o_orderstatus='O'))::DOUBLE
+              /
+              (SELECT count(*) FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+                UNION
+                SELECT o_custkey FROM orders WHERE o_orderstatus='O'))::DOUBLE,
+            6) AS jaccard_fo
+        """,
         "multi_sketch_one_pass": (
             "SELECT count(DISTINCT l_orderkey) AS distinct_orders,"
             " (SELECT min(v) FROM (SELECT l_quantity AS v,"

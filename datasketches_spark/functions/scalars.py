@@ -228,6 +228,27 @@ def build_scalar_registry() -> dict[str, object]:
     # default-seed behavior (src/theta_sketch.cpp:346-354)
     reg[p + "get_seed"] = _unary(ThetaSketch, lambda sk: 0, "long")
 
+    # beyond-reference convenience: Jaccard similarity from the set
+    # algebra the reference already exposes (|A∩B| / |A∪B|); the
+    # DataSketches ecosystem ships the same as jaccard_similarity
+    @pandas_udf("double")
+    def _theta_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        sa = _deser_batch(ThetaSketch, a)
+        sb = _deser_batch(ThetaSketch, b)
+        out = []
+        for x, y in zip(sa, sb):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            union_est = theta_union(x, y).get_estimate()
+            if union_est == 0.0:
+                out.append(1.0)  # both empty: identical sets
+                continue
+            out.append(theta_intersect(x, y).get_estimate() / union_est)
+        return _obj_series(out)
+
+    reg[p + "jaccard"] = _theta_jaccard
+
     # ---- HLL / CPC ----
     for fam, cls in (("hll", HllSketch), ("cpc", CpcSketch)):
         p = f"datasketch_{fam}_"

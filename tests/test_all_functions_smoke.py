@@ -91,6 +91,7 @@ def _args_for(name: str) -> str | None:
         "union": f"{sk}, {sk}",
         "intersect": f"{sk}, {sk}",
         "a_not_b": f"{sk}, {sk}",
+        "jaccard": f"{sk}, {sk}",
     }
     return table.get(suffix)
 
