@@ -99,8 +99,11 @@ def main():
         "curation_sample",
     ]
     timings: dict[str, float] = {}
-    # warm the JVM + python workers once so timings measure steady state
-    entrymod.q_theta_metadata(spark, sf_dir).collect()
+    # full untimed warmup pass: first execution of each plan shape pays
+    # JVM JIT + python-worker spin-up that steady state never sees
+    for name in heads:
+        if name in q:
+            q[name](spark, sf_dir).collect()
 
     # best-of-2: steady-state wall clock, scheduler noise removed
     for name in heads:
