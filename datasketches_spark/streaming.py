@@ -145,6 +145,7 @@ def stateful_sketch_stream(
     group_cols: list[str],
     k: int | None = None,
     output_mode: str = "update",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key incremental sketches INSIDE the streaming engine.
 
@@ -160,19 +161,23 @@ def stateful_sketch_stream(
     Scale note: state-store checkpointing ships only the blobs;
     a 10M-key stream at ~1 KB/sketch is ~10 GB of state across the
     cluster, partitioned by key — linear in keys, constant in rows.
+
+    ``idle_timeout_ms``: with an UNBOUNDED key space (session ids,
+    request ids) even bounded per-key blobs accumulate forever; pass a
+    processing-time TTL to evict idle keys — the evicted key's final
+    cumulative sketch is emitted with ``rows_in_batch = -1`` so a
+    downstream sink (e.g. a SketchStore) can absorb it before the
+    state disappears.  Use a continuous trigger with TTL; under
+    ``availableNow`` the trailing timeout batch can race shutdown
+    (harmless task retry, but no eviction rows are guaranteed).
     """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
         BinaryType,
         LongType,
         StructField,
         StructType,
     )
-
-    import pandas as pd
-
-    from .families import FAMILY_CLASSES as _BY_NAME
-    from .families import build_params, create_sketch, update_sketch
 
     group_fields = [stream_df.schema[c] for c in group_cols]
     out_schema = StructType(
@@ -183,14 +188,53 @@ def stateful_sketch_stream(
         ]
     )
     state_schema = StructType([StructField("sketch", BinaryType(), True)])
+
+    fn = _make_stateful_fn(family, input_col, group_cols, k, idle_timeout_ms)
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        stream_df.select(*group_cols, input_col)
+        .groupBy(*group_cols)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, output_mode, timeout_conf
+        )
+    )
+
+
+def _make_stateful_fn(
+    family: str,
+    input_col: str,
+    group_cols: list[str],
+    k: int | None,
+    idle_timeout_ms: int | None,
+):
+    """The applyInPandasWithState callback, factored out so the
+    timeout-eviction branch is unit-testable with a fake GroupState."""
+    import pandas as pd
+
+    from .families import FAMILY_CLASSES as _BY_NAME
+    from .families import build_params, create_sketch, update_sketch
+
     cls = _BY_NAME[family]
 
-    def fn(key, pdfs, state: "GroupState"):
+    def fn(key, pdfs, state):
         sk = None
         if state.exists:
             (blob,) = state.get
             if blob is not None:
                 sk = cls.deserialize(bytes(blob))
+        if getattr(state, "hasTimedOut", False):
+            # idle eviction: emit the final cumulative sketch, drop state
+            state.remove()
+            if sk is not None:
+                yield pd.DataFrame(
+                    [list(key) + [sk.serialize(), -1]],
+                    columns=group_cols + ["sketch", "rows_in_batch"],
+                )
+            return
         nrows = 0
         for pdf in pdfs:
             series = pdf[input_col]
@@ -202,18 +246,14 @@ def stateful_sketch_stream(
             return
         blob = sk.serialize()
         state.update((blob,))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             [list(key) + [blob, nrows]],
             columns=group_cols + ["sketch", "rows_in_batch"],
         )
 
-    return (
-        stream_df.select(*group_cols, input_col)
-        .groupBy(*group_cols)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
-        )
-    )
+    return fn
 
 
 def store_estimates(

@@ -206,3 +206,62 @@ def test_windowed_partials_late_data_folds_in(spark, tmpdir):
     by_hour = {k[11:13]: v for k, v in got.items()}
     assert by_hour["10"] == 3.0  # users 1,2 on time + late user 4 folded in
     assert by_hour["11"] == 1.0 and by_hour["12"] == 1.0
+
+
+def test_stateful_fn_idle_eviction_branch():
+    """Unit-test the TTL eviction path with a fake GroupState: a timed-
+    out key emits its final cumulative sketch with rows_in_batch=-1 and
+    the state is removed."""
+    import numpy as np
+
+    from datasketches_spark.sketches import ThetaSketch
+    from datasketches_spark.streaming import _make_stateful_fn
+
+    sk = ThetaSketch(14)
+    sk.update_values(np.arange(25, dtype=np.int64))
+
+    class FakeState:
+        def __init__(self, blob):
+            self.exists = True
+            self.get = (blob,)
+            self.hasTimedOut = True
+            self.removed = False
+
+        def remove(self):
+            self.removed = True
+
+    fn = _make_stateful_fn("theta", "user_id", ["g"], 14, idle_timeout_ms=1000)
+    state = FakeState(sk.serialize())
+    out = list(fn((7,), iter([]), state))
+    assert state.removed and len(out) == 1
+    row = out[0].iloc[0]
+    assert row["g"] == 7 and row["rows_in_batch"] == -1
+    assert ThetaSketch.deserialize(bytes(row["sketch"])).get_estimate() == 25.0
+
+
+def test_stateful_fn_update_sets_timeout():
+    import pandas as pd
+
+    from datasketches_spark.sketches import ThetaSketch
+    from datasketches_spark.streaming import _make_stateful_fn
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.updated = None
+            self.timeout = None
+
+        def update(self, t):
+            self.updated = t
+
+        def setTimeoutDuration(self, ms):
+            self.timeout = ms
+
+    fn = _make_stateful_fn("theta", "user_id", ["g"], 14, idle_timeout_ms=5000)
+    state = FakeState()
+    out = list(fn((1,), iter([pd.DataFrame({"user_id": [1, 2, 3]})]), state))
+    assert state.timeout == 5000 and state.updated is not None
+    assert out[0].iloc[0]["rows_in_batch"] == 3
+    assert ThetaSketch.deserialize(bytes(state.updated[0])).get_estimate() == 3.0
