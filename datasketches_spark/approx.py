@@ -1,0 +1,102 @@
+"""One-call approximate answers over DataFrames (ergonomic layer).
+
+The reference's user asks four questions constantly: how many
+distinct, what quantile, who's frequent, give me a sample.  Each
+helper here answers one of them in a single call, built on the
+two-phase scale path (`aggregation.sketch_agg`) so the same line that
+works on 60k rows works on 100 TB — only bounded sketch blobs ever
+cross a shuffle.  All return plain DataFrames with named columns.
+
+Requires :func:`datasketches_spark.register` to have run (the scalar
+decode step uses the registered SQL functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .aggregation import sketch_agg
+
+
+def distinct(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    lg_k: int = 16,
+    output_col: str = "approx_distinct",
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT col) [GROUP BY by] via theta."""
+    by = list(by or [])
+    sk = sketch_agg(df, col, "theta", group_cols=by, k=lg_k)
+    return sk.select(
+        *by,
+        F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
+            output_col
+        ),
+    )
+
+
+def quantiles(
+    df: DataFrame,
+    col: str,
+    probabilities: list[float],
+    by: list[str] | None = None,
+    k: int = 200,
+) -> DataFrame:
+    """Approximate quantiles via KLL: one ``q_<pct>`` column per
+    requested probability (mirrors ``approx_percentile`` ergonomics
+    with mergeable state underneath)."""
+    by = list(by or [])
+    sk = sketch_agg(df, col, "kll", group_cols=by, k=k)
+    cols = [
+        F.expr(f"datasketch_kll_quantile(sketch, {float(p)}D, true)").alias(
+            f"q_{str(p).replace('.', '_')}"
+        )
+        for p in probabilities
+    ]
+    return sk.select(*by, *cols)
+
+
+def top_items(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    lg_max_k: int = 10,
+) -> DataFrame:
+    """Heavy hitters via Frequent Items: (by..., item, estimate,
+    lower_bound, upper_bound) rows, NO_FALSE_POSITIVES."""
+    by = list(by or [])
+    sk = sketch_agg(df, col, "frequent_items", group_cols=by, k=lg_max_k)
+    exploded = sk.select(
+        *by,
+        F.explode(
+            F.expr(
+                "datasketch_frequent_items_get_frequent(sketch, 'NO_FALSE_POSITIVES')"
+            )
+        ).alias("r"),
+    )
+    return exploded.select(
+        *by,
+        F.col("r.item").alias("item"),
+        F.col("r.estimate").alias("estimate"),
+        F.col("r.lower_bound").alias("lower_bound"),
+        F.col("r.upper_bound").alias("upper_bound"),
+    )
+
+
+def sample(
+    df: DataFrame,
+    col: str,
+    k: int = 1000,
+    by: list[str] | None = None,
+    output_col: str = "item",
+) -> DataFrame:
+    """Uniform k-sample (without replacement) per group via the
+    mergeable reservoir: one row per sampled item."""
+    by = list(by or [])
+    sk = sketch_agg(df, col, "reservoir", group_cols=by, k=k)
+    return sk.select(
+        *by,
+        F.explode(F.expr("datasketch_reservoir_items(sketch)")).alias(output_col),
+    )

@@ -378,3 +378,26 @@ def test_theta_chained_set_ops_sql(spark):
     assert got["aub_i_c"] == 3   # (A∪B)∩C = {1,2,3}
     assert got["triple_i"] == 0  # A∩B∩C = {}
     assert got["sym_diff"] == 6  # A xor B = {1,2,3,6,7,8}
+
+
+# ---------------- approx convenience layer -----------------------------
+
+
+def test_approx_distinct_and_quantiles(spark):
+    from datasketches_spark import approx
+
+    df = spark.range(3000).selectExpr("id % 3 AS g", "id AS v", "CAST(id AS double) AS x")
+    d = {r["g"]: r["approx_distinct"] for r in approx.distinct(df, "v", by=["g"]).collect()}
+    assert d == {0: 1000, 1: 1000, 2: 1000}  # exact mode
+    q = approx.quantiles(df, "x", [0.5], k=4096).collect()[0]
+    assert abs(q["q_0_5"] - 1499.0) < 40
+
+
+def test_approx_top_items_and_sample(spark):
+    from datasketches_spark import approx
+
+    df = spark.range(1000).selectExpr("CAST(id % 4 AS string) AS item")
+    top = {r["item"]: r["estimate"] for r in approx.top_items(df, "item").collect()}
+    assert top == {"0": 250, "1": 250, "2": 250, "3": 250}
+    s = approx.sample(df, "item", k=5000).collect()
+    assert len(s) == 1000  # exact mode keeps all
