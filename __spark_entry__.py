@@ -854,6 +854,17 @@ def q_theta_jaccard_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call convenience layer (datasketches_spark.approx) over
+    the two-phase scale path — exact mode, gated like everything else."""
+    import datasketches_spark.approx as _A
+
+    _ensure(spark)
+    return _A.distinct(
+        _t(spark, sf_dir, "orders"), "o_custkey", by=["o_orderstatus"], lg_k=16
+    )
+
+
 def q_cms_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min per-item frequency (beyond-reference; sketches/cms.py):
     5 distinct priorities in 2^14 buckets -> collision-free, so the
@@ -949,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_priority_counts": q_cms_priority_counts,
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
         "theta_jaccard_statuses": q_theta_jaccard_statuses,
+        "approx_distinct_by_status": q_approx_distinct_by_status,
     }
 
 
@@ -1161,6 +1173,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_priority_counts": (
             "SELECT o_orderpriority AS item, count(*) AS cnt"
             " FROM orders GROUP BY o_orderpriority"
+        ),
+        "approx_distinct_by_status": (
+            "SELECT o_orderstatus, count(DISTINCT o_custkey) AS approx_distinct"
+            " FROM orders GROUP BY o_orderstatus"
         ),
         "theta_jaccard_statuses": """
             SELECT round(
