@@ -854,6 +854,32 @@ def q_theta_jaccard_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles_req_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mode metadata sweep for the classic-quantiles and REQ
+    families: n == num_retained, estimation mode off, min/max are the
+    true extremes — all hash-matchable."""
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    qs = sketch_agg(
+        orders, "o_totalprice", "quantiles", group_cols=["o_orderpriority"], k=16384
+    ).select("o_orderpriority", F.col("sketch").alias("qsk"))
+    rq = sketch_agg(
+        orders, "o_totalprice", "req", group_cols=["o_orderpriority"], k=1024
+    ).select("o_orderpriority", F.col("sketch").alias("rsk"))
+    return qs.join(rq, "o_orderpriority").select(
+        "o_orderpriority",
+        F.expr("datasketch_quantiles_n(qsk)").alias("q_n"),
+        F.expr("datasketch_quantiles_num_retained(qsk)").alias("q_retained"),
+        F.expr("datasketch_quantiles_is_estimation_mode(qsk)").alias("q_est_mode"),
+        F.expr("datasketch_quantiles_min_item(qsk)").alias("q_min"),
+        F.expr("datasketch_quantiles_max_item(qsk)").alias("q_max"),
+        F.expr("datasketch_req_n(rsk)").alias("r_n"),
+        F.expr("datasketch_req_is_estimation_mode(rsk)").alias("r_est_mode"),
+        F.expr("datasketch_req_min_item(rsk)").alias("r_min"),
+        F.expr("datasketch_req_max_item(rsk)").alias("r_max"),
+    )
+
+
 def q_approx_distinct_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-call convenience layer (datasketches_spark.approx) over
     the two-phase scale path — exact mode, gated like everything else."""
@@ -961,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
         "theta_jaccard_statuses": q_theta_jaccard_statuses,
         "approx_distinct_by_status": q_approx_distinct_by_status,
+        "quantiles_req_metadata": q_quantiles_req_metadata,
     }
 
 
@@ -1177,6 +1204,17 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_by_status": (
             "SELECT o_orderstatus, count(DISTINCT o_custkey) AS approx_distinct"
             " FROM orders GROUP BY o_orderstatus"
+        ),
+        "quantiles_req_metadata": (
+            "SELECT o_orderpriority,"
+            " count(o_totalprice) AS q_n,"
+            " count(o_totalprice) AS q_retained,"
+            " FALSE AS q_est_mode,"
+            " min(o_totalprice) AS q_min, max(o_totalprice) AS q_max,"
+            " count(o_totalprice) AS r_n,"
+            " FALSE AS r_est_mode,"
+            " min(o_totalprice) AS r_min, max(o_totalprice) AS r_max"
+            " FROM orders GROUP BY o_orderpriority"
         ),
         "theta_jaccard_statuses": """
             SELECT round(
