@@ -223,3 +223,26 @@ def test_unframed_garbage_rejected(junk):
         assert False, "garbage accepted"
     except SketchDeserializeError:
         pass
+
+
+# ---------------- Count-Min (beyond-reference) -------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 50), min_size=0, max_size=400))
+def test_cms_never_undercounts_any_split(values):
+    from datasketches_spark.sketches import CountMinSketch
+
+    mid = len(values) // 2
+    a, b = CountMinSketch(lg_w=8, depth=4), CountMinSketch(lg_w=8, depth=4)
+    a.update_series(pd.Series(values[:mid], dtype=object))
+    b.update_series(pd.Series(values[mid:], dtype=object))
+    a.merge(b)
+    assert a.total_weight() == len(values)
+    from collections import Counter
+
+    true = Counter(str(v) for v in values)
+    for item, cnt in true.items():
+        assert a.get_estimate(item) >= cnt  # one-sided guarantee
+    rt = CountMinSketch.deserialize(a.serialize())
+    assert (rt.counts == a.counts).all()
