@@ -369,3 +369,27 @@ class TestPublishedErrorContracts:
         sk.update(data)
         for q in (0.001, 0.999):
             assert abs(sk.get_quantile(q) - np.quantile(data, q)) < 0.01
+
+
+def test_serialized_size_contracts():
+    """BASELINE.md size rows: blobs must stay within the reference's
+    published sizes (measured 2026-08-13: quantiles 15.7 KB vs the
+    reference's 26.7 KB at K=256/N=1M; CPC 54% smaller than HLL vs the
+    published ~40%)."""
+    rng = np.random.RandomState(0)
+    data = rng.rand(1_000_000)
+    q = QuantilesSketch(256, "float64")
+    q.update(data)
+    assert len(q.serialize()) <= 26_664  # reference docs/README.md:262-297
+
+    keys = rng.randint(0, 1 << 40, 1_000_000)
+    h = HllSketch(12)
+    h.update_values(keys)
+    c = CpcSketch(12)
+    c.update_values(keys)
+    assert len(h.serialize()) <= 4096 + 64
+    assert len(c.serialize()) <= 0.6 * len(h.serialize())  # ">=40% smaller"
+
+    t = ThetaSketch(12)
+    t.update_values(keys)
+    assert len(t.serialize()) <= (1 << 12) * 8 + 64  # bounded at nominal
