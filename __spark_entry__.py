@@ -598,13 +598,30 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: per-flag distinct suppliers (theta) + exact quantiles (KLL)
-    on sf0.001, both via the two-phase map-side-combine path."""
+    """Flagship: per-flag distinct suppliers (theta) + exact quantiles
+    (KLL) on sf0.001 — BOTH sketches built in one scan + one shuffle
+    (aggregation.sketch_agg_multi), then queried with scalar UDFs."""
+    from datasketches_spark.aggregation import sketch_agg_multi
+
     sf_dir = "/root/testdata/sf0.001"
     _ensure(spark)
-    theta = q_theta_distinct_by_flag(spark, sf_dir)
-    kll = q_kll_quantiles_by_flag(spark, sf_dir)
-    return theta.join(kll, "l_returnflag")
+    multi = sketch_agg_multi(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            ("l_suppkey", "theta", 16, "t_sk"),
+            ("l_quantity", "kll", 32768, "q_sk"),
+        ],
+        group_cols=["l_returnflag"],
+    )
+    return multi.select(
+        "l_returnflag",
+        F.expr("CAST(round(datasketch_theta_estimate(t_sk)) AS BIGINT)").alias(
+            "distinct_suppliers"
+        ),
+        F.expr("datasketch_kll_quantile(q_sk, 0.25D, true)").alias("p25"),
+        F.expr("datasketch_kll_quantile(q_sk, 0.5D, true)").alias("p50"),
+        F.expr("datasketch_kll_quantile(q_sk, 0.75D, true)").alias("p75"),
+    )
 
 
 def q_bloom_contains_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
