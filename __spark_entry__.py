@@ -597,6 +597,67 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(F.count("*").alias("n_pairs"))
 
 
+def q_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine >= 0.4) among the first 300 vectors — the brute-force
+    baseline that similarity.embedding_cosine_near_duplicates (LSH
+    bucketed, rows-only) approximates at scale.  Cosine is a pure JVM
+    expression (zip_with/aggregate); rounded to 6 dp on both sides."""
+    from datasketches_spark.pipeline import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("vec_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vec_b"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", S.cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos6"))
+    )
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with full probing (n_probes == n_centroids): the IVF
+    machinery (coarse quantizer + cell-pruned candidate join + exact
+    re-rank) must return the exact brute-force top-5 — hash-matched
+    against the same oracle as ann_topk.  Partial probing (the scale
+    path: probes prune centroid_id partitions) is exercised rows-only
+    in tests/test_pipeline.py."""
+    from datasketches_spark.pipeline import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned, cents = S.ivf_build(emb, n_centroids=8, seed=29)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.ivf_topk(assigned, cents, queries, k=5, n_probes=8)
+    return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+def q_word_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set (unigram) Jaccard of consecutive doc pairs — pure JVM
+    array expressions (split/array_intersect), no Python in the plan."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("text").alias("text_b"))
+    ta = F.array_distinct(F.split(F.col("text_a"), " "))
+    tb = F.array_distinct(F.split(F.col("text_b"), " "))
+    inter = F.size(F.array_intersect(ta, tb))
+    uni = F.size(ta) + F.size(tb) - inter
+    return a.join(b, "id_a").select(
+        "id_a",
+        (inter.cast("double") / F.nullif(uni, F.lit(0))).alias("word_jac"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-flag distinct suppliers (theta) + exact quantiles
     (KLL) on sf0.001 — BOTH sketches built in one scan + one shuffle
@@ -989,6 +1050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "minhash_candidates": q_minhash_candidates,
         "simhash_pairs": q_simhash_pairs,
+        "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "word_jaccard_adjacent": q_word_jaccard_adjacent,
         "bloom_contains_customers": q_bloom_contains_customers,
         "theta_rollup_region": q_theta_rollup_region,
         "native_topk_priorities": q_native_topk_priorities,
@@ -1190,6 +1254,39 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rnk
               FROM embeddings e, embeddings q WHERE q.vec_id < 5
             ) WHERE rnk <= 5
+        """,
+        "cosine_near_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cos6
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 300 AND b.vec_id < 300
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "ivf_ann_topk": """
+            SELECT query_id, neighbor_id, rnk FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       q.embedding::DOUBLE[]) DESC,
+                                e.vec_id
+                     ) AS rnk
+              FROM embeddings e, embeddings q WHERE q.vec_id < 5
+            ) WHERE rnk <= 5
+        """,
+        "word_jaccard_adjacent": """
+            SELECT a.doc_id AS id_a,
+                   len(list_intersect(string_split(a.text, ' '),
+                                      string_split(b.text, ' ')))::DOUBLE
+                   / nullif(len(list_distinct(string_split(a.text, ' ')))
+                            + len(list_distinct(string_split(b.text, ' ')))
+                            - len(list_intersect(string_split(a.text, ' '),
+                                                 string_split(b.text, ' '))), 0)
+                   AS word_jac
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id < 100 AND b.doc_id < 100
         """,
         "embedding_label_stats": (
             "SELECT label::BIGINT AS label, count(*) AS n_vecs, "
