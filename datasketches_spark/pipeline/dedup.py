@@ -166,9 +166,21 @@ def minhash_near_duplicates(
     bands: int = 16,
     rows: int = 4,
     seed: int = 1,
+    persist: bool = True,
 ) -> DataFrame:
-    """(id_a, id_b, est_jaccard) pairs with estimated jaccard >= threshold."""
+    """(id_a, id_b, est_jaccard) pairs with estimated jaccard >= threshold.
+
+    The signature DataFrame appears in four branches of the plan (both
+    sides of the bucket self-join + the two verification re-joins);
+    without materialization Spark recomputes the Python signature pass
+    per branch. ``persist=True`` (default) caches it — the dominant
+    cost at scale, where signatures are num_hashes longs per doc (a
+    bounded ~0.5 KB/doc). For 100 TB corpora, write signatures to a
+    table bucketed by id instead and pass ``persist=False``.
+    """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
+    if persist:
+        sigs = sigs.persist()
     pairs = minhash_candidate_pairs(sigs, id_col, bands, rows)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -225,7 +237,7 @@ def simhash64(
 
 
 def simhash_near_pairs(
-    sim_df: DataFrame, id_col: str, max_hamming: int = 3
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3, persist: bool = True
 ) -> DataFrame:
     """(id_a, id_b, hamming) with hamming <= max_hamming.
 
@@ -233,7 +245,13 @@ def simhash_near_pairs(
     within hamming distance 3 shares at least one intact band
     (pigeonhole), so recall is exact for max_hamming <= 3.
     Verification is JVM-side: bit_count(a XOR b).
+
+    ``sim_df`` feeds both sides of the self-join; when it comes
+    straight from :func:`simhash64` the Python pass would run twice,
+    so ``persist=True`` (default) caches it (8 bytes + id per row).
     """
+    if persist:
+        sim_df = sim_df.persist()
     bands = F.array(
         *[
             F.struct(
