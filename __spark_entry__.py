@@ -658,6 +658,35 @@ def q_word_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group clustering: connected components (iterative
+    min-label propagation, one shuffle per hop) over a near-dup edge
+    set (adjacent docs with word-set Jaccard >= 0.7).  Edges between
+    consecutive ids make components gaps-and-islands runs, so the
+    oracle is plain window SQL while the Spark side runs the general
+    graph operator (pipeline/dedup.connected_components)."""
+    from datasketches_spark.pipeline import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("text_b"),
+    )
+    ta = F.array_distinct(F.split(F.col("text_a"), " "))
+    tb = F.array_distinct(F.split(F.col("text_b"), " "))
+    inter = F.size(F.array_intersect(ta, tb))
+    uni = F.size(ta) + F.size(tb) - inter
+    pairs = (
+        a.join(b, "id_a")
+        .withColumn("jac", inter.cast("double") / F.nullif(uni, F.lit(0)))
+        .filter(F.col("jac") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    return D.connected_components(pairs, max_iter=12)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-flag distinct suppliers (theta) + exact quantiles
     (KLL) on sf0.001 — BOTH sketches built in one scan + one shuffle
@@ -1053,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
         "ivf_ann_topk": q_ivf_ann_topk,
         "word_jaccard_adjacent": q_word_jaccard_adjacent,
+        "dup_components": q_dup_components,
         "bloom_contains_customers": q_bloom_contains_customers,
         "theta_rollup_region": q_theta_rollup_region,
         "native_topk_priorities": q_native_topk_priorities,
@@ -1287,6 +1317,31 @@ def oracle_sql() -> dict[str, str]:
                    AS word_jac
             FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
             WHERE a.doc_id < 100 AND b.doc_id < 100
+        """,
+        "dup_components": """
+            WITH e AS (
+              SELECT a.doc_id AS ida, b.doc_id AS idb
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id < 200 AND b.doc_id < 200
+                AND len(list_intersect(string_split(a.text, ' '),
+                                       string_split(b.text, ' ')))::DOUBLE
+                    / nullif(len(list_distinct(string_split(a.text, ' ')))
+                             + len(list_distinct(string_split(b.text, ' ')))
+                             - len(list_intersect(string_split(a.text, ' '),
+                                                  string_split(b.text, ' '))), 0)
+                    >= 0.7
+            ),
+            nodes AS (SELECT ida AS id FROM e UNION SELECT idb FROM e),
+            flagged AS (
+              SELECT id,
+                     CASE WHEN id IN (SELECT idb FROM e) THEN NULL ELSE id END
+                     AS run_start
+              FROM nodes
+            )
+            SELECT id, max(run_start) OVER (
+                     ORDER BY id ROWS UNBOUNDED PRECEDING
+                   ) AS component
+            FROM flagged
         """,
         "embedding_label_stats": (
             "SELECT label::BIGINT AS label, count(*) AS n_vecs, "

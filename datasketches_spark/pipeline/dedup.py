@@ -318,14 +318,28 @@ def connected_components(
 
     Each iteration is one shuffle (groupBy min); converges in
     O(diameter) iterations -- bounded by ``max_iter`` for safety.
+
+    Iterative DataFrame algorithms grow their lineage by one
+    join+agg per round; without truncation every action re-executes
+    the whole history (quadratic work, and Catalyst analysis time
+    itself blows up). Each round therefore materializes its labels
+    with ``localCheckpoint(eager=True)`` — constant-size plan, one
+    bounded job per round. The label frame is O(nodes) small relative
+    to the corpus. On a real cluster prefer a reliable checkpoint dir
+    (``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``) if
+    executor loss during the loop must be survivable.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -334,11 +348,16 @@ def connected_components(
             .agg(F.min("component").alias("nbr_min"))
             .withColumnRenamed("src", "node")
         )
-        new_labels = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -349,4 +368,5 @@ def connected_components(
         labels = new_labels
         if done:
             break
+    edges.unpersist()
     return labels.withColumnRenamed("node", "id")

@@ -113,6 +113,18 @@ class TestDedup:
         assert comps[1] == comps[2] == comps[3] == 1
         assert comps[10] == comps[11] == 10
 
+    def test_connected_components_long_path(self, spark):
+        """A 16-node path needs 15 propagation hops: the loop must stay
+        fast per-iteration (localCheckpoint truncates lineage — without
+        it each round re-executes the whole history) and converge."""
+        pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(15)])
+        comps = {
+            r.id: r.component
+            for r in dedup.connected_components(pairs, max_iter=20).collect()
+        }
+        assert len(comps) == 16
+        assert set(comps.values()) == {0}
+
 
 @pytest.fixture(scope="module")
 def emb(spark):
