@@ -100,3 +100,38 @@ def sample(
         *by,
         F.explode(F.expr("datasketch_reservoir_items(sketch)")).alias(output_col),
     )
+
+
+def near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) near-duplicate text pairs via
+    MinHash + LSH banding: candidate pairs come from a band-key
+    equi-join (never an O(n^2) cross product), verified against the
+    cached signatures.  See pipeline/dedup.py for the knobs."""
+    from .pipeline import dedup as _dedup
+
+    return _dedup.minhash_near_duplicates(df, id_col, text_col, threshold=threshold)
+
+
+def neighbors(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query (broadcast the queries,
+    stream the corpus; shuffle is O(queries x k)).  For corpus-scale
+    query sets use pipeline/similarity.py's LSH or IVF variants."""
+    from .pipeline import similarity as _sim
+
+    return _sim.brute_force_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )

@@ -401,3 +401,27 @@ def test_approx_top_items_and_sample(spark):
     assert top == {"0": 250, "1": 250, "2": 250, "3": 250}
     s = approx.sample(df, "item", k=5000).collect()
     assert len(s) == 1000  # exact mode keeps all
+
+
+def test_approx_near_duplicates_and_neighbors(spark):
+    from pyspark.sql import Row
+
+    from datasketches_spark import approx
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=base),
+            Row(doc_id=1, text=base + "tail"),  # near-dup of 0
+            Row(doc_id=2, text="completely different words entirely " * 8),
+        ]
+    )
+    pairs = {(r.id_a, r.id_b) for r in approx.near_duplicates(docs, "doc_id", "text", 0.5).collect()}
+    assert (0, 1) in pairs and all(2 not in p for p in pairs)
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i == j) for j in range(4)]) for i in range(4)]
+    )
+    q = spark.createDataFrame([Row(query_id=0, query_vec=[1.0, 0.05, 0.0, 0.0])])
+    out = approx.neighbors(emb, q, k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [0, 1]
