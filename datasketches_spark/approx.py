@@ -25,9 +25,21 @@ def distinct(
     by: list[str] | None = None,
     lg_k: int = 16,
     output_col: str = "approx_distinct",
+    engine: str = "sketch",
 ) -> DataFrame:
-    """Approximate COUNT(DISTINCT col) [GROUP BY by] via theta."""
+    """Approximate COUNT(DISTINCT col) [GROUP BY by] via theta.
+
+    ``engine="native"`` uses Spark's built-in JVM HLL
+    (``hll_sketch_agg``; whole-stage codegen, zero Python transfer) —
+    the raw-throughput path when you don't need theta's set algebra or
+    the stored-blob scalar surface.  lg_k is capped at 21 there.
+    """
     by = list(by or [])
+    if engine == "native":
+        est = F.round(
+            F.hll_sketch_estimate(F.hll_sketch_agg(F.col(col), min(lg_k, 21)))
+        ).cast("bigint").alias(output_col)
+        return df.groupBy(*by).agg(est) if by else df.agg(est)
     sk = sketch_agg(df, col, "theta", group_cols=by, k=lg_k)
     return sk.select(
         *by,
@@ -43,11 +55,25 @@ def quantiles(
     probabilities: list[float],
     by: list[str] | None = None,
     k: int = 200,
+    engine: str = "sketch",
 ) -> DataFrame:
     """Approximate quantiles via KLL: one ``q_<pct>`` column per
     requested probability (mirrors ``approx_percentile`` ergonomics
-    with mergeable state underneath)."""
+    with mergeable state underneath).
+
+    ``engine="native"`` uses Spark's built-in ``percentile_approx``
+    (JVM QuantileSummaries, accuracy=10000) — fastest when you don't
+    need mergeable/storable quantile state.
+    """
     by = list(by or [])
+    if engine == "native":
+        cols = [
+            F.percentile_approx(F.col(col), float(p), 10000).alias(
+                f"q_{str(p).replace('.', '_')}"
+            )
+            for p in probabilities
+        ]
+        return df.groupBy(*by).agg(*cols) if by else df.agg(*cols)
     sk = sketch_agg(df, col, "kll", group_cols=by, k=k)
     cols = [
         F.expr(f"datasketch_kll_quantile(sketch, {float(p)}D, true)").alias(
@@ -63,10 +89,31 @@ def top_items(
     col: str,
     by: list[str] | None = None,
     lg_max_k: int = 10,
+    engine: str = "sketch",
+    k: int = 10,
 ) -> DataFrame:
     """Heavy hitters via Frequent Items: (by..., item, estimate,
-    lower_bound, upper_bound) rows, NO_FALSE_POSITIVES."""
+    lower_bound, upper_bound) rows, NO_FALSE_POSITIVES.
+
+    ``engine="native"`` uses Spark's built-in ``approx_top_k`` (JVM,
+    no Python): returns the top ``k`` items as (by..., item, estimate)
+    — no error bounds, and items come back as strings.
+    """
     by = list(by or [])
+    if engine == "native":
+        from .functions.native import approx_top_k as _atk
+
+        top = (
+            df.groupBy(*by).agg(_atk(F.col(col), k=k).alias("tk"))
+            if by
+            else df.agg(_atk(F.col(col), k=k).alias("tk"))
+        )
+        r = top.select(*by, F.explode("tk").alias("r"))
+        return r.select(
+            *by,
+            F.col("r.item").cast("string").alias("item"),
+            F.col("r.count").alias("estimate"),
+        )
     sk = sketch_agg(df, col, "frequent_items", group_cols=by, k=lg_max_k)
     exploded = sk.select(
         *by,

@@ -403,6 +403,25 @@ def test_approx_top_items_and_sample(spark):
     assert len(s) == 1000  # exact mode keeps all
 
 
+def test_approx_native_engine(spark):
+    from datasketches_spark import approx
+
+    df = spark.range(3000).selectExpr("id % 3 AS g", "id AS v", "CAST(id AS double) AS x")
+    d = {
+        r["g"]: r["approx_distinct"]
+        for r in approx.distinct(df, "v", by=["g"], engine="native").collect()
+    }
+    assert d == {0: 1000, 1: 1000, 2: 1000}  # HLL sparse mode is exact here
+    q = approx.quantiles(df, "x", [0.5], engine="native").collect()[0]
+    assert abs(q["q_0_5"] - 1499.0) < 5
+    items = spark.range(1000).selectExpr("CAST(id % 4 AS string) AS item")
+    top = {
+        r["item"]: r["estimate"]
+        for r in approx.top_items(items, "item", engine="native", k=4).collect()
+    }
+    assert top == {"0": 250, "1": 250, "2": 250, "3": 250}
+
+
 def test_approx_near_duplicates_and_neighbors(spark):
     from pyspark.sql import Row
 
