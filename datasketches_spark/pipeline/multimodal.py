@@ -132,3 +132,59 @@ def sample_frames(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "features": feats})
 
     return df.select(id_col, bin_col).mapInPandas(decode, schema=schema)
+
+def resize_binary(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    target_w: int = 64,
+    target_h: int = 64,
+    strict: bool = False,
+) -> DataFrame:
+    """Image-resize pattern: (id, resized binary, width, height).
+
+    Binary-in/binary-out mapInPandas plumbing (the shape a real
+    PIL/torchvision resize uses unchanged).  The fake "resize" emits a
+    deterministic target_w*target_h-byte payload derived from the
+    content hash, so output size contracts are testable.
+    """
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("resized", BinaryType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+        ]
+    )
+    n_out = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real image resizing requires PIL/torchvision; not available "
+                "in this environment (stub per project brief)"
+            )
+        for pdf in batches:
+            out = []
+            for b in pdf[bin_col]:
+                if b is None:
+                    out.append(None)
+                    continue
+                # DETERMINISTIC FAKE: content-seeded byte payload of the
+                # exact target size (swap for a real resampler).
+                h = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.uint64)
+                seed = int(splitmix64(np.array([h.sum() + len(b)], dtype=np.uint64))[0])
+                rng = np.random.default_rng(seed)
+                out.append(rng.integers(0, 256, n_out, dtype=np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": out,
+                    "width": [None if o is None else target_w for o in out],
+                    "height": [None if o is None else target_h for o in out],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(resize, schema=schema)

@@ -204,6 +204,15 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplementedError|real image decoding"):
             multimodal.decode_image_features(bin_df, "payload", "id", strict=True).collect()
 
+    def test_resize_contract(self, spark, bin_df):
+        out = multimodal.resize_binary(bin_df, "payload", "id", target_w=8, target_h=4)
+        rows = {r.id: r for r in out.collect()}
+        assert all(len(r.resized) == 32 for r in rows.values())
+        assert rows[1].width == 8 and rows[1].height == 4
+        again = {r.id: r.resized for r in
+                 multimodal.resize_binary(bin_df, "payload", "id", 8, 4).collect()}
+        assert again == {i: r.resized for i, r in rows.items()}  # deterministic
+
 
 class TestIVF:
     def test_ivf_recall_vs_brute_force(self, spark):
