@@ -113,6 +113,42 @@ class TestDedup:
         assert comps[1] == comps[2] == comps[3] == 1
         assert comps[10] == comps[11] == 10
 
+    def test_connected_components_random_graphs(self, spark):
+        """Spark min-label propagation == driver-side union-find on
+        random graphs (star/path cases alone don't exercise cycles,
+        multi-branch merges, or label collisions)."""
+        import numpy as np
+
+        for seed in (3, 17, 99):
+            rng = np.random.default_rng(seed)
+            n_nodes, n_edges = 40, 35
+            edges = [
+                (int(a), int(b))
+                for a, b in rng.integers(0, n_nodes, size=(n_edges, 2))
+                if a != b
+            ]
+            parent = list(range(n_nodes))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            touched = {v for e in edges for v in e}
+            want = {v: find(v) for v in touched}
+
+            pairs = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+            got = {
+                r.id: r.component
+                for r in dedup.connected_components(pairs, max_iter=40).collect()
+            }
+            assert got == want, f"seed {seed}"
+
     def test_connected_components_long_path(self, spark):
         """A 16-node path needs 15 propagation hops: the loop must stay
         fast per-iteration (localCheckpoint truncates lineage — without
