@@ -277,6 +277,33 @@ class TestIVF:
         assert total > 0
         assert hit / max(len(exact_sets) * 5, 1) >= 0.5  # recall@5 with half the cells probed
 
+    def test_ivf_partitioned_index_prunes_scans(self, spark, tmp_path):
+        """The documented scale path: persist the assignment partitioned
+        by centroid_id and probe-time reads must touch only the probed
+        cells' files (Catalyst partition pruning), not the whole index."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((200, 8)).astype(np.float64)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(200)]
+        )
+        assigned, cents = similarity.ivf_build(df, n_centroids=8, sample_limit=200)
+        path = str(tmp_path / "ivf_index")
+        assigned.write.partitionBy("centroid_id").parquet(path)
+        index = spark.read.parquet(path)
+        probed = index.filter(F.col("centroid_id").isin([0, 1]))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        # the IN-filter must land in PartitionFilters (directory pruning),
+        # not as a post-scan row filter
+        assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        got = probed.select("centroid_id").distinct().collect()
+        assert {r.centroid_id for r in got} <= {0, 1}
+        assert probed.count() < index.count()
+
     def test_ivf_assignment_complete(self, spark):
         import numpy as np
         from pyspark.sql import Row
