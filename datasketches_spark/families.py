@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .sketches.base import MAGIC
 from .sketches import (
     BloomFilterSketch,
     CountMinSketch,
@@ -99,6 +100,20 @@ def update_sketch(family: str, sk, series: pd.Series) -> None:
         return
     cls = FAMILY_CLASSES[family]
     if is_blob_series(s):
+        if family in ("hll", "cpc"):
+            # Reference parity: HLL/CPC accept raw BLOB *values* in
+            # addition to sketch blobs (generator.py:30-44 lists BLOB
+            # among the allowed input types). Spark has no catalog type
+            # alias to distinguish sketch_hll from plain BINARY, so
+            # dispatch per value on the DSKS frame magic: framed blobs
+            # merge, anything else is hashed as a raw byte value.
+            framed = s.map(lambda b: b is not None and bytes(b[:4]) == MAGIC)
+            for blob in s[framed]:
+                sk.merge(cls.deserialize(bytes(blob)))
+            raw = s[~framed].dropna()
+            if not raw.empty:
+                sk.update_values(raw.map(bytes))
+            return
         for blob in s:
             if blob is not None:
                 sk.merge(cls.deserialize(bytes(blob)))

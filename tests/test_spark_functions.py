@@ -168,6 +168,33 @@ class TestCountingSQL:
         ).first()
         assert row.est == 3.0 and row.lgk == 12 and row.emp is False
 
+    def test_hll_raw_binary_values(self, spark):
+        """Reference parity: HLL/CPC accept raw BLOB values as inputs
+        (generator.py:30-44) — hashed as bytes, not parsed as sketches.
+        Unframed binary must count, framed sketch blobs must merge."""
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(payload=bytes([i, i + 1, i + 2])) for i in range(4)]
+            + [Row(payload=bytes([0, 1, 2]))]  # duplicate of i=0
+        )
+        df.createOrReplaceTempView("blobs")
+        for fam in ("hll", "cpc"):
+            est = spark.sql(
+                f"SELECT datasketch_{fam}_estimate(datasketch_{fam}(12, payload)) AS e "
+                "FROM blobs"
+            ).first().e
+            assert est == 4.0, fam
+        # framed blobs still take the merge path
+        spark.sql(
+            "SELECT datasketch_hll(12, payload) AS s FROM blobs"
+        ).createOrReplaceTempView("one_sketch")
+        merged = spark.sql(
+            "SELECT datasketch_hll_estimate(datasketch_hll_union(12, s)) AS e "
+            "FROM one_sketch"
+        ).first().e
+        assert merged == 4.0
+
     def test_hll_union_partitions(self, spark, items):
         spark.sql(
             "SELECT v % 3 AS g, datasketch_hll(12, v) AS s FROM items GROUP BY v % 3"
