@@ -121,6 +121,18 @@ def update_sketch(family: str, sk, series: pd.Series) -> None:
     if family in ("theta", "hll", "cpc", "bloom"):
         sk.update_values(s)
     elif family in QUANTILE_FAMILIES or family == "tdigest":
+        if s.dtype == object and isinstance(
+            next((v for v in s if v is not None), None), str
+        ):
+            # The reference binds numeric overloads only for the
+            # quantile families (codegen/generator.py:46-60); mirror
+            # DuckDB's binder rejection instead of a numpy cast error.
+            raise ValueError(
+                "No function matches the given name and argument types "
+                f"'datasketch_{family}(VARCHAR)': "
+                f"{family} sketches accept numeric values only. "
+                "You might need to add explicit type casts."
+            )
         sk.update(s.to_numpy())
     elif family in ("frequent_items", "reservoir", "cms"):
         sk.update_series(s)

@@ -198,6 +198,17 @@ class TestDescribeAndErrors:
                 "SELECT datasketch_kll_n(CAST('junk' AS BINARY))"
             ).collect()
 
+    def test_string_input_rejected_binder_style(self, spark):
+        """Quantile families bind numeric overloads only
+        (codegen/generator.py:46-60): VARCHAR input must fail with the
+        reference's binder-error wording, not a numpy cast error."""
+        spark.sql("SELECT explode(array('a','b')) AS s").createOrReplaceTempView(
+            "strvals"
+        )
+        for fam, k in [("kll", 200), ("quantiles", 128), ("req", 12), ("tdigest", 100)]:
+            with pytest.raises(Exception, match="No function matches"):
+                spark.sql(f"SELECT datasketch_{fam}({k}, s) FROM strvals").collect()
+
     def test_cube_rollup_compose(self, spark):
         # grouping-set machinery is host-provided (SURVEY §2.1); verify our
         # UDAFs plug into cube() like the reference's plug into DuckDB
