@@ -32,6 +32,24 @@ class TestText:
         df = spark.createDataFrame([Row(text="")])
         assert df.select(text.token_count("text").alias("n")).first().n == 0
 
+    def test_bpe_ish_token_count(self, spark):
+        cases = {
+            "hello world": 2,          # plain whitespace split
+            "gpt4 turbo": 3,           # letter->digit boundary: gpt|4
+            "a1b2": 4,                 # every letter<->digit transition
+            "don't stop!": 4,          # don | 't | stop | !
+            "!!": 2,                   # each punct char starts a piece
+            "": 0,
+        }
+        df = spark.createDataFrame([Row(text=t) for t in cases])
+        got = {
+            r.text: r.n
+            for r in df.select(
+                "text", text.bpe_ish_token_count(F.col("text")).alias("n")
+            ).collect()
+        }
+        assert got == cases
+
     def test_lang_id(self, spark, docs):
         out = {r.doc_id: r.lang for r in docs.select("doc_id", text.lang_id("text").alias("lang")).collect()}
         assert out[0] == "en"
