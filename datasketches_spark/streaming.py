@@ -85,6 +85,66 @@ class SketchStore:
         return fn
 
 
+class PartitionedSketchStore(SketchStore):
+    """Sketch table partitioned by a bucket column (hour, day, ...);
+    absorbing a micro-batch rewrites ONLY the touched partitions.
+
+    The continuous-aggregate pattern at scale: `SketchStore.absorb`
+    rewrites the whole table per batch (fine for small stores), while
+    here maintenance cost is O(buckets in the batch):
+
+      1. partial-aggregate the batch per (bucket, group) — blob-only
+         shuffle as always;
+      2. read back only the touched buckets (partition pruning on the
+         bucket directory column);
+      3. merge old + new blobs and commit with dynamic partition
+         overwrite, replacing just those bucket directories.
+
+    A year-long table of hourly sketches absorbs a late-data batch by
+    rewriting the few hours it touches, never the year.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        family: str,
+        bucket_col: str,
+        group_cols: list[str] | None = None,
+        k: int | None = None,
+        sketch_col: str = "sketch",
+    ):
+        super().__init__(path, family, group_cols, k, sketch_col)
+        self.bucket_col = bucket_col
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def absorb(self, batch_df: DataFrame, input_col: str) -> None:
+        spark = batch_df.sparkSession
+        keys = [self.bucket_col, *self.group_cols]
+        partial = sketch_agg(
+            batch_df, input_col, self.family, keys, self.k, self.sketch_col
+        )
+        if self.exists(spark):
+            touched = [r[0] for r in partial.select(self.bucket_col).distinct().collect()]
+            old = self.read(spark).filter(F.col(self.bucket_col).isin(touched))
+            merged = sketch_merge(
+                old.unionByName(partial), self.family, keys, self.k, self.sketch_col
+            )
+        else:
+            merged = partial
+        # materialize before overwriting the partitions we just read
+        merged = merged.localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(self.bucket_col).parquet(
+                self.path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def incremental_sketch_sink(
     stream_df: DataFrame,
     input_col: str,

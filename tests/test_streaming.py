@@ -265,3 +265,51 @@ def test_stateful_fn_update_sets_timeout():
     assert state.timeout == 5000 and state.updated is not None
     assert out[0].iloc[0]["rows_in_batch"] == 3
     assert ThetaSketch.deserialize(bytes(state.updated[0])).get_estimate() == 3.0
+
+
+def test_partitioned_store_rewrites_only_touched_buckets(spark, tmpdir):
+    """PartitionedSketchStore: absorbing a batch must (a) produce the
+    same estimates as a one-shot build over all data, and (b) leave
+    untouched bucket partitions' files physically alone."""
+    import glob
+    import os
+
+    from datasketches_spark.aggregation import sketch_agg
+    from datasketches_spark.streaming import PartitionedSketchStore
+
+    dss.register(spark)
+    path = f"{tmpdir}/rollup"
+    store = PartitionedSketchStore(path, "theta", bucket_col="hr", k=14)
+
+    b1 = spark.range(0, 300).selectExpr("id % 3 AS hr", "id AS user_id")
+    store.absorb(b1, "user_id")
+    untouched_before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/hr=2/*.parquet")
+    }
+    assert untouched_before
+
+    # second batch hits hr 0 and 1 only, with overlapping users
+    b2 = spark.range(150, 450).selectExpr("id % 2 AS hr", "id AS user_id")
+    store.absorb(b2, "user_id")
+
+    untouched_after = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/hr=2/*.parquet")
+    }
+    assert untouched_after == untouched_before  # hr=2 dir never rewritten
+
+    got = {
+        r.hr: r.est
+        for r in store.read(spark)
+        .selectExpr("hr", "CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT) AS est")
+        .collect()
+    }
+    all_rows = b1.unionByName(b2.withColumn("hr", F.col("hr")))
+    # oracle: exact distinct per bucket over the union of both batches,
+    # where b1 buckets by %3 and b2 by %2 (same rows, different hr)
+    want = {
+        r.hr: r.n
+        for r in all_rows.groupBy("hr")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
