@@ -76,11 +76,41 @@ class SketchStore:
         final = spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(self.path)
 
+    # -- replay guard -----------------------------------------------------
+    # foreachBatch is at-least-once: after a failure the same epoch can
+    # be delivered again.  Distinct sketches (theta/hll/cpc/bloom) are
+    # replay-idempotent by set semantics, but quantile / frequent-items /
+    # reservoir state double-counts.  Recording the last absorbed epoch
+    # and skipping <= it makes replays no-ops.  (A crash between the
+    # parquet commit and the marker write degrades that one batch to
+    # at-least-once — the window is tiny and counting families are
+    # unaffected; full exactly-once needs a transactional table format.)
+
+    def _epoch_marker(self) -> str:
+        return self.path + "__last_epoch"
+
+    def _last_epoch(self) -> int:
+        try:
+            with open(self._epoch_marker(), encoding="ascii") as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _record_epoch(self, epoch_id: int) -> None:
+        try:
+            with open(self._epoch_marker(), "w", encoding="ascii") as f:
+                f.write(str(epoch_id))
+        except OSError:  # non-local store path: skip the guard
+            pass
+
     def foreach_batch(self, input_col: str) -> Callable[[DataFrame, int], None]:
-        def fn(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            if epoch_id <= self._last_epoch():
+                return  # replayed epoch: already folded in
             if batch_df.isEmpty():
                 return
             self.absorb(batch_df, input_col)
+            self._record_epoch(epoch_id)
 
         return fn
 

@@ -313,3 +313,22 @@ def test_partitioned_store_rewrites_only_touched_buckets(spark, tmpdir):
         .collect()
     }
     assert got == want
+
+
+def test_foreach_batch_replay_guard(spark, tmpdir):
+    """A replayed epoch_id (at-least-once delivery) must be a no-op:
+    without the guard a KLL store would double-count its weight."""
+    dss.register(spark)
+    store = SketchStore(f"{tmpdir}/kstate", "kll", k=200)
+    fb = store.foreach_batch("x")
+    batch = spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) AS x")
+    fb(batch, 0)
+    fb(batch, 0)  # replay of epoch 0
+    fb(batch, 1)  # genuinely new epoch
+    n = (
+        store.read(spark)
+        .selectExpr("datasketch_kll_n(sketch) AS n")
+        .first()
+        .n
+    )
+    assert n == 2000  # 2 distinct epochs, not 3 deliveries
