@@ -1039,6 +1039,53 @@ def q_reservoir_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct 5-gram overlap of each
+    training document (doc_id < 400) with the benchmark corpus
+    (doc_id >= 400).  The benchmark n-gram set is broadcast; the
+    training side never shuffles raw text (pipeline/decontam.py)."""
+    from datasketches_spark.pipeline import decontam as D
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 400)
+    bench = docs.filter(F.col("doc_id") >= 400)
+    return D.contamination(train, bench, "doc_id", "text", n=5)
+
+
+def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals — boilerplate /
+    spam filters for web-scale corpora (pipeline/text.py)."""
+    from datasketches_spark.pipeline import text as T
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.unique_token_ratio(F.col("text")).alias("uniq_ratio"),
+        T.top_token_fraction(F.col("text")).alias("top_tok_frac"),
+        T.repeated_2gram_fraction(F.col("text")).alias("rep_2gram_frac"),
+    )
+
+
+def q_customer_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: emails then digit runs masked by pure
+    regexp_replace (JVM codegen — the pattern set is identical under
+    Java regex and DuckDB RE2, so the gate hash-matches)."""
+    from datasketches_spark.pipeline import text as T
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "blob",
+        F.concat(
+            F.lower("c_mktsegment"),
+            F.lit("."),
+            F.col("c_custkey"),
+            F.lit("@example.com ref 555-0123 "),
+            F.col("c_name"),
+        ),
+    )
+    return cust.select(
+        "c_custkey", T.redact(F.col("blob")).alias("redacted")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -1099,6 +1146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_jaccard_statuses": q_theta_jaccard_statuses,
         "approx_distinct_by_status": q_approx_distinct_by_status,
         "quantiles_req_metadata": q_quantiles_req_metadata,
+        "decontam_overlap": q_decontam_overlap,
+        "doc_repetition_scores": q_doc_repetition_scores,
+        "customer_redaction": q_customer_redaction,
     }
 
 
@@ -1494,4 +1544,46 @@ def oracle_sql() -> dict[str, str]:
         ),
         # minhash_candidates / simhash_pairs: LSH banding is not
         # SQL-expressible -> rows-only checks (no oracle entries)
+        "decontam_overlap": _decontam_oracle(),
+        "doc_repetition_scores": _repetition_oracle(),
+        "customer_redaction": _redaction_oracle(),
     }
+
+
+def _decontam_oracle() -> str:
+    from datasketches_spark.pipeline.decontam import oracle_ngrams_sql
+
+    ngs = oracle_ngrams_sql("text", 5)
+    return f"""
+        WITH ngr AS (SELECT doc_id, {ngs} AS ngs FROM documents),
+        bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM ngr WHERE doc_id >= 400),
+        train AS (SELECT doc_id, unnest(ngs) AS ng FROM ngr WHERE doc_id < 400)
+        SELECT t.doc_id, count(DISTINCT t.ng) AS n_contaminated
+        FROM train t JOIN bench b USING (ng) GROUP BY t.doc_id
+    """
+
+
+def _repetition_oracle() -> str:
+    from datasketches_spark.pipeline.text import (
+        oracle_repeated_2gram_fraction_sql,
+        oracle_top_token_fraction_sql,
+        oracle_unique_token_ratio_sql,
+    )
+
+    return (
+        f"SELECT doc_id, {oracle_unique_token_ratio_sql()} AS uniq_ratio, "
+        f"{oracle_top_token_fraction_sql()} AS top_tok_frac, "
+        f"{oracle_repeated_2gram_fraction_sql()} AS rep_2gram_frac FROM documents"
+    )
+
+
+def _redaction_oracle() -> str:
+    from datasketches_spark.pipeline.text import oracle_redact_sql
+
+    blob = (
+        "lower(c_mktsegment) || '.' || c_custkey"
+        " || '@example.com ref 555-0123 ' || c_name"
+    )
+    return (
+        f"SELECT c_custkey, {oracle_redact_sql(blob)} AS redacted FROM customer"
+    )

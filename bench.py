@@ -71,6 +71,13 @@ def main():
         # cluster width (the map phase parallelism comes from input splits)
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
+        # local-only knob: sf0.1 parquet files are ~1-11 MB, so the
+        # default 128 MB split size gives 1-3 input splits and the
+        # sketch-build map phase runs on 1-3 of the 32 cores.  Finer
+        # splits restore map parallelism.  On a real cluster at 100 TB
+        # files outnumber cores and the 128 MB default is correct.
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
@@ -97,6 +104,7 @@ def main():
         "doc_token_counts",
         "minhash_candidates",
         "curation_sample",
+        "decontam_overlap",
     ]
     timings: dict[str, float] = {}
     # full untimed warmup pass: first execution of each plan shape pays

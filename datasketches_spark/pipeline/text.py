@@ -145,3 +145,123 @@ def oracle_lang_id_sql(text: str = "text") -> str:
 
 def oracle_fingerprint_sql(text: str = "text") -> str:
     return f"md5(regexp_replace(lower({text}), '\\s+', ' ', 'g'))"
+
+
+# -- repetition signals (Gopher-style quality filters) -----------------
+# High repetition inside a document is the classic signal of boilerplate
+# / spam in web-scale corpora.  All three are pure array expressions
+# (JVM-side; the O(distinct x tokens) inner scan is fine because
+# documents are short relative to partition size) and exactly
+# SQL-mirrorable for the oracle gate.
+
+
+def unique_token_ratio(col) -> Column:
+    """distinct tokens / total tokens (1.0 for empty text)."""
+    toks = tokens(col)
+    n = F.size(toks).cast("double")
+    return F.round(
+        F.when(n == 0, F.lit(1.0)).otherwise(
+            F.size(F.array_distinct(toks)).cast("double") / n
+        ),
+        6,
+    )
+
+
+def top_token_fraction(col) -> Column:
+    """Occurrences of the most frequent token / total tokens
+    (0.0 for empty text)."""
+    toks = tokens(col)
+    n = F.size(toks).cast("double")
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda d: F.size(F.filter(toks, lambda x: x == d)),
+    )
+    return F.round(
+        F.when(n == 0, F.lit(0.0)).otherwise(
+            F.array_max(counts).cast("double") / n
+        ),
+        6,
+    )
+
+
+def repeated_2gram_fraction(col) -> Column:
+    """1 - distinct 2-grams / total 2-grams (0.0 below 2 tokens)."""
+    toks = tokens(col)
+    n2 = F.size(toks) - 1
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n2, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    )
+    return F.round(
+        F.when(n2 <= 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / n2.cast("double")
+        ),
+        6,
+    )
+
+
+def oracle_tokens_sql(text: str = "text") -> str:
+    t = f"trim(lower({text}))"
+    return (
+        f"CASE WHEN length({t}) = 0 THEN [] "
+        f"ELSE string_split_regex({t}, '\\s+') END"
+    )
+
+
+def oracle_unique_token_ratio_sql(text: str = "text") -> str:
+    toks = oracle_tokens_sql(text)
+    return (
+        f"round(CASE WHEN len({toks}) = 0 THEN 1.0 "
+        f"ELSE len(list_distinct({toks}))::DOUBLE / len({toks})::DOUBLE END, 6)"
+    )
+
+
+def oracle_top_token_fraction_sql(text: str = "text") -> str:
+    toks = oracle_tokens_sql(text)
+    counts = (
+        f"list_transform(list_distinct({toks}), "
+        f"d -> len(list_filter({toks}, x -> x = d)))"
+    )
+    return (
+        f"round(CASE WHEN len({toks}) = 0 THEN 0.0 "
+        f"ELSE list_max({counts})::DOUBLE / len({toks})::DOUBLE END, 6)"
+    )
+
+
+def oracle_repeated_2gram_fraction_sql(text: str = "text") -> str:
+    toks = oracle_tokens_sql(text)
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 1, 1)), "
+        f"i -> array_to_string(({toks})[i:i + 1], ' '))"
+    )
+    return (
+        f"round(CASE WHEN len({toks}) - 1 <= 0 THEN 0.0 "
+        f"ELSE 1.0 - len(list_distinct({grams}))::DOUBLE "
+        f"/ (len({toks}) - 1)::DOUBLE END, 6)"
+    )
+
+
+# -- PII-style redaction -----------------------------------------------
+# Regex scrubbing of emails and digit runs -- the Spark-side plumbing
+# for a redaction pass over a 100 TB corpus (regexp_replace is JVM
+# codegen; the pattern set is deliberately simple and identical under
+# Java regex and DuckDB RE2 so the oracle hash-matches).
+
+EMAIL_RE = r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+"
+NUMBER_RE = r"[0-9]+"
+
+
+def redact(col, email_token: str = "<EMAIL>", number_token: str = "<NUM>") -> Column:
+    """Mask emails first (their local parts contain digits), then
+    free-standing digit runs."""
+    no_mail = F.regexp_replace(col, EMAIL_RE, email_token)
+    return F.regexp_replace(no_mail, NUMBER_RE, number_token)
+
+
+def oracle_redact_sql(
+    text: str, email_token: str = "<EMAIL>", number_token: str = "<NUM>"
+) -> str:
+    no_mail = (
+        f"regexp_replace({text}, '{EMAIL_RE}', '{email_token}', 'g')"
+    )
+    return f"regexp_replace({no_mail}, '{NUMBER_RE}', '{number_token}', 'g')"

@@ -122,6 +122,9 @@ def main() -> None:
         import __spark_entry__ as _entry
 
         queries["curation_sample"] = _entry.oracle_sql()["curation_sample"]
+        # decontam_overlap: the oracle SQL IS the DuckDB-native way to
+        # run an n-gram decontamination pass -- same semantics
+        queries["decontam_overlap"] = _entry.oracle_sql()["decontam_overlap"]
     except Exception:  # noqa: BLE001 -- keep the baseline runnable standalone
         pass
 

@@ -365,3 +365,110 @@ def test_sessionize_assigns_monotone_ids(spark):
     got = [r["session_seq"] for r in
            S.sessionize(df, "user_id", "ts", gap=1000).orderBy("ts").collect()]
     assert got == [1, 1, 2, 2, 3]
+
+
+class TestDecontam:
+    def _corpora(self, spark):
+        from datasketches_spark.pipeline import decontam as D
+
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "a completely unrelated sentence with no overlap at all"),
+                (3, "quick brown fox jumps over everything else entirely"),
+                (4, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame(
+            [(100, "we saw the quick brown fox jumps over the fence")],
+            ["doc_id", "text"],
+        )
+        return D, train, bench
+
+    def test_contamination_counts(self, spark):
+        D, train, bench = self._corpora(spark)
+        got = {
+            r.doc_id: r.n_contaminated
+            for r in D.contamination(train, bench, "doc_id", "text", n=3).collect()
+        }
+        # doc 1 shares "the quick brown","quick brown fox","brown fox jumps",
+        # "fox jumps over","jumps over the"; doc 3 the middle three; 2/4 none.
+        assert got == {1: 5, 3: 3}
+
+    def test_decontaminate_removes_dirty(self, spark):
+        D, train, bench = self._corpora(spark)
+        kept = sorted(
+            r.doc_id
+            for r in D.decontaminate(train, bench, "doc_id", "text", n=3).collect()
+        )
+        assert kept == [2, 4]
+
+    def test_decontaminate_threshold(self, spark):
+        D, train, bench = self._corpora(spark)
+        kept = sorted(
+            r.doc_id
+            for r in D.decontaminate(
+                train, bench, "doc_id", "text", n=3, max_overlap=3
+            ).collect()
+        )
+        assert kept == [2, 3, 4]  # doc 3 has exactly 3 shared 3-grams
+
+    def test_ngrams_shorter_than_n(self, spark):
+        D, _, _ = self._corpora(spark)
+        row = (
+            spark.createDataFrame([("one two",)], ["t"])
+            .select(D.word_ngrams(F.col("t"), 3).alias("ngs"))
+            .first()
+        )
+        assert row.ngs == []
+
+    def test_benchmark_side_is_broadcast(self, spark):
+        """The 100 TB-side contract: the plan must probe the benchmark
+        n-gram set via a broadcast join, never shuffle the train side
+        for the join."""
+        D, train, bench = self._corpora(spark)
+        plan = D.contamination(train, bench, "doc_id", "text", n=3)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestRepetitionSignals:
+    def test_values(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a a a a"),          # 2-grams: aa aa aa -> 1/3 distinct
+                (2, "a b c d"),          # all unique
+                (3, "a b a b a"),        # 2-grams: ab ba ab ba -> 2/4 distinct
+                (4, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: (r.u, r.t, r.g)
+            for r in df.select(
+                "doc_id",
+                text.unique_token_ratio(F.col("text")).alias("u"),
+                text.top_token_fraction(F.col("text")).alias("t"),
+                text.repeated_2gram_fraction(F.col("text")).alias("g"),
+            ).collect()
+        }
+        assert got[1] == (0.25, 1.0, 0.666667)
+        assert got[2] == (1.0, 0.25, 0.0)
+        assert got[3] == (0.4, 0.6, 0.5)
+        assert got[4] == (1.0, 0.0, 0.0)
+
+
+class TestRedaction:
+    def test_email_then_number_order(self, spark):
+        df = spark.createDataFrame(
+            [("write to bob42@mail.example.com or call 555 0123",)], ["t"]
+        )
+        out = df.select(text.redact(F.col("t")).alias("r")).first().r
+        assert out == "write to <EMAIL> or call <NUM> <NUM>"
+
+    def test_no_pii_unchanged(self, spark):
+        df = spark.createDataFrame([("nothing to hide here",)], ["t"])
+        assert (
+            df.select(text.redact(F.col("t")).alias("r")).first().r
+            == "nothing to hide here"
+        )
