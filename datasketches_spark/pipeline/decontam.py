@@ -48,9 +48,16 @@ def benchmark_ngrams(bench: DataFrame, text_col: str, n: int) -> DataFrame:
     """Distinct word n-grams of the benchmark corpus (column ``ng``).
 
     This is the small side: explode + distinct over the eval set only.
+    Because eval corpora are small (MBs), the raw text is round-robin
+    repartitioned first: a small parquet file is often a single row
+    group = a single input split, which would serialize the n-gram
+    expression onto one core while the cluster idles.  The extra
+    shuffle moves only the eval text, never the training corpus.
     """
+    par = bench.sparkSession.sparkContext.defaultParallelism
     return (
-        bench.select(F.explode(word_ngrams(F.col(text_col), n)).alias("ng"))
+        bench.repartition(par)
+        .select(F.explode(word_ngrams(F.col(text_col), n)).alias("ng"))
         .distinct()
     )
 
