@@ -1086,6 +1086,36 @@ def q_customer_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_latest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event annotated with the most recent
+    prior error event of the same user (pipeline/asof.py — one shuffle
+    on user_id, union-window formulation, no range join).  Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from datasketches_spark.pipeline.asof import asof_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    out = asof_join(clicks, errors, on="ts", by="user_id")
+    # DuckDB timestamps are microsecond precision; emit micros on both
+    # sides (integer div -- a double division would lose precision at
+    # 1.7e18 nanos)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.expr("ts_right div 1000").alias("err_ts_us"),
+        "err_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -1149,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": q_decontam_overlap,
         "doc_repetition_scores": q_doc_repetition_scores,
         "customer_redaction": q_customer_redaction,
+        "asof_latest_error": q_asof_latest_error,
     }
 
 
@@ -1544,6 +1575,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         # minhash_candidates / simhash_pairs: LSH banding is not
         # SQL-expressible -> rows-only checks (no oracle entries)
+        "asof_latest_error": """
+            SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                   epoch_us(r.ts) AS err_ts_us, r.err_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS err_value
+                            FROM events WHERE event_type = 'error'
+                            GROUP BY 1, 2) r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
         "decontam_overlap": _decontam_oracle(),
         "doc_repetition_scores": _repetition_oracle(),
         "customer_redaction": _redaction_oracle(),

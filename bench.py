@@ -105,6 +105,7 @@ def main():
         "minhash_candidates",
         "curation_sample",
         "decontam_overlap",
+        "asof_latest_error",
     ]
     timings: dict[str, float] = {}
     # full untimed warmup pass: first execution of each plan shape pays

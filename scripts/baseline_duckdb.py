@@ -37,7 +37,15 @@ def main() -> None:
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={cpus}")
-    for t in ["lineitem", "orders", "nation", "customer", "embeddings", "documents"]:
+    for t in [
+        "lineitem",
+        "orders",
+        "nation",
+        "customer",
+        "embeddings",
+        "documents",
+        "events",
+    ]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
@@ -125,6 +133,8 @@ def main() -> None:
         # decontam_overlap: the oracle SQL IS the DuckDB-native way to
         # run an n-gram decontamination pass -- same semantics
         queries["decontam_overlap"] = _entry.oracle_sql()["decontam_overlap"]
+        # asof_latest_error: DuckDB's native ASOF JOIN is the baseline
+        queries["asof_latest_error"] = _entry.oracle_sql()["asof_latest_error"]
     except Exception:  # noqa: BLE001 -- keep the baseline runnable standalone
         pass
 
