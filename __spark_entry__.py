@@ -1116,6 +1116,30 @@ def q_asof_latest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join (pipeline/rangejoin.py): for each click,
+    every error of the same user within the next 30 minutes, rolled up
+    to a count + max severity.  Bucketed equi-join on (user_id, bucket)
+    -- no nested-loop fallback (cf. DuckDB's IEJoin for the same SQL).
+    Oracle is the naive BETWEEN join."""
+    from datasketches_spark.pipeline.rangejoin import range_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    w = 30 * 60 * 1_000_000_000  # 30 min in nanos
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    joined = range_join(clicks, errors, "ts", "ts", 0, w, by="user_id")
+    return joined.groupBy("event_id").agg(
+        F.count("*").alias("n_errors"),
+        F.max("value").alias("max_err_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -1180,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_scores": q_doc_repetition_scores,
         "customer_redaction": q_customer_redaction,
         "asof_latest_error": q_asof_latest_error,
+        "range_join_errors": q_range_join_errors,
     }
 
 
@@ -1584,6 +1609,17 @@ def oracle_sql() -> dict[str, str]:
                             FROM events WHERE event_type = 'error'
                             GROUP BY 1, 2) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_errors": """
+            SELECT l.event_id, count(*) AS n_errors,
+                   max(r.value) AS max_err_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            JOIN (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'error') r
+              ON l.user_id = r.user_id
+             AND r.ts BETWEEN l.ts AND l.ts + INTERVAL 30 MINUTE
+            GROUP BY l.event_id
         """,
         "decontam_overlap": _decontam_oracle(),
         "doc_repetition_scores": _repetition_oracle(),
