@@ -1140,6 +1140,27 @@ def q_range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantity_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of l_quantity per returnflag via
+    pipeline/binning.py (sketch cut points broadcast back; no global
+    sort).  Exact-mode K so the cut points — and therefore every
+    bucket label — are deterministic; oracle recomputes the same
+    inclusive-rank cuts with a window."""
+    from datasketches_spark.pipeline.binning import equi_depth_histogram
+
+    _ensure(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return equi_depth_histogram(
+        li, "l_quantity", 4, by=["l_returnflag"], k=32768
+    ).select(
+        "l_returnflag",
+        "bucket",
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"),
+        "cnt",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -1205,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_redaction": q_customer_redaction,
         "asof_latest_error": q_asof_latest_error,
         "range_join_errors": q_range_join_errors,
+        "quantity_equi_depth": q_quantity_equi_depth,
     }
 
 
@@ -1621,6 +1643,22 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts BETWEEN l.ts AND l.ts + INTERVAL 30 MINUTE
             GROUP BY l.event_id
         """,
+        "quantity_equi_depth": (
+            "WITH cd AS ("
+            + _CUME.format(g="l_returnflag", v="l_quantity", t="lineitem")
+            + "), cuts AS (SELECT g, "
+            "min(CASE WHEN cd >= 0.25 THEN v END) AS c1, "
+            "min(CASE WHEN cd >= 0.5 THEN v END) AS c2, "
+            "min(CASE WHEN cd >= 0.75 THEN v END) AS c3 "
+            "FROM cd GROUP BY g) "
+            "SELECT l.l_returnflag, "
+            "1 + (l.l_quantity > c.c1)::INT + (l.l_quantity > c.c2)::INT"
+            " + (l.l_quantity > c.c3)::INT AS bucket, "
+            "min(l.l_quantity)::DOUBLE AS lo, max(l.l_quantity)::DOUBLE AS hi, "
+            "count(*) AS cnt "
+            "FROM lineitem l JOIN cuts c ON l.l_returnflag = c.g "
+            "GROUP BY 1, 2"
+        ),
         "decontam_overlap": _decontam_oracle(),
         "doc_repetition_scores": _repetition_oracle(),
         "customer_redaction": _redaction_oracle(),

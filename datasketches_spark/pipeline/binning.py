@@ -1,0 +1,97 @@
+"""Equi-depth bucketing and histograms without a global sort.
+
+``NTILE(n) OVER (ORDER BY x)`` — the textbook way to label rows with
+their quantile bucket — forces a single-partition global sort: every
+row shuffles through one task, a non-starter at 100 TB.  The sketch
+formulation is two passes, both embarrassingly parallel:
+
+1. one scan builds a KLL sketch per group (two-phase ``sketch_agg``
+   path: only bounded blobs cross the shuffle);
+2. the n-1 cut points decoded from each sketch are broadcast back and
+   every row's bucket is ``1 + #{cuts < value}`` — a pure JVM
+   array-filter expression, map-side, whole-stage-codegen'd, no second
+   shuffle of the data.
+
+With exact-mode K (cardinality below sketch capacity) the labels match
+NTILE's cumulative-distribution semantics exactly; in estimation mode
+the buckets are approximately equi-depth with KLL's rank-error
+guarantee (~1.33% at K=200 — docs/README.md:532 in the reference).
+
+Equivalent capability in the reference: none directly — its host
+(DuckDB) runs NTILE via the sort path; this operator exists precisely
+because Spark-at-scale must not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..aggregation import sketch_agg
+
+_CUTS = "__qb_cuts"
+
+
+def quantile_cuts(
+    df: DataFrame,
+    col: str,
+    num_buckets: int,
+    by: list[str] | None = None,
+    k: int = 200,
+) -> DataFrame:
+    """(by..., __qb_cuts array<double>) — the n-1 inclusive-rank cut
+    points per group.  Tiny output (one row per group)."""
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets ({num_buckets}) must be >= 2")
+    by = list(by or [])
+    sk = sketch_agg(df, col, "kll", group_cols=by, k=k)
+    qs = [
+        F.expr(f"datasketch_kll_quantile(sketch, {i / num_buckets!r}D, true)")
+        for i in range(1, num_buckets)
+    ]
+    return sk.select(*by, F.array(*qs).alias(_CUTS))
+
+
+def quantile_bucket(
+    df: DataFrame,
+    col: str,
+    num_buckets: int,
+    by: list[str] | None = None,
+    k: int = 200,
+    output_col: str = "bucket",
+) -> DataFrame:
+    """Label every row with its equi-depth bucket (1..num_buckets) of
+    ``col``, optionally per ``by`` group.  NULL values get NULL.
+
+    The cut-point frame is broadcast (num_buckets-1 doubles per
+    group); the data-side plan is scan -> broadcast-join -> project.
+    """
+    by = list(by or [])
+    cuts = quantile_cuts(df, col, num_buckets, by=by, k=k)
+    joined = (
+        df.join(F.broadcast(cuts), by) if by else df.crossJoin(F.broadcast(cuts))
+    )
+    n_below = F.size(F.filter(F.col(_CUTS), lambda c: F.col(col) > c))
+    return joined.withColumn(
+        output_col,
+        F.when(F.col(col).isNotNull(), n_below + F.lit(1)),
+    ).drop(_CUTS)
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    num_buckets: int,
+    by: list[str] | None = None,
+    k: int = 200,
+) -> DataFrame:
+    """(by..., bucket, lo, hi, cnt) — equi-depth histogram: bucket
+    bounds from the sketch cut points, exact per-bucket row counts
+    from one grouped count over the labels."""
+    by = list(by or [])
+    labeled = quantile_bucket(df, col, num_buckets, by=by, k=k)
+    counts = labeled.groupBy(*by, "bucket").agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi"),
+        F.count("*").alias("cnt"),
+    )
+    return counts

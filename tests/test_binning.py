@@ -1,0 +1,83 @@
+"""Equi-depth bucketing: NTILE parity in exact mode, plan shape."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datasketches_spark import register
+from datasketches_spark.pipeline.binning import (
+    equi_depth_histogram,
+    quantile_bucket,
+)
+
+
+@pytest.fixture(autouse=True)
+def _reg(spark):
+    register(spark)
+
+
+class TestQuantileBucket:
+    def test_matches_ntile_exact_mode(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        vals = rng.normal(100.0, 25.0, 4000)
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], ["id", "x"]
+        )
+        got = quantile_bucket(df, "x", 4, k=32768)
+        # inclusive-rank cut points == the values NTILE(4) places at the
+        # bucket edges when n divides evenly; with distinct values and
+        # n % 4 == 0 the two labelings coincide everywhere
+        w = Window.orderBy("x")
+        want = df.withColumn("bucket", F.ntile(4).over(w))
+        mismatches = (
+            got.alias("g")
+            .join(want.alias("w"), "id")
+            .filter(F.col("g.bucket") != F.col("w.bucket"))
+            .count()
+        )
+        assert mismatches == 0
+
+    def test_grouped_buckets(self, spark):
+        rows = [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(400)]
+        df = spark.createDataFrame(rows, ["id", "g", "x"])
+        got = quantile_bucket(df, "x", 4, by=["g"], k=1024)
+        sizes = got.groupBy("g", "bucket").count().collect()
+        assert len(sizes) == 8
+        assert all(45 <= r["count"] <= 55 for r in sizes)
+
+    def test_null_values_get_null_bucket(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, None), (4, 4.0)], ["id", "x"]
+        )
+        rows = {r["id"]: r["bucket"] for r in quantile_bucket(df, "x", 2).collect()}
+        assert rows[3] is None
+        assert rows[1] is not None
+
+    def test_bad_num_buckets(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], ["id", "x"])
+        with pytest.raises(ValueError, match="num_buckets"):
+            quantile_bucket(df, "x", 1)
+
+    def test_histogram_counts_sum(self, spark):
+        df = spark.createDataFrame(
+            [(i, float(i % 97)) for i in range(970)], ["id", "x"]
+        )
+        h = equi_depth_histogram(df, "x", 5, k=4096).collect()
+        assert sum(r["cnt"] for r in h) == 970
+        by_bucket = {r["bucket"]: r for r in h}
+        assert sorted(by_bucket) == [1, 2, 3, 4, 5]
+        for b in range(1, 5):
+            assert by_bucket[b]["hi"] <= by_bucket[b + 1]["lo"]
+
+    def test_plan_broadcast_no_sort(self, spark):
+        """Scale contract: data side has no global sort and no hash
+        shuffle — cut points arrive by broadcast."""
+        df = spark.range(1000).withColumn("x", F.col("id").cast("double"))
+        plan = (
+            quantile_bucket(df, "x", 4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "Sort [x" not in plan
