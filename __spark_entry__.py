@@ -1161,6 +1161,20 @@ def q_quantity_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (pipeline/packing.py): slice
+    the doc_id-ordered token stream into 2048-token training windows.
+    Oracle replays the identical cumulative-sum + series-expansion
+    arithmetic in SQL."""
+    from datasketches_spark.pipeline import text as T
+    from datasketches_spark.pipeline.packing import chunk_pack
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tok")
+    )
+    return chunk_pack(docs, "n_tok", 2048, "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -1227,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_error": q_asof_latest_error,
         "range_join_errors": q_range_join_errors,
         "quantity_equi_depth": q_quantity_equi_depth,
+        "doc_chunk_pack": q_doc_chunk_pack,
     }
 
 
@@ -1659,10 +1674,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l JOIN cuts c ON l.l_returnflag = c.g "
             "GROUP BY 1, 2"
         ),
+        "doc_chunk_pack": _chunk_pack_oracle(),
         "decontam_overlap": _decontam_oracle(),
         "doc_repetition_scores": _repetition_oracle(),
         "customer_redaction": _redaction_oracle(),
     }
+
+
+def _chunk_pack_oracle() -> str:
+    from datasketches_spark.pipeline.text import oracle_token_count_sql
+
+    return f"""
+        WITH tok AS (SELECT doc_id,
+                            ({oracle_token_count_sql('text')})::BIGINT AS t
+                     FROM documents),
+        c AS (SELECT doc_id, t,
+                     (sum(t) OVER (ORDER BY doc_id))::BIGINT AS e
+              FROM tok WHERE t > 0),
+        x AS (SELECT doc_id, t, e - t AS s, e,
+                     unnest(generate_series((e - t) // 2048, (e - 1) // 2048))
+                         AS pack_id
+              FROM c)
+        SELECT doc_id, pack_id,
+               greatest(0, pack_id * 2048 - s) AS slice_start,
+               least(e, (pack_id + 1) * 2048)
+                   - greatest(s, pack_id * 2048) AS slice_len
+        FROM x
+    """
 
 
 def _decontam_oracle() -> str:

@@ -1,0 +1,65 @@
+"""Sequence packing: slice accounting, shard independence, edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_spark.pipeline.packing import chunk_pack, pack_stats
+
+
+class TestChunkPack:
+    def test_token_conservation_and_full_packs(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        toks = [int(v) for v in rng.integers(1, 900, 200)]
+        df = spark.createDataFrame(
+            list(enumerate(toks)), ["doc_id", "n_tok"]
+        )
+        packed = chunk_pack(df, "n_tok", 512, "doc_id")
+        stats = pack_stats(packed).orderBy("pack_id").collect()
+        total = sum(toks)
+        # every token lands in exactly one slice
+        assert sum(r["n_tokens"] for r in stats) == total
+        # contiguous pack ids from 0
+        assert [r["pack_id"] for r in stats] == list(range(len(stats)))
+        # all but the last pack exactly full
+        assert all(r["n_tokens"] == 512 for r in stats[:-1])
+        assert stats[-1]["n_tokens"] == total - 512 * (len(stats) - 1)
+
+    def test_doc_spanning_many_packs(self, spark):
+        df = spark.createDataFrame([(1, 10), (2, 2500), (3, 5)], ["doc_id", "n_tok"])
+        packed = chunk_pack(df, "n_tok", 1000, "doc_id")
+        rows = packed.filter(F.col("doc_id") == 2).orderBy("pack_id").collect()
+        # doc 2 spans tokens [10, 2510) -> packs 0,1,2
+        assert [(r["pack_id"], r["slice_start"], r["slice_len"]) for r in rows] == [
+            (0, 0, 990),
+            (1, 990, 1000),
+            (2, 1990, 510),
+        ]
+        assert packed.filter(F.col("doc_id") == 2).agg(
+            F.sum("slice_len")
+        ).first()[0] == 2500
+
+    def test_zero_and_null_tokens_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, None), (4, 7)], ["doc_id", "n_tok"]
+        )
+        got = chunk_pack(df, "n_tok", 16, "doc_id")
+        assert sorted(r["doc_id"] for r in got.collect()) == [1, 4]
+
+    def test_sharded_packing_independent(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 30), ("a", 2, 40), ("b", 1, 100), ("b", 2, 1)],
+            ["shard", "doc_id", "n_tok"],
+        )
+        packed = chunk_pack(df, "n_tok", 64, "doc_id", by=["shard"])
+        stats = {
+            (r["shard"], r["pack_id"]): r["n_tokens"]
+            for r in pack_stats(packed, by=["shard"]).collect()
+        }
+        assert stats == {("a", 0): 64, ("a", 1): 6, ("b", 0): 64, ("b", 1): 37}
+
+    def test_bad_seq_len(self, spark):
+        df = spark.createDataFrame([(1, 5)], ["doc_id", "n_tok"])
+        with pytest.raises(ValueError, match="seq_len"):
+            chunk_pack(df, "n_tok", 0, "doc_id")
