@@ -1175,6 +1175,31 @@ def q_doc_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_pack(docs, "n_tok", 2048, "doc_id")
 
 
+def q_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware join (pipeline/skewjoin.py): lineitem x orders with
+    auto-detected hot orderkeys routed through a broadcast join.
+    Detection changes only the physical plan — the result is
+    row-identical to the plain join, which is the oracle."""
+    from datasketches_spark.pipeline.skewjoin import skew_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = skew_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        "o_orderkey",
+        min_share=0.0001,
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -1242,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_errors": q_range_join_errors,
         "quantity_equi_depth": q_quantity_equi_depth,
         "doc_chunk_pack": q_doc_chunk_pack,
+        "skew_join_revenue": q_skew_join_revenue,
     }
 
 
@@ -1675,6 +1701,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2"
         ),
         "doc_chunk_pack": _chunk_pack_oracle(),
+        "skew_join_revenue": (
+            "SELECT o_orderstatus, count(*) AS n_items, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderstatus"
+        ),
         "decontam_overlap": _decontam_oracle(),
         "doc_repetition_scores": _repetition_oracle(),
         "customer_redaction": _redaction_oracle(),
