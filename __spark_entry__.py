@@ -1200,6 +1200,25 @@ def q_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 train/val/test split (pipeline/split.py):
+    every row's membership is a pure function of (doc_id, salt), so
+    the oracle recomputes the identical assignment in SQL — exact
+    per-split counts and id checksums must agree."""
+    from datasketches_spark.pipeline.split import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    labeled = hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="r1"
+    )
+    return labeled.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("doc_id").alias("id_min"),
+        F.max("doc_id").alias("id_max"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -1268,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_equi_depth": q_quantity_equi_depth,
         "doc_chunk_pack": q_doc_chunk_pack,
         "skew_join_revenue": q_skew_join_revenue,
+        "doc_hash_split": q_doc_hash_split,
     }
 
 
@@ -1701,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2"
         ),
         "doc_chunk_pack": _chunk_pack_oracle(),
+        "doc_hash_split": _hash_split_oracle(),
         "skew_join_revenue": (
             "SELECT o_orderstatus, count(*) AS n_items, "
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
@@ -1732,6 +1753,20 @@ def _chunk_pack_oracle() -> str:
                least(e, (pack_id + 1) * 2048)
                    - greatest(s, pack_id * 2048) AS slice_len
         FROM x
+    """
+
+
+def _hash_split_oracle() -> str:
+    from datasketches_spark.pipeline.split import oracle_unit_hash_sql
+
+    u = oracle_unit_hash_sql("doc_id", salt="r1")
+    return f"""
+        SELECT CASE WHEN {u} < 0.9 THEN 'train'
+                    WHEN {u} < 0.95 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs, sum(doc_id) AS id_sum,
+               min(doc_id) AS id_min, max(doc_id) AS id_max
+        FROM documents GROUP BY 1
     """
 
 
