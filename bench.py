@@ -106,6 +106,10 @@ def main():
         "curation_sample",
         "decontam_overlap",
         "asof_latest_error",
+        "range_join_errors",
+        "quantity_equi_depth",
+        "doc_chunk_pack",
+        "skew_join_revenue",
     ]
     timings: dict[str, float] = {}
     # full untimed warmup pass: first execution of each plan shape pays
