@@ -1219,6 +1219,24 @@ def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_drift_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift between returnflag A and R quantity
+    distributions via datasketch_kll_ks over two exact-mode sketches
+    (sketches/compactor.py ks_distance).  Oracle computes the same
+    max-|CDF-gap| with a window cumulative sum."""
+    _ensure(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    a = sketch_agg(
+        li.filter(F.col("l_returnflag") == "A"), "l_quantity", "kll", k=32768
+    ).select(F.col("sketch").alias("ska"))
+    b = sketch_agg(
+        li.filter(F.col("l_returnflag") == "R"), "l_quantity", "kll", k=32768
+    ).select(F.col("sketch").alias("skb"))
+    return a.crossJoin(b).select(
+        F.expr("datasketch_kll_ks(ska, skb)").alias("ks_quantity")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -1288,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_pack": q_doc_chunk_pack,
         "skew_join_revenue": q_skew_join_revenue,
         "doc_hash_split": q_doc_hash_split,
+        "ks_drift_quantity": q_ks_drift_quantity,
     }
 
 
@@ -1722,6 +1741,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_chunk_pack": _chunk_pack_oracle(),
         "doc_hash_split": _hash_split_oracle(),
+        "ks_drift_quantity": """
+            WITH counts AS (
+                SELECT l_quantity AS v,
+                       count(*) FILTER (l_returnflag = 'A') AS ca,
+                       count(*) FILTER (l_returnflag = 'R') AS cb
+                FROM lineitem WHERE l_returnflag IN ('A', 'R')
+                GROUP BY 1),
+            cum AS (
+                SELECT (sum(ca) OVER (ORDER BY v))::DOUBLE AS fa,
+                       (sum(cb) OVER (ORDER BY v))::DOUBLE AS fb,
+                       (sum(ca) OVER ())::DOUBLE AS na,
+                       (sum(cb) OVER ())::DOUBLE AS nb
+                FROM counts)
+            SELECT max(abs(fa / na - fb / nb)) AS ks_quantity FROM cum
+        """,
         "skew_join_revenue": (
             "SELECT o_orderstatus, count(*) AS n_items, "
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "

@@ -106,6 +106,21 @@ def _with_args(cls, fn: Callable, ret: str, nargs: int):
     return udf
 
 
+def _pair_metric(cls, fn: Callable, ret: str):
+    @pandas_udf(ret)
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        sa = _deser_batch(cls, a)
+        sb = _deser_batch(cls, b)
+        return _obj_series(
+            [
+                None if x is None or y is None else fn(x, y)
+                for x, y in zip(sa, sb)
+            ]
+        )
+
+    return udf
+
+
 def _sketch_pair(cls, fn: Callable):
     @pandas_udf("binary")
     def udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -176,6 +191,11 @@ def build_scalar_registry() -> dict[str, object]:
             reg[p + "normalized_rank_error"] = _with_args(
                 cls, lambda sk, pmf: float(sk.normalized_rank_error(bool(pmf))), "double", 1
             )
+        # beyond-reference drift surface: two-sample KS distance
+        # (exact in exact mode; see CompactorSketch.ks_distance)
+        reg[p + "ks"] = _pair_metric(
+            cls, lambda a, b: float(a.ks_distance(b)), "double"
+        )
 
     # ---- TDigest (no `inclusive` args, generator.py:160-166) ----
     p = "datasketch_tdigest_"

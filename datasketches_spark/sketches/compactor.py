@@ -236,6 +236,26 @@ class CompactorSketch:
         out.append(1.0)
         return out
 
+    def ks_distance(self, other: "CompactorSketch") -> float:
+        """Two-sample Kolmogorov-Smirnov statistic between the
+        distributions summarized by two sketches: max |F_a(x) - F_b(x)|
+        over the union of retained values.  Exact (equals the classical
+        two-sample KS on the raw data) while both sketches are in exact
+        mode; otherwise approximate with each sketch's rank error.
+        Beyond-reference drift/data-quality surface built on the same
+        retained-item machinery as get_cdf."""
+        if self.n == 0 or other.n == 0:
+            return float("nan")
+        ia, wa = self._sorted_items_weights()
+        ib, wb = other._sorted_items_weights()
+        fa64, fb64 = ia.astype(np.float64), ib.astype(np.float64)
+        xs = np.union1d(fa64, fb64)
+        ca = np.concatenate([[0], np.cumsum(wa)]).astype(np.float64) / float(self.n)
+        cb = np.concatenate([[0], np.cumsum(wb)]).astype(np.float64) / float(other.n)
+        fa = ca[np.searchsorted(fa64, xs, side="right")]
+        fb = cb[np.searchsorted(fb64, xs, side="right")]
+        return float(np.max(np.abs(fa - fb)))
+
     def get_pmf(self, split_points, inclusive: bool = True) -> list[float]:
         cdf = self.get_cdf(split_points, inclusive)
         if not cdf:

@@ -92,6 +92,7 @@ def _args_for(name: str) -> str | None:
         "intersect": f"{sk}, {sk}",
         "a_not_b": f"{sk}, {sk}",
         "jaccard": f"{sk}, {sk}",
+        "ks": f"{sk}, {sk}",
     }
     return table.get(suffix)
 
