@@ -38,13 +38,19 @@ def bloom_filter_of(
     return sketch_agg(df, key_col, "bloom", k=lg_m, output_col=output_col)
 
 
-def bloom_prune_with(fact: DataFrame, fact_key, blob: bytes) -> DataFrame:
+def bloom_prune_with(
+    fact: DataFrame, fact_key, blob: bytes, invert: bool = False
+) -> DataFrame:
     """Filter ``fact`` by a pre-built Bloom filter blob.
 
     The blob travels to executors as a task broadcast (bounded size:
     2^lg_m/8 bytes regardless of key count) and is deserialized ONCE
     per Python worker — never shipped per-row through Arrow, which is
     what makes probing O(keys) instead of O(keys x filter_size).
+
+    ``invert=True`` keeps only *definitely-unseen* keys (Bloom
+    negatives are exact) — the dedup/novelty direction; NULL keys are
+    dropped either way.
     """
     key = fact_key if isinstance(fact_key, Column) else F.col(fact_key)
     bc = fact.sparkSession.sparkContext.broadcast(bytes(blob))
@@ -58,7 +64,8 @@ def bloom_prune_with(fact: DataFrame, fact_key, blob: bytes) -> DataFrame:
         out = pd.Series(False, index=keys.index)
         ok = keys.notna()
         if ok.any():
-            out[ok] = sk.contains_values(keys[ok])
+            hits = sk.contains_values(keys[ok])
+            out[ok] = ~hits if invert else hits
         return out
 
     return fact.where(probe(key))

@@ -352,3 +352,125 @@ def store_estimates(
     """Read a store and decorate it with a scalar estimate column."""
     df = store.read(spark)
     return df.withColumn("estimate", F.expr(f"{estimate_fn}({store.sketch_col})"))
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    id_cols: list[str],
+    ts_col: str | None = None,
+    delay: str | None = None,
+) -> DataFrame:
+    """Exact streaming deduplication on ``id_cols``.
+
+    With ``ts_col`` + ``delay`` (e.g. ``"1 hour"``) state is bounded:
+    Spark's ``dropDuplicatesWithinWatermark`` evicts ids older than the
+    watermark, so memory is O(ids per horizon) — the only exact-dedup
+    shape that survives an unbounded 100 TB/day stream.  Without them,
+    plain ``dropDuplicates`` keeps every id forever (finite backfills
+    only).  For dedup across *restarts of different streams* or when
+    even the horizon's id set is too big, use :class:`BloomDedupStore`.
+    """
+    if (ts_col is None) != (delay is None):
+        raise ValueError("pass ts_col and delay together (or neither)")
+    if ts_col is None:
+        return stream.dropDuplicates(id_cols)
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
+class BloomDedupStore:
+    """Approximate cross-batch dedup with constant-size state: a single
+    Bloom filter blob (2^lg_m bits) of every id ever emitted.
+
+    Each micro-batch keeps only rows whose id is *definitely* unseen
+    (Bloom negatives are exact), so an id is never emitted twice
+    (at-most-once per id); a false positive wrongly drops a new id with
+    probability ~FPP — the standard trade for constant memory on an
+    unbounded stream.  Same trade as a web crawler's seen-URL filter.
+
+    State lives beside the stream checkpoint as a blob file; the epoch
+    marker makes foreachBatch replays no-ops (same guard as
+    SketchStore).  Build is distributed (two-phase blob-only shuffle);
+    only the bounded filter blob ever reaches the driver.
+    """
+
+    def __init__(self, path: str, lg_m: int = 24):
+        self.path = path
+        self.lg_m = lg_m
+
+    def _blob_file(self) -> str:
+        return self.path + "__bloom"
+
+    def _read_blob(self) -> bytes | None:
+        try:
+            with open(self._blob_file(), "rb") as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def _write_blob(self, blob: bytes) -> None:
+        os.makedirs(os.path.dirname(self._blob_file()) or ".", exist_ok=True)
+        tmp = self._blob_file() + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, self._blob_file())
+
+    def filter_new(self, batch_df: DataFrame, id_col: str) -> DataFrame:
+        """Rows of the batch whose id has never been seen: in-batch
+        exact dedup, then a broadcast Bloom probe against the store."""
+        from .runtime_filter import bloom_prune_with
+
+        fresh = batch_df.dropDuplicates([id_col])
+        blob = self._read_blob()
+        if blob is None:
+            return fresh
+        return bloom_prune_with(fresh, id_col, blob, invert=True)
+
+    def absorb_ids(self, batch_df: DataFrame, id_col: str) -> None:
+        """Union the batch's ids into the stored filter."""
+        from .sketches import BloomFilterSketch
+
+        row = sketch_agg(batch_df, id_col, "bloom", k=self.lg_m).first()
+        if row is None or row["sketch"] is None:
+            return
+        new = BloomFilterSketch.deserialize(bytes(row["sketch"]))
+        old_blob = self._read_blob()
+        if old_blob is not None:
+            new.merge(BloomFilterSketch.deserialize(old_blob))
+        self._write_blob(new.serialize())
+
+    # -- replay guard (same shape as SketchStore) ------------------------
+    def _last_epoch(self) -> int:
+        try:
+            with open(self.path + "__last_epoch", encoding="ascii") as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _record_epoch(self, epoch_id: int) -> None:
+        try:
+            with open(self.path + "__last_epoch", "w", encoding="ascii") as f:
+                f.write(str(epoch_id))
+        except OSError:
+            pass
+
+    def foreach_batch(
+        self, id_col: str, emit: Callable[[DataFrame, int], None]
+    ) -> Callable[[DataFrame, int], None]:
+        """foreachBatch function: dedup the batch against all history,
+        hand survivors to ``emit`` (write them wherever the pipeline
+        goes), then fold their ids into the filter."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            if epoch_id <= self._last_epoch():
+                return
+            if batch_df.isEmpty():
+                return
+            survivors = self.filter_new(batch_df, id_col)
+            survivors = survivors.localCheckpoint(eager=True)
+            emit(survivors, epoch_id)
+            self.absorb_ids(survivors, id_col)
+            self._record_epoch(epoch_id)
+
+        return fn

@@ -332,3 +332,69 @@ def test_foreach_batch_replay_guard(spark, tmpdir):
         .n
     )
     assert n == 2000  # 2 distinct epochs, not 3 deliveries
+
+
+def test_streaming_dedup_watermarked(spark, tmpdir):
+    from datasketches_spark.streaming import streaming_dedup
+
+    src = f"{tmpdir}/dd_src"
+    base = spark.createDataFrame(
+        [(i % 40, "2026-01-01 00:00:%02d" % (i % 50)) for i in range(200)],
+        ["event_id", "ts_s"],
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    base.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("event_id BIGINT, ts TIMESTAMP").parquet(src)
+    out = streaming_dedup(stream, ["event_id"], ts_col="ts", delay="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_sink")
+        .option("checkpointLocation", f"{tmpdir}/dd_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dd_sink").collect()
+    ids = [r["event_id"] for r in rows]
+    assert sorted(ids) == sorted(set(ids)) == list(range(40))
+
+
+def test_streaming_dedup_arg_validation(spark):
+    from datasketches_spark.streaming import streaming_dedup
+
+    df = spark.range(5)
+    with pytest.raises(ValueError, match="together"):
+        streaming_dedup(df, ["id"], ts_col="ts")
+
+
+def test_bloom_dedup_store_batches(spark, tmpdir):
+    dss.register(spark)
+    from datasketches_spark.streaming import BloomDedupStore
+
+    store = BloomDedupStore(f"{tmpdir}/bloomdd", lg_m=20)
+    emitted: list[list[int]] = []
+
+    def emit(df, _epoch):
+        emitted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    fn = store.foreach_batch("doc_id", emit)
+    b1 = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    b2 = (
+        spark.range(50, 150)
+        .withColumnRenamed("id", "doc_id")
+        .unionByName(spark.range(60, 70).withColumnRenamed("id", "doc_id"))
+    )
+    fn(b1, 0)
+    fn(b2, 1)
+    assert emitted[0] == list(range(0, 100))
+    # batch 2: ids 50..99 already seen, in-batch dup 60..69 collapsed;
+    # Bloom has no false negatives so nothing previously emitted repeats
+    assert emitted[1] == list(range(100, 150))
+    # replayed epoch is a no-op
+    fn(b2, 1)
+    assert len(emitted) == 2
+    # ids survive a new store handle (state is on disk)
+    store2 = BloomDedupStore(f"{tmpdir}/bloomdd", lg_m=20)
+    fn2 = store2.foreach_batch("doc_id", emit)
+    fn2(spark.range(140, 160).withColumnRenamed("id", "doc_id"), 2)
+    assert emitted[2] == list(range(150, 160))
