@@ -135,6 +135,21 @@ def main() -> None:
         queries["decontam_overlap"] = _entry.oracle_sql()["decontam_overlap"]
         # asof_latest_error: DuckDB's native ASOF JOIN is the baseline
         queries["asof_latest_error"] = _entry.oracle_sql()["asof_latest_error"]
+        # range_join_errors: DuckDB plans the BETWEEN join natively
+        # (IEJoin) -- the fair single-node baseline for our bucketed
+        # equi-join formulation
+        queries["range_join_errors"] = _entry.oracle_sql()["range_join_errors"]
+        # quantity_equi_depth / doc_chunk_pack / doc_hash_split /
+        # skew_join_revenue / ks_drift_quantity: oracle SQL is the
+        # DuckDB-native formulation of the same computation
+        for k in (
+            "quantity_equi_depth",
+            "doc_chunk_pack",
+            "doc_hash_split",
+            "skew_join_revenue",
+            "ks_drift_quantity",
+        ):
+            queries[k] = _entry.oracle_sql()[k]
     except Exception:  # noqa: BLE001 -- keep the baseline runnable standalone
         pass
 
