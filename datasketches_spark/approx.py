@@ -149,6 +149,56 @@ def sample(
     )
 
 
+def bucketize(
+    df: DataFrame,
+    col: str,
+    num_buckets: int,
+    by: list[str] | None = None,
+    k: int = 200,
+    output_col: str = "bucket",
+) -> DataFrame:
+    """Equi-depth bucket label (1..num_buckets) per row — approximate
+    NTILE without the global sort.  See pipeline/binning.py."""
+    from .pipeline.binning import quantile_bucket
+
+    return quantile_bucket(
+        df, col, num_buckets, by=by, k=k, output_col=output_col
+    )
+
+
+def drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    k: int = 200,
+    output_col: str = "ks",
+) -> DataFrame:
+    """One-row DataFrame with the two-sample KS distance between the
+    distributions of ``col`` in the two frames (0 = identical,
+    1 = disjoint).  Exact when both sides fit the sketch exactly."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    a = sketch_agg(df_a, col, "kll", k=k).select(F.col("sketch").alias("__a"))
+    b = sketch_agg(df_b, col, "kll", k=k).select(F.col("sketch").alias("__b"))
+    return a.crossJoin(b).select(
+        F.expr("datasketch_kll_ks(__a, __b)").alias(output_col)
+    )
+
+
+def split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    output_col: str = "split",
+) -> DataFrame:
+    """Deterministic, repartition-invariant train/val/test labels.
+    See pipeline/split.py."""
+    from .pipeline.split import hash_split
+
+    return hash_split(df, id_col, weights, salt=salt, output_col=output_col)
+
+
 def near_duplicates(
     df: DataFrame,
     id_col: str,

@@ -471,3 +471,22 @@ def test_approx_near_duplicates_and_neighbors(spark):
     q = spark.createDataFrame([Row(query_id=0, query_vec=[1.0, 0.05, 0.0, 0.0])])
     out = approx.neighbors(emb, q, k=2).collect()
     assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [0, 1]
+
+
+def test_approx_bucketize_drift_split(spark):
+    from datasketches_spark import approx
+
+    df = spark.range(4000).selectExpr("id AS doc_id", "CAST(id AS double) AS x")
+    b = approx.bucketize(df, "x", 4, k=8192)
+    sizes = sorted(r["count"] for r in b.groupBy("bucket").count().collect())
+    assert len(sizes) == 4 and all(900 <= s <= 1100 for s in sizes)
+
+    shifted = df.selectExpr("doc_id", "x + 4000 AS x")
+    ks = approx.drift(df, shifted, "x", k=8192).first()["ks"]
+    assert ks == 1.0
+    same = approx.drift(df, df, "x", k=8192).first()["ks"]
+    assert same == 0.0
+
+    s = approx.split(df, "doc_id", {"train": 0.75, "test": 0.25})
+    counts = {r["split"]: r["count"] for r in s.groupBy("split").count().collect()}
+    assert abs(counts["train"] / 4000 - 0.75) < 0.03
