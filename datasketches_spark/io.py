@@ -84,3 +84,61 @@ def describe_sketch_table(spark: SparkSession, path: str, sketch_col: str = "ske
     info = sketch_column_info(df, sketch_col)
     n = df.count()
     return json.dumps({"path": path, "rows": n, "sketch_column": sketch_col, "meta": info})
+
+
+def write_bucketed_sketch_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sketch_col: str = "sketch",
+    family: str | None = None,
+    k: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a sketch table hash-bucketed (and sorted) by its group
+    key via ``bucketBy`` + ``saveAsTable``.
+
+    Why this matters at 100 TB: a pipeline that lands per-day /
+    per-source sketch tables re-merges them constantly (day+day→week,
+    store+store→fleet).  Two tables bucketed the same way are
+    co-partitioned on disk, so Spark joins/merges them **without any
+    Exchange** — the single biggest cost in a periodic rollup job
+    disappears.  Verified in tests/test_io.py by asserting the joined
+    plan contains no shuffle.
+    """
+    if family is not None:
+        df = with_sketch_metadata(df, sketch_col, family, k)
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
+
+
+def merge_bucketed_sketch_tables(
+    spark: SparkSession,
+    table_a: str,
+    table_b: str,
+    on: list[str],
+    merge_fn: str,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Pairwise-merge two identically-bucketed sketch tables on their
+    bucket key: ``merge_fn`` is a registered 2-blob SQL merge function
+    (e.g. ``datasketch_theta_union``, ``datasketch_bloom_union``).
+    Groups present in only one table keep that table's sketch (full
+    outer join + coalesce) — day N ∪ day N+1 semantics.  With matching
+    bucketing the plan is scan→sort-merge-join→project: no Exchange.
+    """
+    a = spark.table(table_a).withColumnRenamed(sketch_col, "__a")
+    b = spark.table(table_b).withColumnRenamed(sketch_col, "__b")
+    joined = a.join(b, on, "full_outer")
+    merged = F.when(
+        F.col("__a").isNull(), F.col("__b")
+    ).when(F.col("__b").isNull(), F.col("__a")).otherwise(
+        F.expr(f"{merge_fn}(__a, __b)")
+    )
+    return joined.select(*on, merged.alias(sketch_col))
