@@ -1237,6 +1237,25 @@ def q_ks_drift_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned PSI drift of l_extendedprice between returnflag A and R
+    via datasketch_kll_psi (compactor.psi; exact-mode sketches).
+    Oracle recomputes the same 4-bin PSI from filtered counts."""
+    _ensure(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    a = sketch_agg(
+        li.filter(F.col("l_returnflag") == "A"), "l_extendedprice", "kll", k=32768
+    ).select(F.col("sketch").alias("ska"))
+    b = sketch_agg(
+        li.filter(F.col("l_returnflag") == "R"), "l_extendedprice", "kll", k=32768
+    ).select(F.col("sketch").alias("skb"))
+    return a.crossJoin(b).select(
+        F.expr(
+            "datasketch_kll_psi(ska, skb, array(20000.0D, 50000.0D, 80000.0D))"
+        ).alias("psi_price")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -1307,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_revenue": q_skew_join_revenue,
         "doc_hash_split": q_doc_hash_split,
         "ks_drift_quantity": q_ks_drift_quantity,
+        "psi_drift_price": q_psi_drift_price,
     }
 
 
@@ -1762,6 +1782,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderstatus"
         ),
+        "psi_drift_price": """
+            WITH c AS (
+                SELECT
+                    count(*) FILTER (l_returnflag = 'A' AND l_extendedprice <= 20000) AS a1,
+                    count(*) FILTER (l_returnflag = 'A' AND l_extendedprice > 20000 AND l_extendedprice <= 50000) AS a2,
+                    count(*) FILTER (l_returnflag = 'A' AND l_extendedprice > 50000 AND l_extendedprice <= 80000) AS a3,
+                    count(*) FILTER (l_returnflag = 'A' AND l_extendedprice > 80000) AS a4,
+                    count(*) FILTER (l_returnflag = 'A') AS na,
+                    count(*) FILTER (l_returnflag = 'R' AND l_extendedprice <= 20000) AS b1,
+                    count(*) FILTER (l_returnflag = 'R' AND l_extendedprice > 20000 AND l_extendedprice <= 50000) AS b2,
+                    count(*) FILTER (l_returnflag = 'R' AND l_extendedprice > 50000 AND l_extendedprice <= 80000) AS b3,
+                    count(*) FILTER (l_returnflag = 'R' AND l_extendedprice > 80000) AS b4,
+                    count(*) FILTER (l_returnflag = 'R') AS nb
+                FROM lineitem)
+            SELECT
+                (a1::DOUBLE/na - b1::DOUBLE/nb) * ln((a1::DOUBLE/na) / (b1::DOUBLE/nb))
+              + (a2::DOUBLE/na - b2::DOUBLE/nb) * ln((a2::DOUBLE/na) / (b2::DOUBLE/nb))
+              + (a3::DOUBLE/na - b3::DOUBLE/nb) * ln((a3::DOUBLE/na) / (b3::DOUBLE/nb))
+              + (a4::DOUBLE/na - b4::DOUBLE/nb) * ln((a4::DOUBLE/na) / (b4::DOUBLE/nb))
+                AS psi_price
+            FROM c
+        """,
         "decontam_overlap": _decontam_oracle(),
         "doc_repetition_scores": _repetition_oracle(),
         "customer_redaction": _redaction_oracle(),

@@ -121,6 +121,22 @@ def _pair_metric(cls, fn: Callable, ret: str):
     return udf
 
 
+def _psi_udf(cls):
+    @pandas_udf("double")
+    def udf(a: pd.Series, b: pd.Series, splits: pd.Series) -> pd.Series:
+        sa = _deser_batch(cls, a)
+        sb = _deser_batch(cls, b)
+        return _obj_series(
+            [
+                None if x is None or y is None or sp is None
+                else float(x.psi(y, list(sp)))
+                for x, y, sp in zip(sa, sb, splits)
+            ]
+        )
+
+    return udf
+
+
 def _sketch_pair(cls, fn: Callable):
     @pandas_udf("binary")
     def udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -191,11 +207,12 @@ def build_scalar_registry() -> dict[str, object]:
             reg[p + "normalized_rank_error"] = _with_args(
                 cls, lambda sk, pmf: float(sk.normalized_rank_error(bool(pmf))), "double", 1
             )
-        # beyond-reference drift surface: two-sample KS distance
-        # (exact in exact mode; see CompactorSketch.ks_distance)
+        # beyond-reference drift surface: two-sample KS distance and
+        # binned PSI (exact in exact mode; see CompactorSketch)
         reg[p + "ks"] = _pair_metric(
             cls, lambda a, b: float(a.ks_distance(b)), "double"
         )
+        reg[p + "psi"] = _psi_udf(cls)
 
     # ---- TDigest (no `inclusive` args, generator.py:160-166) ----
     p = "datasketch_tdigest_"

@@ -262,6 +262,24 @@ class CompactorSketch:
             return []
         return [cdf[0]] + [cdf[i] - cdf[i - 1] for i in range(1, len(cdf))]
 
+    def psi(self, other: "CompactorSketch", split_points,
+            inclusive: bool = True) -> float:
+        """Population Stability Index between the two summarized
+        distributions over the bins induced by ``split_points``:
+        sum_i (p_a,i - p_b,i) * ln(p_a,i / p_b,i).  Exact in exact
+        mode.  An empty bin on either side yields inf/nan (no
+        smoothing is applied — choose split points that cover both
+        populations, or pre-clamp upstream).  Companion to
+        :meth:`ks_distance`; PSI is the binned drift metric model
+        monitoring conventionally thresholds at 0.1/0.25."""
+        pa = np.asarray(self.get_pmf(split_points, inclusive), dtype=np.float64)
+        pb = np.asarray(other.get_pmf(split_points, inclusive), dtype=np.float64)
+        if pa.size == 0 or pb.size == 0:
+            return float("nan")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = (pa - pb) * np.log(pa / pb)
+        return float(np.sum(terms))
+
     def _pyval(self, v):
         return None if v is None else (int(v) if self.dtype == "int64" else float(v))
 

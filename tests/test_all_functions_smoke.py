@@ -93,6 +93,7 @@ def _args_for(name: str) -> str | None:
         "a_not_b": f"{sk}, {sk}",
         "jaccard": f"{sk}, {sk}",
         "ks": f"{sk}, {sk}",
+        "psi": f"{sk}, {sk}, array(50.0D, 150.0D)",
     }
     return table.get(suffix)
 

@@ -69,3 +69,52 @@ class TestKsDistance:
         ).first()
         assert 0.2 < row["ks"] <= 1.0
         assert row["self_ks"] == 0.0
+
+
+class TestPsi:
+    def test_identical_is_zero(self):
+        rng = np.random.default_rng(2)
+        v = rng.normal(50, 10, 2000)
+        a, b = KllSketch(4096), KllSketch(4096)
+        a.update(v)
+        b.update(v)
+        assert a.psi(b, [40.0, 50.0, 60.0]) == 0.0
+
+    def test_matches_manual_computation(self):
+        a_vals = np.array([1.0] * 30 + [5.0] * 50 + [9.0] * 20)
+        b_vals = np.array([1.0] * 10 + [5.0] * 60 + [9.0] * 30)
+        a, b = KllSketch(1024), KllSketch(1024)
+        a.update(a_vals)
+        b.update(b_vals)
+        splits = [2.0, 7.0]
+        pa, pb = np.array([0.3, 0.5, 0.2]), np.array([0.1, 0.6, 0.3])
+        want = float(np.sum((pa - pb) * np.log(pa / pb)))
+        assert a.psi(b, splits) == pytest.approx(want, abs=1e-12)
+
+    def test_empty_bin_is_inf(self):
+        a, b = KllSketch(256), KllSketch(256)
+        a.update(np.array([1.0, 2.0]))
+        b.update(np.array([10.0, 20.0]))
+        assert np.isinf(a.psi(b, [5.0]))
+
+    def test_sql_surface(self, spark):
+        register(spark)
+        df = spark.range(1000).select(
+            (F.col("id") % 2).alias("g"),
+            (F.col("id") % 100 + (F.col("id") % 2) * 20).cast("double").alias("x"),
+        )
+        sk = sketch_agg(df, "x", "kll", group_cols=["g"], k=4096)
+        pair = (
+            sk.filter("g = 0").select(F.col("sketch").alias("ska"))
+            .crossJoin(sk.filter("g = 1").select(F.col("sketch").alias("skb")))
+        )
+        row = pair.select(
+            F.expr(
+                "datasketch_kll_psi(ska, skb, array(30.0D, 60.0D, 90.0D))"
+            ).alias("psi"),
+            F.expr(
+                "datasketch_kll_psi(ska, ska, array(30.0D, 60.0D, 90.0D))"
+            ).alias("self_psi"),
+        ).first()
+        assert row["psi"] > 0.0
+        assert row["self_psi"] == 0.0
