@@ -170,18 +170,28 @@ def drift(
     df_a: DataFrame,
     df_b: DataFrame,
     col: str,
+    by: list[str] | None = None,
     k: int = 200,
     output_col: str = "ks",
 ) -> DataFrame:
-    """One-row DataFrame with the two-sample KS distance between the
-    distributions of ``col`` in the two frames (0 = identical,
-    1 = disjoint).  Exact when both sides fit the sketch exactly."""
+    """KS distance between the distributions of ``col`` in the two
+    frames (0 = identical, 1 = disjoint), one row overall or per
+    ``by`` group (inner join on the group keys: a group must appear
+    on both sides to be comparable).  Exact when both sides fit the
+    sketch exactly — the train-vs-serve / day-vs-day monitoring
+    primitive."""
     from pyspark.sql import functions as F  # local alias for clarity
 
-    a = sketch_agg(df_a, col, "kll", k=k).select(F.col("sketch").alias("__a"))
-    b = sketch_agg(df_b, col, "kll", k=k).select(F.col("sketch").alias("__b"))
-    return a.crossJoin(b).select(
-        F.expr("datasketch_kll_ks(__a, __b)").alias(output_col)
+    by = list(by or [])
+    a = sketch_agg(df_a, col, "kll", group_cols=by, k=k).withColumnRenamed(
+        "sketch", "__a"
+    )
+    b = sketch_agg(df_b, col, "kll", group_cols=by, k=k).withColumnRenamed(
+        "sketch", "__b"
+    )
+    pair = a.join(b, by) if by else a.crossJoin(b)
+    return pair.select(
+        *by, F.expr("datasketch_kll_ks(__a, __b)").alias(output_col)
     )
 
 

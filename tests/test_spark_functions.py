@@ -487,6 +487,15 @@ def test_approx_bucketize_drift_split(spark):
     same = approx.drift(df, df, "x", k=8192).first()["ks"]
     assert same == 0.0
 
+    # grouped: one group identical, one disjoint
+    ga = spark.range(200).selectExpr("id % 2 AS g", "CAST(id AS double) AS x")
+    gb = ga.selectExpr("g", "CASE WHEN g = 1 THEN x + 10000 ELSE x END AS x")
+    per_group = {
+        r["g"]: r["ks"]
+        for r in approx.drift(ga, gb, "x", by=["g"], k=4096).collect()
+    }
+    assert per_group == {0: 0.0, 1: 1.0}
+
     s = approx.split(df, "doc_id", {"train": 0.75, "test": 0.25})
     counts = {r["split"]: r["count"] for r in s.groupBy("split").count().collect()}
     assert abs(counts["train"] / 4000 - 0.75) < 0.03
