@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from . import approx
+from . import approx, plans
 from .aggregation import sketch_agg, sketch_agg_multi, sketch_merge, sketch_partial
 from .functions import hll_native, native
 from .functions.aggregates import build_aggregate_registry
@@ -46,6 +46,7 @@ def register(spark: SparkSession) -> list[str]:
 __all__ = [
     "register",
     "approx",
+    "plans",
     "sketch_agg",
     "sketch_agg_multi",
     "sketch_partial",

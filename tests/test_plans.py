@@ -1,0 +1,59 @@
+"""Plan lint: red flags fire on known-bad shapes, stay quiet on good ones."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_spark.plans import assert_scalable, scalability_report
+
+
+class TestPlanLint:
+    def test_cartesian_flagged(self, spark):
+        a = spark.range(10).withColumnRenamed("id", "x")
+        b = spark.range(10).withColumnRenamed("id", "y")
+        bad = a.crossJoin(b)
+        rep = scalability_report(bad)
+        pats = {f["pattern"] for f in rep["flags"]}
+        assert pats & {"CartesianProduct", "BroadcastNestedLoopJoin"}
+        with pytest.raises(ValueError, match="anti-pattern"):
+            assert_scalable(bad)
+
+    def test_allow_suppresses(self, spark):
+        a = spark.range(10).withColumnRenamed("id", "x")
+        b = spark.range(10).withColumnRenamed("id", "y")
+        bad = a.crossJoin(b)
+        rep = assert_scalable(
+            bad, allow=("CartesianProduct", "BroadcastNestedLoopJoin")
+        )
+        assert rep["num_exchanges"] >= 0
+
+    def test_global_window_flagged(self, spark):
+        from pyspark.sql import Window
+
+        df = spark.range(100).withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        )
+        pats = {f["pattern"] for f in scalability_report(df)["flags"]}
+        assert "Exchange SinglePartition" in pats
+
+    def test_equi_join_clean(self, spark):
+        from datasketches_spark.pipeline.rangejoin import range_join
+
+        left = spark.createDataFrame([(1, 0, 100)], ["lid", "k", "lt"])
+        right = spark.createDataFrame([(2, 0, 150)], ["rid", "k", "rt"])
+        rep = assert_scalable(range_join(left, right, "lt", "rt", 0, 60, by="k"))
+        assert rep["flags"] == []
+
+    def test_sharded_packing_clean_unsharded_flagged(self, spark):
+        from datasketches_spark.pipeline.packing import chunk_pack
+
+        df = spark.createDataFrame(
+            [("a", 1, 30), ("b", 2, 40)], ["shard", "doc_id", "n_tok"]
+        )
+        assert_scalable(chunk_pack(df, "n_tok", 64, "doc_id", by=["shard"]))
+        pats = {
+            f["pattern"]
+            for f in scalability_report(chunk_pack(df, "n_tok", 64, "doc_id"))[
+                "flags"
+            ]
+        }
+        assert "Exchange SinglePartition" in pats
