@@ -1163,16 +1163,18 @@ def q_quantity_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (pipeline/packing.py): slice
-    the doc_id-ordered token stream into 2048-token training windows.
-    Oracle replays the identical cumulative-sum + series-expansion
-    arithmetic in SQL."""
+    each language's doc_id-ordered token stream into 2048-token
+    training windows.  Sharding by ``lang`` keeps the cumulative-sum
+    window partitioned (parallel tasks, no global sort) — the shape
+    that survives 100 TB.  Oracle replays the identical cumulative-sum
+    + series-expansion arithmetic in SQL."""
     from datasketches_spark.pipeline import text as T
     from datasketches_spark.pipeline.packing import chunk_pack
 
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", T.token_count(F.col("text")).alias("n_tok")
+        "doc_id", "lang", T.token_count(F.col("text")).alias("n_tok")
     )
-    return chunk_pack(docs, "n_tok", 2048, "doc_id")
+    return chunk_pack(docs, "n_tok", 2048, "doc_id", by=["lang"])
 
 
 def q_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1814,17 +1816,18 @@ def _chunk_pack_oracle() -> str:
     from datasketches_spark.pipeline.text import oracle_token_count_sql
 
     return f"""
-        WITH tok AS (SELECT doc_id,
+        WITH tok AS (SELECT doc_id, lang,
                             ({oracle_token_count_sql('text')})::BIGINT AS t
                      FROM documents),
-        c AS (SELECT doc_id, t,
-                     (sum(t) OVER (ORDER BY doc_id))::BIGINT AS e
+        c AS (SELECT doc_id, lang, t,
+                     (sum(t) OVER (PARTITION BY lang ORDER BY doc_id))::BIGINT
+                         AS e
               FROM tok WHERE t > 0),
-        x AS (SELECT doc_id, t, e - t AS s, e,
+        x AS (SELECT doc_id, lang, t, e - t AS s, e,
                      unnest(generate_series((e - t) // 2048, (e - 1) // 2048))
                          AS pack_id
               FROM c)
-        SELECT doc_id, pack_id,
+        SELECT lang, doc_id, pack_id,
                greatest(0, pack_id * 2048 - s) AS slice_start,
                least(e, (pack_id + 1) * 2048)
                    - greatest(s, pack_id * 2048) AS slice_len
