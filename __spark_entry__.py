@@ -1142,10 +1142,30 @@ def q_range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quantity_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram of l_quantity per returnflag via
-    pipeline/binning.py (sketch cut points broadcast back; no global
-    sort).  Exact-mode K so the cut points — and therefore every
-    bucket label — are deterministic; oracle recomputes the same
-    inclusive-rank cuts with a window."""
+    pipeline/binning.py's exact value-histogram path: l_quantity is
+    bounded-cardinality, so cut points come from a (group, value,
+    count) frame that stays tiny at any scale — all JVM, no global
+    sort, no Python.  Oracle recomputes the same inclusive-rank cuts
+    with a window."""
+    from datasketches_spark.pipeline.binning import equi_depth_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equi_depth_histogram(
+        li, "l_quantity", 4, by=["l_returnflag"], method="hist"
+    ).select(
+        "l_returnflag",
+        "bucket",
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"),
+        "cnt",
+    )
+
+
+def q_quantity_equi_depth_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same histogram through the KLL-sketch cut-point path (the
+    continuous-column variant): exact-mode K so the cut points — and
+    therefore every bucket label — are deterministic; same oracle
+    arithmetic."""
     from datasketches_spark.pipeline.binning import equi_depth_histogram
 
     _ensure(spark)
@@ -1324,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_error": q_asof_latest_error,
         "range_join_errors": q_range_join_errors,
         "quantity_equi_depth": q_quantity_equi_depth,
+        "quantity_equi_depth_kll": q_quantity_equi_depth_kll,
         "doc_chunk_pack": q_doc_chunk_pack,
         "skew_join_revenue": q_skew_join_revenue,
         "doc_hash_split": q_doc_hash_split,
@@ -1339,7 +1360,7 @@ _CUME = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "theta_distinct_orders": (
             "SELECT count(DISTINCT l_orderkey) AS distinct_orders FROM lineitem"
         ),
@@ -1810,6 +1831,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_scores": _repetition_oracle(),
         "customer_redaction": _redaction_oracle(),
     }
+    # the KLL-cuts variant computes the identical inclusive-rank
+    # histogram, so it shares the oracle arithmetic verbatim
+    out["quantity_equi_depth_kll"] = out["quantity_equi_depth"]
+    return out
 
 
 def _chunk_pack_oracle() -> str:

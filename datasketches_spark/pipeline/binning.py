@@ -24,12 +24,66 @@ because Spark-at-scale must not.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..aggregation import sketch_agg
 
 _CUTS = "__qb_cuts"
+
+
+def hist_quantile_cuts(
+    df: DataFrame,
+    col: str,
+    num_buckets: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Exact inclusive-rank cut points via a value histogram — the fast
+    path for bounded-cardinality columns (ints, prices in cents, ages).
+
+    One shuffle collapses the data to (group, value, count) — map-side
+    partial aggregation means only distinct pairs cross the wire — then
+    a window over that tiny frame computes each value's cumulative
+    share, and cut i is ``min(value : cum_share >= i/n)``, the same
+    cume_dist definition NTILE implies.  Everything stays in the JVM.
+
+    At 100 TB this holds as long as distinct(by, col) is bounded (the
+    window runs over distinct values, not rows); for genuinely
+    continuous columns use the sketch path (``quantile_cuts``).
+    """
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets ({num_buckets}) must be >= 2")
+    by = list(by or [])
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*by, col)
+        .agg(F.count("*").alias("__c"))
+    )
+    # windows over the distinct-value frame (bounded by construction)
+    w_cum = (
+        Window.partitionBy(*by)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*by)
+    cdf = counts.select(
+        *by,
+        F.col(col).cast("double").alias("__v"),
+        (F.sum("__c").over(w_cum) / F.sum("__c").over(w_all)).alias("__cd"),
+    )
+    aggs = [
+        F.min(F.when(F.col("__cd") >= i / num_buckets, F.col("__v"))).alias(
+            f"__cut{i}"
+        )
+        for i in range(1, num_buckets)
+    ]
+    cuts = cdf.groupBy(*by).agg(*aggs)
+    return cuts.select(
+        *by,
+        F.array(*[F.col(f"__cut{i}") for i in range(1, num_buckets)]).alias(
+            _CUTS
+        ),
+    )
 
 
 def quantile_cuts(
@@ -59,15 +113,25 @@ def quantile_bucket(
     by: list[str] | None = None,
     k: int = 200,
     output_col: str = "bucket",
+    method: str = "sketch",
 ) -> DataFrame:
     """Label every row with its equi-depth bucket (1..num_buckets) of
     ``col``, optionally per ``by`` group.  NULL values get NULL.
+
+    ``method='sketch'`` (default) decodes cuts from a KLL sketch;
+    ``method='hist'`` computes exact cuts from a value histogram
+    (fast + exact when distinct(col) is bounded).
 
     The cut-point frame is broadcast (num_buckets-1 doubles per
     group); the data-side plan is scan -> broadcast-join -> project.
     """
     by = list(by or [])
-    cuts = quantile_cuts(df, col, num_buckets, by=by, k=k)
+    if method == "hist":
+        cuts = hist_quantile_cuts(df, col, num_buckets, by=by)
+    elif method == "sketch":
+        cuts = quantile_cuts(df, col, num_buckets, by=by, k=k)
+    else:
+        raise ValueError(f"method ({method!r}) must be 'sketch' or 'hist'")
     joined = (
         df.join(F.broadcast(cuts), by) if by else df.crossJoin(F.broadcast(cuts))
     )
@@ -84,12 +148,13 @@ def equi_depth_histogram(
     num_buckets: int,
     by: list[str] | None = None,
     k: int = 200,
+    method: str = "sketch",
 ) -> DataFrame:
     """(by..., bucket, lo, hi, cnt) — equi-depth histogram: bucket
-    bounds from the sketch cut points, exact per-bucket row counts
-    from one grouped count over the labels."""
+    bounds from the cut points, exact per-bucket row counts from one
+    grouped count over the labels."""
     by = list(by or [])
-    labeled = quantile_bucket(df, col, num_buckets, by=by, k=k)
+    labeled = quantile_bucket(df, col, num_buckets, by=by, k=k, method=method)
     counts = labeled.groupBy(*by, "bucket").agg(
         F.min(col).alias("lo"), F.max(col).alias("hi"),
         F.count("*").alias("cnt"),

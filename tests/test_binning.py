@@ -71,6 +71,48 @@ class TestQuantileBucket:
         for b in range(1, 5):
             assert by_bucket[b]["hi"] <= by_bucket[b + 1]["lo"]
 
+    def test_hist_method_matches_sketch_exact_mode(self, spark):
+        """The value-histogram path and the exact-mode KLL path define
+        the identical inclusive-rank cuts, so labels must agree."""
+        rows = [(i, "a" if i % 3 == 0 else "b", float(i % 53)) for i in range(1200)]
+        df = spark.createDataFrame(rows, ["id", "g", "x"])
+        hist = quantile_bucket(df, "x", 4, by=["g"], method="hist")
+        kll = quantile_bucket(df, "x", 4, by=["g"], k=32768, method="sketch")
+        mismatches = (
+            hist.alias("h")
+            .join(kll.alias("k"), "id")
+            .filter(F.col("h.bucket") != F.col("k.bucket"))
+            .count()
+        )
+        assert mismatches == 0
+
+    def test_hist_method_null_and_grouped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "a", None), (4, "b", 4.0)],
+            ["id", "g", "x"],
+        )
+        rows = {
+            r["id"]: r["bucket"]
+            for r in quantile_bucket(df, "x", 2, by=["g"], method="hist").collect()
+        }
+        assert rows[3] is None and rows[1] == 1 and rows[2] == 2
+
+    def test_bad_method(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], ["id", "x"])
+        with pytest.raises(ValueError, match="method"):
+            quantile_bucket(df, "x", 2, method="nope")
+
+    def test_hist_plan_no_python(self, spark):
+        """hist path stays entirely JVM-side: no Arrow/Python eval
+        nodes anywhere in the executed plan."""
+        df = spark.range(1000).withColumn("x", (F.col("id") % 17).cast("double"))
+        plan = (
+            quantile_bucket(df, "x", 4, method="hist")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
+
     def test_plan_broadcast_no_sort(self, spark):
         """Scale contract: data side has no global sort and no hash
         shuffle — cut points arrive by broadcast."""
