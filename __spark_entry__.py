@@ -1222,6 +1222,52 @@ def q_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.15, "zh": 0.15}
+
+
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing (pipeline/mixture.py): downsample
+    each language to target proportions at the largest feasible corpus
+    size.  Membership is the md5 unit hash, so the oracle recomputes
+    the identical keep fractions and the identical surviving set."""
+    from datasketches_spark.pipeline.mixture import sample_to_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = sample_to_mixture(docs, "lang", "doc_id", _MIX_WEIGHTS, salt="mx1")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("doc_id").alias("id_min"),
+        F.max("doc_id").alias("id_max"),
+    )
+
+
+def q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation (pipeline/mixture.py): per language, keep
+    the highest-quality documents until a 20k-token budget is spent —
+    a partitioned cumulative-sum window, each shard in parallel.
+    Deterministic order (quality desc, doc_id asc) so the oracle
+    reproduces the exact kept set."""
+    from datasketches_spark.pipeline import text as T
+    from datasketches_spark.pipeline.mixture import token_budget_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        T.token_count(F.col("text")).cast("long").alias("n_tok"),
+        T.quality_score(F.col("text")).alias("q"),
+    )
+    kept = token_budget_filter(
+        docs,
+        "n_tok",
+        20000,
+        order_by=[F.col("q").desc(), F.col("doc_id").asc()],
+        by=["lang"],
+        cum_col="cum_tok",
+    )
+    return kept.select("lang", "doc_id", "n_tok", "cum_tok")
+
+
 def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5 train/val/test split (pipeline/split.py):
     every row's membership is a pure function of (doc_id, salt), so
@@ -1348,6 +1394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_pack": q_doc_chunk_pack,
         "skew_join_revenue": q_skew_join_revenue,
         "doc_hash_split": q_doc_hash_split,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_token_budget": q_doc_token_budget,
         "ks_drift_quantity": q_ks_drift_quantity,
         "psi_drift_price": q_psi_drift_price,
     }
@@ -1784,6 +1832,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_chunk_pack": _chunk_pack_oracle(),
         "doc_hash_split": _hash_split_oracle(),
+        "doc_mixture_sample": _mixture_oracle(),
+        "doc_token_budget": _token_budget_oracle(),
         "ks_drift_quantity": """
             WITH counts AS (
                 SELECT l_quantity AS v,
@@ -1871,6 +1921,50 @@ def _hash_split_oracle() -> str:
                count(*) AS n_docs, sum(doc_id) AS id_sum,
                min(doc_id) AS id_min, max(doc_id) AS id_max
         FROM documents GROUP BY 1
+    """
+
+
+def _mixture_oracle() -> str:
+    from datasketches_spark.pipeline.mixture import _normalized
+    from datasketches_spark.pipeline.split import oracle_unit_hash_sql
+
+    w = _normalized(_MIX_WEIGHTS)
+    values = ", ".join(
+        f"('{s}', CAST({v!r} AS DOUBLE))" for s, v in w.items()
+    )
+    u = oracle_unit_hash_sql("doc_id", salt="mx1")
+    return f"""
+        WITH w(lang, w) AS (VALUES {values}),
+        c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+        cap AS (SELECT min(n / w) AS cap FROM c JOIN w USING (lang) WHERE w > 0),
+        f AS (SELECT c.lang, w * cap / n AS kf
+              FROM c JOIN w USING (lang) CROSS JOIN cap),
+        kept AS (SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+                 WHERE {u} < kf)
+        SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_sum,
+               min(doc_id) AS id_min, max(doc_id) AS id_max
+        FROM kept GROUP BY lang
+    """
+
+
+def _token_budget_oracle() -> str:
+    from datasketches_spark.pipeline.text import (
+        oracle_quality_score_sql,
+        oracle_token_count_sql,
+    )
+
+    return f"""
+        WITH t AS (SELECT doc_id, lang,
+                          ({oracle_token_count_sql('text')})::BIGINT AS n_tok,
+                          ({oracle_quality_score_sql('text')})::DOUBLE AS q
+                   FROM documents),
+        c AS (SELECT doc_id, lang, n_tok,
+                     sum(n_tok) OVER (PARTITION BY lang
+                                      ORDER BY q DESC, doc_id ASC
+                                      ROWS UNBOUNDED PRECEDING)::BIGINT
+                         AS cum_tok
+              FROM t WHERE n_tok > 0)
+        SELECT lang, doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= 20000
     """
 
 

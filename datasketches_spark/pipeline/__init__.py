@@ -8,8 +8,14 @@
   fingerprinting (all JVM-side Column expressions)
 - :mod:`.multimodal` -- opaque-binary columns, metadata extraction,
   stubbed-but-plumbed decoders
+- :mod:`.mixture` -- source-mixture rebalancing + token-budget
+  selection (deterministic, hash-based)
+
+(:mod:`.asof`, :mod:`.binning`, :mod:`.decontam`, :mod:`.packing`,
+:mod:`.rangejoin`, :mod:`.sessions`, :mod:`.skewjoin`, :mod:`.split`
+are imported directly by callers.)
 """
 
-from . import dedup, multimodal, sessions, similarity, text
+from . import dedup, mixture, multimodal, sessions, similarity, text
 
-__all__ = ["dedup", "sessions", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "mixture", "sessions", "similarity", "text", "multimodal"]
