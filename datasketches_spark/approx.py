@@ -156,13 +156,47 @@ def bucketize(
     by: list[str] | None = None,
     k: int = 200,
     output_col: str = "bucket",
+    method: str = "sketch",
 ) -> DataFrame:
     """Equi-depth bucket label (1..num_buckets) per row — approximate
-    NTILE without the global sort.  See pipeline/binning.py."""
+    NTILE without the global sort (``method='hist'`` for the exact
+    JVM-only path on bounded-cardinality columns).  See
+    pipeline/binning.py."""
     from .pipeline.binning import quantile_bucket
 
     return quantile_bucket(
-        df, col, num_buckets, by=by, k=k, output_col=output_col
+        df, col, num_buckets, by=by, k=k, output_col=output_col, method=method
+    )
+
+
+def rebalance(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic downsample to target source/language proportions
+    at the largest feasible corpus size.  See pipeline/mixture.py."""
+    from .pipeline.mixture import sample_to_mixture
+
+    return sample_to_mixture(df, source_col, id_col, weights, salt=salt)
+
+
+def within_budget(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    order_by: list,
+    by: list[str] | None = None,
+    cum_col: str | None = None,
+) -> DataFrame:
+    """Longest affordable prefix per shard under a token budget, in a
+    caller-chosen deterministic order.  See pipeline/mixture.py."""
+    from .pipeline.mixture import token_budget_filter
+
+    return token_budget_filter(
+        df, tokens_col, budget, order_by, by=by, cum_col=cum_col
     )
 
 

@@ -499,3 +499,25 @@ def test_approx_bucketize_drift_split(spark):
     s = approx.split(df, "doc_id", {"train": 0.75, "test": 0.25})
     counts = {r["split"]: r["count"] for r in s.groupBy("split").count().collect()}
     assert abs(counts["train"] / 4000 - 0.75) < 0.03
+
+
+def test_approx_rebalance_and_budget(spark):
+    from datasketches_spark import approx
+
+    df = spark.range(3000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'web' ELSE 'code' END AS src",
+        "CAST(10 AS int) AS n_tok",
+    )
+    kept = approx.rebalance(df, "src", "doc_id", {"web": 0.5, "code": 0.5})
+    counts = {r["src"]: r["count"] for r in kept.groupBy("src").count().collect()}
+    assert counts["web"] == 1000  # binding source kept whole
+    assert abs(counts["code"] - 1000) < 60
+
+    top = approx.within_budget(
+        df, "n_tok", 55, order_by=["doc_id"], cum_col="cum"
+    ).collect()
+    assert sorted(r["doc_id"] for r in top) == [0, 1, 2, 3, 4]
+
+    hb = approx.bucketize(df, "n_tok", 2, method="hist")
+    assert hb.filter(F.col("bucket").isNull()).count() == 0
