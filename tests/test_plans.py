@@ -57,3 +57,38 @@ class TestPlanLint:
             ]
         }
         assert "Exchange SinglePartition" in pats
+
+
+# Benign shapes a declared query may carry (each is bounded by
+# construction and safe at any scale):
+# - Exchange SinglePartition: a one-row GLOBAL aggregate whose input is
+#   already partial-aggregated (sketch blobs / partial counts), or an
+#   ordered window over a per-group sketch frame (O(groups) rows).
+# - BroadcastNestedLoopJoin: a cross join whose build side is a
+#   one-row frame (global-aggregate scalar, capacity scalar, bounds
+#   frame) or the broadcast query set of an ANN lookup.
+_SWEEP_ALLOW = ("Exchange SinglePartition", "BroadcastNestedLoopJoin")
+
+
+class TestEntryQuerySweep:
+    """Every declared query must plan free of CartesianProduct — the
+    one flag with no benign reading.  This is the regression guard for
+    'an equi-join formulation silently degraded to all-pairs'."""
+
+    def test_no_cartesian_in_any_declared_query(self, spark):
+        import __spark_entry__ as entry
+        from datasketches_spark import register
+
+        register(spark)
+        sf = "/root/testdata/sf0.001"
+        offenders = {}
+        for name, fn in entry.queries().items():
+            rep = scalability_report(fn(spark, sf))
+            pats = {f["pattern"] for f in rep["flags"]}
+            if "CartesianProduct" in pats:
+                offenders[name] = sorted(pats)
+            # anything beyond the documented-allow set is a failure too
+            extra = pats - set(_SWEEP_ALLOW) - {"CartesianProduct"}
+            if extra:
+                offenders[name] = sorted(pats)
+        assert offenders == {}
