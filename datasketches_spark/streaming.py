@@ -346,6 +346,55 @@ def _make_stateful_fn(
     return fn
 
 
+def streaming_drift_monitor(
+    stream_df: DataFrame,
+    input_col: str,
+    reference_blob: bytes,
+    group_cols: list[str] | None = None,
+    family: str = "kll",
+    k: int | None = None,
+    metric_col: str = "ks",
+    output_mode: str = "update",
+) -> DataFrame:
+    """Live distribution drift of a stream against a frozen reference.
+
+    The training-serving-skew monitor: freeze a quantile sketch of the
+    reference distribution (one ``sketch_agg`` over the training set),
+    then watch the serving stream — each micro-batch folds into the
+    per-key cumulative sketch (``stateful_sketch_stream``, state = one
+    bounded blob per key) and emits the two-sample KS distance against
+    the reference as a metric stream: ``group_cols + (sketch,
+    rows_in_batch, <metric_col>)``.  Alert on ``metric_col`` crossing
+    a threshold downstream.
+
+    The reference blob rides along as a constant binary literal —
+    broadcast with the plan, never shuffled.  Cumulative-so-far drift
+    by default; for per-window drift include an event-time bucket
+    (e.g. ``sources.read_table``'s ``hour_bucket``) in ``group_cols``.
+    Requires ``register(spark)`` (the KS scalar runs through the SQL
+    registry).
+    """
+    if family not in ("quantiles", "kll", "req"):
+        raise ValueError(
+            f"family ({family!r}) must be a KS-capable quantile family: "
+            "'quantiles', 'kll', or 'req'"
+        )
+    group_cols = list(group_cols or [])
+    gcols = group_cols or ["__all"]
+    src = stream_df if group_cols else stream_df.withColumn("__all", F.lit(1))
+    sketches = stateful_sketch_stream(
+        src, input_col, family, gcols, k=k, output_mode=output_mode
+    )
+    out = (
+        sketches.withColumn("__ref", F.lit(bytes(reference_blob)))
+        .withColumn(
+            metric_col, F.expr(f"datasketch_{family}_ks(sketch, __ref)")
+        )
+        .drop("__ref")
+    )
+    return out if group_cols else out.drop("__all")
+
+
 def store_estimates(
     spark: SparkSession, store: SketchStore, estimate_fn: str
 ) -> DataFrame:

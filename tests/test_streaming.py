@@ -398,3 +398,61 @@ def test_bloom_dedup_store_batches(spark, tmpdir):
     fn2 = store2.foreach_batch("doc_id", emit)
     fn2(spark.range(140, 160).withColumnRenamed("id", "doc_id"), 2)
     assert emitted[2] == list(range(150, 160))
+
+
+def test_streaming_drift_monitor(spark, tmpdir):
+    """Drift of a stream against a frozen reference sketch: the first
+    file matches the reference (ks 0), the second is disjointly
+    shifted, so the cumulative ks rises to exactly 0.5 (exact mode)."""
+    from datasketches_spark.aggregation import sketch_agg
+    from datasketches_spark.streaming import streaming_drift_monitor
+
+    dss.register(spark)
+    ref_df = spark.range(0, 1000).selectExpr("CAST(id AS double) AS x")
+    ref_blob = bytes(
+        sketch_agg(ref_df, "x", "kll", k=4096).first()["sketch"]
+    )
+
+    src = f"{tmpdir}/src_drift"
+    ref_df.coalesce(1).write.mode("overwrite").parquet(src)
+    spark.range(10000, 11000).selectExpr(
+        "CAST(id AS double) AS x"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("x DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_drift_monitor(stream, "x", ref_blob, family="kll", k=4096)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_stream")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_drift")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM drift_stream").collect()
+    assert rows, "no drift emissions"
+    from datasketches_spark.sketches import KllSketch
+
+    by_n = {KllSketch.deserialize(bytes(r.sketch)).n: r.ks for r in rows}
+    # the cumulative state over both files: half the mass disjointly
+    # shifted -> ks exactly 0.5 in exact mode
+    assert by_n[2000] == pytest.approx(0.5)
+    # a single-file emission is either the matching file (ks 0) or the
+    # fully shifted one (ks 1), batch order depending on file discovery
+    for n, ks in by_n.items():
+        if n == 1000:
+            assert ks in (pytest.approx(0.0), pytest.approx(1.0))
+
+
+def test_streaming_drift_monitor_validates_family(spark):
+    from datasketches_spark.streaming import streaming_drift_monitor
+
+    df = spark.range(1).selectExpr("CAST(id AS double) AS x")
+    with pytest.raises(ValueError, match="family"):
+        streaming_drift_monitor(df, "x", b"", family="theta")
