@@ -1268,6 +1268,19 @@ def q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("lang", "doc_id", "n_tok", "cum_tok")
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-powered pre-flight join-size estimate (plans.py): theta
+    key sketches per side, |K_L∩K_R| x avg multiplicities.  Exact-mode
+    lg_k makes every column deterministic; the oracle recomputes the
+    identical arithmetic from exact counts."""
+    from datasketches_spark.plans import estimate_equi_join_rows
+
+    _ensure(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return estimate_equi_join_rows(li, "l_orderkey", orders, "o_orderkey", lg_k=16)
+
+
 def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5 train/val/test split (pipeline/split.py):
     every row's membership is a pure function of (doc_id, salt), so
@@ -1396,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_split": q_doc_hash_split,
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_token_budget": q_doc_token_budget,
+        "join_size_estimate": q_join_size_estimate,
         "ks_drift_quantity": q_ks_drift_quantity,
         "psi_drift_price": q_psi_drift_price,
     }
@@ -1834,6 +1848,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_split": _hash_split_oracle(),
         "doc_mixture_sample": _mixture_oracle(),
         "doc_token_budget": _token_budget_oracle(),
+        "join_size_estimate": """
+            WITH l AS (SELECT count(l_orderkey) AS left_rows,
+                              count(DISTINCT l_orderkey)::DOUBLE AS left_keys
+                       FROM lineitem),
+            r AS (SELECT count(o_orderkey) AS right_rows,
+                         count(DISTINCT o_orderkey)::DOUBLE AS right_keys
+                  FROM orders),
+            s AS (SELECT count(*)::DOUBLE AS shared_keys
+                  FROM (SELECT DISTINCT l_orderkey FROM lineitem
+                        INTERSECT
+                        SELECT DISTINCT o_orderkey FROM orders))
+            SELECT left_rows, right_rows, left_keys, right_keys, shared_keys,
+                   shared_keys * (left_rows / left_keys)
+                               * (right_rows / right_keys) AS est_rows
+            FROM l, r, s
+        """,
         "ks_drift_quantity": """
             WITH counts AS (
                 SELECT l_quantity AS v,

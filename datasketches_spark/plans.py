@@ -18,6 +18,7 @@ cartesian one.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # pattern -> why it breaks at 100 TB
 RED_FLAGS: dict[str, str] = {
@@ -59,6 +60,64 @@ def scalability_report(df: DataFrame) -> dict:
         "num_exchanges": plan.count("Exchange "),
         "plan": plan,
     }
+
+
+def estimate_equi_join_rows(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Pre-flight equi-join size estimate from key sketches — decide
+    broadcast vs shuffle vs skew-handling BEFORE running a 100 TB join.
+
+    One bounded-state pass per side builds a theta sketch of the join
+    keys (the same set-algebra surface the reference exposes —
+    /root/reference/src/theta_sketch.cpp:221-270); the estimate is
+
+        |K_L ∩ K_R| * (rows_L / |K_L|) * (rows_R / |K_R|)
+
+    i.e. shared keys times the two average multiplicities — exact for
+    uniform fan-out, an expected-value estimate otherwise (heavy-key
+    fan-out is precisely what ``pipeline.skewjoin.detect_hot_keys``
+    diagnoses next).  Exact-mode sketches make the whole row
+    deterministic.  Returns one row: ``left_rows, right_rows,
+    left_keys, right_keys, shared_keys, est_rows``.  Requires
+    ``register(spark)``.
+    """
+    from .aggregation import sketch_agg
+
+    lsk = sketch_agg(left, left_key, "theta", k=lg_k).withColumnRenamed(
+        "sketch", "__lsk"
+    )
+    rsk = sketch_agg(right, right_key, "theta", k=lg_k).withColumnRenamed(
+        "sketch", "__rsk"
+    )
+    ln = left.agg(F.count(left_key).alias("left_rows"))
+    rn = right.agg(F.count(right_key).alias("right_rows"))
+    one = (
+        lsk.crossJoin(F.broadcast(rsk))
+        .crossJoin(F.broadcast(ln))
+        .crossJoin(F.broadcast(rn))
+    )
+    lk = F.expr("datasketch_theta_estimate(__lsk)")
+    rk = F.expr("datasketch_theta_estimate(__rsk)")
+    shared = F.expr(
+        "datasketch_theta_estimate(datasketch_theta_intersect(__lsk, __rsk))"
+    )
+    return one.select(
+        F.col("left_rows"),
+        F.col("right_rows"),
+        lk.alias("left_keys"),
+        rk.alias("right_keys"),
+        shared.alias("shared_keys"),
+        (
+            shared
+            * (F.col("left_rows") / lk)
+            * (F.col("right_rows") / rk)
+        ).alias("est_rows"),
+    )
 
 
 def assert_scalable(df: DataFrame, allow: tuple[str, ...] = ()) -> dict:
