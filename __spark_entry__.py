@@ -1337,6 +1337,25 @@ def q_psi_drift_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (profile.py): exact counts/min/max in a
+    single JVM aggregate + all distinct/quantile sketches in one
+    ``sketch_agg_multi`` scan.  Exact-mode parameters (theta lg_k=16,
+    KLL k=32768 >> 1500 customer rows at sf0.01) make every output
+    value deterministic; the oracle recomputes the identical profile
+    with plain SQL, one UNION ALL branch per column."""
+    from datasketches_spark.profile import profile_table
+
+    _ensure(spark)
+    cust = _t(spark, sf_dir, "customer")
+    return profile_table(
+        cust,
+        ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"],
+        lg_k=16,
+        kll_k=32768,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -1412,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "ks_drift_quantity": q_ks_drift_quantity,
         "psi_drift_price": q_psi_drift_price,
+        "table_profile": q_table_profile,
     }
 
 
@@ -1910,11 +1930,55 @@ def oracle_sql() -> dict[str, str]:
         "decontam_overlap": _decontam_oracle(),
         "doc_repetition_scores": _repetition_oracle(),
         "customer_redaction": _redaction_oracle(),
+        "table_profile": _profile_oracle(),
     }
     # the KLL-cuts variant computes the identical inclusive-rank
     # histogram, so it shares the oracle arithmetic verbatim
     out["quantity_equi_depth_kll"] = out["quantity_equi_depth"]
     return out
+
+
+def _profile_oracle() -> str:
+    """Plain-SQL recomputation of profile_table's exact-mode output,
+    one UNION ALL branch per profiled customer column."""
+
+    def q(col: str, p: float) -> str:
+        return (
+            f"(SELECT min(v) FROM (SELECT {col} AS v, "
+            f"cume_dist() OVER (ORDER BY {col}) AS cd FROM customer "
+            f"WHERE {col} IS NOT NULL) WHERE cd >= {p})::DOUBLE"
+        )
+
+    def numeric(col: str) -> str:
+        return (
+            f"SELECT '{col}' AS \"column\", count(*) AS n_rows, "
+            f"count({col}) AS n_nonnull, count(*) - count({col}) AS n_null, "
+            f"count(DISTINCT {col})::DOUBLE AS distinct_est, "
+            f"min({col})::DOUBLE AS min_num, max({col})::DOUBLE AS max_num, "
+            f"{q(col, 0.25)} AS q_25, {q(col, 0.5)} AS q_50, "
+            f"{q(col, 0.75)} AS q_75, "
+            f"NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str "
+            f"FROM customer"
+        )
+
+    def stringy(col: str) -> str:
+        return (
+            f"SELECT '{col}' AS \"column\", count(*) AS n_rows, "
+            f"count({col}) AS n_nonnull, count(*) - count({col}) AS n_null, "
+            f"count(DISTINCT {col})::DOUBLE AS distinct_est, "
+            f"NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, "
+            f"NULL::DOUBLE AS q_25, NULL::DOUBLE AS q_50, NULL::DOUBLE AS q_75, "
+            f"min({col}) AS min_str, max({col}) AS max_str FROM customer"
+        )
+
+    return " UNION ALL ".join(
+        [
+            numeric("c_custkey"),
+            numeric("c_nationkey"),
+            stringy("c_mktsegment"),
+            numeric("c_acctbal"),
+        ]
+    )
 
 
 def _chunk_pack_oracle() -> str:

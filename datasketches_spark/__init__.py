@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from . import approx, plans
+from . import approx, plans, profile
 from .aggregation import sketch_agg, sketch_agg_multi, sketch_merge, sketch_partial
 from .functions import hll_native, native
 from .functions.aggregates import build_aggregate_registry
@@ -47,6 +47,7 @@ __all__ = [
     "register",
     "approx",
     "plans",
+    "profile",
     "sketch_agg",
     "sketch_agg_multi",
     "sketch_partial",

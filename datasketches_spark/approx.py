@@ -276,3 +276,18 @@ def neighbors(
         embeddings, queries, k=k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    lg_k: int = 16,
+    kll_k: int = 32768,
+) -> DataFrame:
+    """One row of stats per column in two scans: exact
+    counts/nulls/min/max (single JVM aggregate) plus theta distinct
+    estimates and KLL quantiles (one ``sketch_agg_multi`` pass).
+    See profile.py for the scale argument."""
+    from .profile import profile_table
+
+    return profile_table(df, columns, lg_k=lg_k, kll_k=kll_k)

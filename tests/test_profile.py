@@ -1,0 +1,57 @@
+"""Table profiler: exact stats + sketch estimates in two scans."""
+
+import pytest
+from pyspark.sql import Row
+
+from datasketches_spark.profile import profile_table
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        Row(i=i, x=float(i) if i % 5 else None, s=f"s{i % 3}" if i % 7 else None)
+        for i in range(100)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _by_col(prof):
+    return {r["column"]: r.asDict() for r in prof.collect()}
+
+
+def test_exact_counts_and_nulls(df):
+    p = _by_col(profile_table(df, ["i", "x", "s"]))
+    assert p["i"]["n_rows"] == 100 and p["i"]["n_null"] == 0
+    assert p["x"]["n_null"] == 20  # every 5th x is NULL
+    assert p["s"]["n_null"] == 15  # every 7th s is NULL (0,7,...,98)
+    assert p["s"]["n_nonnull"] == 85
+
+
+def test_distinct_exact_mode(df):
+    p = _by_col(profile_table(df, ["i", "s"], lg_k=12))
+    assert p["i"]["distinct_est"] == 100.0
+    assert p["s"]["distinct_est"] == 3.0
+
+
+def test_numeric_minmax_and_quantiles(df):
+    p = _by_col(profile_table(df, ["i"], kll_k=1024))
+    assert p["i"]["min_num"] == 0.0 and p["i"]["max_num"] == 99.0
+    # inclusive exact-mode quantile: smallest v with cume_dist >= p
+    assert p["i"]["q_50"] == 49.0
+    assert p["i"]["min_str"] is None and p["i"]["max_str"] is None
+
+
+def test_string_columns_get_string_minmax(df):
+    p = _by_col(profile_table(df, ["s"]))
+    assert p["s"]["min_str"] == "s0" and p["s"]["max_str"] == "s2"
+    assert p["s"]["min_num"] is None and p["s"]["q_50"] is None
+
+
+def test_default_columns_and_validation(df, spark):
+    prof = profile_table(df)  # all three columns are profilable
+    assert {r["column"] for r in prof.collect()} == {"i", "x", "s"}
+    with pytest.raises(ValueError, match="no such column"):
+        profile_table(df, ["nope"])
+    bin_df = spark.createDataFrame([Row(b=bytearray(b"x"))])
+    with pytest.raises(ValueError, match="unsupported type"):
+        profile_table(bin_df, ["b"])
