@@ -77,7 +77,22 @@ class BloomFilterSketch:
         if s.empty:
             return
         idx = self._indices(s).ravel()
-        np.bitwise_or.at(self.bits, (idx >> 3).astype(np.int64), np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        if self.lg_m <= 26:
+            # dense path: a bool scatter + packbits is ~100x faster than
+            # the unbuffered ufunc.at scatter (bit layout identical:
+            # LSB-first within each byte)
+            hit = np.zeros(self._m, dtype=bool)
+            hit[idx.astype(np.int64)] = True
+            np.bitwise_or(self.bits, np.packbits(hit, bitorder="little"), out=self.bits)
+        else:
+            # huge-m path: avoid the 2^lg_m-byte temp; dedup first so the
+            # slow scatter touches each bit once
+            idx = np.unique(idx)
+            np.bitwise_or.at(
+                self.bits,
+                (idx >> 3).astype(np.int64),
+                np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+            )
 
     def merge(self, other: "BloomFilterSketch") -> None:
         # an untouched filter adopts the incoming shape, so phase-2 merge

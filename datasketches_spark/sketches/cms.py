@@ -28,7 +28,7 @@ import struct
 import numpy as np
 import pandas as pd
 
-from ..hashing import hash_values
+from ..hashing import hash_values, splitmix64
 from .base import FAMILY_CMS, SketchDeserializeError, frame, unframe
 
 
@@ -66,22 +66,36 @@ class CountMinSketch:
         return 2.0 / self.width
 
     def _row_indices(self, canon: pd.Series) -> np.ndarray:
+        # one expensive value hash + a cheap uint64 re-mix per extra row
+        # (Kirsch-Mitzenmacher double hashing, like the Bloom family):
+        # hashing the values once instead of `depth` times is a ~depth-x
+        # speedup on string inputs where the value hash dominates
         mask = np.uint64(self.width - 1)
-        return np.stack(
-            [hash_values(canon, seed=0xC3A5 + 0x9E37 * i) & mask for i in range(self.depth)]
-        )
+        h1 = hash_values(canon, seed=0xC3A5)
+        if self.depth == 1:
+            return (h1 & mask)[None, :]
+        h2 = splitmix64(h1, seed=0x9E37) | np.uint64(1)
+        i = np.arange(self.depth, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return (h1[None, :] + i * h2[None, :]) & mask
 
     # -- building -------------------------------------------------------
     def update_series(self, s: pd.Series) -> None:
         from .frequent_items import canonicalize_series
 
-        s = canonicalize_series(s.dropna())
+        s = s.dropna()
         if s.empty:
             return
-        idx = self._row_indices(s)
+        # collapse duplicates first: the scatter and the canonicalization
+        # then touch unique items only (weights carry the counts) --
+        # repeated adds to one cell equal one weighted add
+        vc = s.value_counts()
+        canon = canonicalize_series(pd.Series(vc.index))
+        w = vc.to_numpy(dtype=np.uint64)
+        idx = self._row_indices(canon)
         for i in range(self.depth):
-            np.add.at(self.counts[i], idx[i].astype(np.int64), np.uint64(1))
-        self.total += len(s)
+            np.add.at(self.counts[i], idx[i].astype(np.int64), w)
+        self.total += int(len(s))
 
     def merge(self, other: "CountMinSketch") -> None:
         if (self.lg_w, self.depth) != (other.lg_w, other.depth):

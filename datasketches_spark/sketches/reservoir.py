@@ -77,10 +77,10 @@ class ReservoirSampleSketch:
     def update_series(self, s: pd.Series, weights: pd.Series | None = None) -> None:
         if weights is not None:
             mask = s.notna() & weights.notna() & (weights > 0)
+            s = s[mask]
             w = weights[mask].to_numpy(dtype=np.float64)
-            s = canonicalize_series(s[mask])
         else:
-            s = canonicalize_series(s.dropna())
+            s = s.dropna()
             w = None
         if s.empty:
             return
@@ -89,9 +89,25 @@ class ReservoirSampleSketch:
         scale = 1.0 if w is None else 1.0 / w
         new_tags = self._rng.exponential(scale, size=len(s))
         self.n += len(s)
-        self._keep_bottom_k(
-            np.concatenate([self.tags, new_tags]), self.items + s.tolist()
+        # select survivors on tags alone, then canonicalize only the
+        # <= k incoming winners: stringifying every candidate row was
+        # the dominant cost of the whole update
+        n_old = self.tags.size
+        tags = np.concatenate([self.tags, new_tags])
+        if tags.size > self.k:
+            idx = np.argpartition(tags, self.k - 1)[: self.k]
+            idx = idx[np.argsort(tags[idx], kind="stable")]
+        else:
+            idx = np.argsort(tags, kind="stable")
+        new_sel = idx[idx >= n_old] - n_old
+        canon_new = (
+            canonicalize_series(s.iloc[new_sel]).tolist() if new_sel.size else []
         )
+        new_items = dict(zip(new_sel.tolist(), canon_new))
+        self.items = [
+            self.items[i] if i < n_old else new_items[i - n_old] for i in idx
+        ]
+        self.tags = tags[idx]
 
     def merge(self, other: "ReservoirSampleSketch") -> None:
         if other.k < self.k and other.n > other.k:
