@@ -1356,6 +1356,41 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view->click->purchase over the first 24h of the
+    events stream (pipeline/funnel.py): one groupBy(user) + a JVM
+    array fold, no Python and no correlated self-joins.  Greedy
+    earliest-completion semantics == the oracle's chained correlated
+    minimum, so the counts match exactly."""
+    from datasketches_spark.pipeline.funnel import funnel_counts
+
+    _ensure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(1_704_153_600_000_000_000)
+    )
+    return funnel_counts(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly cohort retention via Theta set algebra
+    (pipeline/cohorts.py): ONE scan builds per-hour user sketches,
+    the retention row per hour is an intersect over the tiny blob
+    frame.  Exact mode (lg_k=16 >> 150 users) => hash-matches the
+    oracle's COUNT(DISTINCT) self-join."""
+    from datasketches_spark.pipeline.cohorts import retention_matrix
+
+    _ensure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour", F.floor(F.col("ts") / F.lit(3_600_000_000_000)).cast("long")
+    )
+    h0 = ev.agg(F.min("hour")).collect()[0][0]
+    return retention_matrix(ev, "user_id", "hour", lg_k=16, cohort_period=h0).select(
+        "cohort_period", "period", "cohort_size_est", "retained_est", "retention_rate"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -1432,6 +1467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_quantity": q_ks_drift_quantity,
         "psi_drift_price": q_psi_drift_price,
         "table_profile": q_table_profile,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -1931,6 +1968,42 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_scores": _repetition_oracle(),
         "customer_redaction": _redaction_oracle(),
         "table_profile": _profile_oracle(),
+        "funnel_steps": """
+            WITH e AS (SELECT * FROM events
+                       WHERE epoch_ns(ts) < 1704153600000000000),
+            t1 AS (SELECT user_id, min(ts) AS t FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+                   JOIN t1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > t1.t
+                   GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+                   JOIN t2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > t2.t
+                   GROUP BY e.user_id)
+            SELECT 1 AS step_index, 'view' AS step,
+                   (SELECT count(*) FROM t1) AS users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+        """,
+        "cohort_retention": """
+            WITH a AS (SELECT DISTINCT
+                         floor(epoch_ns(ts) / 3600000000000)::BIGINT AS h,
+                         user_id
+                       FROM events),
+            mn AS (SELECT min(h) AS h0 FROM a),
+            c AS (SELECT a.user_id FROM a, mn WHERE a.h = mn.h0),
+            per AS (SELECT DISTINCT h FROM a),
+            ret AS (SELECT a.h, count(DISTINCT a.user_id) AS r
+                    FROM a JOIN c USING (user_id) GROUP BY a.h)
+            SELECT mn.h0 AS cohort_period, per.h AS period,
+                   (SELECT count(*) FROM c) AS cohort_size_est,
+                   coalesce(ret.r, 0) AS retained_est,
+                   round(coalesce(ret.r, 0)::DOUBLE
+                         / (SELECT count(*) FROM c), 6) AS retention_rate
+            FROM per CROSS JOIN mn LEFT JOIN ret ON per.h = ret.h
+            WHERE per.h >= mn.h0
+        """,
     }
     # the KLL-cuts variant computes the identical inclusive-rank
     # histogram, so it shares the oracle arithmetic verbatim
