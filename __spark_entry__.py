@@ -1391,6 +1391,31 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the events JSON props
+    with native ``from_json`` (JVM, codegen), then per event_type the
+    exact avg plus a theta distinct estimate of the extracted field.
+    Host-delegated JSON (SURVEY.md §2.1) composing with the sketch
+    layer; exact mode => hash-matches DuckDB's json_extract."""
+    from pyspark.sql.types import IntegerType, StructField as SF, StructType as ST
+
+    _ensure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.from_json(F.col("props"), ST([SF("k", IntegerType())]))["k"].alias("k"),
+    )
+    sk = sketch_agg(ev, "k", "theta", group_cols=["event_type"], k=14)
+    avg = ev.groupBy("event_type").agg(F.round(F.avg("k"), 6).alias("avg_k"))
+    return avg.join(F.broadcast(sk), "event_type").select(
+        "event_type",
+        "avg_k",
+        F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
+            "distinct_k"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -1469,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
+        "json_props_stats": q_json_props_stats,
     }
 
 
@@ -2004,6 +2030,12 @@ def oracle_sql() -> dict[str, str]:
             FROM per CROSS JOIN mn LEFT JOIN ret ON per.h = ret.h
             WHERE per.h >= mn.h0
         """,
+        "json_props_stats": (
+            "SELECT event_type, "
+            "round(avg(json_extract(props, '$.k')::INT), 6) AS avg_k, "
+            "count(DISTINCT json_extract(props, '$.k')::INT) AS distinct_k "
+            "FROM events GROUP BY event_type"
+        ),
     }
     # the KLL-cuts variant computes the identical inclusive-rank
     # histogram, so it shares the oracle arithmetic verbatim

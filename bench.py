@@ -110,6 +110,7 @@ def main():
         "quantity_equi_depth",
         "doc_chunk_pack",
         "skew_join_revenue",
+        "table_profile",
     ]
     timings: dict[str, float] = {}
     # full untimed warmup pass: first execution of each plan shape pays

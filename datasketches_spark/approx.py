@@ -291,3 +291,34 @@ def profile(
     from .profile import profile_table
 
     return profile_table(df, columns, lg_k=lg_k, kll_k=kll_k)
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel user counts + conversion ratios in one shuffle
+    (JVM array fold; see pipeline/funnel.py)."""
+    from .pipeline.funnel import funnel_conversion
+
+    return funnel_conversion(df, user_col, ts_col, step_col, steps)
+
+
+def retention(
+    df: DataFrame,
+    user_col: str,
+    period_col: str,
+    lg_k: int = 16,
+    cohort_period=None,
+) -> DataFrame:
+    """Cohort retention matrix via theta set algebra: one scan builds
+    per-period user sketches, every (cohort, period) cell is an
+    intersect over the tiny blob frame (pipeline/cohorts.py)."""
+    from .pipeline.cohorts import retention_matrix
+
+    return retention_matrix(
+        df, user_col, period_col, lg_k=lg_k, cohort_period=cohort_period
+    )

@@ -148,6 +148,7 @@ def main() -> None:
             "doc_hash_split",
             "skew_join_revenue",
             "ks_drift_quantity",
+            "table_profile",
         ):
             queries[k] = _entry.oracle_sql()[k]
     except Exception:  # noqa: BLE001 -- keep the baseline runnable standalone
