@@ -31,6 +31,14 @@ def _ensure(spark: SparkSession) -> None:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS); Spark 4.x reads ts as
+        # TIMESTAMP_NTZ (micros).  sources.read_table derives the
+        # timezone-free ts_us/hour_bucket integers every events
+        # operator works on.
+        from datasketches_spark.sources import read_table
+
+        return read_table(spark, sf_dir, name)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -549,15 +557,13 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-shaped rollup: distinct users per hour via exact-mode theta.
 
-    The events parquet stores TIMESTAMP(NANOS); Spark reads it as raw
-    nanos (legacy conf) and we bucket arithmetically -- timezone-free,
-    so the oracle comparison cannot be skewed by session TZ.
+    The events parquet stores TIMESTAMP(NANOS); Spark 4.x reads it as
+    TIMESTAMP_NTZ and ``_t`` derives an arithmetic hour_bucket from
+    micros-since-epoch -- timezone-free, so the oracle comparison
+    cannot be skewed by session TZ.
     """
     _ensure(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "hour_bucket", F.floor(F.col("ts") / F.lit(3_600_000_000_000)).cast("long")
-    )
+    ev = _t(spark, sf_dir, "events")
     sk = sketch_agg(ev, "user_id", "theta", group_cols=["hour_bucket"], k=12)
     return sk.select(
         "hour_bucket",
@@ -763,10 +769,7 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     _ensure(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "hour_bucket", F.floor(F.col("ts") / F.lit(3_600_000_000_000)).cast("long")
-    )
+    ev = _t(spark, sf_dir, "events")
     hourly = sketch_agg(ev, "user_id", "theta", group_cols=["hour_bucket"], k=16)
     w = Window.orderBy("hour_bucket").rowsBetween(-2, 0)
     return (
@@ -805,16 +808,15 @@ def q_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization of the events stream (30-min gap on raw
-    nanos): per-user session/event counts via two window expressions —
-    all Catalyst, one shuffle (pipeline/sessions.py)."""
+    """Gap-based sessionization of the events stream (30-min gap on
+    micros-since-epoch): per-user session/event counts via two window
+    expressions — all Catalyst, one shuffle (pipeline/sessions.py)."""
     from datasketches_spark.pipeline import sessions as _S
 
     _ensure(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    gap_ns = 30 * 60 * 1_000_000_000
-    return _S.session_stats(ev, "user_id", "ts", gap_ns).orderBy("user_id")
+    gap_us = 30 * 60 * 1_000_000
+    return _S.session_stats(ev, "user_id", "ts_us", gap_us).orderBy("user_id")
 
 
 def q_salted_theta_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,25 +1095,23 @@ def q_asof_latest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's native ASOF LEFT JOIN."""
     from datasketches_spark.pipeline.asof import asof_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+        "event_id", "user_id", "ts_us"
     )
     errors = (
         ev.filter(F.col("event_type") == "error")
-        .groupBy("user_id", "ts")
+        .groupBy("user_id", "ts_us")
         .agg(F.max("value").alias("err_value"))
     )
-    out = asof_join(clicks, errors, on="ts", by="user_id")
-    # DuckDB timestamps are microsecond precision; emit micros on both
-    # sides (integer div -- a double division would lose precision at
-    # 1.7e18 nanos)
+    # ts_us is micros-since-epoch BIGINT (sources.read_table) -- same
+    # precision DuckDB's epoch_us(ts) yields on the oracle side
+    out = asof_join(clicks, errors, on="ts_us", by="user_id")
     return out.select(
         "event_id",
         "user_id",
-        F.expr("ts div 1000").alias("ts_us"),
-        F.expr("ts_right div 1000").alias("err_ts_us"),
+        "ts_us",
+        F.col("ts_us_right").alias("err_ts_us"),
         "err_value",
     )
 
@@ -1124,16 +1124,15 @@ def q_range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle is the naive BETWEEN join."""
     from datasketches_spark.pipeline.rangejoin import range_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    w = 30 * 60 * 1_000_000_000  # 30 min in nanos
+    w = 30 * 60 * 1_000_000  # 30 min in micros
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+        "event_id", "user_id", "ts_us"
     )
     errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id", "ts", "value"
+        "user_id", "ts_us", "value"
     )
-    joined = range_join(clicks, errors, "ts", "ts", 0, w, by="user_id")
+    joined = range_join(clicks, errors, "ts_us", "ts_us", 0, w, by="user_id")
     return joined.groupBy("event_id").agg(
         F.count("*").alias("n_errors"),
         F.max("value").alias("max_err_value"),
@@ -1365,11 +1364,12 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_spark.pipeline.funnel import funnel_counts
 
     _ensure(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").filter(
-        F.col("ts") < F.lit(1_704_153_600_000_000_000)
+        F.col("ts_us") < F.lit(1_704_153_600_000_000)  # 2024-01-02 00:00 UTC
     )
-    return funnel_counts(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    return funnel_counts(
+        ev, "user_id", "ts_us", "event_type", ["view", "click", "purchase"]
+    )
 
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1381,10 +1381,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_spark.pipeline.cohorts import retention_matrix
 
     _ensure(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "hour", F.floor(F.col("ts") / F.lit(3_600_000_000_000)).cast("long")
-    )
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.col("hour_bucket"))
     h0 = ev.agg(F.min("hour")).collect()[0][0]
     return retention_matrix(ev, "user_id", "hour", lg_k=16, cohort_period=h0).select(
         "cohort_period", "period", "cohort_size_est", "retained_est", "retention_rate"
@@ -1400,7 +1397,6 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import IntegerType, StructField as SF, StructType as ST
 
     _ensure(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         F.from_json(F.col("props"), ST([SF("k", IntegerType())]))["k"].alias("k"),

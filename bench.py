@@ -113,45 +113,62 @@ def main():
         "table_profile",
     ]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    # fault isolation: one broken query must never zero the whole bench
+    # signal -- time the survivors, report the failures alongside.
     # full untimed warmup pass: first execution of each plan shape pays
     # JVM JIT + python-worker spin-up that steady state never sees
     for name in heads:
-        if name in q:
+        if name not in q:
+            continue
+        try:
             q[name](spark, sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench warmup failed: {name}: {errors[name]}", file=sys.stderr)
 
     # best-of-2: steady-state wall clock, scheduler noise removed
     for name in heads:
-        if name not in q:
+        if name not in q or name in errors:
             continue
+        best = float("inf")
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                q[name](spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench timing failed: {name}: {errors[name]}", file=sys.stderr)
+
+    try:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            q[name](spark, sf_dir).collect()
+            _bench_hll_native(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings["hll_native_distinct"] = round(best, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["hll_native_distinct"] = f"{type(exc).__name__}: {exc}"[:300]
 
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _bench_hll_native(spark, sf_dir).collect()
-        best = min(best, time.perf_counter() - t0)
-    timings["hll_native_distinct"] = round(best, 3)
-
-    _, dt = _bench_scalar_over_stored(spark, sf_dir)
-    timings["scalar_over_2k_stored"] = round(dt, 3)
+    try:
+        _, dt = _bench_scalar_over_stored(spark, sf_dir)
+        timings["scalar_over_2k_stored"] = round(dt, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["scalar_over_2k_stored"] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

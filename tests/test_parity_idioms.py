@@ -225,13 +225,19 @@ class TestDescribeAndErrors:
 
 
 class TestSources:
-    def test_events_nanos_handling(self, spark):
+    def test_events_timestamp_handling(self, spark):
+        """Spark 4.x reads TIMESTAMP(NANOS) parquet as TIMESTAMP_NTZ
+        (micros); read_table derives tz-free ts_us/hour_bucket ints."""
+        import datetime
+
         from datasketches_spark import sources
 
         ev = sources.read_table(spark, "/root/testdata/sf0.001", "events")
-        row = ev.select("ts", "ts_micros", "hour_bucket").first()
-        assert row.hour_bucket == row.ts // 3_600_000_000_000
-        assert row.ts_micros is not None
+        row = ev.select("ts", "ts_us", "hour_bucket").first()
+        td = row.ts - datetime.datetime(1970, 1, 1)
+        us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+        assert row.ts_us == us
+        assert row.hour_bucket == row.ts_us // 3_600_000_000
 
     def test_load_star_schema(self, spark):
         from datasketches_spark import sources
