@@ -102,7 +102,7 @@ def main():
         # training-data pipeline operators (beyond-reference surface)
         "ann_topk",
         "doc_token_counts",
-        "minhash_candidates",
+        "minhash_near_dups",
         "curation_sample",
         "decontam_overlap",
         "asof_latest_error",

@@ -194,13 +194,82 @@ def minhash_near_duplicates(
     )
 
 
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Distinct lowercased char n-grams as an array column -- pure JVM
+    expressions (sequence/transform/array_distinct), so verification
+    stays inside WholeStageCodegen.  Matches DuckDB's
+    ``substr(lower(t), i, n)`` semantics byte-for-byte on ASCII."""
+    t = F.lower(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )
+
+
+def lsh_verified_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    shingle: int = 5,
+    bands: int = 16,
+    rows: int = 4,
+    seed: int = 1,
+    ngram: int = 5,
+    persist: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) near-dup pairs with EXACT char-ngram
+    Jaccard >= threshold, found via MinHash LSH.
+
+    The standard two-stage near-dup join: banded MinHash candidates
+    (equi-join on (band_idx, band_hash) -- never all-pairs), then
+    exact verification of candidates only, JVM-side via
+    array_intersect over :func:`char_ngrams`.  With ``bands`` x
+    ``rows`` banding the probability a true pair at similarity J is
+    missed is (1 - J^rows)^bands -- at the defaults and J >= 0.8
+    that is < 4e-4, and for the exact-duplicate regimes dedup
+    targets (J >= 0.95) it is < 1e-19, so the output equals the
+    exact all-pairs Jaccard join.  At 100 TB the cost is one Python
+    signature pass + two shuffles (bucket join, verify join); the
+    verification set is |candidates|, not O(n^2).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
+    if persist:
+        sigs = sigs.persist()
+    cand = minhash_candidate_pairs(sigs, id_col, bands, rows)
+    grams = df.select(F.col(id_col), char_ngrams(F.col(text_col), ngram).alias("g"))
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("g").alias("g_a"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # --------------------------------------------------------------- simhash
 
 
 def simhash64(
-    df: DataFrame, id_col: str, text_col: str, seed: int = 7
+    df: DataFrame, id_col: str, text_col: str, seed: int = 7, hasher: str = "fast"
 ) -> DataFrame:
-    """(id, simhash long): sign-sum of token-hash bits (deterministic)."""
+    """(id, simhash long): sign-sum of token-hash bits (deterministic).
+
+    ``hasher="fast"`` (default) uses the vectorized pandas string hash
+    -- the scale path.  ``hasher="md5"`` hashes each token with
+    md5-first-8-bytes little-endian, exactly DuckDB's
+    ``md5_number_upper``, making the signature reproducible in ANSI
+    SQL for cross-engine verification (the oracle gate)."""
     schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType, True),
@@ -216,14 +285,31 @@ def simhash64(
                 if text is None:
                     out.append(None)
                     continue
-                toks = pd.Series(text.lower().split())
-                if toks.empty:
+                words = text.lower().split()
+                if not words:
                     out.append(0)
                     continue
-                h = splitmix64(
-                    pd.util.hash_pandas_object(toks, index=False).to_numpy(np.uint64),
-                    seed=seed,
-                )
+                if hasher == "md5":
+                    import hashlib
+                    import struct
+
+                    h = np.fromiter(
+                        (
+                            struct.unpack(
+                                "<Q", hashlib.md5(w.encode()).digest()[:8]
+                            )[0]
+                            for w in words
+                        ),
+                        dtype=np.uint64,
+                        count=len(words),
+                    )
+                else:
+                    h = splitmix64(
+                        pd.util.hash_pandas_object(
+                            pd.Series(words), index=False
+                        ).to_numpy(np.uint64),
+                        seed=seed,
+                    )
                 bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
                 votes = (2 * bits - 1).sum(axis=0)
                 sig = np.uint64(0)
