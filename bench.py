@@ -81,6 +81,9 @@ def main():
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
+        # fewer, larger Arrow batches through the Python sketch path:
+        # per-batch pandas/numpy setup is the overhead, not the bytes
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -126,6 +129,10 @@ def main():
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench warmup failed: {name}: {errors[name]}", file=sys.stderr)
+        finally:
+            # LSH/dedup/curation queries persist() intermediates; drop
+            # them so cache pressure from one query never taxes the next
+            spark.catalog.clearCache()
 
     # best-of-2: steady-state wall clock, scheduler noise removed
     for name in heads:
@@ -141,6 +148,8 @@ def main():
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench timing failed: {name}: {errors[name]}", file=sys.stderr)
+        finally:
+            spark.catalog.clearCache()
 
     try:
         best = float("inf")

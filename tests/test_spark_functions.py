@@ -217,6 +217,35 @@ class TestCountingSQL:
         assert est == pytest.approx(1000, rel=0.03)
 
 
+def test_hll_native_blob_roundtrip(spark):
+    """The interop escape hatch (README 'Sketch-blob interop'): native
+    HLL blobs are genuine Apache DataSketches HllSketch bytes -- they
+    survive storage as an opaque binary column and re-enter the engine
+    through hll_sketch_estimate / hll_union_agg unchanged."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 5000)
+    blobs = df.withColumn("g", F.col("id") % 4).groupBy("g").agg(
+        hll_native.hll_build("id", 14).alias("blob")
+    )
+    stored = spark.createDataFrame(blobs.collect(), blobs.schema)  # simulate store/reload
+    assert dict(stored.dtypes)["blob"] == "binary"
+    per_group = stored.select(hll_native.hll_estimate("blob").alias("est")).collect()
+    for r in per_group:
+        assert r.est == pytest.approx(1250, rel=0.05)
+    merged = stored.agg(
+        hll_native.hll_estimate(hll_native.hll_merge("blob")).alias("est")
+    ).first()
+    assert merged.est == pytest.approx(5000, rel=0.05)
+    # Apache DataSketches HLL serial header: preamble starts 0x02 or 0x21?
+    # -- assert the family byte (byte 2 == 7 for HLL per the published
+    # serialization spec) rather than our DSKS framing, proving these
+    # are NOT engine-local blobs.
+    b = bytes(stored.first().blob)
+    assert b[:4] != b"DSKS"
+    assert b[2] == 7  # com.yahoo/apache datasketches family id for HLL
+
+
 class TestFrequentItemsSQL:
     def test_exact_and_explode(self, spark):
         spark.sql(
