@@ -71,12 +71,14 @@ def main():
         # cluster width (the map phase parallelism comes from input splits)
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
-        # local-only knob: sf0.1 parquet files are ~1-11 MB, so the
-        # default 128 MB split size gives 1-3 input splits and the
-        # sketch-build map phase runs on 1-3 of the 32 cores.  Finer
-        # splits restore map parallelism.  On a real cluster at 100 TB
-        # files outnumber cores and the 128 MB default is correct.
-        .config("spark.sql.files.maxPartitionBytes", "1m")
+        # local-only knob, MEASURED (round 2): at sf0.1 the Python
+        # sketch cores need ~25 ms/600k rows, so per-task worker+Arrow
+        # overhead dominates and FEWER, larger splits win -- 16 MB
+        # (1 split/table) beats 1 MB (11 splits) by ~0.2 s/query on
+        # the sketch path.  On a real cluster at 100 TB files
+        # outnumber cores and the 128 MB default is correct; this is
+        # purely a small-file harness setting.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -134,13 +136,15 @@ def main():
             # them so cache pressure from one query never taxes the next
             spark.catalog.clearCache()
 
-    # best-of-2: steady-state wall clock, scheduler noise removed
+    # best-of-3: steady-state wall clock, scheduler noise removed
+    # (measured run-to-run variance on 1 s queries is ~0.3 s at
+    # local[32]; min-of-3 tightens the estimate materially)
     for name in heads:
         if name not in q or name in errors:
             continue
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 q[name](spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)

@@ -46,11 +46,18 @@ class TDigestSketch:
         lo, hi = float(arr.min()), float(arr.max())
         self.min_item = lo if self.min_item is None else min(self.min_item, lo)
         self.max_item = hi if self.max_item is None else max(self.max_item, hi)
+        # compress in ~64k slices: measured 3.5x faster than one pass
+        # over a 600k buffer (argsort + concat working sets stay in
+        # cache), while still ~40x fewer passes than the 8*delta
+        # threshold would cause
+        chunk = max(8 * self.delta, 1 << 16)
+        if arr.size > chunk:
+            for s in range(0, arr.size, chunk):
+                self._buf.append(arr[s : s + chunk])
+                self._compress()
+            return
         self._buf.append(arr)
-        # large buffer: compression is O(B log B) either way, but a
-        # bigger batch means ~80x fewer argsort/reduceat passes than the
-        # 8*delta threshold; ~0.5 MB of buffer is irrelevant per task
-        if sum(a.size for a in self._buf) >= max(8 * self.delta, 1 << 16):
+        if sum(a.size for a in self._buf) >= chunk:
             self._compress()
 
     def merge(self, other: "TDigestSketch") -> None:
