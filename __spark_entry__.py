@@ -1375,8 +1375,10 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_spark.pipeline.funnel import funnel_counts
 
     _ensure(spark)
+    # filter on the raw ts column (not derived ts_us) so the predicate
+    # pushes into the parquet scan
     ev = _t(spark, sf_dir, "events").filter(
-        F.col("ts_us") < F.lit(1_704_153_600_000_000)  # 2024-01-02 00:00 UTC
+        F.col("ts") < F.expr("TIMESTAMP_NTZ'2024-01-02 00:00:00'")
     )
     return funnel_counts(
         ev, "user_id", "ts_us", "event_type", ["view", "click", "purchase"]
