@@ -35,6 +35,29 @@ lines = [
     "are also reachable from the Column API (`datasketches_spark.api`).",
     "",
 ]
+# Reference twins overload these names by arity to make the trailing
+# argument optional (codegen/generator.py:156-196 inclusive,
+# :244-261/:424-441 describe verbosity). Spark cannot overload a UDF
+# by arity, so the argument is REQUIRED positional here; the Python
+# Column API supplies the default.
+_ARITY = {
+    "cdf": "trailing `inclusive` BOOL required (DuckDB: optional)",
+    "pmf": "trailing `inclusive` BOOL required (DuckDB: optional)",
+    "rank": "trailing `inclusive` BOOL required (DuckDB: optional)",
+    "quantile": "trailing `inclusive` BOOL required (DuckDB: optional)",
+    "describe": "fixed arity (DuckDB: optional verbosity bools)",
+}
+
+
+def _note(name: str) -> str:
+    if name.startswith("datasketch_tdigest"):
+        return ""  # tdigest has no inclusive arg in the reference either
+    for suffix, note in _ARITY.items():
+        if name.endswith("_" + suffix):
+            return f" — {note}"
+    return ""
+
+
 total = 0
 for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "reservoir", "cms"]:
     fns = groups.get(fam, [])
@@ -42,7 +65,7 @@ for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "freque
     lines.append(f"## {fam} ({len(fns)} functions)")
     lines.append("")
     for name, kind in sorted(fns, key=lambda x: (x[1] != "AGG", x[0])):
-        lines.append(f"- `{name}` ({kind})")
+        lines.append(f"- `{name}` ({kind}){_note(name)}")
     lines.append("")
 lines.append(f"**Total: {total} registered functions** "
              f"({len(agg)} aggregates, {len(sca)} scalars).")
