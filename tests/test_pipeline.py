@@ -116,6 +116,52 @@ class TestDedup:
         assert got[(0, 1)] == 0
         assert got[(0, 5)] == 0
 
+    def test_simhash_md5_matches_sql_definition(self, spark, docs):
+        """hasher='md5' must reproduce DuckDB md5_number_upper token
+        hashes -- recompute one signature by hand and compare."""
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        sims = {r.doc_id: r.simhash for r in dedup.simhash64(
+            docs, "doc_id", "text", hasher="md5").collect()}
+        text = docs.filter(F.col("doc_id") == 0).first().text
+        votes = np.zeros(64, dtype=np.int64)
+        for w in text.lower().split():
+            h = struct.unpack("<Q", hashlib.md5(w.encode()).digest()[:8])[0]
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= 1 << b
+        expect = sig - (1 << 64) if sig >= 1 << 63 else sig
+        assert sims[0] == expect
+
+    def test_lsh_verified_near_duplicates_exact(self, spark, docs):
+        """Verified LSH join == exact char-ngram Jaccard on candidates;
+        identical and case-normalized docs come back at 1.0."""
+        pairs = dedup.lsh_verified_near_duplicates(
+            docs, "doc_id", "text", threshold=0.5
+        )
+        got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+        assert got[(0, 1)] == 1.0
+        assert got[(0, 5)] == 1.0  # lowercased ngrams
+        assert (1, 5) in got
+        for j in got.values():
+            assert 0.5 <= j <= 1.0
+
+    def test_char_ngrams_matches_python(self, spark, docs):
+        row = docs.filter(F.col("doc_id") == 0).select(
+            "text", dedup.char_ngrams(F.col("text"), 5).alias("g")
+        ).first()
+        t = row.text.lower()
+        expect = list(dict.fromkeys(
+            t[i:i + 5] for i in range(max(len(t) - 4, 1))
+        ))
+        assert sorted(row.g) == sorted(expect)
+
     def test_ngram_jaccard(self, spark, docs):
         pairs = docs.alias("a").crossJoin(docs.alias("b")).filter(
             (F.col("a.doc_id") == 0) & (F.col("b.doc_id") == 1)
