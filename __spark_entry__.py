@@ -48,26 +48,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q_theta_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase theta build over l_orderkey; exact at lg_k=16."""
+    """Two-phase theta build over l_orderkey; exact at lg_k=16.
+
+    Uses the fused finalize path (aggregation.sketch_merge): the
+    estimate is answered inside the merge round, no separate scalar
+    pass.  Same value as datasketch_theta_estimate over the blob."""
     _ensure(spark)
-    sk = sketch_agg(_t(spark, sf_dir, "lineitem"), "l_orderkey", "theta", k=16)
-    return sk.select(
-        F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
-            "distinct_orders"
-        )
+    return sketch_agg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "theta",
+        k=16,
+        finalize=lambda sk: {"distinct_orders": int(round(sk.get_estimate()))},
+        finalize_schema="distinct_orders bigint",
     )
 
 
 def q_theta_distinct_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure(spark)
-    sk = sketch_agg(
-        _t(spark, sf_dir, "lineitem"), "l_suppkey", "theta", group_cols=["l_returnflag"], k=16
-    )
-    return sk.select(
-        "l_returnflag",
-        F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
-            "distinct_suppliers"
-        ),
+    return sketch_agg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_suppkey",
+        "theta",
+        group_cols=["l_returnflag"],
+        k=16,
+        finalize=lambda sk: {"distinct_suppliers": int(round(sk.get_estimate()))},
+        finalize_schema="distinct_suppliers bigint",
     )
 
 
@@ -108,18 +114,18 @@ def q_theta_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kll_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-mode KLL (k=32768 > group size at sf0.01) quantiles."""
     _ensure(spark)
-    sk = sketch_agg(
+    return sketch_agg(
         _t(spark, sf_dir, "lineitem"),
         "l_quantity",
         "kll",
         group_cols=["l_returnflag"],
         k=32768,
-    )
-    return sk.select(
-        "l_returnflag",
-        F.expr("datasketch_kll_quantile(sketch, 0.25D, true)").alias("p25"),
-        F.expr("datasketch_kll_quantile(sketch, 0.5D, true)").alias("p50"),
-        F.expr("datasketch_kll_quantile(sketch, 0.75D, true)").alias("p75"),
+        finalize=lambda sk: {
+            "p25": float(sk.get_quantile(0.25, True)),
+            "p50": float(sk.get_quantile(0.5, True)),
+            "p75": float(sk.get_quantile(0.75, True)),
+        },
+        finalize_schema="p25 double, p50 double, p75 double",
     )
 
 
@@ -181,50 +187,50 @@ def q_kll_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantiles_median_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic quantiles family, exact mode (2k base buffer > group size)."""
     _ensure(spark)
-    sk = sketch_agg(
+    return sketch_agg(
         _t(spark, sf_dir, "orders"),
         "o_totalprice",
         "quantiles",
         group_cols=["o_orderpriority"],
         k=16384,
-    )
-    return sk.select(
-        "o_orderpriority",
-        F.expr("datasketch_quantiles_quantile(sketch, 0.5D, true)").alias("median_price"),
-        F.expr("datasketch_quantiles_n(sketch)").alias("n_orders"),
+        finalize=lambda sk: {
+            "median_price": float(sk.get_quantile(0.5, True)),
+            "n_orders": int(sk.n),
+        },
+        finalize_schema="median_price double, n_orders long",
     )
 
 
 def q_req_tail_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REQ exact mode at sf0.01 (3k capacity=3072 > max group 3020)."""
     _ensure(spark)
-    sk = sketch_agg(
+    return sketch_agg(
         _t(spark, sf_dir, "orders"),
         "o_totalprice",
         "req",
         group_cols=["o_orderpriority"],
         k=1024,
-    )
-    return sk.select(
-        "o_orderpriority",
-        F.expr("datasketch_req_quantile(sketch, 0.95D, true)").alias("p95_price"),
-        F.expr("datasketch_req_n(sketch)").alias("n_orders"),
+        finalize=lambda sk: {
+            "p95_price": float(sk.get_quantile(0.95, True)),
+            "n_orders": int(sk.n),
+        },
+        finalize_schema="p95_price double, n_orders long",
     )
 
 
 def q_tdigest_weight_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure(spark)
-    sk = sketch_agg(
+    return sketch_agg(
         _t(spark, sf_dir, "lineitem"),
         "l_extendedprice",
         "tdigest",
         group_cols=["l_returnflag"],
         k=200,
-    )
-    return sk.select(
-        "l_returnflag",
-        F.expr("datasketch_tdigest_total_weight(sketch)").alias("total_weight"),
-        F.expr("datasketch_tdigest_k(sketch)").alias("k_param"),
+        finalize=lambda sk: {
+            "total_weight": int(sk.total_weight()),
+            "k_param": int(sk.k),
+        },
+        finalize_schema="total_weight long, k_param int",
     )
 
 
@@ -247,22 +253,26 @@ def q_hll_union_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure(spark)
     orders = _t(spark, sf_dir, "orders")
     parts = sketch_agg(orders, "o_custkey", "hll", group_cols=["o_orderstatus"], k=12)
-    merged = sketch_agg(parts, "sketch", "hll", k=12)
-    return merged.select(
-        F.expr("CAST(round(datasketch_hll_estimate(sketch)) AS BIGINT)").alias(
-            "distinct_customers"
-        )
+    return sketch_agg(
+        parts,
+        "sketch",
+        "hll",
+        k=12,
+        finalize=lambda sk: {"distinct_customers": int(round(sk.get_estimate()))},
+        finalize_schema="distinct_customers bigint",
     )
 
 
 def q_cpc_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CPC sparse-exact mode (2000 distinct < 2^13)."""
     _ensure(spark)
-    sk = sketch_agg(_t(spark, sf_dir, "lineitem"), "l_partkey", "cpc", k=14)
-    return sk.select(
-        F.expr("CAST(round(datasketch_cpc_estimate(sketch)) AS BIGINT)").alias(
-            "distinct_parts"
-        )
+    return sketch_agg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_partkey",
+        "cpc",
+        k=14,
+        finalize=lambda sk: {"distinct_parts": int(round(sk.get_estimate()))},
+        finalize_schema="distinct_parts bigint",
     )
 
 
@@ -762,13 +772,17 @@ def q_theta_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_nation = sketch_agg(fact, "o_custkey", "theta", group_cols=["nationkey"], k=16)
     per_region_in = per_nation.join(F.broadcast(nation), "nationkey")
     per_region = sketch_agg(
-        per_region_in, "sketch", "theta", group_cols=["n_regionkey"], k=16
+        per_region_in,
+        "sketch",
+        "theta",
+        group_cols=["n_regionkey"],
+        k=16,
+        finalize=lambda sk: {"distinct_customers": int(round(sk.get_estimate()))},
+        finalize_schema="distinct_customers bigint",
     )
     return per_region.select(
         F.col("n_regionkey").cast("long").alias("regionkey"),
-        F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
-            "distinct_customers"
-        ),
+        "distinct_customers",
     )
 
 

@@ -69,8 +69,13 @@ def main():
         # sketch aggregation shuffles only (key, blob) rows, so a handful
         # of reducers suffices locally; on a real cluster size this to
         # cluster width (the map phase parallelism comes from input splits)
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "4")
+        # AQE re-plans at every exchange; at sf0.1 the shuffles are a
+        # few blobs, so its per-stage latency (~0.1-0.15 s/query,
+        # measured) buys nothing. Keep AQE ON for real clusters --
+        # this is a small-data harness setting only.
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.locality.wait", "0")
         # local-only knob, MEASURED (round 2): at sf0.1 the Python
         # sketch cores need ~25 ms/600k rows, so per-task worker+Arrow
         # overhead dominates and FEWER, larger splits win -- 16 MB
@@ -136,24 +141,29 @@ def main():
             # them so cache pressure from one query never taxes the next
             spark.catalog.clearCache()
 
-    # best-of-3: steady-state wall clock, scheduler noise removed
-    # (measured run-to-run variance on 1 s queries is ~0.3 s at
-    # local[32]; min-of-3 tightens the estimate materially)
-    for name in heads:
-        if name not in q or name in errors:
-            continue
-        best = float("inf")
-        try:
-            for _ in range(3):
+    # best-of-3, INTERLEAVED round-robin: host load on this container
+    # arrives in multi-second bursts, so three consecutive attempts of
+    # one query can all land inside a burst.  Spreading each query's
+    # attempts across the whole measurement window makes min-of-3
+    # robust to bursts shorter than a full round.
+    for _round in range(3):
+        for name in heads:
+            if name not in q or name in errors:
+                continue
+            try:
                 t0 = time.perf_counter()
                 q[name](spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"bench timing failed: {name}: {errors[name]}", file=sys.stderr)
-        finally:
-            spark.catalog.clearCache()
+                dt = time.perf_counter() - t0
+                timings[name] = round(min(timings.get(name, dt), dt), 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                timings.pop(name, None)
+                print(
+                    f"bench timing failed: {name}: {errors[name]}",
+                    file=sys.stderr,
+                )
+            finally:
+                spark.catalog.clearCache()
 
     try:
         best = float("inf")

@@ -105,16 +105,44 @@ def sketch_merge(
     group_cols: list[str] | None = None,
     k: int | None = None,
     sketch_col: str = "sketch",
+    finalize=None,
+    finalize_schema: str | StructType | None = None,
 ) -> DataFrame:
-    """Phase 2: merge partition-local blobs per group into final blobs."""
+    """Phase 2: merge partition-local blobs per group into final blobs.
+
+    ``finalize`` fuses the reference's Finalize step into the merge
+    pass: a callable ``(sketch) -> dict[col, value]`` evaluated on the
+    merged sketch, with ``finalize_schema`` (DDL string or StructType)
+    describing the emitted columns.  This answers scalar queries
+    (estimate, quantiles, weights) in the SAME Python round as the
+    merge instead of a separate Arrow scalar-UDF pass -- one fewer
+    Python round-trip per query, identical results."""
     group_cols = list(group_cols or [])
-    schema = _out_schema(partial, group_cols, sketch_col)
+    if finalize is not None:
+        if finalize_schema is None:
+            raise ValueError("finalize requires finalize_schema")
+        extra = (
+            StructType.fromDDL(finalize_schema)
+            if isinstance(finalize_schema, str)
+            else finalize_schema
+        )
+        schema = StructType(
+            [partial.schema[c] for c in group_cols] + list(extra.fields)
+        )
+        out_names = [f.name for f in extra.fields]
+    else:
+        schema = _out_schema(partial, group_cols, sketch_col)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         series = pdf[sketch_col]
         sk = create_sketch(family, build_params(family, k, series))
         update_sketch(family, sk, series)  # blob series -> merge path
-        row = [pdf[c].iloc[0] for c in group_cols] + [sk.serialize()]
+        keys = [pdf[c].iloc[0] for c in group_cols]
+        if finalize is not None:
+            vals = finalize(sk)
+            row = keys + [vals[n] for n in out_names]
+            return pd.DataFrame([row], columns=group_cols + out_names)
+        row = keys + [sk.serialize()]
         return pd.DataFrame([row], columns=group_cols + [sketch_col])
 
     if group_cols:
@@ -129,14 +157,20 @@ def sketch_agg(
     group_cols: list[str] | None = None,
     k: int | None = None,
     output_col: str = "sketch",
+    finalize=None,
+    finalize_schema: str | StructType | None = None,
 ) -> DataFrame:
     """Build sketches over raw values (or merge blobs) with map-side combine.
 
     Returns ``group_cols + [output_col BINARY]``.  Equivalent of
     ``SELECT g, datasketch_<family>(k, x) FROM t GROUP BY g`` at scale.
+    With ``finalize``/``finalize_schema`` the merged sketch is answered
+    in-place (see :func:`sketch_merge`) and the blob is never emitted.
     """
     partial = sketch_partial(df, input_col, family, group_cols, k, output_col)
-    return sketch_merge(partial, family, group_cols, k, output_col)
+    return sketch_merge(
+        partial, family, group_cols, k, output_col, finalize, finalize_schema
+    )
 
 
 def sketch_agg_multi(
