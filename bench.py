@@ -145,8 +145,19 @@ def main():
     # arrives in multi-second bursts, so three consecutive attempts of
     # one query can all land inside a burst.  Spreading each query's
     # attempts across the whole measurement window makes min-of-3
-    # robust to bursts shorter than a full round.
+    # robust to bursts shorter than a full round.  A soft deadline
+    # guarantees the JSON line is printed even if the host is slow:
+    # round 1 covers every query, later rounds only tighten the min.
+    deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "240")
+    )
     for _round in range(3):
+        if _round > 0 and time.monotonic() > deadline:
+            print(
+                f"bench: soft deadline hit after round {_round}",
+                file=sys.stderr,
+            )
+            break
         for name in heads:
             if name not in q or name in errors:
                 continue
