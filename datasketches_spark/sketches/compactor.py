@@ -67,6 +67,7 @@ class CompactorSketch:
         self.max_item = None
         self.compacted = False
         self._coin = 0  # deterministic counter-based coin for compaction offsets
+        self._sorted_cache = None  # (items, weights); invalidated on mutation
 
     # -- capacity policy ------------------------------------------------
     @classmethod
@@ -101,6 +102,7 @@ class CompactorSketch:
         self.max_item = hi if self.max_item is None else max(self.max_item, hi)
         self.n += int(arr.size)
         self.levels[0] = np.concatenate([self.levels[0], arr])
+        self._sorted_cache = None
         self._compress()
 
     def merge(self, other: "CompactorSketch") -> None:
@@ -123,6 +125,7 @@ class CompactorSketch:
             if lv.size:
                 self.levels[i] = np.concatenate([self.levels[i], lv])
         self.n += other.n
+        self._sorted_cache = None
         self.compacted = self.compacted or other.compacted
         if self.min_item is None:
             self.min_item, self.max_item = other.min_item, other.max_item
@@ -188,17 +191,28 @@ class CompactorSketch:
         return self._retained()
 
     def _sorted_items_weights(self):
+        # cached: exact-mode sketches retain up to n items, and scalar
+        # passes call rank/quantile/cdf repeatedly -- re-sorting 100k+
+        # items per call dominated the query wall time
+        if self._sorted_cache is not None:
+            return self._sorted_cache
         arrs, ws = [], []
         for i, lv in enumerate(self.levels):
             if lv.size:
                 arrs.append(lv)
                 ws.append(np.full(lv.size, 1 << i, dtype=np.int64))
         if not arrs:
-            return (np.empty(0, dtype=_NP_DTYPES[self.dtype]), np.empty(0, dtype=np.int64))
-        items = np.concatenate(arrs)
-        weights = np.concatenate(ws)
-        order = np.argsort(items, kind="stable")
-        return items[order], weights[order]
+            out = (
+                np.empty(0, dtype=_NP_DTYPES[self.dtype]),
+                np.empty(0, dtype=np.int64),
+            )
+        else:
+            items = np.concatenate(arrs)
+            weights = np.concatenate(ws)
+            order = np.argsort(items, kind="stable")
+            out = (items[order], weights[order])
+        self._sorted_cache = out
+        return out
 
     def get_rank(self, item, inclusive: bool = True) -> float:
         if self.n == 0:
