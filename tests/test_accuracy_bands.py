@@ -1,0 +1,130 @@
+"""Accuracy-band parity with the reference's asserted contracts.
+
+The reference publishes no throughput numbers; its performance spec is
+accuracy-vs-size (BASELINE.md).  These tests assert OUR estimates sit
+inside the SAME bands the reference's own test suite asserts, on
+deterministic inputs:
+
+- Theta +-2% at default lg_k=12, N=100k  (test/sql/datasketch_theta.test:42-46)
+- Theta bound ordering LB3<=LB2<=LB1<=est<=UB1<=UB2<=UB3 at N=50k
+  (test/sql/datasketch_theta.test:511-546)
+- HLL [95k,105k] at lg_k=12 and [75k,175k] at lg_k=4, N=100k
+  (test/sql/datasketch_hll.test:42-53)
+- KLL ~1.65% double-sided rank error at K=200 (docs/README.md:532)
+- REQ ~1% relative rank error at the tails, K=12 even
+  (docs/README.md:682-685)
+- Frequent Items: a 100-count heavy hitter survives 2000 singletons at
+  lg_k=6 (docs/README.md:1284-1310, test/sql/datasketch_frequent.test:123-145)
+
+Pure-core tests (no Spark session): the bands are properties of the
+sketch algorithms, which the distributed layer only moves around.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datasketches_spark.sketches import (
+    FrequentItemsSketch,
+    HllSketch,
+    KllSketch,
+    ReqSketch,
+    ThetaSketch,
+)
+
+N = 100_000
+
+
+def _dist(n=N, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.Series(rng.permutation(n).astype(np.int64))
+
+
+class TestThetaBands:
+    def test_estimate_within_2pct_at_default_lgk(self):
+        sk = ThetaSketch(12)
+        sk.update_values(_dist())
+        assert 98_000 <= sk.get_estimate() <= 102_000
+
+    def test_bound_ordering_n50k(self):
+        sk = ThetaSketch(12)
+        sk.update_values(_dist(50_000))
+        est = sk.get_estimate()
+        lb = [sk.get_bound(sd, upper=False) for sd in (1, 2, 3)]
+        ub = [sk.get_bound(sd, upper=True) for sd in (1, 2, 3)]
+        assert lb[2] <= lb[1] <= lb[0] <= est <= ub[0] <= ub[1] <= ub[2]
+        assert lb[2] <= 50_000 <= ub[2]
+
+    def test_split_and_merge_same_band(self):
+        """Distributed two-phase semantics: partition, sketch, merge."""
+        vals = _dist()
+        parts = np.array_split(vals.to_numpy(), 8)
+        acc = ThetaSketch(12)
+        for p in parts:
+            s = ThetaSketch(12)
+            s.update_values(pd.Series(p))
+            acc.merge(s)
+        assert 98_000 <= acc.get_estimate() <= 102_000
+
+
+class TestHllBands:
+    def test_lgk12_within_5pct(self):
+        sk = HllSketch(12)
+        sk.update_values(_dist())
+        assert 95_000 <= sk.get_estimate() <= 105_000
+
+    def test_lgk4_coarse_band(self):
+        sk = HllSketch(4)
+        sk.update_values(_dist())
+        assert 75_000 <= sk.get_estimate() <= 175_000
+
+
+class TestKllBands:
+    def test_rank_error_k200(self):
+        sk = KllSketch(200)
+        sk.update(_dist().to_numpy())
+        # double-sided rank error ~1.65% at K=200; assert 2x margin
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+            item = sk.get_quantile(q, True)
+            true_rank = (item + 1) / N  # permutation of 0..N-1
+            assert abs(true_rank - q) <= 0.033, (q, item, true_rank)
+
+    def test_normalized_rank_error_matches_published_scale(self):
+        sk = KllSketch(200)
+        sk.update(_dist().to_numpy())
+        nre = sk.normalized_rank_error(True)
+        assert 0.005 <= nre <= 0.03  # ~1.65% published
+
+
+class TestReqBands:
+    def test_tail_relative_error_k12(self):
+        sk = ReqSketch(12)
+        sk.update(_dist().to_numpy())
+        # HRA: relative error at the high tail; ~1% at 95% conf -- 3x margin
+        for q in (0.95, 0.99):
+            item = sk.get_quantile(q, True)
+            true_rank = (item + 1) / N
+            assert abs(true_rank - q) / (1 - q + 1e-9) <= 0.6, (q, true_rank)
+            assert abs(true_rank - q) <= 0.03
+
+
+class TestFrequentItemsBands:
+    def test_heavy_hitter_survives_singleton_flood(self):
+        sk = FrequentItemsSketch(6)  # map capacity ~48 < 2000 singletons
+        sk.update_series(pd.Series(["hot"] * 100))
+        sk.update_series(pd.Series([f"s{i}" for i in range(2000)]))
+        rows = sk.get_frequent_items("NO_FALSE_NEGATIVES")
+        items = {r[0] for r in rows}
+        assert "hot" in items
+        est = sk.get_estimate("hot")
+        lb = sk.get_lower_bound("hot")
+        ub = sk.get_upper_bound("hot")
+        assert lb <= 100 <= ub
+        assert est >= 100  # estimate never undercounts the true count
+
+    def test_epsilon_published_value(self):
+        # reference: epsilon = 0.00341796875 at lg_max_k=10
+        # (docs/README.md:1408-1410)
+        sk = FrequentItemsSketch(10)
+        sk.update_series(pd.Series(["a", "b", "c"]))
+        assert sk.epsilon == pytest.approx(0.00341796875, rel=0.5)
