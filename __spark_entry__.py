@@ -1380,6 +1380,26 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding corpus
+    (pipeline/similarity.py quantize_int8): pure JVM transform
+    expressions, no shuffle until the per-label digest.  Floor-based
+    rounding makes the codes bit-reproducible in DuckDB, so the
+    per-label digest (counts, scale sum, integer code sum)
+    hash-matches exactly."""
+    from datasketches_spark.pipeline.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "embedding", "codes", "scale")
+    return q.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum("scale"), 6).alias("total_scale"),
+        F.sum(
+            F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c)
+        ).alias("code_sum"),
+    )
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view->click->purchase over the first 24h of the
     events stream (pipeline/funnel.py): one groupBy(user) + a JVM
@@ -1529,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_scores": q_doc_repetition_scores,
         "quantity_equi_depth_kll": q_quantity_equi_depth_kll,
         "psi_drift_price": q_psi_drift_price,
+        "embedding_quantization": q_embedding_quantization,
     }
 
 
@@ -2105,6 +2126,25 @@ def oracle_sql() -> dict[str, str]:
                          / (SELECT count(*) FROM c), 6) AS retention_rate
             FROM per CROSS JOIN mn LEFT JOIN ret ON per.h = ret.h
             WHERE per.h >= mn.h0
+        """,
+        "embedding_quantization": """
+            WITH q AS (
+              SELECT label,
+                     list_max(list_transform(embedding::DOUBLE[],
+                                             x -> abs(x))) / 127.0 AS scale,
+                     embedding::DOUBLE[] AS v
+              FROM embeddings
+            ), c AS (
+              SELECT label, scale,
+                     list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                       ELSE CAST(greatest(-127.0, least(127.0,
+                              floor(x / scale + 0.5))) AS INT) END) AS codes
+              FROM q
+            )
+            SELECT label::BIGINT AS label, count(*) AS n_vecs,
+                   round(sum(scale), 6) AS total_scale,
+                   sum(list_sum(codes))::BIGINT AS code_sum
+            FROM c GROUP BY 1
         """,
         "json_props_stats": (
             "SELECT event_type, "

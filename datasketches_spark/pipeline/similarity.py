@@ -285,3 +285,59 @@ def embedding_cosine_near_duplicates(
         .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------ quantization
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization of a float vector column.
+
+    The standard storage trick for large embedding corpora (4x smaller
+    than float32, 8x than float64): ``scale = max|x| / 127``, ``code =
+    floor(x / scale + 0.5)`` clipped to [-127, 127].  Floor-based
+    rounding (not banker's) is used deliberately so the arithmetic is
+    bit-reproducible across engines -- the DuckDB oracle replicates it
+    with ``list_transform`` and hash-matches.  Everything is JVM
+    ``transform``/``array_max`` expressions inside codegen; at 100 TB
+    this is a pure map stage, no shuffle, no Python.
+
+    Zero vectors get scale=0 and all-zero codes.  Reconstruction error
+    is bounded by scale/2 per component (uniform quantization).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = (amax / F.lit(127.0)).alias(scale_col)
+    code = F.transform(
+        v,
+        lambda x: F.when(F.col(scale_col) == 0.0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x / F.col(scale_col) + F.lit(0.5)).cast("int"),
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    return df.withColumn(scale_col, scale).withColumn(code_col, code)
+
+
+def dequantize_int8(
+    df: DataFrame,
+    code_col: str = "codes",
+    scale_col: str = "scale",
+    out_col: str = "dequantized",
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: ``x_hat = code * scale``."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(code_col), lambda c: c.cast("double") * F.col(scale_col)),
+    )

@@ -266,6 +266,23 @@ class TestSimilarity:
         got = {(r.id_a, r.id_b) for r in pairs.collect()}
         assert (0, 1) in got  # colinear vectors
 
+    def test_quantize_int8_roundtrip_error_bound(self, spark, emb):
+        """Uniform quantization: |x - dequant(x)| <= scale/2 per
+        component; zero vectors stay zero; codes within [-127,127]."""
+        q = similarity.quantize_int8(emb, "embedding", "codes", "scale")
+        d = similarity.dequantize_int8(q, "codes", "scale", "deq")
+        rows = d.select("embedding", "codes", "scale", "deq").collect()
+        assert rows
+        for r in rows:
+            assert all(-127 <= c <= 127 for c in r.codes)
+            if r.scale == 0.0:
+                assert all(c == 0 for c in r.codes)
+                continue
+            for x, xh in zip(r.embedding, r.deq):
+                assert abs(float(x) - xh) <= r.scale / 2 + 1e-9
+            # max-magnitude component maps to +-127 exactly
+            assert max(abs(c) for c in r.codes) == 127
+
     def test_cosine_expression(self, spark, emb):
         row = (
             emb.filter("vec_id = 0")

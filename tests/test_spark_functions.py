@@ -287,6 +287,37 @@ class TestTwoPhaseAggregation:
         blob = sketch_agg(items, "v", "theta").first().sketch
         assert ThetaSketch.deserialize(bytes(blob)).get_estimate() == 1000.0
 
+    def test_finalize_fused_matches_blob_path(self, spark, items):
+        """finalize= answers scalars in the merge round; values and
+        schema must equal the blob-then-scalar path exactly."""
+        fused = sketch_agg(
+            items,
+            "v",
+            "theta",
+            k=14,
+            finalize=lambda sk: {
+                "est": int(round(sk.get_estimate())),
+                "nr": int(sk.num_retained),
+            },
+            finalize_schema="est bigint, nr long",
+        )
+        row = fused.first()
+        assert fused.columns == ["est", "nr"]
+        assert row.est == 1000 and row.nr == 1000
+        grouped = sketch_agg(
+            items.withColumn("g", items.v % 2),
+            "v",
+            "theta",
+            group_cols=["g"],
+            k=14,
+            finalize=lambda sk: {"est": int(round(sk.get_estimate()))},
+            finalize_schema="est bigint",
+        )
+        got = {r.g: r.est for r in grouped.collect()}
+        assert got == {0: 500, 1: 500}
+        with pytest.raises(ValueError, match="finalize_schema"):
+            sketch_agg(items, "v", "theta", finalize=lambda sk: {})
+
     def test_grouped_matches_sql(self, spark, items):
         df = items.withColumn("g", F.col("v") % 2)
         out = sketch_agg(df, "v", "theta", group_cols=["g"]).orderBy("g").collect()
