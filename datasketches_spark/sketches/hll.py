@@ -111,8 +111,12 @@ class HllSketch:
         np.maximum.at(self.registers, idx, rho)
 
     def merge(self, other: "HllSketch") -> None:
-        if other.lg_k < self.lg_k and other.mode == _MODE_DENSE:
-            # cannot fold a coarser dense sketch into a finer one; degrade
+        if other.lg_k < self.lg_k:
+            # mixed-K union degrades to the coarser resolution
+            # (reference test/sql/datasketch_hll.test:224-234) -- even
+            # when the other side is still sparse (raw hashes are
+            # resolution-free, but the RESULT's configured K must be
+            # the min so later promotion lands at the coarser size)
             self._fold_to(other.lg_k)
         if other.mode == _MODE_SPARSE:
             self.update_hashes(other.sparse)
