@@ -146,15 +146,38 @@ class HllSketch:
         self.registers = folded.registers
 
     def _folded_copy(self, lg_k: int) -> "HllSketch":
-        # NOTE: true register folding requires the raw hashes; merging the
-        # max over aliased indices is the standard approximation and keeps
-        # the estimate within the coarser sketch's error band.
+        # EXACT register downsampling (no raw hashes needed).  With
+        # index = low lg_k bits and rho taken from the remaining top
+        # window, an item's rho is INVARIANT under index narrowing
+        # whenever its value word v = h >> lg_k is nonzero: the bits
+        # that move from index to value extend v at the BOTTOM, so the
+        # leading-zero rank from the top is unchanged.  Only saturated
+        # registers (rho = nbits+1, meaning v == 0) re-derive their
+        # coarse rho from the fine index's top bits t = j >> lg_k':
+        # the coarse value word is exactly t, so rho' = nbits' -
+        # bitlen(t) + 1 (or nbits'+1 when t == 0).  Fine buckets fold
+        # into coarse bucket j mod 2^lg_k' (the low index bits).
         out = HllSketch.__new__(type(self))
         out.lg_k = lg_k
         out.mode = _MODE_DENSE
         out.sparse = np.empty(0, dtype=np.uint64)
-        regs = self.registers.reshape(1 << lg_k, -1)
-        out.registers = regs.max(axis=1)
+        m2 = 1 << lg_k
+        nbits = 63 - self.lg_k
+        nbits2 = 63 - lg_k
+        r = self.registers.astype(np.int64)
+        j = np.arange(self._m, dtype=np.int64)
+        t = j >> lg_k
+        tb = np.zeros_like(t)
+        nz = t > 0
+        _, exp = np.frexp(t[nz].astype(np.float64))
+        tb[nz] = exp  # bit length of t
+        saturated_rho = np.where(t == 0, nbits2 + 1, nbits2 + 1 - tb)
+        contrib = np.where(
+            r == 0, 0, np.where(r <= nbits, r, saturated_rho)
+        )
+        coarse = np.zeros(m2, dtype=np.int64)
+        np.maximum.at(coarse, j & (m2 - 1), contrib)
+        out.registers = coarse.astype(np.uint8)
         return out
 
     # -- queries --------------------------------------------------------
