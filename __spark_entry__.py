@@ -504,7 +504,7 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_spark.pipeline import text as T
 
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+        "doc_id", T.token_count(F.col("text")).cast("bigint").alias("n_tokens")
     )
 
 
@@ -547,7 +547,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = S.brute_force_topk(emb, queries, k=5)
-    return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rnk")
+    )
 
 
 def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,7 +590,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.octet_length(F.col("text")).alias("n_bytes"),
+        F.octet_length(F.col("text")).cast("bigint").alias("n_bytes"),
         F.hex(F.encode(F.substring(F.col("text"), 1, 4), "UTF-8")).alias("magic_hex"),
     )
 
@@ -666,7 +668,9 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = S.ivf_topk(assigned, cents, queries, k=5, n_probes=8)
-    return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rnk")
+    )
 
 
 def q_word_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1891,7 +1895,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id,
-                   sum(new_session) AS n_sessions,
+                   sum(new_session)::BIGINT AS n_sessions,
                    count(*) AS n_events
             FROM s GROUP BY user_id ORDER BY user_id
         """,
@@ -2233,7 +2237,7 @@ def _hash_split_oracle() -> str:
         SELECT CASE WHEN {u} < 0.9 THEN 'train'
                     WHEN {u} < 0.95 THEN 'val'
                     ELSE 'test' END AS split,
-               count(*) AS n_docs, sum(doc_id) AS id_sum,
+               count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
                min(doc_id) AS id_min, max(doc_id) AS id_max
         FROM documents GROUP BY 1
     """
@@ -2256,7 +2260,7 @@ def _mixture_oracle() -> str:
               FROM c JOIN w USING (lang) CROSS JOIN cap),
         kept AS (SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
                  WHERE {u} < kf)
-        SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_sum,
+        SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
                min(doc_id) AS id_min, max(doc_id) AS id_max
         FROM kept GROUP BY lang
     """

@@ -26,6 +26,50 @@ TABLES = [
 ]
 
 
+def duck_type_canon(t: str) -> str:
+    """Canonical type name for a DuckDB type string.
+
+    HUGEINT / un-cast DECIMAL deliberately do NOT map to BIGINT/DOUBLE:
+    the driver's value-hash is dtype-aware, so an oracle ``sum()`` over an
+    integer column (HUGEINT in DuckDB, BIGINT in Spark) must fail here too.
+    """
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return "ARRAY"
+    if t.startswith("STRUCT"):
+        return "STRUCT"
+    if t.startswith("MAP"):
+        return "MAP"
+    if t.startswith("DECIMAL"):
+        return "DECIMAL"
+    if t.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    return {
+        "VARCHAR": "STRING", "BLOB": "BINARY",
+        "REAL": "FLOAT", "UBIGINT": "HUGEINT",
+    }.get(t, t)
+
+
+def spark_type_canon(t) -> str:
+    s = t.simpleString()
+    if s.startswith("array"):
+        return "ARRAY"
+    if s.startswith("struct"):
+        return "STRUCT"
+    if s.startswith("map"):
+        return "MAP"
+    if s.startswith("decimal"):
+        return "DECIMAL"
+    if s.startswith("timestamp"):
+        return "TIMESTAMP"
+    return {
+        "bigint": "BIGINT", "int": "INTEGER", "smallint": "SMALLINT",
+        "tinyint": "TINYINT", "double": "DOUBLE", "float": "FLOAT",
+        "string": "STRING", "boolean": "BOOLEAN", "date": "DATE",
+        "binary": "BINARY",
+    }.get(s, s.upper())
+
+
 def canon(rows, cols):
     out = []
     for row in rows:
@@ -72,19 +116,32 @@ def main():
                 print(f"  [rows-only] {name}: {len(srows)} rows")
                 passed += 1
                 continue
-            ores = con.execute(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            orel = con.sql(oracles[name])
+            ocols = list(orel.columns)
+            otypes = {c: duck_type_canon(str(t)) for c, t in zip(ocols, orel.types)}
+            orows = orel.fetchall()
+            stypes = {f.name: spark_type_canon(f.dataType) for f in sdf.schema.fields}
             s_canon = canon([r.asDict() for r in srows], scols)
             o_canon = canon(orows, ocols)
             ok_cols = sorted(scols) == sorted(ocols)
+            type_diffs = [
+                (c, stypes[c], otypes[c])
+                for c in sorted(set(scols) & set(ocols))
+                if stypes[c] != otypes[c]
+            ]
+            ok_types = not type_diffs
             ok_vals = s_canon == o_canon
-            if ok_cols and ok_vals:
+            if ok_cols and ok_vals and ok_types:
                 print(f"  [PASS] {name} ({len(srows)} rows)")
                 passed += 1
             else:
                 failed += 1
-                print(f"  [FAIL] {name}: cols_match={ok_cols} vals_match={ok_vals}")
+                print(
+                    f"  [FAIL] {name}: cols_match={ok_cols} "
+                    f"types_match={ok_types} vals_match={ok_vals}"
+                )
+                for c, st, ot in type_diffs:
+                    print(f"    type diff {c}: spark={st} duck={ot}")
                 if not ok_cols:
                     print(f"    spark cols: {sorted(scols)}\n    duck  cols: {sorted(ocols)}")
                 else:
