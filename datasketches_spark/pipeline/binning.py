@@ -152,8 +152,60 @@ def equi_depth_histogram(
 ) -> DataFrame:
     """(by..., bucket, lo, hi, cnt) — equi-depth histogram: bucket
     bounds from the cut points, exact per-bucket row counts from one
-    grouped count over the labels."""
+    grouped count over the labels.
+
+    For ``method='hist'`` the histogram is derived entirely from the
+    (group, value, count) frame that already produced the cut points:
+    each distinct value's bucket is computable from the cuts, and
+    lo/hi/cnt are min/max/sum over distinct values — so the raw table
+    is scanned ONCE, and no broadcast-join back onto it is needed.
+    The sketch path still labels raw rows (sketches don't retain the
+    value histogram)."""
     by = list(by or [])
+    if method == "hist":
+        if num_buckets < 2:
+            raise ValueError(f"num_buckets ({num_buckets}) must be >= 2")
+        counts = df.groupBy(*by, col).agg(F.count("*").alias("__c"))
+        vals = counts.select(
+            *by, F.col(col).alias("__raw"),
+            F.col(col).cast("double").alias("__v"), "__c",
+        )
+        nonnull = vals.filter(F.col("__v").isNotNull())
+        w_cum = (
+            Window.partitionBy(*by)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(*by)
+        cdf = nonnull.select(
+            *by, "__v",
+            (F.sum("__c").over(w_cum) / F.sum("__c").over(w_all)).alias("__cd"),
+        )
+        aggs = [
+            F.min(F.when(F.col("__cd") >= i / num_buckets, F.col("__v"))).alias(
+                f"__cut{i}"
+            )
+            for i in range(1, num_buckets)
+        ]
+        cuts = cdf.groupBy(*by).agg(*aggs).select(
+            *by,
+            F.array(*[F.col(f"__cut{i}") for i in range(1, num_buckets)]).alias(
+                _CUTS
+            ),
+        )
+        joined = (
+            vals.join(F.broadcast(cuts), by)
+            if by
+            else vals.crossJoin(F.broadcast(cuts))
+        )
+        n_below = F.size(F.filter(F.col(_CUTS), lambda c: F.col("__v") > c))
+        labeled = joined.withColumn(
+            "bucket", F.when(F.col("__v").isNotNull(), n_below + F.lit(1))
+        )
+        return labeled.groupBy(*by, "bucket").agg(
+            F.min("__raw").alias("lo"), F.max("__raw").alias("hi"),
+            F.sum("__c").alias("cnt"),
+        )
     labeled = quantile_bucket(df, col, num_buckets, by=by, k=k, method=method)
     counts = labeled.groupBy(*by, "bucket").agg(
         F.min(col).alias("lo"), F.max(col).alias("hi"),

@@ -99,10 +99,29 @@ def profile_table(
             exact_exprs.append(F.max(c).alias(f"__max_{c}"))
     exact = df.agg(*exact_exprs)
 
-    # scan 2: all sketches in one pass (one blob row crosses the shuffle)
+    # scan 2: all sketches in one pass (one blob row crosses the
+    # shuffle), answered by the fused finalize in the SAME merge round
+    # -- no separate scalar-UDF pass over the blob frame
     specs = [(c, "theta", lg_k, f"__t_{c}") for c in columns]
     specs += [(c, "kll", kll_k, f"__q_{c}") for c in numeric]
-    sketches = sketch_agg_multi(df, specs)
+    probs = [float(p) for p in quantile_probs]
+    pct = [int(round(p * 100)) for p in probs]
+    cols_f, num_f = list(columns), list(numeric)
+
+    def _fin(sks):
+        out = {}
+        for c in cols_f:
+            out[f"t_{c}"] = float(sks[f"__t_{c}"].get_estimate())
+        for c in num_f:
+            for p, pp in zip(probs, pct):
+                out[f"q_{c}_{pp}"] = float(sks[f"__q_{c}"].get_quantile(p, True))
+        return out
+
+    ddl = ", ".join(
+        [f"`t_{c}` double" for c in columns]
+        + [f"`q_{c}_{pp}` double" for c in numeric for pp in pct]
+    )
+    sketches = sketch_agg_multi(df, specs, finalize=_fin, finalize_schema=ddl)
 
     joined = exact.join(sketches)  # 1 row x 1 row
 
@@ -114,19 +133,15 @@ def profile_table(
             F.col("__n").alias("n_rows"),
             F.col(f"__nn_{c}").alias("n_nonnull"),
             (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
-            F.expr(f"datasketch_theta_estimate(__t_{c})").alias("distinct_est"),
+            F.col(f"t_{c}").alias("distinct_est"),
         ]
         if c in numeric:
             parts += [
                 F.col(f"__min_{c}").alias("min_num"),
                 F.col(f"__max_{c}").alias("max_num"),
             ]
-            for p in quantile_probs:
-                parts.append(
-                    F.expr(
-                        f"datasketch_kll_quantile(__q_{c}, {float(p)!r}D, true)"
-                    ).alias(f"q_{int(round(p * 100))}")
-                )
+            for pp in pct:
+                parts.append(F.col(f"q_{c}_{pp}").alias(f"q_{pp}"))
             parts += [
                 F.lit(None).cast("string").alias("min_str"),
                 F.lit(None).cast("string").alias("max_str"),

@@ -54,26 +54,23 @@ def main() -> None:
         "theta_distinct_orders": (
             "SELECT approx_count_distinct(l_orderkey) AS distinct_orders FROM lineitem"
         ),
-        "theta_distinct_by_flag": (
-            "SELECT l_returnflag, approx_count_distinct(l_suppkey) AS distinct_suppliers"
-            " FROM lineitem GROUP BY 1"
-        ),
-        "kll_quantiles_by_flag": (
-            "SELECT l_returnflag, approx_quantile(l_quantity, 0.25) AS p25,"
+        # fused shared-scan profiles, mirroring bench.py's
+        # lineitem_sketch_profile / orders_sketch_profile: DuckDB's
+        # native approximate aggregates over the same single scan
+        "lineitem_sketch_profile": (
+            "SELECT l_returnflag,"
+            " approx_count_distinct(l_suppkey) AS distinct_suppliers,"
+            " approx_quantile(l_quantity, 0.25) AS p25,"
             " approx_quantile(l_quantity, 0.5) AS p50,"
-            " approx_quantile(l_quantity, 0.75) AS p75 FROM lineitem GROUP BY 1"
-        ),
-        "quantiles_median_by_priority": (
-            "SELECT o_orderpriority, approx_quantile(o_totalprice, 0.5) AS median_price,"
-            " count(*) AS n_orders FROM orders GROUP BY 1"
-        ),
-        "req_tail_by_priority": (
-            "SELECT o_orderpriority, approx_quantile(o_totalprice, 0.95) AS p95_price,"
-            " count(*) AS n_orders FROM orders GROUP BY 1"
-        ),
-        "tdigest_weight_by_flag": (
-            "SELECT l_returnflag, count(l_extendedprice) AS total_weight"
+            " approx_quantile(l_quantity, 0.75) AS p75,"
+            " count(l_extendedprice) AS total_weight"
             " FROM lineitem GROUP BY 1"
+        ),
+        "orders_sketch_profile": (
+            "SELECT o_orderpriority,"
+            " approx_quantile(o_totalprice, 0.5) AS median_price,"
+            " approx_quantile(o_totalprice, 0.95) AS p95_price,"
+            " count(*) AS n_orders FROM orders GROUP BY 1"
         ),
         "hll_union_custkey": (
             "SELECT approx_count_distinct(o_custkey) AS distinct_customers FROM orders"
