@@ -20,8 +20,10 @@ Two steps every LLM data pipeline runs after cleaning/dedup:
 
 Scale notes: the per-source count frame is O(#sources) rows and
 broadcast back (no second shuffle of the data); the budget window
-shuffles once on the shard key — the same shapes as binning.py and
-packing.py.  Equivalent capability in the reference: none — its host
+shuffles once on the shard key — and when one shard dominates, the
+two-phase :func:`sharded_prefix_sum` path (``bucket_col=``) splits
+the shard over monotone range buckets so no single window task is a
+straggler.  Equivalent capability in the reference: none — its host
 (DuckDB) would run both as window queries; the operators exist here so
 the 100 TB plan is one bounded shuffle, not a global sort.
 """
@@ -101,6 +103,59 @@ def sample_to_mixture(
     )
 
 
+def sharded_prefix_sum(
+    df: DataFrame,
+    val: Column,
+    order_by: list[Column | str],
+    by: list[str],
+    bucket_col: str,
+    output_col: str,
+) -> DataFrame:
+    """Two-phase distributed prefix sum: the scale-safe alternative to
+    ``sum(val) OVER (PARTITION BY by ORDER BY order_by)``, which puts
+    an entire shard through ONE window task (at 100 TB, "English" is
+    one task).
+
+    Requires ``bucket_col``: a range-bucket id that is monotone
+    NON-DECREASING along ``order_by`` within each shard (e.g.
+    ``binning.quantile_bucket`` of the leading order column — flip
+    sign for descending orders).  Then:
+
+      phase 1: per-(shard, bucket) totals — a plain aggregate, tiny
+          output (shards x buckets rows);
+      offsets: exclusive running total over that tiny frame (a window
+          over buckets, not rows);
+      phase 2: broadcast offsets back; each bucket computes its LOCAL
+          window cumsum and adds its offset — parallelism is
+          shards x buckets, and no task ever sees more than one
+          bucket's rows.
+
+    Exactness: bucket monotonicity means every row of bucket b
+    precedes every row of bucket b+1 in the shard order, so local
+    cumsum + prior-bucket total == the global cumsum, identically.
+    """
+    w_local = (
+        Window.partitionBy(*by, bucket_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = df.groupBy(*by, bucket_col).agg(F.sum(val).alias("__ps_tot"))
+    w_off = (
+        Window.partitionBy(*by)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *by,
+        bucket_col,
+        F.coalesce(F.sum("__ps_tot").over(w_off), F.lit(0)).alias("__ps_off"),
+    )
+    joined = df.join(F.broadcast(offsets), [*by, bucket_col])
+    return joined.withColumn(
+        output_col, F.sum(val).over(w_local) + F.col("__ps_off")
+    ).drop("__ps_off")
+
+
 def token_budget_filter(
     df: DataFrame,
     tokens_col: str,
@@ -108,6 +163,7 @@ def token_budget_filter(
     order_by: list[Column | str],
     by: list[str] | None = None,
     cum_col: str | None = None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """The prefix of ``df`` (under ``order_by``, per ``by`` shard)
     whose cumulative ``tokens_col`` stays within ``budget``.
@@ -118,21 +174,27 @@ def token_budget_filter(
     monotone, so the result is exactly the longest affordable prefix
     of each shard.  With ``cum_col`` set, the running total is kept in
     the output.
-    """
+
+    By default the cumsum is one window task per shard — fine for
+    many small shards, a straggler when one shard dominates.  Pass
+    ``bucket_col`` (a range-bucket id monotone non-decreasing along
+    ``order_by``; see :func:`sharded_prefix_sum`) and the cumsum runs
+    two-phase with shards x buckets parallelism, bit-identical
+    result."""
     if budget < 1:
         raise ValueError(f"budget ({budget}) must be >= 1")
     by = list(by or [])
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     t = F.col(tokens_col).cast("long")
-    cum = F.sum(t).over(w)
     name = cum_col or "__tb_cum"
-    out = (
-        df.filter(t > 0)
-        .withColumn(name, cum)
-        .filter(F.col(name) <= F.lit(int(budget)))
-    )
+    pos = df.filter(t > 0)
+    if bucket_col is not None:
+        out = sharded_prefix_sum(pos, t, order_by, by, bucket_col, name)
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = pos.withColumn(name, F.sum(t).over(w))
+    out = out.filter(F.col(name) <= F.lit(int(budget)))
     return out if cum_col else out.drop(name)

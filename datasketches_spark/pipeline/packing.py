@@ -16,8 +16,10 @@ quadratic.  All JVM expressions; no Python in the path.
 Scale note: an un-partitioned window is a single-task global sort —
 fine for one shard, wrong for 100 TB.  Pass ``by=<shard column>``
 (e.g. a date or a hash bucket) and each shard packs independently in
-parallel, which is how production loaders shard anyway; pack ids are
-then per-shard.
+parallel; and when ONE shard is itself huge (English at 100 TB), pass
+``bucket_col`` to run the token-offset prefix sum two-phase
+(``mixture.sharded_prefix_sum``) with shards x buckets parallelism —
+bit-identical output, no single-shard straggler task.
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ def chunk_pack(
     seq_len: int,
     order_col: str,
     by: list[str] | None = None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Assign each document its pack slices.
 
@@ -40,22 +43,38 @@ def chunk_pack(
     inside the doc where this slice begins), ``slice_len``.  Docs with
     NULL or <= 0 tokens are dropped (nothing to pack).  Every pack
     except the last in a shard holds exactly ``seq_len`` tokens.
+
+    The default cumsum is one window task per shard.  Pass
+    ``bucket_col`` (a range-bucket id monotone non-decreasing in
+    ``order_col`` within each shard, e.g. ``binning.quantile_bucket``
+    of ``order_col``) and the token-offset prefix sum runs two-phase
+    (``mixture.sharded_prefix_sum``): per-(shard, bucket) totals,
+    broadcast exclusive offsets, local windows — shards x buckets
+    parallelism, bit-identical pack assignment.
     """
     if seq_len < 1:
         raise ValueError(f"seq_len ({seq_len}) must be >= 1")
     by = list(by or [])
-    w = (
-        Window.partitionBy(*by).orderBy(order_col)
-        if by
-        else Window.partitionBy().orderBy(order_col)
-    )
     t = F.col(tokens_col).cast("long")
-    rows = df.filter(t > 0).select(
-        *by,
-        order_col,
-        t.alias("__t"),
-        (F.sum(t).over(w)).alias("__end"),
-    )
+    pos = df.filter(t > 0)
+    if bucket_col is not None:
+        from .mixture import sharded_prefix_sum
+
+        rows = sharded_prefix_sum(
+            pos, t, [order_col], by, bucket_col, "__end"
+        ).select(*by, order_col, t.alias("__t"), "__end")
+    else:
+        w = (
+            Window.partitionBy(*by).orderBy(order_col)
+            if by
+            else Window.partitionBy().orderBy(order_col)
+        )
+        rows = pos.select(
+            *by,
+            order_col,
+            t.alias("__t"),
+            (F.sum(t).over(w)).alias("__end"),
+        )
     start = F.col("__end") - F.col("__t")
     L = F.lit(int(seq_len))
     packed = rows.withColumn(

@@ -124,3 +124,63 @@ class TestTokenBudget:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "hashpartitioning(g" in plan
+
+
+class TestShardedPrefixSum:
+    """Two-phase prefix-sum path (VERDICT r2 #4): a single-language
+    corpus spread over >=8 monotone range buckets must select exactly
+    the same rows as the one-window-task path."""
+
+    def _corpus(self, spark, n=4000):
+        # deterministic scores with duplicates, one giant shard
+        rows = [
+            (i, "en", (i * 37) % 101 / 100.0, 5 + (i * 13) % 40)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["id", "lang", "score", "tok"])
+
+    def test_bucketed_budget_matches_single_window(self, spark):
+        df = self._corpus(spark)
+        order = [F.col("score").desc(), F.col("id")]
+        # monotone non-decreasing along (score desc): flip the sign of
+        # a range bucket on score -- 10 buckets via integer ranges
+        df = df.withColumn(
+            "bkt", -F.floor(F.col("score") * 10).cast("int")
+        )
+        base = token_budget_filter(
+            df, "tok", 20000, order_by=order, by=["lang"], cum_col="cum"
+        )
+        two = token_budget_filter(
+            df, "tok", 20000, order_by=order, by=["lang"],
+            cum_col="cum", bucket_col="bkt",
+        )
+        a = sorted((r["id"], r["cum"]) for r in base.collect())
+        b = sorted((r["id"], r["cum"]) for r in two.collect())
+        assert a == b
+        assert len(a) > 100  # non-trivial kept set
+
+    def test_bucketed_budget_no_shard_column(self, spark):
+        df = self._corpus(spark, n=1000).withColumn(
+            "bkt", F.floor(F.col("id") / 125).cast("int")  # 8 buckets
+        )
+        base = token_budget_filter(df, "tok", 5000, order_by=["id"])
+        two = token_budget_filter(
+            df, "tok", 5000, order_by=["id"], bucket_col="bkt"
+        )
+        assert sorted(r["id"] for r in base.collect()) == sorted(
+            r["id"] for r in two.collect()
+        )
+
+    def test_bucketed_plan_parallel_windows(self, spark):
+        """Scale contract: the data-side window partitioning carries
+        the bucket column, never the bare shard key alone."""
+        df = self._corpus(spark, n=100).withColumn(
+            "bkt", F.floor(F.col("id") / 25).cast("int")
+        )
+        plan = (
+            token_budget_filter(
+                df, "tok", 500, order_by=["id"], by=["lang"], bucket_col="bkt"
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "hashpartitioning(lang" in plan and "bkt" in plan
