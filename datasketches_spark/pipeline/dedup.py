@@ -229,10 +229,13 @@ def lsh_verified_near_duplicates(
     exact verification of candidates only, JVM-side via
     array_intersect over :func:`char_ngrams`.  With ``bands`` x
     ``rows`` banding the probability a true pair at similarity J is
-    missed is (1 - J^rows)^bands -- at the defaults and J >= 0.8
-    that is < 4e-4, and for the exact-duplicate regimes dedup
-    targets (J >= 0.95) it is < 1e-19, so the output equals the
-    exact all-pairs Jaccard join.  At 100 TB the cost is one Python
+    missed is (1 - J^rows)^bands.  Equality with the exact all-pairs
+    Jaccard join is therefore a HIGH-THRESHOLD claim: at the default
+    16x4 banding it holds for thresholds >= 0.8 (miss < 2.2e-4 per
+    pair, < 1e-19 at the J >= 0.95 regimes dedup targets); at lower
+    thresholds banding misses real pairs (~36% at J = 0.5) -- widen
+    to e.g. ``bands=32, num_hashes=128`` before lowering the
+    threshold.  At 100 TB the cost is one Python
     signature pass + two shuffles (bucket join, verify join); the
     verification set is |candidates|, not O(n^2).
     """
@@ -285,7 +288,11 @@ def simhash64(
                 if text is None:
                     out.append(None)
                     continue
-                words = text.lower().split()
+                # single-space split with empties dropped -- identical
+                # tokenization to the oracle's DuckDB
+                # string_split(t, ' ') + w <> '' filter, so signature
+                # parity holds even for texts with tabs/newlines
+                words = [w for w in text.lower().split(" ") if w]
                 if not words:
                     out.append(0)
                     continue

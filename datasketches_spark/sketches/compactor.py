@@ -53,7 +53,10 @@ class CompactorSketch:
     K_MAX = 32768
     NAME = "compactor"
 
-    __slots__ = ("k", "dtype", "levels", "n", "min_item", "max_item", "compacted", "_coin")
+    __slots__ = (
+        "k", "dtype", "levels", "n", "min_item", "max_item", "compacted",
+        "_coin", "_sorted_cache",
+    )
 
     def __init__(self, k: int, dtype: str = "float64"):
         self.validate_k(k)
