@@ -1575,7 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rollup idioms, dedup/LSH, ANN, text/curation, multimodal, events
     time-series, drift, profiling).  Same-family variants (extra
     scalar surfaces, alternate key types, SQL-arity twins) follow
-    after entry 50; all 77 pass the identical oracle gate locally."""
+    after entry 50; all 80 pass the identical oracle gate locally."""
     return {
         # -- driver window: one representative per operator family --
         "theta_distinct_orders": q_theta_distinct_orders,
