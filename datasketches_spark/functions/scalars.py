@@ -11,10 +11,14 @@ deserialization is memoized per Arrow batch (SURVEY.md §3 noted this
 easy win), so querying the same stored sketch across many rows decodes
 it once per batch instead of per row.
 
-SQL note: Spark cannot overload UDFs by arity, so the optional
-``inclusive`` / describe-verbosity arguments that DuckDB overloads
-provide are REQUIRED positional arguments on the SQL surface; the
-Python helpers give them defaults.
+SQL note: the optional ``inclusive`` / describe-verbosity arguments
+DuckDB provides via arity overloads (codegen/generator.py:156-196)
+work here too: Spark Python UDFs are not arity-checked at analysis
+time, so one registration with defaulted trailing parameters serves
+every arity -- ``datasketch_kll_quantile(sk, 0.5)`` and
+``(sk, 0.5, true)`` both bind (default ``inclusive=true``, describe
+flags default false except HLL/CPC summary=true, matching the Python
+API defaults).
 """
 
 from __future__ import annotations
@@ -78,30 +82,83 @@ def _unary(cls, fn: Callable, ret: str):
     return udf
 
 
-def _with_args(cls, fn: Callable, ret: str, nargs: int):
-    if nargs == 1:
+def _with_args(cls, fn: Callable, ret: str, nargs: int, opt: tuple = ()):
+    """UDF factory for ``fn(sketch, *args)`` with up to ``nargs`` extra
+    args, the last ``len(opt)`` of which are OPTIONAL with the given
+    defaults -- the arity-overload surface DuckDB's binder provides
+    (reference codegen/generator.py:156-196: ``inclusive`` / describe
+    verbosity).  Spark Python UDFs are not arity-checked at analysis
+    time, so a single registration with defaulted trailing parameters
+    serves every arity; an omitted (or NULL) trailing arg takes its
+    default."""
+    n_req = nargs - len(opt)
 
-        @pandas_udf(ret)
-        def udf(s: pd.Series, a: pd.Series) -> pd.Series:
-            sks = _deser_batch(cls, s)
-            return _obj_series(
-                [
-                    None if sk is None or x is None else fn(sk, x)
-                    for sk, x in zip(sks, a)
-                ]
-            )
+    def _fill(col, n: int, i: int):
+        # omitted arg -> whole-column default; NULL cell -> default too
+        if col is None:
+            if i < n_req:
+                raise TypeError(
+                    f"missing required argument {i + 2} (sketch is argument 1)"
+                )
+            return [opt[i - n_req]] * n
+        if i >= n_req:
+            d = opt[i - n_req]
+            return [d if v is None else v for v in col]
+        return list(col)
+
+    if nargs == 1:
+        if opt:
+
+            @pandas_udf(ret)
+            def udf(s: pd.Series, a: pd.Series = None) -> pd.Series:
+                sks = _deser_batch(cls, s)
+                av = _fill(a, len(sks), 0)
+                return _obj_series(
+                    [None if sk is None else fn(sk, x) for sk, x in zip(sks, av)]
+                )
+
+        else:
+
+            @pandas_udf(ret)
+            def udf(s: pd.Series, a: pd.Series) -> pd.Series:
+                sks = _deser_batch(cls, s)
+                return _obj_series(
+                    [
+                        None if sk is None or x is None else fn(sk, x)
+                        for sk, x in zip(sks, a)
+                    ]
+                )
 
     else:
+        if opt:
 
-        @pandas_udf(ret)
-        def udf(s: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
-            sks = _deser_batch(cls, s)
-            return _obj_series(
-                [
-                    None if sk is None or x is None else fn(sk, x, y)
-                    for sk, x, y in zip(sks, a, b)
-                ]
-            )
+            @pandas_udf(ret)
+            def udf(
+                s: pd.Series, a: pd.Series = None, b: pd.Series = None
+            ) -> pd.Series:
+                sks = _deser_batch(cls, s)
+                av = _fill(a, len(sks), 0)
+                bv = _fill(b, len(sks), 1)
+                return _obj_series(
+                    [
+                        None
+                        if sk is None or (0 < n_req and x is None)
+                        else fn(sk, x, y)
+                        for sk, x, y in zip(sks, av, bv)
+                    ]
+                )
+
+        else:
+
+            @pandas_udf(ret)
+            def udf(s: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
+                sks = _deser_batch(cls, s)
+                return _obj_series(
+                    [
+                        None if sk is None or x is None else fn(sk, x, y)
+                        for sk, x, y in zip(sks, a, b)
+                    ]
+                )
 
     return udf
 
@@ -178,7 +235,8 @@ def build_scalar_registry() -> dict[str, object]:
             cls, lambda sk: None if sk.is_empty else float(sk.get_max_item()), "double"
         )
         reg[p + "rank"] = _with_args(
-            cls, lambda sk, v, inc: float(sk.get_rank(float(v), bool(inc))), "double", 2
+            cls, lambda sk, v, inc: float(sk.get_rank(float(v), bool(inc))),
+            "double", 2, opt=(True,),
         )
         reg[p + "quantile"] = _with_args(
             cls,
@@ -187,21 +245,25 @@ def build_scalar_registry() -> dict[str, object]:
             else float(sk.get_quantile(float(q), bool(inc))),
             "double",
             2,
+            opt=(True,),
         )
         reg[p + "cdf"] = _with_args(
             cls,
             lambda sk, sp, inc: sk.get_cdf(list(sp), bool(inc)),
             "array<double>",
             2,
+            opt=(True,),
         )
         reg[p + "pmf"] = _with_args(
             cls,
             lambda sk, sp, inc: sk.get_pmf(list(sp), bool(inc)),
             "array<double>",
             2,
+            opt=(True,),
         )
         reg[p + "describe"] = _with_args(
-            cls, lambda sk, a, b: sk.describe(bool(a), bool(b)), "string", 2
+            cls, lambda sk, a, b: sk.describe(bool(a), bool(b)),
+            "string", 2, opt=(False, False),
         )
         if fam in ("quantiles", "kll"):
             reg[p + "normalized_rank_error"] = _with_args(
@@ -237,7 +299,8 @@ def build_scalar_registry() -> dict[str, object]:
         TDigestSketch, lambda sk, sp: sk.get_pmf(list(sp)), "array<double>", 1
     )
     reg[p + "describe"] = _with_args(
-        TDigestSketch, lambda sk, a: sk.describe(bool(a)), "string", 1
+        TDigestSketch, lambda sk, a: sk.describe(bool(a)),
+        "string", 1, opt=(False,),
     )
 
     # ---- Theta (src/theta_sketch.cpp:221-354) ----
@@ -298,7 +361,8 @@ def build_scalar_registry() -> dict[str, object]:
         )
         reg[p + "is_empty"] = _unary(cls, lambda sk: bool(sk.is_empty), "boolean")
         reg[p + "describe"] = _with_args(
-            cls, lambda sk, a, b: sk.describe(bool(a), bool(b)), "string", 2
+            cls, lambda sk, a, b: sk.describe(bool(a), bool(b)),
+            "string", 2, opt=(True, False),
         )
     reg["datasketch_hll_lg_config_k"] = _unary(
         HllSketch, lambda sk: int(sk.lg_config_k), "int"

@@ -581,3 +581,48 @@ def test_approx_rebalance_and_budget(spark):
 
     hb = approx.bucketize(df, "n_tok", 2, method="hist")
     assert hb.filter(F.col("bucket").isNull()).count() == 0
+
+
+def test_arity_overloads_optional_args(spark):
+    """DuckDB-parity arity overloads (reference codegen/generator.py:
+    156-196): inclusive and describe-verbosity args are optional with
+    the Python-API defaults; short and long arities must agree."""
+    spark.sql(
+        "SELECT datasketch_kll(200, CAST(id AS DOUBLE)) AS sk,"
+        " datasketch_quantiles(128, CAST(id AS DOUBLE)) AS qk,"
+        " datasketch_req(12, CAST(id AS DOUBLE)) AS rk,"
+        " datasketch_tdigest(100, CAST(id AS DOUBLE)) AS tk,"
+        " datasketch_hll(12, id) AS hk FROM range(100)"
+    ).createOrReplaceTempView("arity_t")
+    pairs = [
+        ("datasketch_kll_quantile(sk, 0.5D)",
+         "datasketch_kll_quantile(sk, 0.5D, true)"),
+        ("datasketch_kll_rank(sk, 50.0D)",
+         "datasketch_kll_rank(sk, 50.0D, true)"),
+        ("datasketch_quantiles_cdf(qk, array(25.0D, 75.0D))",
+         "datasketch_quantiles_cdf(qk, array(25.0D, 75.0D), true)"),
+        ("datasketch_req_pmf(rk, array(25.0D, 75.0D))",
+         "datasketch_req_pmf(rk, array(25.0D, 75.0D), true)"),
+        ("datasketch_kll_describe(sk)",
+         "datasketch_kll_describe(sk, false, false)"),
+        ("datasketch_tdigest_describe(tk)",
+         "datasketch_tdigest_describe(tk, false)"),
+        ("datasketch_hll_describe(hk)",
+         "datasketch_hll_describe(hk, true, false)"),
+    ]
+    for short, full in pairs:
+        a, b = spark.sql(
+            f"SELECT {short} AS a, {full} AS b FROM arity_t"
+        ).collect()[0]
+        assert a == b, f"{short} != {full}"
+    # mid-arity describe for the 2-optional families
+    row = spark.sql(
+        "SELECT datasketch_kll_describe(sk, true) AS a,"
+        " datasketch_kll_describe(sk, true, false) AS b FROM arity_t"
+    ).collect()[0]
+    assert row["a"] == row["b"]
+    # a missing REQUIRED argument must still fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="missing required"):
+        spark.sql("SELECT datasketch_kll_quantile(sk) FROM arity_t").collect()
