@@ -1566,6 +1566,34 @@ def q_orders_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (pipeline/sampling.py):
+    5 documents per language, inclusion weighted by n_chars via the
+    Efraimidis-Spirakis key pow(unit_hash(id), 1/w).  The md5 unit
+    hash makes the sampled SET a pure function of (id, salt), so the
+    DuckDB oracle recomputes the identical keys and the identical
+    rows; WindowGroupLimit pushdown keeps every task bounded (the
+    map side ships at most k rows per group)."""
+    from datasketches_spark.pipeline.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(
+        docs, "doc_id", "n_chars", k=5, by=["lang"], salt="ws1"
+    ).select("lang", "doc_id", "n_chars")
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF characteristic terms (pipeline/tfidf.py): top-5 terms
+    per language by tf * ln((N+1)/(df+1)), exact counting aggregates
+    + rounded-score ordering so both engines rank identically."""
+    from datasketches_spark.pipeline.tfidf import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return tfidf_top_terms(
+        docs, "doc_id", "text", "lang", k=5
+    ).select("lang", "term", "tf", "df", "tfidf")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared query inventory (SURVEY.md section 2 checklist).
 
@@ -1659,6 +1687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantization": q_embedding_quantization,
         "lineitem_sketch_profile": q_lineitem_sketch_profile,
         "orders_sketch_profile": q_orders_sketch_profile,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -2281,6 +2311,8 @@ def oracle_sql() -> dict[str, str]:
             + _CUME.format(g="o_orderpriority", v="o_totalprice", t="orders")
             + ") GROUP BY g"
         ),
+        "doc_weighted_sample": _weighted_sample_oracle(),
+        "tfidf_top_terms": _tfidf_oracle(),
     }
     # the KLL-cuts variant computes the identical inclusive-rank
     # histogram, so it shares the oracle arithmetic verbatim
@@ -2449,3 +2481,25 @@ def _redaction_oracle() -> str:
     return (
         f"SELECT c_custkey, {oracle_redact_sql(blob)} AS redacted FROM customer"
     )
+
+
+def _weighted_sample_oracle() -> str:
+    from datasketches_spark.pipeline.sampling import oracle_weighted_key_sql
+
+    key = oracle_weighted_key_sql("doc_id", "n_chars", salt="ws1")
+    return f"""
+        WITH keyed AS (
+            SELECT lang, doc_id, n_chars, {key} AS k
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        r AS (SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY k DESC, doc_id ASC) AS rn
+              FROM keyed)
+        SELECT lang, doc_id, n_chars FROM r WHERE rn <= 5
+    """
+
+
+def _tfidf_oracle() -> str:
+    from datasketches_spark.pipeline.tfidf import oracle_tfidf_top_terms_sql
+
+    return oracle_tfidf_top_terms_sql("documents", "doc_id", "text", "lang", k=5)

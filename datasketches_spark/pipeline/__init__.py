@@ -10,12 +10,18 @@
   stubbed-but-plumbed decoders
 - :mod:`.mixture` -- source-mixture rebalancing + token-budget
   selection (deterministic, hash-based)
+- :mod:`.sampling` -- weighted sampling without replacement
+  (Efraimidis-Spirakis) + scale-safe two-phase grouped top-k
+- :mod:`.tfidf` -- TF-IDF term scoring / top characteristic terms
 
 (:mod:`.asof`, :mod:`.binning`, :mod:`.decontam`, :mod:`.packing`,
 :mod:`.rangejoin`, :mod:`.sessions`, :mod:`.skewjoin`, :mod:`.split`
 are imported directly by callers.)
 """
 
-from . import dedup, mixture, multimodal, sessions, similarity, text
+from . import dedup, mixture, multimodal, sampling, sessions, similarity, text, tfidf
 
-__all__ = ["dedup", "mixture", "sessions", "similarity", "text", "multimodal"]
+__all__ = [
+    "dedup", "mixture", "sampling", "sessions", "similarity",
+    "text", "tfidf", "multimodal",
+]
