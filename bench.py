@@ -143,7 +143,8 @@ def main():
             # them so cache pressure from one query never taxes the next
             spark.catalog.clearCache()
 
-    # best-of-3, INTERLEAVED round-robin: host load on this container
+    # best-of-N (4 rounds, soft-deadline-guarded), INTERLEAVED
+    # round-robin: host load on this container
     # arrives in multi-second bursts, so three consecutive attempts of
     # one query can all land inside a burst.  Spreading each query's
     # attempts across the whole measurement window makes min-of-3
@@ -153,7 +154,7 @@ def main():
     deadline = time.monotonic() + float(
         os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "240")
     )
-    for _round in range(3):
+    for _round in range(4):
         if _round > 0 and time.monotonic() > deadline:
             print(
                 f"bench: soft deadline hit after round {_round}",
