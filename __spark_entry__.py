@@ -1594,6 +1594,47 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "term", "tf", "df", "tfidf")
 
 
+def q_sketch_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-state-as-data roundtrip — the reference's core pitch
+    (docs/README.md:9; stored sketch tables at
+    test/sql/datasketch_hll.test:111): build per-priority theta
+    sketches of o_custkey, persist them as a parquet sketch table
+    (family-tagged column metadata, io.py), reload with blob
+    validation, then answer BOTH the per-priority and the all-up
+    distinct counts from the STORED blobs alone — the orders table is
+    never rescanned.  lg_k=16 keeps every sketch in exact mode
+    through sf0.1, so the oracle is plain COUNT(DISTINCT)."""
+    import os as _os
+
+    from datasketches_spark.aggregation import sketch_agg, sketch_merge
+    from datasketches_spark.io import read_sketch_table, write_sketch_table
+
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    sk = sketch_agg(
+        orders, "o_custkey", "theta", group_cols=["o_orderpriority"], k=16
+    )
+    path = "/tmp/datasketches_spark_roundtrip_" + _os.path.basename(
+        sf_dir.rstrip("/")
+    )
+    write_sketch_table(sk, path, "sketch", "theta", k=16)
+    stored = read_sketch_table(spark, path)
+    per = stored.select(
+        "o_orderpriority",
+        F.expr(
+            "cast(round(datasketch_theta_estimate(sketch)) as bigint)"
+        ).alias("distinct_customers"),
+    )
+    allup = sketch_merge(
+        stored.select("sketch"),
+        "theta",
+        k=16,
+        finalize=lambda s: {"distinct_customers": int(round(s.get_estimate()))},
+        finalize_schema="distinct_customers bigint",
+    ).select(F.lit("ALL").alias("o_orderpriority"), "distinct_customers")
+    return per.unionByName(allup)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared query inventory (SURVEY.md section 2 checklist).
 
@@ -1689,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_sketch_profile": q_orders_sketch_profile,
         "doc_weighted_sample": q_doc_weighted_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "sketch_store_roundtrip": q_sketch_store_roundtrip,
     }
 
 
@@ -2313,6 +2355,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_weighted_sample": _weighted_sample_oracle(),
         "tfidf_top_terms": _tfidf_oracle(),
+        "sketch_store_roundtrip": """
+            SELECT o_orderpriority,
+                   count(DISTINCT o_custkey)::BIGINT AS distinct_customers
+            FROM orders GROUP BY 1
+            UNION ALL
+            SELECT 'ALL', count(DISTINCT o_custkey)::BIGINT FROM orders
+        """,
     }
     # the KLL-cuts variant computes the identical inclusive-rank
     # histogram, so it shares the oracle arithmetic verbatim
