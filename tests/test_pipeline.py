@@ -152,6 +152,40 @@ class TestDedup:
         for j in got.values():
             assert 0.5 <= j <= 1.0
 
+    def test_lsh_jvm_engine_matches_pandas(self, spark, docs):
+        """Both signature engines land the same verified pairs (hash
+        families differ; verification makes the result exact)."""
+        a = dedup.lsh_verified_near_duplicates(
+            docs, "doc_id", "text", threshold=0.5, engine="pandas"
+        )
+        b = dedup.lsh_verified_near_duplicates(
+            docs, "doc_id", "text", threshold=0.5, engine="jvm"
+        )
+        pa = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in a.collect())
+        pb = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in b.collect())
+        assert pa == pb
+
+    def test_lsh_bad_engine_rejected(self, spark, docs):
+        with pytest.raises(ValueError, match="unknown engine"):
+            dedup.lsh_verified_near_duplicates(
+                docs, "doc_id", "text", engine="nope"
+            )
+
+    def test_jvm_signatures_min_over_multiset(self, spark):
+        """Repeated shingles cannot change the signature (min over a
+        multiset == min over its set)."""
+        df = spark.createDataFrame(
+            [(1, "abcdefgh"), (2, "abcdefghabcdefgh"[:13])], "id long, text string"
+        )
+        # doc 2 = 'abcdefghabcde': shingle SET is a superset of doc 1's
+        sigs = {
+            r.id: r.sig
+            for r in dedup.minhash_signatures_jvm(df, "id", "text", 16).collect()
+        }
+        assert len(sigs[1]) == 16 and len(sigs[2]) == 16
+        # shared shingles force sig2 <= sig1 elementwise
+        assert all(s2 <= s1 for s1, s2 in zip(sigs[1], sigs[2]))
+
     def test_char_ngrams_matches_python(self, spark, docs):
         row = docs.filter(F.col("doc_id") == 0).select(
             "text", dedup.char_ngrams(F.col("text"), 5).alias("g")
