@@ -20,25 +20,31 @@ import datasketches_spark as dss
 from datasketches_spark.aggregation import sketch_agg
 from datasketches_spark.pipeline import text as _T
 
-_REGISTERED: set[int] = set()
 
 
 def _ensure(spark: SparkSession) -> None:
-    key = id(spark)
-    if key not in _REGISTERED:
+    # flag lives on the session: no stale id() reuse after GC, and the
+    # marker dies with the session
+    if not getattr(spark, "_dsks_registered", False):
         dss.register(spark)
-        _REGISTERED.add(key)
-
-
-_TABLES: dict[tuple, DataFrame] = {}
+        spark._dsks_registered = True
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DataFrames are immutable plans, so the handle is reusable across
     # queries; caching it skips the per-call file listing + parquet
-    # schema inference (~50-80 ms each) that spark.read.parquet repeats
-    key = (id(spark), sf_dir, name)
-    df = _TABLES.get(key)
+    # schema inference (~50-80 ms each) that spark.read.parquet repeats.
+    # The cache lives ON the session object, so it is collected with
+    # the session (a module-level dict keyed by id(spark) would pin
+    # every stopped session and its frozen file listings forever).
+    cache: dict[tuple, DataFrame] | None = getattr(
+        spark, "_dsks_table_cache", None
+    )
+    if cache is None:
+        cache = {}
+        spark._dsks_table_cache = cache
+    key = (sf_dir, name)
+    df = cache.get(key)
     if df is not None:
         return df
     if name == "events":
@@ -51,7 +57,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = read_table(spark, sf_dir, name)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    _TABLES[key] = df
+    cache[key] = df
     return df
 
 
@@ -769,19 +775,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_bloom_contains_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom runtime filter: every key inserted must probe true (no
-    false negatives), so counting semi-joined customers through the
-    filter is deterministic.  Beyond-reference family (sketches/bloom.py)."""
+    """Bloom runtime filter used the way it is used at scale: prune
+    the probe side FIRST (no false negatives, so no match is lost),
+    then exact-verify only the survivors with the semi-join.  The
+    result is deterministically the exact semi-join count at EVERY
+    scale factor — bloom false positives can only add rows to the
+    verify input, never to the output — while the expensive join sees
+    |survivors| rows, not |customer|.  Beyond-reference family
+    (sketches/bloom.py)."""
     _ensure(spark)
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
-    # No exact semi-join: the Bloom probe IS the semi-join reduction.
-    # Deterministic vs the oracle's exact semi-join count because at
-    # lg_m=20 with ~n distinct keys the chance of ANY false positive
-    # among the non-matching customers is ~n*(6n/2^20)^6 (< 1e-10 at
-    # the gate SFs), and the filter's hash seeds are fixed.
     pruned = dss.bloom_prune(customer, "c_custkey", orders, "o_custkey", lg_m=20)
-    return pruned.agg(F.count("*").alias("contained_customers"))
+    verified = pruned.join(
+        orders.select("o_custkey").distinct(),
+        pruned["c_custkey"] == F.col("o_custkey"),
+        "left_semi",
+    )
+    return verified.agg(F.count("*").alias("contained_customers"))
 
 
 def q_theta_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,17 +58,27 @@ def hist_quantile_cuts(
         df.filter(F.col(col).isNotNull())
         .groupBy(*by, col)
         .agg(F.count("*").alias("__c"))
+        .select(*by, F.col(col).cast("double").alias("__v"), "__c")
     )
-    # windows over the distinct-value frame (bounded by construction)
+    return _cuts_from_value_counts(counts, num_buckets, by)
+
+
+def _cuts_from_value_counts(
+    counts: DataFrame, num_buckets: int, by: list[str]
+) -> DataFrame:
+    """(by..., __qb_cuts) from a pre-aggregated (by, __v double, __c)
+    distinct-value frame — THE cume_dist cut definition, shared by
+    every hist path so the two callers cannot drift.  The windows run
+    over distinct values (bounded by construction), not rows."""
     w_cum = (
         Window.partitionBy(*by)
-        .orderBy(col)
+        .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(*by)
     cdf = counts.select(
         *by,
-        F.col(col).cast("double").alias("__v"),
+        "__v",
         (F.sum("__c").over(w_cum) / F.sum("__c").over(w_all)).alias("__cd"),
     )
     aggs = [
@@ -171,27 +181,8 @@ def equi_depth_histogram(
             F.col(col).cast("double").alias("__v"), "__c",
         )
         nonnull = vals.filter(F.col("__v").isNotNull())
-        w_cum = (
-            Window.partitionBy(*by)
-            .orderBy("__v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        w_all = Window.partitionBy(*by)
-        cdf = nonnull.select(
-            *by, "__v",
-            (F.sum("__c").over(w_cum) / F.sum("__c").over(w_all)).alias("__cd"),
-        )
-        aggs = [
-            F.min(F.when(F.col("__cd") >= i / num_buckets, F.col("__v"))).alias(
-                f"__cut{i}"
-            )
-            for i in range(1, num_buckets)
-        ]
-        cuts = cdf.groupBy(*by).agg(*aggs).select(
-            *by,
-            F.array(*[F.col(f"__cut{i}") for i in range(1, num_buckets)]).alias(
-                _CUTS
-            ),
+        cuts = _cuts_from_value_counts(
+            nonnull.select(*by, "__v", "__c"), num_buckets, by
         )
         joined = (
             vals.join(F.broadcast(cuts), by)

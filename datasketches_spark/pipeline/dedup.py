@@ -145,6 +145,10 @@ def minhash_signatures_jvm(
             lambda a, i: F.least(a, F.xxhash64(s, i)),
         ),
     )
+    # NULL text must yield a NULL signature (matching the pandas
+    # engine); xxhash64 ignores NULL args, so the fold would otherwise
+    # give every NULL-text doc the same concrete signature
+    sig = F.when(F.col(text_col).isNotNull(), sig)
     return df.select(F.col(id_col), sig.alias("sig"))
 
 
@@ -163,8 +167,13 @@ def minhash_band_buckets(
             for i in range(bands)
         ]
     )
+    # F.hash of all-NULL inputs returns its constant seed, so a NULL
+    # signature would land every such doc in the SAME bucket per band
+    # -- an O(m^2) candidate blowup among NULL-text docs.  NULL sigs
+    # have no shingles to match; drop them before banding.
     return (
-        sig_df.select(id_col, F.explode(band_arr).alias("b"))
+        sig_df.filter(F.col("sig").isNotNull())
+        .select(id_col, F.explode(band_arr).alias("b"))
         .select(id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
     )
 
@@ -263,7 +272,7 @@ def lsh_verified_near_duplicates(
     rows: int = 4,
     seed: int = 1,
     ngram: int = 5,
-    persist: bool | None = None,
+    persist: bool = True,
     engine: str = "pandas",
 ) -> DataFrame:
     """(id_a, id_b, jaccard) near-dup pairs with EXACT char-ngram
@@ -302,8 +311,6 @@ def lsh_verified_near_duplicates(
         sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
     else:
         raise ValueError(f"unknown engine: {engine!r} (want 'jvm' or 'pandas')")
-    if persist is None:
-        persist = True
     if persist:
         sigs = sigs.persist()
     cand = minhash_candidate_pairs(sigs, id_col, bands, rows)

@@ -150,7 +150,19 @@ def sharded_prefix_sum(
         bucket_col,
         F.coalesce(F.sum("__ps_tot").over(w_off), F.lit(0)).alias("__ps_off"),
     )
-    joined = df.join(F.broadcast(offsets), [*by, bucket_col])
+    # null-safe equi-join: groupBy and Window.partitionBy both treat
+    # NULL as a real key, so the offsets frame has a NULL-key row --
+    # a plain inner join (NULL != NULL) would silently drop that
+    # shard, breaking bit-identity with the single-window path
+    off = offsets
+    for c in [*by, bucket_col]:
+        off = off.withColumnRenamed(c, f"__ps_{c}")
+    cond = [
+        df[c].eqNullSafe(off[f"__ps_{c}"]) for c in [*by, bucket_col]
+    ]
+    joined = df.join(F.broadcast(off), cond).drop(
+        *[f"__ps_{c}" for c in [*by, bucket_col]]
+    )
     return joined.withColumn(
         output_col, F.sum(val).over(w_local) + F.col("__ps_off")
     ).drop("__ps_off")

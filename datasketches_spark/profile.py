@@ -114,7 +114,10 @@ def profile_table(
             out[f"t_{c}"] = float(sks[f"__t_{c}"].get_estimate())
         for c in num_f:
             for p, pp in zip(probs, pct):
-                out[f"q_{c}_{pp}"] = float(sks[f"__q_{c}"].get_quantile(p, True))
+                # all-NULL column -> empty sketch -> get_quantile None;
+                # surface NULL like the scalar SQL path does
+                q = sks[f"__q_{c}"].get_quantile(p, True)
+                out[f"q_{c}_{pp}"] = None if q is None else float(q)
         return out
 
     ddl = ", ".join(

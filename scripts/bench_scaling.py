@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 import datasketches_spark as dss
 from datasketches_spark.aggregation import sketch_agg
+from datasketches_spark.pipeline.sampling import weighted_sample
 
 
 def _noop(batches):
@@ -63,6 +64,20 @@ def main() -> None:
                 F.hll_sketch_estimate(F.hll_sketch_agg("k", 12))
             ).collect(),
             "noop_transfer_floor": lambda: df.mapInPandas(_noop, "n long").collect(),
+            # A-ES weighted top-k: pure-JVM path; WindowGroupLimit's
+            # partial pushdown keeps the shuffle at k rows per
+            # (group, map task) regardless of n
+            "weighted_topk": lambda: weighted_sample(
+                spark.range(n, numPartitions=32).select(
+                    F.col("id"),
+                    (F.col("id") % 3).alias("g"),
+                    (F.col("id") % 997 + 1).alias("w"),
+                ),
+                "id",
+                "w",
+                k=5,
+                by=["g"],
+            ).collect(),
         }
         best = {name: float("inf") for name in variants}
         for it in range(3):  # interleaved; iteration 0 is warmup

@@ -37,15 +37,16 @@ lines = [
 ]
 # Reference twins overload these names by arity to make the trailing
 # argument optional (codegen/generator.py:156-196 inclusive,
-# :244-261/:424-441 describe verbosity). Spark cannot overload a UDF
-# by arity, so the argument is REQUIRED positional here; the Python
-# Column API supplies the default.
+# :244-261/:424-441 describe verbosity).  Spark Python UDFs are not
+# arity-checked at analysis time, so one registration with defaulted
+# trailing parameters serves every arity (matching DuckDB's overload
+# set; omitting a REQUIRED argument still raises).
 _ARITY = {
-    "cdf": "trailing `inclusive` BOOL required (DuckDB: optional)",
-    "pmf": "trailing `inclusive` BOOL required (DuckDB: optional)",
-    "rank": "trailing `inclusive` BOOL required (DuckDB: optional)",
-    "quantile": "trailing `inclusive` BOOL required (DuckDB: optional)",
-    "describe": "fixed arity (DuckDB: optional verbosity bools)",
+    "cdf": "trailing `inclusive` BOOL optional, default true (DuckDB parity)",
+    "pmf": "trailing `inclusive` BOOL optional, default true (DuckDB parity)",
+    "rank": "trailing `inclusive` BOOL optional, default true (DuckDB parity)",
+    "quantile": "trailing `inclusive` BOOL optional, default true (DuckDB parity)",
+    "describe": "optional verbosity bools (DuckDB parity)",
 }
 
 

@@ -184,3 +184,30 @@ class TestShardedPrefixSum:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "hashpartitioning(lang" in plan and "bkt" in plan
+
+
+class TestPrefixSumNullKeys:
+    def test_null_shard_kept_bit_identical(self, spark):
+        """NULL shard / bucket keys survive the two-phase path: the
+        offsets join is null-safe, so the NULL-lang shard selects the
+        same rows as the single-window path (code-review regression)."""
+        from pyspark.sql import functions as F
+
+        rows = [
+            (i, None if i % 3 == 0 else "en", (i * 37) % 101 / 100.0, 7)
+            for i in range(600)
+        ]
+        df = spark.createDataFrame(rows, ["id", "lang", "score", "tok"])
+        df = df.withColumn("bkt", -F.floor(F.col("score") * 5).cast("int"))
+        order = [F.col("score").desc(), F.col("id")]
+        base = token_budget_filter(
+            df, "tok", 700, order_by=order, by=["lang"], cum_col="cum"
+        )
+        two = token_budget_filter(
+            df, "tok", 700, order_by=order, by=["lang"],
+            cum_col="cum", bucket_col="bkt",
+        )
+        a = sorted((r["id"], r["cum"]) for r in base.collect())
+        b = sorted((r["id"], r["cum"]) for r in two.collect())
+        assert a == b
+        assert any(r["lang"] is None for r in two.collect())

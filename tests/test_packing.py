@@ -78,7 +78,6 @@ class TestBucketedPacking:
         two = chunk_pack(
             df, "n_tok", 512, "doc_id", by=["shard"], bucket_col="bkt"
         )
-        key = lambda r: (r["doc_id"], r["pack_id"])
         a = sorted(
             (r["doc_id"], r["pack_id"], r["slice_start"], r["slice_len"])
             for r in base.collect()

@@ -569,3 +569,19 @@ class TestRedaction:
             df.select(text.redact(F.col("t")).alias("r")).first().r
             == "nothing to hide here"
         )
+
+
+class TestNullTextMinhash:
+    def test_null_text_docs_produce_no_candidates(self, spark):
+        """NULL-text docs must not band together (would be O(m^2)
+        candidates); both engines emit NULL sigs which banding drops
+        (code-review regression)."""
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, None), (4, "real text here ok")],
+            "doc_id long, text string",
+        )
+        for engine in ("pandas", "jvm"):
+            pairs = dedup.lsh_verified_near_duplicates(
+                df, "doc_id", "text", threshold=0.1, engine=engine
+            )
+            assert pairs.count() == 0, engine

@@ -55,3 +55,16 @@ def test_default_columns_and_validation(df, spark):
     bin_df = spark.createDataFrame([Row(b=bytearray(b"x"))])
     with pytest.raises(ValueError, match="unsupported type"):
         profile_table(bin_df, ["b"])
+
+
+def test_all_null_numeric_column(spark):
+    """All-NULL numeric column: empty KLL -> NULL quantiles, not a
+    TypeError inside the fused finalize (code-review regression)."""
+    rows = [Row(i=i, dead=None) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "i long, dead double"
+    )
+    prof = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert prof["dead"]["n_nonnull"] == 0
+    assert prof["dead"]["q_50"] is None
+    assert prof["i"]["q_50"] is not None
