@@ -29,6 +29,38 @@ from datasketches_spark import hll_native
 from datasketches_spark.aggregation import sketch_agg
 
 
+# the timed workload (must stay aligned with scripts/baseline_duckdb.py
+# -- tests/test_bench_alignment.py enforces it)
+HEADS = [
+    "theta_distinct_orders",
+    # shared-scan fused profiles: one sketch_agg_multi pass covers
+    # theta+KLL+tdigest over lineitem and quantiles+REQ over orders
+    # -- the realistic workload shape at scale (N families, one
+    # scan) and the per-family build+merge paths are all still
+    # exercised.  The DuckDB proxy runs the same fused queries.
+    "lineitem_sketch_profile",
+    "orders_sketch_profile",
+    "hll_union_custkey",
+    "cpc_distinct_parts",
+    "frequent_priorities",
+    "native_topk_priorities",
+    "bloom_contains_customers",
+    "theta_rollup_region",
+    # training-data pipeline operators (beyond-reference surface)
+    "ann_topk",
+    "doc_token_counts",
+    "minhash_near_dups",
+    "curation_sample",
+    "decontam_overlap",
+    "asof_latest_error",
+    "range_join_errors",
+    "quantity_equi_depth",
+    "doc_chunk_pack",
+    "skew_join_revenue",
+    "table_profile",
+]
+
+
 def _bench_hll_native(spark, sf_dir):
     df = entrymod._t(spark, sf_dir, "lineitem")
     return df.agg(
@@ -96,34 +128,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     q = entrymod.queries()
-    heads = [
-        "theta_distinct_orders",
-        # shared-scan fused profiles: one sketch_agg_multi pass covers
-        # theta+KLL+tdigest over lineitem and quantiles+REQ over orders
-        # -- the realistic workload shape at scale (N families, one
-        # scan) and the per-family build+merge paths are all still
-        # exercised.  The DuckDB proxy runs the same fused queries.
-        "lineitem_sketch_profile",
-        "orders_sketch_profile",
-        "hll_union_custkey",
-        "cpc_distinct_parts",
-        "frequent_priorities",
-        "native_topk_priorities",
-        "bloom_contains_customers",
-        "theta_rollup_region",
-        # training-data pipeline operators (beyond-reference surface)
-        "ann_topk",
-        "doc_token_counts",
-        "minhash_near_dups",
-        "curation_sample",
-        "decontam_overlap",
-        "asof_latest_error",
-        "range_join_errors",
-        "quantity_equi_depth",
-        "doc_chunk_pack",
-        "skew_join_revenue",
-        "table_profile",
-    ]
+    heads = HEADS
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     # fault isolation: one broken query must never zero the whole bench

@@ -30,26 +30,9 @@ import time
 import duckdb
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-
-    con = duckdb.connect()
-    con.execute(f"PRAGMA threads={cpus}")
-    for t in [
-        "lineitem",
-        "orders",
-        "nation",
-        "customer",
-        "embeddings",
-        "documents",
-        "events",
-    ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-
+def build_queries() -> dict[str, str]:
+    """The timed proxy workload; no DuckDB connection needed, so the
+    bench-alignment test can compare name sets cheaply."""
     queries = {
         "theta_distinct_orders": (
             "SELECT approx_count_distinct(l_orderkey) AS distinct_orders FROM lineitem"
@@ -153,6 +136,30 @@ def main() -> None:
     except Exception:  # noqa: BLE001 -- keep the baseline runnable standalone
         pass
 
+    return queries
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={cpus}")
+    for t in [
+        "lineitem",
+        "orders",
+        "nation",
+        "customer",
+        "embeddings",
+        "documents",
+        "events",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = build_queries()
     timings: dict[str, float] = {}
     # warm the buffer/OS cache once so both harnesses measure steady state
     con.execute("SELECT count(*) FROM lineitem").fetchall()
