@@ -1646,6 +1646,27 @@ def q_sketch_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(allup)
 
 
+def q_kll_arity_overloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB-style short-arity scalar calls (reference overloads the
+    trailing ``inclusive`` by arity, codegen/generator.py:156-196):
+    2-arg quantile/rank must behave as inclusive=true.  Same exact
+    surface as kll_quantiles_by_flag / kll_rank, called WITHOUT the
+    flag — proving the default, not just the long form."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "kll",
+        group_cols=["l_returnflag"],
+        k=32768,
+    )
+    return sk.select(
+        "l_returnflag",
+        F.expr("datasketch_kll_quantile(sketch, 0.5D)").alias("p50"),
+        F.expr("datasketch_kll_rank(sketch, 25.0D)").alias("rank_25"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared query inventory (SURVEY.md section 2 checklist).
 
@@ -1742,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": q_doc_weighted_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "sketch_store_roundtrip": q_sketch_store_roundtrip,
+        "kll_arity_overloads": q_kll_arity_overloads,
     }
 
 
@@ -2373,6 +2395,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ALL', count(DISTINCT o_custkey)::BIGINT FROM orders
         """,
+        "kll_arity_overloads": (
+            "SELECT a.l_returnflag, a.p50, b.rank_25 FROM "
+            "(SELECT g AS l_returnflag, "
+            "min(CASE WHEN cd >= 0.5 THEN v END) AS p50 FROM ("
+            + _CUME.format(g="l_returnflag", v="l_quantity", t="lineitem")
+            + ") GROUP BY g) a JOIN "
+            "(SELECT l_returnflag, "
+            "(count(*) FILTER (l_quantity <= 25.0))::DOUBLE / count(*) AS rank_25 "
+            "FROM lineitem GROUP BY l_returnflag) b USING (l_returnflag)"
+        ),
     }
     # the KLL-cuts variant computes the identical inclusive-rank
     # histogram, so it shares the oracle arithmetic verbatim
