@@ -787,8 +787,10 @@ def q_bloom_contains_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     pruned = dss.bloom_prune(customer, "c_custkey", orders, "o_custkey", lg_m=20)
+    # left-semi needs no distinct() on the build side (it would add a
+    # whole extra shuffle for nothing -- semi joins dedup by nature)
     verified = pruned.join(
-        orders.select("o_custkey").distinct(),
+        orders.select("o_custkey"),
         pruned["c_custkey"] == F.col("o_custkey"),
         "left_semi",
     )
