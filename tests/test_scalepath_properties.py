@@ -1,0 +1,62 @@
+"""Randomized equivalence checks for the two-phase scale-path
+primitives against their single-window definitions.
+
+Hypothesis-per-example would pay a Spark job per example; instead each
+test sweeps several seeded adversarial datasets (heavy ties, NULL
+keys, single-row groups, one dominant shard) in one session and
+asserts bit-identical results between the declared scale plan and the
+naive window plan.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datasketches_spark.pipeline.mixture import sharded_prefix_sum
+from datasketches_spark.pipeline.sampling import grouped_topk
+
+
+def _random_frame(spark, seed, n=400):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        g = rng.choice(["a", "b", "c", None])
+        v = rng.choice([0.0, 0.25, 0.5, 0.5, 1.0, float(rng.randint(0, 5))])
+        w = rng.randint(1, 4)
+        rows.append((i, g, v, w))
+    return spark.createDataFrame(rows, "id long, g string, v double, w long")
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("k", [1, 3, 50])
+def test_bucketed_topk_equals_window(spark, seed, k):
+    df = _random_frame(spark, seed)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = grouped_topk(df, order, k, by=["g"], bucket_by=F.col("id"), n_buckets=4)
+    w = Window.partitionBy("g").orderBy(*order)
+    want = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 8, 9])
+def test_sharded_prefix_sum_equals_window(spark, seed):
+    df = _random_frame(spark, seed)
+    # bucket monotone non-decreasing along the (v asc, id asc) order
+    df = df.withColumn("bkt", F.floor(F.col("v") * 2).cast("int"))
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = sharded_prefix_sum(df, F.col("w"), order, ["g"], "bkt", "cum")
+    w = (
+        Window.partitionBy("g")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cum", F.sum("w").over(w))
+    a = sorted((r["id"], r["cum"]) for r in got.collect())
+    b = sorted((r["id"], r["cum"]) for r in want.collect())
+    assert a == b
+    # NULL shard must be present on both sides
+    assert any(r["g"] is None for r in got.collect())
