@@ -149,6 +149,36 @@ def sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 1000,
+    by: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted k-sample without replacement per group
+    (Efraimidis-Spirakis over the engine-portable md5 unit hash);
+    returns the sampled input rows."""
+    from .pipeline.sampling import weighted_sample as _ws
+
+    return _ws(df, id_col, weight_col, k, by=by, salt=salt)
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    by: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k characteristic terms per group by TF-IDF (single text
+    scan; exact counts)."""
+    from .pipeline.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(df, id_col, text_col, by, k=k)
+
+
 def bucketize(
     df: DataFrame,
     col: str,

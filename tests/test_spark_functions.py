@@ -626,3 +626,16 @@ def test_arity_overloads_optional_args(spark):
 
     with _pytest.raises(Exception, match="missing required"):
         spark.sql("SELECT datasketch_kll_quantile(sk) FROM arity_t").collect()
+
+
+def test_approx_weighted_sample_and_top_terms(spark):
+    from datasketches_spark import approx
+
+    df = spark.range(200).selectExpr(
+        "id", "CAST(id % 2 AS string) AS g", "id % 50 + 1 AS w",
+        "concat('term', id % 5, ' filler text') AS text"
+    )
+    s = approx.weighted_sample(df, "id", "w", k=10, by=["g"])
+    assert s.groupBy("g").count().collect()[0]["count"] == 10
+    t = approx.top_terms(df, "id", "text", "g", k=2)
+    assert t.count() == 4  # 2 groups x top-2
