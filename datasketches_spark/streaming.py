@@ -70,11 +70,15 @@ class SketchStore:
             )
         else:
             merged = partial
-        # write-then-swap so a failed write never corrupts current state
-        tmp = self.path + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path)
+        # materialize BEFORE overwriting the path the merge plan reads
+        # from (same pattern as PartitionedSketchStore) -- one parquet
+        # write per batch instead of the former staging double-write.
+        # A crash mid-overwrite can still lose the store (true of the
+        # staging variant too: its final write had the same window);
+        # durable state needs a transactional table format, as the
+        # replay-guard note below already says.
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self.path)
 
     # -- replay guard -----------------------------------------------------
     # foreachBatch is at-least-once: after a failure the same epoch can
