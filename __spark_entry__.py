@@ -788,7 +788,11 @@ def q_bloom_contains_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     pruned = dss.bloom_prune(customer, "c_custkey", orders, "o_custkey", lg_m=20)
     # left-semi needs no distinct() on the build side (it would add a
-    # whole extra shuffle for nothing -- semi joins dedup by nature)
+    # whole extra shuffle for nothing -- semi joins dedup by nature).
+    # NOT broadcast: orders is the fact side here, so the scale-correct
+    # verify is a shuffle semi-join where the bloom-pruned probe side
+    # is already tiny (measured: the broadcast variant is also ~0.1 s
+    # slower locally -- the broadcast exchange adds a job).
     verified = pruned.join(
         orders.select("o_custkey"),
         pruned["c_custkey"] == F.col("o_custkey"),

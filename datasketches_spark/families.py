@@ -24,6 +24,7 @@ from .sketches import (
     QuantilesSketch,
     ReqSketch,
     ReservoirSampleSketch,
+    StatsSketch,
     TDigestSketch,
     ThetaSketch,
 )
@@ -42,6 +43,7 @@ FAMILY_CLASSES = {
     "bloom": BloomFilterSketch,
     "reservoir": ReservoirSampleSketch,
     "cms": CountMinSketch,
+    "stats": StatsSketch,
 }
 
 
@@ -80,6 +82,8 @@ def create_sketch(family: str, params: dict):
         return CountMinSketch(
             int(params.get("lg_w", 16)), int(params.get("depth", 5))
         )
+    if family == "stats":
+        return StatsSketch()
     raise ValueError(f"unknown sketch family: {family}")
 
 
@@ -96,6 +100,15 @@ def is_blob_series(series: pd.Series) -> bool:
 def update_sketch(family: str, sk, series: pd.Series) -> None:
     """Feed one Arrow batch into a sketch: values build, blobs merge."""
     s = series.dropna()
+    if family == "stats":
+        # stats is the one family that must SEE the NULLs (its null
+        # count is n - nonnull); blobs still merge like everywhere else
+        if is_blob_series(s):
+            for blob in s:
+                sk.merge(StatsSketch.deserialize(bytes(blob)))
+        else:
+            sk.update_series(series)
+        return
     if s.empty:
         return
     cls = FAMILY_CLASSES[family]

@@ -180,17 +180,31 @@ def equi_depth_histogram(
             *by, F.col(col).alias("__raw"),
             F.col(col).cast("double").alias("__v"), "__c",
         )
-        nonnull = vals.filter(F.col("__v").isNotNull())
-        cuts = _cuts_from_value_counts(
-            nonnull.select(*by, "__v", "__c"), num_buckets, by
+        # single linear chain: the cuts are window aggregates over the
+        # SAME distinct-value frame, so the raw table is scanned and
+        # aggregated exactly once.  (A broadcast-join of a separately
+        # computed cut frame re-executes the value-count aggregation --
+        # Catalyst does not reuse a shuffle feeding two branches.)
+        # NULL values ride along with their counts masked out of the
+        # CDF; they land in bucket NULL as before.
+        nn = F.when(F.col("__v").isNotNull(), F.col("__c")).otherwise(F.lit(0))
+        w_cum = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__v").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        joined = (
-            vals.join(F.broadcast(cuts), by)
-            if by
-            else vals.crossJoin(F.broadcast(cuts))
+        w_all = Window.partitionBy(*by)
+        cdf = vals.withColumn(
+            "__cd", F.sum(nn).over(w_cum) / F.sum(nn).over(w_all)
         )
+        cut_exprs = [
+            F.min(F.when(F.col("__cd") >= i / num_buckets, F.col("__v")))
+            .over(w_all)
+            for i in range(1, num_buckets)
+        ]
+        labeled = cdf.withColumn(_CUTS, F.array(*cut_exprs))
         n_below = F.size(F.filter(F.col(_CUTS), lambda c: F.col("__v") > c))
-        labeled = joined.withColumn(
+        labeled = labeled.withColumn(
             "bucket", F.when(F.col("__v").isNotNull(), n_below + F.lit(1))
         )
         return labeled.groupBy(*by, "bucket").agg(

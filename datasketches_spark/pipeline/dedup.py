@@ -49,11 +49,21 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep one row (min id) per identical canonical fingerprint."""
-    w = F.row_number().over(
-        Window.partitionBy(doc_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    """Keep one row (min id) per identical canonical fingerprint.
+
+    Formulated as ``min_by`` over the fingerprint groups rather than a
+    ``row_number`` window: an aggregation partial-combines map-side, so
+    at most one candidate row per (fingerprint, input partition)
+    crosses the shuffle and nothing is sorted -- the window twin
+    shuffles and sorts EVERY row.  Same surviving row set.
+    """
+    fp = doc_fingerprint(F.col(text_col))
+    kept = (
+        df.groupBy(fp.alias("__fp"))
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__r"))
+        .select("__r.*")
     )
-    return df.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+    return kept
 
 
 # --------------------------------------------------------------- minhash

@@ -5,21 +5,17 @@ The reference's README pitches stored sketches as the substrate for
 /root/reference/docs/README.md:9 and the stored-sketch examples in
 test/sql/datasketch_hll.test:111-145); DuckDB users compose that by
 hand, one aggregate query per column per metric.  This operator does
-the whole profile in TWO scans regardless of column count:
+the whole profile in ONE scan regardless of column count: a single
+``sketch_agg_multi`` pass folds, per column, the exact mergeable
+``stats`` state (count / non-null / min / max — sketches/stats.py), a
+Theta sketch (distinct estimate), and for numeric columns a KLL sketch
+(quantiles).  One blob row crosses the shuffle and the fused finalize
+answers every metric in the merge round.
 
-  scan 1 (pure JVM, whole-stage codegen, no Python):  count(*),
-      per-column non-null counts and min/max, in ONE global aggregate
-      -- Catalyst computes every expression in the same pass and the
-      map-side partials mean only one tiny row per task shuffles;
-  scan 2 (Python sketch path, one shuffle of a single blob row):
-      ``sketch_agg_multi`` folds a Theta sketch (distinct estimate)
-      for every column plus a KLL sketch (quantiles) for every numeric
-      column -- N sketches for the price of one scan.
-
-The assembly (cross join of two 1-row frames, explode of per-column
-structs) is constant-size driver work.  At 100 TB the cost is exactly
-two scans of the pruned column set; the alternative -- one query per
-column x metric -- is 5N scans.
+The assembly (explode of per-column structs over the 1-row result) is
+constant-size work.  At 100 TB the cost is exactly one scan of the
+pruned column set; the alternative -- one query per column x metric --
+is 5N scans.
 
 Determinism contract (for the oracle gate): with exact-mode sketch
 parameters (cardinality <= 2^lg_k for Theta, group size <= KLL
@@ -87,22 +83,12 @@ def profile_table(
     numeric = [c for c in columns if isinstance(fields[c], _NUMERIC)]
     _ensure_registered(df)
 
-    # scan 1: every exact stat in one JVM aggregate
-    exact_exprs = [F.count(F.lit(1)).alias("__n")]
-    for c in columns:
-        exact_exprs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        if c in numeric:
-            exact_exprs.append(F.min(c).cast("double").alias(f"__min_{c}"))
-            exact_exprs.append(F.max(c).cast("double").alias(f"__max_{c}"))
-        else:
-            exact_exprs.append(F.min(c).alias(f"__min_{c}"))
-            exact_exprs.append(F.max(c).alias(f"__max_{c}"))
-    exact = df.agg(*exact_exprs)
-
-    # scan 2: all sketches in one pass (one blob row crosses the
-    # shuffle), answered by the fused finalize in the SAME merge round
-    # -- no separate scalar-UDF pass over the blob frame
-    specs = [(c, "theta", lg_k, f"__t_{c}") for c in columns]
+    # ONE scan: per-column exact stats (the mergeable `stats` family),
+    # a Theta sketch per column, and a KLL per numeric column all fold
+    # in the same mapInPandas pass; one blob row crosses the shuffle
+    # and the fused finalize answers every metric in the merge round.
+    specs = [(c, "stats", None, f"__s_{c}") for c in columns]
+    specs += [(c, "theta", lg_k, f"__t_{c}") for c in columns]
     specs += [(c, "kll", kll_k, f"__q_{c}") for c in numeric]
     probs = [float(p) for p in quantile_probs]
     pct = [int(round(p * 100)) for p in probs]
@@ -110,7 +96,18 @@ def profile_table(
 
     def _fin(sks):
         out = {}
-        for c in cols_f:
+        for i, c in enumerate(cols_f):
+            st = sks[f"__s_{c}"]
+            if i == 0:
+                out["n"] = int(st.get_n())
+            out[f"nn_{c}"] = int(st.get_nonnull())
+            if c in num_f:
+                mn, mx = st.get_min(), st.get_max()
+                out[f"min_{c}"] = None if mn is None else float(mn)
+                out[f"max_{c}"] = None if mx is None else float(mx)
+            else:
+                out[f"min_{c}"] = st.get_min()
+                out[f"max_{c}"] = st.get_max()
             out[f"t_{c}"] = float(sks[f"__t_{c}"].get_estimate())
         for c in num_f:
             for p, pp in zip(probs, pct):
@@ -121,27 +118,32 @@ def profile_table(
         return out
 
     ddl = ", ".join(
-        [f"`t_{c}` double" for c in columns]
+        ["`n` bigint"]
+        + [f"`nn_{c}` bigint" for c in columns]
+        + [
+            f"`min_{c}` {'double' if c in numeric else 'string'}, "
+            f"`max_{c}` {'double' if c in numeric else 'string'}"
+            for c in columns
+        ]
+        + [f"`t_{c}` double" for c in columns]
         + [f"`q_{c}_{pp}` double" for c in numeric for pp in pct]
     )
-    sketches = sketch_agg_multi(df, specs, finalize=_fin, finalize_schema=ddl)
-
-    joined = exact.join(sketches)  # 1 row x 1 row
+    joined = sketch_agg_multi(df, specs, finalize=_fin, finalize_schema=ddl)
 
     null_d = F.lit(None).cast("double")
     structs = []
     for c in columns:
         parts = [
             F.lit(c).alias("column"),
-            F.col("__n").alias("n_rows"),
-            F.col(f"__nn_{c}").alias("n_nonnull"),
-            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
+            F.col("n").alias("n_rows"),
+            F.col(f"nn_{c}").alias("n_nonnull"),
+            (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
             F.col(f"t_{c}").alias("distinct_est"),
         ]
         if c in numeric:
             parts += [
-                F.col(f"__min_{c}").alias("min_num"),
-                F.col(f"__max_{c}").alias("max_num"),
+                F.col(f"min_{c}").alias("min_num"),
+                F.col(f"max_{c}").alias("max_num"),
             ]
             for pp in pct:
                 parts.append(F.col(f"q_{c}_{pp}").alias(f"q_{pp}"))
@@ -155,8 +157,8 @@ def profile_table(
                 null_d.alias(f"q_{int(round(p * 100))}") for p in quantile_probs
             ]
             parts += [
-                F.col(f"__min_{c}").alias("min_str"),
-                F.col(f"__max_{c}").alias("max_str"),
+                F.col(f"min_{c}").alias("min_str"),
+                F.col(f"max_{c}").alias("max_str"),
             ]
         structs.append(F.struct(*parts))
 

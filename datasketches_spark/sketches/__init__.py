@@ -11,6 +11,7 @@ from .base import (
     FAMILY_CPC,
     FAMILY_FREQUENT_ITEMS,
     FAMILY_RESERVOIR,
+    FAMILY_STATS,
     FAMILY_HLL,
     FAMILY_KLL,
     FAMILY_QUANTILES,
@@ -24,6 +25,7 @@ from .bloom import BloomFilterSketch, bloom_intersect, bloom_union
 from .cms import CountMinSketch
 from .compactor import KllSketch, QuantilesSketch, ReqSketch
 from .reservoir import ReservoirSampleSketch
+from .stats import StatsSketch
 from .frequent_items import FrequentItemsSketch
 from .hll import CpcSketch, HllSketch
 from .tdigest import TDigestSketch
@@ -41,6 +43,7 @@ FAMILY_CLASSES = {
     FAMILY_BLOOM: BloomFilterSketch,
     FAMILY_RESERVOIR: ReservoirSampleSketch,
     FAMILY_CMS: CountMinSketch,
+    FAMILY_STATS: StatsSketch,
 }
 
 
@@ -68,6 +71,7 @@ __all__ = [
     "bloom_intersect",
     "ReservoirSampleSketch",
     "CountMinSketch",
+    "StatsSketch",
     "deserialize_any",
     "SketchDeserializeError",
     "peek_family",

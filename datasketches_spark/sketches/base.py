@@ -28,6 +28,7 @@ FAMILY_FREQUENT_ITEMS = 8
 FAMILY_BLOOM = 9
 FAMILY_RESERVOIR = 10
 FAMILY_CMS = 11
+FAMILY_STATS = 12
 
 FAMILY_NAMES = {
     FAMILY_THETA: "Theta",
@@ -41,6 +42,7 @@ FAMILY_NAMES = {
     FAMILY_BLOOM: "Bloom Filter",
     FAMILY_RESERVOIR: "Reservoir Sample",
     FAMILY_CMS: "Count-Min",
+    FAMILY_STATS: "Stats",
 }
 
 # dtype codes for typed quantile sketches (sketch_kll_double etc.)

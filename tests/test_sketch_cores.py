@@ -393,3 +393,62 @@ def test_serialized_size_contracts():
     t = ThetaSketch(12)
     t.update_values(keys)
     assert len(t.serialize()) <= (1 << 12) * 8 + 64  # bounded at nominal
+
+
+class TestStatsSketch:
+    """Exact mergeable summary stats (sketches/stats.py) — the family
+    that lets profile_table fold exact metadata into the same single
+    scan as its Theta/KLL sketches."""
+
+    def test_null_counting_and_numeric(self):
+        import pandas as pd
+        from datasketches_spark.sketches import StatsSketch
+
+        sk = StatsSketch()
+        sk.update_series(pd.Series([3, None, 1, 7, None], dtype="float64"))
+        assert (sk.get_n(), sk.get_nonnull()) == (5, 3)
+        assert (sk.get_min(), sk.get_max()) == (1.0, 7.0)
+        assert sk.get_sum() == 11.0
+
+    def test_merge_order_invariant_and_roundtrip(self):
+        import pandas as pd
+        from datasketches_spark.sketches import StatsSketch
+
+        parts = []
+        rng = np.random.RandomState(7)
+        all_vals = []
+        for _ in range(5):
+            vals = rng.randint(0, 1000, 200).astype(float)
+            vals[rng.rand(200) < 0.1] = np.nan
+            all_vals.append(vals)
+            p = StatsSketch()
+            p.update_series(pd.Series(vals))
+            parts.append(StatsSketch.deserialize(p.serialize()))
+        merged = StatsSketch()
+        for p in reversed(parts):
+            merged.merge(p)
+        flat = np.concatenate(all_vals)
+        assert merged.get_n() == flat.size
+        assert merged.get_nonnull() == int(np.sum(~np.isnan(flat)))
+        assert merged.get_min() == float(np.nanmin(flat))
+        assert merged.get_max() == float(np.nanmax(flat))
+
+    def test_string_minmax_and_empty(self):
+        import pandas as pd
+        from datasketches_spark.sketches import StatsSketch
+
+        sk = StatsSketch()
+        sk.update_series(pd.Series(["pear", None, "apple", "zed"]))
+        blob = sk.serialize()
+        rt = StatsSketch.deserialize(blob)
+        assert (rt.get_min(), rt.get_max()) == ("apple", "zed")
+        assert rt.get_sum() is None
+        empty = StatsSketch.deserialize(StatsSketch().serialize())
+        assert empty.is_empty() and empty.get_min() is None
+
+    def test_corrupt_blob(self):
+        from datasketches_spark.sketches import StatsSketch
+        from datasketches_spark.sketches.base import SketchDeserializeError
+
+        with pytest.raises(SketchDeserializeError, match="Failed to deserialize"):
+            StatsSketch.deserialize(b"DSKSxx")
