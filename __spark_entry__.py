@@ -67,19 +67,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q_theta_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase theta build over l_orderkey; exact at lg_k=16.
+    """Hybrid two-phase theta over l_orderkey; exact at lg_k=16.
 
-    Uses the fused finalize path (aggregation.sketch_merge): the
-    estimate is answered inside the merge round, no separate scalar
-    pass.  Same value as datasketch_theta_estimate over the blob."""
+    Phase 1 (Python) folds partition-local KMV state; phase 2 is PURE
+    Catalyst (aggregation.theta_estimate_merge: flatten/array_distinct
+    over the bounded hash arrays) — one Python stage instead of two,
+    and the merge stays inside whole-stage codegen.  Bit-identical to
+    the blob path's estimate (tested in estimation mode too); the
+    classic blob pipeline stays driver-visible via
+    theta_distinct_by_flag and scalar_over_2k_stored."""
+    from datasketches_spark.aggregation import theta_agg_hybrid
+
     _ensure(spark)
-    return sketch_agg(
-        _t(spark, sf_dir, "lineitem"),
-        "l_orderkey",
-        "theta",
-        k=16,
-        finalize=lambda sk: {"distinct_orders": int(round(sk.get_estimate()))},
-        finalize_schema="distinct_orders bigint",
+    out = theta_agg_hybrid(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", lg_k=16
+    )
+    return out.select(
+        F.round("estimate").cast("long").alias("distinct_orders")
     )
 
 
@@ -814,27 +818,27 @@ def q_theta_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("nationkey"), "n_regionkey"
     )
-    from datasketches_spark.aggregation import sketch_merge, sketch_partial
+    from datasketches_spark.aggregation import (
+        theta_estimate_merge,
+        theta_partial_state,
+    )
 
     fact = orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-    # phase 1 emits per-(partition, nation) theta partials; the nation
-    # dim is broadcast onto the tiny blob frame and ONE merge round
-    # rolls nations up to regions and finalizes -- 2 Python stages and
-    # one blob shuffle instead of two full sketch_agg rounds (4
-    # stages).  The partials are still per-nation re-aggregable state.
-    per_nation = sketch_partial(fact, "o_custkey", "theta", ["nationkey"], k=16)
+    # phase 1 emits per-(partition, nation) theta partials as plain SQL
+    # state; the nation dim is broadcast onto the tiny partial frame
+    # and the nation->region rollup merge is PURE Catalyst
+    # (theta_estimate_merge) -- one Python stage total, and the
+    # partials are still per-nation re-aggregable state.
+    per_nation = theta_partial_state(fact, "o_custkey", ["nationkey"], lg_k=16)
     per_region_in = per_nation.join(F.broadcast(nation), "nationkey")
-    per_region = sketch_merge(
-        per_region_in.select("n_regionkey", "sketch"),
-        "theta",
+    per_region = theta_estimate_merge(
+        per_region_in.select("n_regionkey", "hashes", "theta"),
         group_cols=["n_regionkey"],
-        k=16,
-        finalize=lambda sk: {"distinct_customers": int(round(sk.get_estimate()))},
-        finalize_schema="distinct_customers bigint",
+        lg_k=16,
     )
     return per_region.select(
         F.col("n_regionkey").cast("long").alias("regionkey"),
-        "distinct_customers",
+        F.round("estimate").cast("long").alias("distinct_customers"),
     )
 
 
@@ -1673,6 +1677,24 @@ def q_kll_arity_overloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_hybrid_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped hybrid theta (aggregation.theta_agg_hybrid): the partial
+    build is the only Python stage; the KMV union merge is pure
+    Catalyst over the transparent (hashes, theta) state.  Exact at
+    lg_k=16; bit-identical to the blob path in estimation mode too
+    (tests/test_scalepath_properties.py)."""
+    from datasketches_spark.aggregation import theta_agg_hybrid
+
+    _ensure(spark)
+    out = theta_agg_hybrid(
+        _t(spark, sf_dir, "orders"), "o_custkey", ["o_orderstatus"], lg_k=16
+    )
+    return out.select(
+        "o_orderstatus",
+        F.round("estimate").cast("long").alias("distinct_customers"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared query inventory (SURVEY.md section 2 checklist).
 
@@ -1770,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "sketch_store_roundtrip": q_sketch_store_roundtrip,
         "kll_arity_overloads": q_kll_arity_overloads,
+        "theta_hybrid_by_status": q_theta_hybrid_by_status,
     }
 
 
@@ -2410,6 +2433,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT l_returnflag, "
             "(count(*) FILTER (l_quantity <= 25.0))::DOUBLE / count(*) AS rank_25 "
             "FROM lineitem GROUP BY l_returnflag) b USING (l_returnflag)"
+        ),
+        "theta_hybrid_by_status": (
+            "SELECT o_orderstatus,"
+            " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
+            " FROM orders GROUP BY 1"
         ),
     }
     # the KLL-cuts variant computes the identical inclusive-rank

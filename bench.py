@@ -100,8 +100,11 @@ def main():
         .appName("datasketches-spark-bench")
         # sketch aggregation shuffles only (key, blob) rows, so a handful
         # of reducers suffices locally; on a real cluster size this to
-        # cluster width (the map phase parallelism comes from input splits)
-        .config("spark.sql.shuffle.partitions", "4")
+        # cluster width (the map phase parallelism comes from input splits).
+        # MEASURED (round 3, interleaved min-of-3): 2 beats 4 by ~0.1 s/query
+        # on the blob-shuffle queries and 1 regresses the row-heavy
+        # joins (skew_join/asof) -- 2 is the local sweet spot.
+        .config("spark.sql.shuffle.partitions", "2")
         # AQE re-plans at every exchange; at sf0.1 the shuffles are a
         # few blobs, so its per-stage latency (~0.1-0.15 s/query,
         # measured) buys nothing. Keep AQE ON for real clusters --

@@ -28,7 +28,13 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import BinaryType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from .families import build_params, create_sketch, update_sketch
 
@@ -312,3 +318,153 @@ def salted_sketch_agg(
         partial, family, group_cols + ["__salt"], k, output_col
     ).drop("__salt")
     return sketch_merge(per_salt, family, group_cols, k, output_col)
+
+
+# ------------------------------------------------- hybrid theta (JVM merge)
+
+
+def theta_partial_state(
+    df: DataFrame,
+    input_col: str,
+    group_cols: list[str] | None = None,
+    lg_k: int = 12,
+    hashes_col: str = "hashes",
+    theta_col: str = "theta",
+) -> DataFrame:
+    """Phase 1 of the *hybrid* theta path: per-(partition, group) KMV
+    state as PLAIN SQL types instead of an opaque blob.
+
+    Emits ``group_cols + (hashes ARRAY<BIGINT> sorted unique, theta
+    BIGINT nullable)`` — theta is the exclusive 63-bit threshold, NULL
+    meaning "1.0" (exact mode; the sentinel avoids int64 overflow of
+    2^63).  Because the state is transparent, the MERGE phase needs no
+    Python at all: `theta_estimate_merge` is pure Catalyst expressions
+    (flatten / array_distinct / array_sort / element_at), which drops
+    one Python stage per query versus the blob path — the most
+    Spark-idiomatic formulation of the reference's theta union
+    semantics (src/theta_sketch.cpp: theta = min, keep k smallest).
+    State is bounded: each partial carries at most 2^lg_k hashes.
+    """
+    from .sketches.theta import ThetaSketch
+    from .hashing import MAX_HASH
+
+    group_cols = list(group_cols or [])
+    fields = [df.schema[c] for c in group_cols]
+    schema = StructType(
+        list(fields)
+        + [
+            StructField(hashes_col, ArrayType(LongType()), True),
+            StructField(theta_col, LongType(), True),
+        ]
+    )
+    chunk_rows = 1 << 19
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, ThetaSketch] = {}
+        buf: list[pd.DataFrame] = []
+        nbuf = 0
+
+        def fold(key: tuple, series: pd.Series) -> None:
+            sk = acc.get(key)
+            if sk is None:
+                sk = acc[key] = ThetaSketch(lg_k)
+            sk.update_values(series.dropna())
+
+        def flush() -> None:
+            nonlocal buf, nbuf
+            if not buf:
+                return
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            buf, nbuf = [], 0
+            if group_cols:
+                for key, sub in pdf.groupby(group_cols, dropna=False, sort=False):
+                    fold(key if isinstance(key, tuple) else (key,), sub[input_col])
+            else:
+                fold((), pdf[input_col])
+
+        for pdf in batches:
+            buf.append(pdf)
+            nbuf += len(pdf)
+            if nbuf >= chunk_rows:
+                flush()
+        flush()
+        if acc:
+            rows = []
+            for key, sk in acc.items():
+                sk._consolidate()
+                rows.append(
+                    list(key)
+                    + [
+                        sk.hashes.astype("int64").tolist(),
+                        None if sk.theta == MAX_HASH else int(sk.theta),
+                    ]
+                )
+            yield pd.DataFrame(rows, columns=group_cols + [hashes_col, theta_col])
+
+    return df.select(*(group_cols + [input_col])).mapInPandas(build, schema=schema)
+
+
+def theta_estimate_merge(
+    partials: DataFrame,
+    group_cols: list[str] | None = None,
+    lg_k: int = 12,
+    output_col: str = "estimate",
+    hashes_col: str = "hashes",
+    theta_col: str = "theta",
+) -> DataFrame:
+    """Phase 2 of the hybrid theta path — the KMV union as pure JVM
+    expressions; see `theta_partial_state`.  Reproduces the Python
+    core's estimate exactly: TH = min(theta) (NULL = 1.0), survivors =
+    sorted unique hashes < TH, then the standard bottom-k estimator
+    with the (k+1)-th smallest as the post-purge threshold."""
+    from pyspark.sql import functions as F
+
+    from .hashing import MAX_HASH
+
+    group_cols = list(group_cols or [])
+    k = 1 << lg_k
+    maxd = float(MAX_HASH)
+    grouped = (
+        partials.groupBy(*group_cols) if group_cols else partials.groupBy()
+    )
+    agg = grouped.agg(
+        F.min(theta_col).alias("__th"),
+        F.flatten(F.collect_list(hashes_col)).alias("__h"),
+    )
+    surv = F.array_sort(
+        F.array_distinct(
+            F.when(F.col("__th").isNull(), F.col("__h")).otherwise(
+                F.filter(F.col("__h"), lambda h: h < F.col("__th"))
+            )
+        )
+    )
+    n = F.size(F.col("__s"))
+    est = F.when(
+        n > k,
+        F.lit(float(k)) / (F.element_at(F.col("__s"), k + 1).cast("double") / maxd),
+    ).otherwise(
+        F.when(F.col("__th").isNull(), n.cast("double")).otherwise(
+            n.cast("double") / (F.col("__th").cast("double") / maxd)
+        )
+    )
+    return (
+        agg.withColumn("__s", surv)
+        .withColumn(output_col, est)
+        .drop("__th", "__h", "__s")
+    )
+
+
+def theta_agg_hybrid(
+    df: DataFrame,
+    input_col: str,
+    group_cols: list[str] | None = None,
+    lg_k: int = 12,
+    output_col: str = "estimate",
+) -> DataFrame:
+    """Two-phase theta distinct-count whose merge phase is Catalyst,
+    not Python: one Python stage (the partial build) + one JVM
+    aggregation.  Prefer this over `sketch_agg(..., "theta")` when only
+    the ESTIMATE is needed; use the blob path when the sketch itself is
+    stored or fed to the scalar SQL surface."""
+    parts = theta_partial_state(df, input_col, group_cols, lg_k)
+    return theta_estimate_merge(parts, group_cols, lg_k, output_col)

@@ -60,3 +60,42 @@ def test_sharded_prefix_sum_equals_window(spark, seed):
     assert a == b
     # NULL shard must be present on both sides
     assert any(r["g"] is None for r in got.collect())
+
+
+@pytest.mark.parametrize("lg_k", [6, 10])
+def test_theta_hybrid_matches_blob_path(spark, lg_k):
+    """The JVM-merged hybrid theta (theta_agg_hybrid) must reproduce
+    the Python blob path's estimate BIT-identically, in exact mode and
+    in estimation mode (where the purge/(k+1)-th-threshold arithmetic
+    runs in Catalyst), across multiple partials per group."""
+    from datasketches_spark.aggregation import sketch_agg, theta_agg_hybrid
+
+    df = (
+        spark.range(0, 120_000)
+        .repartition(8)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * 7919 % 1_000_003).alias("v"),
+        )
+    )
+    hybrid = {
+        r["g"]: r["estimate"]
+        for r in theta_agg_hybrid(df, "v", ["g"], lg_k=lg_k).collect()
+    }
+    blob = {
+        r["g"]: r["est"]
+        for r in sketch_agg(
+            df,
+            "v",
+            "theta",
+            group_cols=["g"],
+            k=lg_k,
+            finalize=lambda sk: {"est": float(sk.get_estimate())},
+            finalize_schema="est double",
+        ).collect()
+    }
+    assert hybrid == blob
+    # exact mode: small distinct count is returned exactly
+    small = spark.range(0, 500).select(F.lit("x").alias("g"), F.col("id").alias("v"))
+    est = theta_agg_hybrid(small, "v", ["g"], lg_k=12).collect()[0]["estimate"]
+    assert est == 500.0
