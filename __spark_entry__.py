@@ -1695,6 +1695,31 @@ def q_theta_hybrid_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_profile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact summary-stats family through the SQL surface
+    (sketches/stats.py): mergeable (n, nonnull, min, max) state built
+    per order status, queried with the datasketch_stats_* scalars.
+    Every surfaced value is exact at any scale factor, so the whole
+    row hash-matches plain SQL aggregates."""
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__stats_orders")
+    return spark.sql(
+        """
+        WITH g AS (
+          SELECT o_orderstatus, datasketch_stats(o_totalprice) AS sk
+          FROM __stats_orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus,
+               datasketch_stats_n(sk) AS n_rows,
+               datasketch_stats_nonnull(sk) AS n_nonnull,
+               datasketch_stats_min_num(sk) AS min_price,
+               datasketch_stats_max_num(sk) AS max_price
+        FROM g
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared query inventory (SURVEY.md section 2 checklist).
 
@@ -1793,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_store_roundtrip": q_sketch_store_roundtrip,
         "kll_arity_overloads": q_kll_arity_overloads,
         "theta_hybrid_by_status": q_theta_hybrid_by_status,
+        "stats_profile_price": q_stats_profile_price,
     }
 
 
@@ -2437,6 +2463,13 @@ def oracle_sql() -> dict[str, str]:
         "theta_hybrid_by_status": (
             "SELECT o_orderstatus,"
             " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
+            " FROM orders GROUP BY 1"
+        ),
+        "stats_profile_price": (
+            "SELECT o_orderstatus, count(*)::BIGINT AS n_rows,"
+            " count(o_totalprice)::BIGINT AS n_nonnull,"
+            " min(o_totalprice)::DOUBLE AS min_price,"
+            " max(o_totalprice)::DOUBLE AS max_price"
             " FROM orders GROUP BY 1"
         ),
     }

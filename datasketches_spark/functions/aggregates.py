@@ -97,4 +97,8 @@ def build_aggregate_registry() -> dict[str, object]:
     # beyond-reference Count-Min: K argument is lg(width)
     reg["datasketch_cms"] = _agg_with_k("cms")
     reg["datasketch_cms_union_agg"] = _agg_with_k("cms")
+    # beyond-reference exact summary stats (sketches/stats.py): no K;
+    # like every family the same aggregate also merges blobs
+    reg["datasketch_stats"] = _agg_default("stats")
+    reg["datasketch_stats_union_agg"] = _agg_default("stats")
     return reg

@@ -39,6 +39,7 @@ from ..sketches import (
     QuantilesSketch,
     ReqSketch,
     ReservoirSampleSketch,
+    StatsSketch,
     TDigestSketch,
     ThetaSketch,
     bloom_intersect,
@@ -442,6 +443,40 @@ def build_scalar_registry() -> dict[str, object]:
     reg[p + "is_exact"] = _unary(R, lambda sk: bool(sk.is_exact), "boolean")
     reg[p + "is_empty"] = _unary(R, lambda sk: bool(sk.is_empty), "boolean")
     reg[p + "describe"] = _unary(R, lambda sk: sk.describe(), "string")
+
+    # ---- exact summary stats (beyond-reference; sketches/stats.py) ----
+    p = "datasketch_stats_"
+    S = StatsSketch
+    reg[p + "n"] = _unary(S, lambda sk: int(sk.get_n()), "long")
+    reg[p + "nonnull"] = _unary(S, lambda sk: int(sk.get_nonnull()), "long")
+    reg[p + "null_count"] = _unary(
+        S, lambda sk: int(sk.get_n() - sk.get_nonnull()), "long"
+    )
+    reg[p + "min_num"] = _unary(
+        S,
+        lambda sk: float(sk.get_min())
+        if sk.kind == 1 and sk.get_min() is not None
+        else None,
+        "double",
+    )
+    reg[p + "max_num"] = _unary(
+        S,
+        lambda sk: float(sk.get_max())
+        if sk.kind == 1 and sk.get_max() is not None
+        else None,
+        "double",
+    )
+    reg[p + "min_str"] = _unary(
+        S, lambda sk: sk.get_min() if sk.kind == 2 else None, "string"
+    )
+    reg[p + "max_str"] = _unary(
+        S, lambda sk: sk.get_max() if sk.kind == 2 else None, "string"
+    )
+    reg[p + "sum"] = _unary(
+        S, lambda sk: None if sk.get_sum() is None else float(sk.get_sum()), "double"
+    )
+    reg[p + "is_empty"] = _unary(S, lambda sk: bool(sk.is_empty), "boolean")
+    reg[p + "describe"] = _unary(S, lambda sk: sk.describe(), "string")
 
     p = "datasketch_frequent_items_"
     reg[p + "get_frequent"] = _with_args(

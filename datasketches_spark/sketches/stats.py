@@ -89,6 +89,7 @@ class StatsSketch:
 
     # -------------------------------------------------------- accessors
 
+    @property
     def is_empty(self) -> bool:
         return self.n == 0
 

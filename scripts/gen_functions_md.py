@@ -60,7 +60,7 @@ def _note(name: str) -> str:
 
 
 total = 0
-for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "reservoir", "cms"]:
+for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "reservoir", "cms", "stats"]:
     fns = groups.get(fam, [])
     total += len(fns)
     lines.append(f"## {fam} ({len(fns)} functions)")

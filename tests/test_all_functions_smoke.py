@@ -30,7 +30,8 @@ def ctx(spark):
           datasketch_frequent_items(xs)      AS sk_frequent_items,
           datasketch_bloom(12, xi)           AS sk_bloom,
           datasketch_reservoir(64, xs)       AS sk_reservoir,
-          datasketch_cms(12, xs)             AS sk_cms
+          datasketch_cms(12, xs)             AS sk_cms,
+          datasketch_stats(xd)               AS sk_stats
         FROM smoke_t
         """
     ).createOrReplaceTempView("smoke_sketches")
@@ -40,7 +41,7 @@ def ctx(spark):
 def _args_for(name: str) -> str | None:
     """SQL argument list for each scalar, keyed by name suffix."""
     fam = None
-    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloom", "reservoir", "cms"):
+    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloom", "reservoir", "cms", "stats"):
         if name.startswith(f"datasketch_{f}_"):
             fam = f
             suffix = name[len(f"datasketch_{f}_") :]
@@ -62,6 +63,13 @@ def _args_for(name: str) -> str | None:
         "lower_bound": f"{sk}, 'x'" if fam == "frequent_items" else f"{sk}, 2",
         "upper_bound": f"{sk}, 'x'" if fam == "frequent_items" else f"{sk}, 2",
         "might_contain": f"{sk}, 42",
+        "nonnull": f"{sk}",
+        "null_count": f"{sk}",
+        "min_num": f"{sk}",
+        "max_num": f"{sk}",
+        "min_str": f"{sk}",
+        "max_str": f"{sk}",
+        "sum": f"{sk}",
         "items": f"{sk}",
         "is_exact": f"{sk}",
         "num_bits": f"{sk}",
@@ -78,7 +86,7 @@ def _args_for(name: str) -> str | None:
         else f"{sk}, array(50.0D, 150.0D), true",
         "describe": f"{sk}, true"
         if fam == "tdigest"
-        else (f"{sk}" if fam in ("theta", "bloom", "reservoir", "cms") else f"{sk}, true, false"),
+        else (f"{sk}" if fam in ("theta", "bloom", "reservoir", "cms", "stats") else f"{sk}, true, false"),
         "normalized_rank_error": f"{sk}, true",
         "total_weight": f"{sk}",
         "get_theta": f"{sk}",
@@ -144,6 +152,8 @@ def test_every_aggregate_executes(ctx):
                 fam = name.replace("datasketch_", "").replace("_union_agg", "").replace("_union", "")
                 kk = 64 if fam == "reservoir" else 12
                 sql = f"SELECT {name}({kk}, sk_{fam}) FROM smoke_sketches"
+            elif name == "datasketch_stats_union_agg":
+                sql = f"SELECT {name}(sk_stats) FROM smoke_sketches"
             elif name == "datasketch_reservoir_weighted":
                 sql = f"SELECT {name}(64, xs, xd) FROM smoke_t"
             elif name in two_arg_k:

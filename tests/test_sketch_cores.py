@@ -444,7 +444,7 @@ class TestStatsSketch:
         assert (rt.get_min(), rt.get_max()) == ("apple", "zed")
         assert rt.get_sum() is None
         empty = StatsSketch.deserialize(StatsSketch().serialize())
-        assert empty.is_empty() and empty.get_min() is None
+        assert empty.is_empty is True and empty.get_min() is None
 
     def test_corrupt_blob(self):
         from datasketches_spark.sketches import StatsSketch
