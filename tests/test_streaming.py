@@ -456,3 +456,46 @@ def test_streaming_drift_monitor_validates_family(spark):
     df = spark.range(1).selectExpr("CAST(id AS double) AS x")
     with pytest.raises(ValueError, match="family"):
         streaming_drift_monitor(df, "x", b"", family="theta")
+
+
+def test_stateful_stream_stats_family(spark, tmpdir):
+    """Running EXACT per-key stats over a stream: the stats family's
+    blobs accumulate in the state store like any sketch, giving
+    streaming count/non-null/min/max without retaining rows."""
+    from datasketches_spark.sketches import StatsSketch
+    from datasketches_spark.streaming import stateful_sketch_stream
+
+    dss.register(spark)
+    src = f"{tmpdir}/src_stats"
+    spark.range(0, 100).selectExpr(
+        "id % 2 AS g", "CAST(id AS double) AS v"
+    ).write.mode("overwrite").parquet(src)
+    spark.range(100, 300).selectExpr(
+        "id % 2 AS g", "CAST(id AS double) AS v"
+    ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("g BIGINT, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_sketch_stream(stream, "v", "stats", ["g"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stats_state")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stats_state").collect()
+    # last emission per key is cumulative; n is monotone, take max
+    best = {}
+    for r in rows:
+        sk = StatsSketch.deserialize(bytes(r.sketch))
+        prev = best.get(r.g)
+        if prev is None or sk.get_n() > prev.get_n():
+            best[r.g] = sk
+    assert sum(sk.get_n() for sk in best.values()) == 300
+    assert min(sk.get_min() for sk in best.values()) == 0.0
+    assert max(sk.get_max() for sk in best.values()) == 299.0
