@@ -404,6 +404,66 @@ def theta_partial_state(
     return df.select(*(group_cols + [input_col])).mapInPandas(build, schema=schema)
 
 
+def _theta_survivors(k: int, hashes_col: str = "__h", theta_col: str = "__th"):
+    """Column expr: sorted unique hashes below the merged threshold
+    (NULL threshold = 1.0 = no filter) — the shared KMV-union core of
+    the final estimate and the salted pre-merge."""
+    from pyspark.sql import functions as F
+
+    return F.array_sort(
+        F.array_distinct(
+            F.when(F.col(theta_col).isNull(), F.col(hashes_col)).otherwise(
+                F.filter(F.col(hashes_col), lambda h: h < F.col(theta_col))
+            )
+        )
+    )
+
+
+def theta_premerge(
+    partials: DataFrame,
+    group_cols: list[str] | None = None,
+    lg_k: int = 12,
+    num_salts: int = 16,
+    hashes_col: str = "hashes",
+    theta_col: str = "theta",
+) -> DataFrame:
+    """Salted level-1 KMV union, pure JVM: merge partials per
+    (group, salt) and re-emit the same (hashes, theta) state purged to
+    <= 2^lg_k entries.
+
+    Why: the single-level merge materializes ALL of a group's partial
+    arrays in one aggregation buffer — at 100k input partitions x
+    2^lg_k longs that is gigabytes on one reducer.  Theta union is
+    associative (reference codegen/generated.cpp.j2:745
+    NOT_ORDER_DEPENDENT), so splitting the merge over ``num_salts``
+    reducers changes nothing about the result (asserted bit-identical
+    in tests/test_scalepath_properties.py) while bounding any one
+    buffer to ~partials/num_salts arrays.  The blob path's
+    `salted_sketch_agg` is the same trick in Python."""
+    from pyspark.sql import functions as F
+
+    group_cols = list(group_cols or [])
+    k = 1 << lg_k
+    salted = partials.withColumn(
+        "__salt", (F.rand(seed=7) * num_salts).cast("int")
+    )
+    agg = salted.groupBy(*(group_cols + ["__salt"])).agg(
+        F.min(theta_col).alias("__th"),
+        F.flatten(F.collect_list(hashes_col)).alias("__h"),
+    )
+    agg = agg.withColumn("__s", _theta_survivors(k))
+    over = F.size(F.col("__s")) > k
+    return agg.select(
+        *group_cols,
+        F.when(over, F.slice(F.col("__s"), 1, k))
+        .otherwise(F.col("__s"))
+        .alias(hashes_col),
+        F.when(over, F.element_at(F.col("__s"), k + 1))
+        .otherwise(F.col("__th"))
+        .alias(theta_col),
+    )
+
+
 def theta_estimate_merge(
     partials: DataFrame,
     group_cols: list[str] | None = None,
@@ -411,17 +471,27 @@ def theta_estimate_merge(
     output_col: str = "estimate",
     hashes_col: str = "hashes",
     theta_col: str = "theta",
+    pre_merge_salts: int | None = None,
 ) -> DataFrame:
     """Phase 2 of the hybrid theta path — the KMV union as pure JVM
     expressions; see `theta_partial_state`.  Reproduces the Python
     core's estimate exactly: TH = min(theta) (NULL = 1.0), survivors =
     sorted unique hashes < TH, then the standard bottom-k estimator
-    with the (k+1)-th smallest as the post-purge threshold."""
+    with the (k+1)-th smallest as the post-purge threshold.
+
+    ``pre_merge_salts`` inserts the salted level-1 union
+    (`theta_premerge`) first — use it when a group's partial count is
+    large (wide clusters / global aggregates) to bound reducer
+    memory."""
     from pyspark.sql import functions as F
 
     from .hashing import MAX_HASH
 
     group_cols = list(group_cols or [])
+    if pre_merge_salts:
+        partials = theta_premerge(
+            partials, group_cols, lg_k, pre_merge_salts, hashes_col, theta_col
+        )
     k = 1 << lg_k
     maxd = float(MAX_HASH)
     grouped = (
@@ -431,13 +501,7 @@ def theta_estimate_merge(
         F.min(theta_col).alias("__th"),
         F.flatten(F.collect_list(hashes_col)).alias("__h"),
     )
-    surv = F.array_sort(
-        F.array_distinct(
-            F.when(F.col("__th").isNull(), F.col("__h")).otherwise(
-                F.filter(F.col("__h"), lambda h: h < F.col("__th"))
-            )
-        )
-    )
+    surv = _theta_survivors(k)
     n = F.size(F.col("__s"))
     est = F.when(
         n > k,
@@ -460,11 +524,16 @@ def theta_agg_hybrid(
     group_cols: list[str] | None = None,
     lg_k: int = 12,
     output_col: str = "estimate",
+    pre_merge_salts: int | None = None,
 ) -> DataFrame:
     """Two-phase theta distinct-count whose merge phase is Catalyst,
     not Python: one Python stage (the partial build) + one JVM
     aggregation.  Prefer this over `sketch_agg(..., "theta")` when only
     the ESTIMATE is needed; use the blob path when the sketch itself is
-    stored or fed to the scalar SQL surface."""
+    stored or fed to the scalar SQL surface.  Set ``pre_merge_salts``
+    (~sqrt(input partitions)) on wide clusters so no single reducer
+    buffers every partial."""
     parts = theta_partial_state(df, input_col, group_cols, lg_k)
-    return theta_estimate_merge(parts, group_cols, lg_k, output_col)
+    return theta_estimate_merge(
+        parts, group_cols, lg_k, output_col, pre_merge_salts=pre_merge_salts
+    )

@@ -99,3 +99,34 @@ def test_theta_hybrid_matches_blob_path(spark, lg_k):
     small = spark.range(0, 500).select(F.lit("x").alias("g"), F.col("id").alias("v"))
     est = theta_agg_hybrid(small, "v", ["g"], lg_k=12).collect()[0]["estimate"]
     assert est == 500.0
+
+
+@pytest.mark.parametrize("salts", [2, 5, 16])
+def test_theta_premerge_is_free(spark, salts):
+    """The salted level-1 KMV union must be a no-op on results: theta
+    union is associative, so the pre-merged estimate is bit-identical
+    to the single-level merge, in estimation mode, for any salt
+    count."""
+    from datasketches_spark.aggregation import theta_agg_hybrid
+
+    df = (
+        spark.range(0, 80_000)
+        .repartition(16)
+        .select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            (F.col("id") * 104729 % 999_983).alias("v"),
+        )
+    )
+    base = {
+        r["g"]: r["estimate"]
+        for r in theta_agg_hybrid(df, "v", ["g"], lg_k=8).collect()
+    }
+    salted = {
+        r["g"]: r["estimate"]
+        for r in theta_agg_hybrid(
+            df, "v", ["g"], lg_k=8, pre_merge_salts=salts
+        ).collect()
+    }
+    assert base == salted
+    # estimation mode actually engaged (40k distinct per group >> 2^8)
+    assert all(v > 256 for v in base.values())
