@@ -40,12 +40,15 @@ def distinct(
             F.hll_sketch_estimate(F.hll_sketch_agg(F.col(col), min(lg_k, 21)))
         ).cast("bigint").alias(output_col)
         return df.groupBy(*by).agg(est) if by else df.agg(est)
-    sk = sketch_agg(df, col, "theta", group_cols=by, k=lg_k)
-    return sk.select(
-        *by,
-        F.expr("CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)").alias(
-            output_col
-        ),
+    # estimate-only call: the hybrid path (Python partial build,
+    # Catalyst KMV merge) is bit-identical to blob theta and one
+    # Python stage cheaper; sketch_agg remains the path when the blob
+    # itself is wanted
+    from .aggregation import theta_agg_hybrid
+
+    out = theta_agg_hybrid(df, col, group_cols=by, lg_k=lg_k)
+    return out.select(
+        *by, F.round("estimate").cast("bigint").alias(output_col)
     )
 
 
