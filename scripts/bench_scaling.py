@@ -22,7 +22,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 import datasketches_spark as dss
-from datasketches_spark.aggregation import sketch_agg
+from datasketches_spark.aggregation import sketch_agg, theta_agg_hybrid
 from datasketches_spark.pipeline.sampling import weighted_sample
 
 
@@ -62,6 +62,11 @@ def main() -> None:
             .collect(),
             "hll_native_jvm": lambda: df.agg(
                 F.hll_sketch_estimate(F.hll_sketch_agg("k", 12))
+            ).collect(),
+            # hybrid theta: Python partial build + Catalyst KMV merge
+            # (salted pre-merge bounds reducer buffers at 32 partials)
+            "theta_hybrid": lambda: theta_agg_hybrid(
+                df, "k", lg_k=16, pre_merge_salts=8
             ).collect(),
             "noop_transfer_floor": lambda: df.mapInPandas(_noop, "n long").collect(),
             # A-ES weighted top-k: pure-JVM path; WindowGroupLimit's
