@@ -194,9 +194,14 @@ def equi_depth_histogram(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         w_all = Window.partitionBy(*by)
+        tot = F.sum(nn).over(w_all)
+        # ANSI guard: a group whose values are ALL NULL has masked
+        # total 0 -- emit NULL cd and drop those rows below, matching
+        # the pre-rewrite behavior (the cut frame had no row for such
+        # groups, so the inner join dropped them)
         cdf = vals.withColumn(
-            "__cd", F.sum(nn).over(w_cum) / F.sum(nn).over(w_all)
-        )
+            "__cd", F.when(tot > 0, F.sum(nn).over(w_cum) / tot)
+        ).filter(F.col("__cd").isNotNull())
         cut_exprs = [
             F.min(F.when(F.col("__cd") >= i / num_buckets, F.col("__v")))
             .over(w_all)

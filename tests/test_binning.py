@@ -123,3 +123,27 @@ class TestQuantileBucket:
         )
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert "Sort [x" not in plan
+
+
+def test_hist_path_null_edges(spark):
+    """NULL rows land in bucket NULL with exact counts; a group whose
+    values are ALL NULL drops from the output (the masked CDF total is
+    0 -- must not DIVIDE_BY_ZERO under ANSI mode)."""
+    from pyspark.sql import functions as F
+
+    from datasketches_spark.pipeline.binning import equi_depth_histogram
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)]
+        + [("b", None)] * 4
+        + [("a", None)] * 2,
+        "g string, x double",
+    )
+    rows = equi_depth_histogram(df, "x", 2, by=["g"], method="hist").collect()
+    got = {(r["g"], r["bucket"]): r["cnt"] for r in rows}
+    assert got == {("a", None): 2, ("a", 1): 5, ("a", 2): 5}
+    # global variant with NULLs present
+    g = equi_depth_histogram(
+        df.filter(F.col("g") == "a"), "x", 2, method="hist"
+    ).collect()
+    assert {(r["bucket"], r["cnt"]) for r in g} == {(None, 2), (1, 5), (2, 5)}

@@ -68,3 +68,14 @@ def test_all_null_numeric_column(spark):
     assert prof["dead"]["n_nonnull"] == 0
     assert prof["dead"]["q_50"] is None
     assert prof["i"]["q_50"] is not None
+
+
+def test_profile_all_null_column(spark):
+    """An all-NULL column must profile as n/nonnull/null counts with
+    NULL min/max/quantiles -- not crash the stats/KLL finalize."""
+    df = spark.createDataFrame([(1, None), (2, None)], "a bigint, b double")
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    b = rows["b"]
+    assert (b["n_rows"], b["n_nonnull"], b["n_null"]) == (2, 0, 2)
+    assert b["distinct_est"] == 0.0
+    assert b["min_num"] is None and b["q_50"] is None
