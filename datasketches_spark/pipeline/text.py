@@ -13,6 +13,8 @@ oracle can verify them value-for-value:
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -62,7 +64,7 @@ def stopword_hits(col, lang: str = "en") -> Column:
     higher-order filter per token (measured ~4x faster on 10 KB docs;
     lang_id calls this four times)."""
     words = STOPWORDS[lang]
-    pat = r"(^|\s)(" + "|".join(words) + r")(?=\s|$)"
+    pat = r"(^|\s)(" + "|".join(_re.escape(w) for w in words) + r")(?=\s|$)"
     return F.regexp_count(F.lower(col), F.lit(pat))
 
 
