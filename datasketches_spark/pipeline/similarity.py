@@ -218,6 +218,48 @@ def ivf_build(
     return assigned, cents
 
 
+def save_ivf_index(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: vectors partitioned BY CENTROID on disk.
+
+    The physical layout IS the index — probe-time reads of
+    ``n_probes`` cells become parquet partition pruning (plus dynamic
+    partition pruning through the broadcast probe join in
+    :func:`ivf_topk`), so a query touches n_probes/n_centroids of the
+    corpus bytes.  The centroid table rides along so the index is
+    self-contained."""
+    spark = assigned.sparkSession
+    (
+        assigned.select(id_col, vec_col, "centroid_id")
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (
+        spark.createDataFrame(cent_rows, "centroid_id long, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+
+
+def load_ivf_index(spark, path: str):
+    """(assigned_df, centroids ndarray) back from :func:`save_ivf_index` —
+    ready for :func:`ivf_topk`."""
+    assigned = spark.read.parquet(f"{path}/vectors")
+    crows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
+    )
+    cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    return assigned, cents
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: np.ndarray,

@@ -419,6 +419,36 @@ class TestIVF:
         assert {r.centroid_id for r in got} <= {0, 1}
         assert probed.count() < index.count()
 
+    def test_ivf_index_save_load_roundtrip(self, spark, tmp_path):
+        """save_ivf_index/load_ivf_index: the self-contained persisted
+        index (centroid-partitioned vectors + centroid table) must
+        reproduce the in-memory ivf_topk results exactly."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        rng = np.random.default_rng(11)
+        vecs = rng.standard_normal((150, 8)).astype(np.float64)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(150)]
+        )
+        assigned, cents = similarity.ivf_build(df, n_centroids=4, sample_limit=150)
+        path = str(tmp_path / "ivf_full")
+        similarity.save_ivf_index(assigned, cents, path)
+        loaded, lcents = similarity.load_ivf_index(spark, path)
+        assert np.allclose(cents, lcents)
+        queries = df.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        want = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in similarity.ivf_topk(assigned, cents, queries, k=5, n_probes=4).collect()
+        }
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in similarity.ivf_topk(loaded, lcents, queries, k=5, n_probes=4).collect()
+        }
+        assert got == want
+
     def test_ivf_assignment_complete(self, spark):
         import numpy as np
         from pyspark.sql import Row
