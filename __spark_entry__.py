@@ -1426,9 +1426,9 @@ def q_psi_drift_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass table profiler (profile.py): exact counts/min/max in a
-    single JVM aggregate + all distinct/quantile sketches in one
-    ``sketch_agg_multi`` scan.  Exact-mode parameters (theta lg_k=16,
+    """One-pass table profiler (profile.py): exact counts/min/max (the
+    mergeable stats family) + all distinct/quantile sketches folded in
+    ONE ``sketch_agg_multi`` scan.  Exact-mode parameters (theta lg_k=16,
     KLL k=32768 >> 1500 customer rows at sf0.01) make every output
     value deterministic; the oracle recomputes the identical profile
     with plain SQL, one UNION ALL branch per column."""

@@ -317,10 +317,11 @@ def profile(
     lg_k: int = 16,
     kll_k: int = 32768,
 ) -> DataFrame:
-    """One row of stats per column in two scans: exact
-    counts/nulls/min/max (single JVM aggregate) plus theta distinct
-    estimates and KLL quantiles (one ``sketch_agg_multi`` pass).
-    See profile.py for the scale argument."""
+    """One row of stats per column in ONE scan: exact
+    counts/nulls/min/max (the mergeable stats family) plus theta
+    distinct estimates and KLL quantiles, all folded in a single
+    ``sketch_agg_multi`` pass.  See profile.py for the scale
+    argument."""
     from .profile import profile_table
 
     return profile_table(df, columns, lg_k=lg_k, kll_k=kll_k)

@@ -27,8 +27,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-from pyspark.sql.window import Window
-
 from ..hashing import splitmix64
 from .text import doc_fingerprint
 

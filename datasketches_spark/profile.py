@@ -58,10 +58,10 @@ def profile_table(
     kll_k: int = 32768,
     quantile_probs: tuple[float, ...] = (0.25, 0.5, 0.75),
 ) -> DataFrame:
-    """Profile ``columns`` (default: all string/numeric) in two scans.
+    """Profile ``columns`` (default: all string/numeric) in ONE scan.
 
     Returns one row per column:
-      column, n_rows, n_nonnull, n_null          -- exact (JVM scan)
+      column, n_rows, n_nonnull, n_null          -- exact (stats family)
       distinct_est                               -- Theta estimate
       min_num, max_num, q_* (one per prob)       -- numeric cols only
       min_str, max_str                           -- string cols only
