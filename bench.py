@@ -151,7 +151,7 @@ def main():
             # them so cache pressure from one query never taxes the next
             spark.catalog.clearCache()
 
-    # best-of-N (4 rounds, soft-deadline-guarded), INTERLEAVED
+    # best-of-N (6 rounds, soft-deadline-guarded), INTERLEAVED
     # round-robin: host load on this container
     # arrives in multi-second bursts, so three consecutive attempts of
     # one query can all land inside a burst.  Spreading each query's
@@ -162,7 +162,7 @@ def main():
     deadline = time.monotonic() + float(
         os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "240")
     )
-    for _round in range(4):
+    for _round in range(6):
         if _round > 0 and time.monotonic() > deadline:
             print(
                 f"bench: soft deadline hit after round {_round}",
