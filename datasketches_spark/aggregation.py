@@ -142,7 +142,7 @@ def sketch_merge(
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         series = pdf[sketch_col]
         sk = create_sketch(family, build_params(family, k, series))
-        update_sketch(family, sk, series)  # blob series -> merge path
+        update_sketch(family, sk, series, merge=True)  # blob series
         keys = [pdf[c].iloc[0] for c in group_cols]
         if finalize is not None:
             vals = finalize(sk)
@@ -276,7 +276,7 @@ def sketch_agg_multi(
         for col, family, k, out_col in specs:
             series = pdf[out_col].dropna()
             sk = create_sketch(family, build_params(family, k, series))
-            update_sketch(family, sk, series)  # blob series -> merge path
+            update_sketch(family, sk, series, merge=True)  # blob series
             merged[out_col] = sk
         if finalize is not None:
             vals = finalize(merged)

@@ -97,13 +97,20 @@ def is_blob_series(series: pd.Series) -> bool:
     return False
 
 
-def update_sketch(family: str, sk, series: pd.Series) -> None:
-    """Feed one Arrow batch into a sketch: values build, blobs merge."""
+def update_sketch(family: str, sk, series: pd.Series, merge: bool = False) -> None:
+    """Feed one Arrow batch into a sketch: values build, blobs merge.
+
+    ``merge=True`` declares the series is sketch blobs even when every
+    value is NULL (an all-NULL series carries no type evidence).  Only
+    the stats family needs the hint: every other family drops NULLs
+    before doing anything, but stats counts NULLs on its *build* path,
+    so an all-NULL blob series would otherwise be miscounted as rows.
+    """
     s = series.dropna()
     if family == "stats":
         # stats is the one family that must SEE the NULLs (its null
         # count is n - nonnull); blobs still merge like everywhere else
-        if is_blob_series(s):
+        if is_blob_series(s) or merge:
             for blob in s:
                 sk.merge(StatsSketch.deserialize(bytes(blob)))
         else:

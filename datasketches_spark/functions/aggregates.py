@@ -100,5 +100,15 @@ def build_aggregate_registry() -> dict[str, object]:
     # beyond-reference exact summary stats (sketches/stats.py): no K;
     # like every family the same aggregate also merges blobs
     reg["datasketch_stats"] = _agg_default("stats")
-    reg["datasketch_stats_union_agg"] = _agg_default("stats")
+
+    # the union variant declares merge context so an all-NULL blob
+    # group yields an empty state (NULL) instead of counting NULL blob
+    # rows into n (families.update_sketch merge hint)
+    @pandas_udf("binary")
+    def stats_union(v: pd.Series) -> bytes:
+        sk = create_sketch("stats", build_params("stats", None, v))
+        update_sketch("stats", sk, v, merge=True)
+        return _finalize("stats", sk)
+
+    reg["datasketch_stats_union_agg"] = stats_union
     return reg

@@ -56,9 +56,16 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     shuffles and sorts EVERY row.  Same surviving row set.
     """
     fp = doc_fingerprint(F.col(text_col))
+    # NULL-safe ordering key: min_by skips rows whose ordering key is
+    # NULL, so a bare id would drop all-NULL-id groups entirely and
+    # mixed groups would never keep the NULL-id row.  Wrapping in a
+    # struct makes the key non-NULL (structs with NULL fields still
+    # compare; NULL fields sort first ASC), so NULL ids are kept and
+    # ordered first -- matching row_number(... asc_nulls_first).
+    order_key = F.struct(F.col(id_col).isNotNull(), F.col(id_col))
     kept = (
         df.groupBy(fp.alias("__fp"))
-        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__r"))
+        .agg(F.min_by(F.struct(*df.columns), order_key).alias("__r"))
         .select("__r.*")
     )
     return kept

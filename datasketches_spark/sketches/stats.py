@@ -45,7 +45,17 @@ class StatsSketch:
     # ------------------------------------------------------------ update
 
     def update_series(self, series: pd.Series) -> None:
-        """Fold one batch; NULLs count toward n but not nonnull/min/max."""
+        """Fold one batch; NULLs count toward n but not nonnull/min/max.
+
+        NaN contract: float NaN is treated as NULL.  Spark's
+        Arrow-to-pandas conversion folds SQL NULLs into NaN for float
+        columns, so true-null and NaN are indistinguishable by the time
+        a batch reaches this method; we document the coarser behavior
+        (NaN -> null-count) rather than pretend to a distinction the
+        transport has already erased.  DuckDB's count() counts NaN as
+        non-null -- the profiler's nonnull may differ on NaN-bearing
+        float columns.
+        """
         self.n += int(len(series))
         v = series.dropna()
         if v.empty:
@@ -54,12 +64,12 @@ class StatsSketch:
         if v.dtype.kind in "iufb":
             self._fold_num(float(v.min()), float(v.max()), float(v.sum()))
         else:
-            first = v.iloc[0]
-            if isinstance(first, (bytes, bytearray)):
-                raise SketchDeserializeError(
-                    "Failed to deserialize Stats sketch"
+            if any(isinstance(x, (bytes, bytearray)) for x in v):
+                raise TypeError(
+                    "unsupported input type for stats sketch: binary "
+                    "(feed sketch blobs through the merge path)"
                 )
-            sv = v.astype(str) if not isinstance(first, str) else v
+            sv = v.astype(str) if not isinstance(v.iloc[0], str) else v
             self._fold_str(str(sv.min()), str(sv.max()))
 
     def _fold_num(self, lo: float, hi: float, s: float) -> None:

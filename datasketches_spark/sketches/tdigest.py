@@ -61,10 +61,15 @@ class TDigestSketch:
             self._compress()
 
     def merge(self, other: "TDigestSketch") -> None:
+        # flush BOTH pending buffers first: _compress()'s linear-merge
+        # fast path requires self.means sorted, which concatenating
+        # other's centroids below would otherwise break while self still
+        # has buffered raw values (update-then-merge gave silently wrong
+        # quantiles before this flush)
+        self._compress()
         other._compress()
         if other.total == 0:
             return
-        self._buf.append(np.repeat(other.means, 0))  # no-op keeps dtype stable
         self.means = np.concatenate([self.means, other.means])
         self.weights = np.concatenate([self.weights, other.weights])
         if self.min_item is None:

@@ -90,6 +90,25 @@ class TestDedup:
         ids = sorted(r.doc_id for r in kept.collect())
         assert ids == [0, 2, 3, 4]
 
+    def test_exact_dedup_null_ids(self, spark):
+        # min_by skips NULL ordering keys; the NULL-safe struct key must
+        # keep a real row for all-NULL-id groups and prefer the NULL-id
+        # row in mixed groups (row_number asc_nulls_first semantics)
+        rows = [
+            (None, "only null ids here"),
+            (None, "only null ids here"),
+            (None, "mixed group"),
+            (7, "mixed group"),
+            (3, "plain group"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        kept = dedup.exact_dedup(df, "text", "doc_id").collect()
+        by_text = {r.text: r.doc_id for r in kept}
+        assert len(kept) == 3
+        assert by_text["only null ids here"] is None
+        assert by_text["mixed group"] is None
+        assert by_text["plain group"] == 3
+
     def test_minhash_identical_docs(self, spark, docs):
         pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.9)
         got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}

@@ -190,6 +190,23 @@ class TestTDigest:
         assert len(cdf) == 2 and cdf[1] == 1.0
         assert cdf[0] == pytest.approx(0.5, abs=0.05)
 
+    def test_update_then_merge_flushes_buffer(self):
+        # regression: merge() must flush self's pending update buffer
+        # before concatenating centroids -- the sorted-merge fast path
+        # in _compress requires self.means sorted, and an unsorted
+        # concatenation gave silently wrong quantiles
+        rng = np.random.default_rng(11)
+        a_vals = rng.normal(60_000, 5_000, 3_000)
+        b_vals = rng.normal(40_000, 5_000, 3_000)
+        a, b = TDigestSketch(100), TDigestSketch(100)
+        b.update(b_vals)
+        a.update(a_vals)  # stays buffered: 3k < compress threshold
+        assert a._buf, "precondition: update left a pending buffer"
+        a.merge(b)
+        exact = np.quantile(np.concatenate([a_vals, b_vals]), 0.5)
+        assert a.get_quantile(0.5) == pytest.approx(exact, rel=0.01)
+        assert a.total_weight() == 6_000
+
 
 # ---------------- HLL / CPC ---------------------------------------------
 
@@ -452,3 +469,23 @@ class TestStatsSketch:
 
         with pytest.raises(SketchDeserializeError, match="Failed to deserialize"):
             StatsSketch.deserialize(b"DSKSxx")
+
+    def test_binary_input_raises_type_error(self):
+        # build-path bytes is an unsupported-input condition, not blob
+        # corruption -- must NOT read as SketchDeserializeError
+        import pandas as pd
+        from datasketches_spark.sketches import StatsSketch
+
+        sk = StatsSketch()
+        with pytest.raises(TypeError, match="unsupported input type"):
+            sk.update_series(pd.Series(["x", b"\x00\x01", "y"]))
+
+    def test_all_null_blob_series_merges_empty(self):
+        # an all-NULL blob series in merge context is an empty state,
+        # not len(series) NULL data rows (families.update_sketch hint)
+        import pandas as pd
+        from datasketches_spark.families import create_sketch, update_sketch
+
+        sk = create_sketch("stats", {})
+        update_sketch("stats", sk, pd.Series([None, None], dtype=object), merge=True)
+        assert sk.is_empty and sk.get_n() == 0
