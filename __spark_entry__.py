@@ -134,6 +134,36 @@ def q_theta_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches wire-format interop, oracle-gated.
+
+    Builds a theta sketch of customers per order status, exports each
+    as an Apache compact-ordered blob (``datasketch_theta_to_wire`` —
+    byte-for-byte the format datasketches-java/DuckDB/Druid emit,
+    golden-tested in tests/test_murmur_wire.py), re-imports the wire
+    blob, and queries it.  The estimate must survive the round trip
+    exactly, and the blob length must equal the Apache exact-mode
+    layout: 16-byte preamble + 8 bytes per retained hash (16 total for
+    the single-item short form) — a byte-level framing check the
+    DuckDB oracle can express arithmetically."""
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    sk = sketch_agg(
+        orders, "o_custkey", "theta", group_cols=["o_orderstatus"], k=16
+    )
+    return (
+        sk.withColumn("wire", F.expr("datasketch_theta_to_wire(sketch)"))
+        .select(
+            "o_orderstatus",
+            F.expr(
+                "CAST(round(datasketch_theta_estimate("
+                "datasketch_theta_from_wire(wire))) AS BIGINT)"
+            ).alias("distinct_customers"),
+            F.expr("CAST(octet_length(wire) AS BIGINT)").alias("wire_bytes"),
+        )
+    )
+
+
 def q_kll_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-mode KLL (k=32768 > group size at sf0.01) quantiles."""
     _ensure(spark)
@@ -1819,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_arity_overloads": q_kll_arity_overloads,
         "theta_hybrid_by_status": q_theta_hybrid_by_status,
         "stats_profile_price": q_stats_profile_price,
+        "theta_wire_roundtrip": q_theta_wire_roundtrip,
     }
 
 
@@ -1845,6 +1876,13 @@ def oracle_sql() -> dict[str, str]:
                 INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O')) AS intersect_cnt,
               (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
                 EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='O')) AS anotb_cnt
+        """,
+        "theta_wire_roundtrip": """
+            SELECT o_orderstatus,
+                   count(DISTINCT o_custkey) AS distinct_customers,
+                   CASE WHEN count(DISTINCT o_custkey) = 1 THEN 16
+                        ELSE 16 + 8 * count(DISTINCT o_custkey) END AS wire_bytes
+            FROM orders GROUP BY o_orderstatus
         """,
         "theta_metadata": (
             "SELECT count(DISTINCT n_nationkey) AS num_retained, false AS is_est, "

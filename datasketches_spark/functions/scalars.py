@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
+from ..murmur import DEFAULT_SEED_HASH
 from ..sketches import (
     BloomFilterSketch,
     CountMinSketch,
@@ -325,9 +326,22 @@ def build_scalar_registry() -> dict[str, object]:
     reg[p + "num_retained"] = _unary(
         ThetaSketch, lambda sk: int(sk.num_retained), "long"
     )
-    # fixed default seed -> constant seed hash, mirroring the reference's
-    # default-seed behavior (src/theta_sketch.cpp:346-354)
-    reg[p + "get_seed"] = _unary(ThetaSketch, lambda sk: 0, "long")
+    # fixed default seed -> constant seed HASH (37836 = 0x93CC for the
+    # default seed 9001), matching the reference's get_seed which
+    # returns compact_theta_sketch::get_seed_hash()
+    # (src/theta_sketch.cpp:346-354)
+    reg[p + "get_seed"] = _unary(
+        ThetaSketch, lambda sk: int(DEFAULT_SEED_HASH), "long"
+    )
+
+    # Apache DataSketches wire interop: export any theta blob as an
+    # Apache compact ordered sketch, and import Apache blobs into the
+    # engine frame.  (Import is also implicit: every theta reader
+    # sniffs wire blobs — these make the conversion explicit/storable.)
+    reg[p + "to_wire"] = _unary(ThetaSketch, lambda sk: sk.to_wire(), "binary")
+    reg[p + "from_wire"] = _unary(
+        ThetaSketch, lambda sk: sk.serialize(), "binary"
+    )
 
     # beyond-reference convenience: Jaccard similarity from the set
     # algebra the reference already exposes (|A∩B| / |A∪B|); the

@@ -26,12 +26,27 @@ import struct
 
 import numpy as np
 
-from ..hashing import MAX_HASH, hash_values
-from .base import FAMILY_THETA, SketchDeserializeError, frame, unframe
+from ..hashing import MAX_HASH
+from ..murmur import DEFAULT_SEED_HASH, theta_hash_values
+from .base import FAMILY_THETA, MAGIC, SketchDeserializeError, frame, unframe
 
 DEFAULT_LG_K = 12
 
 _FLAG_EMPTY = 1
+
+# Apache DataSketches compact theta wire format, serial version 3
+# (public format spec; the reference emits it from every Finalize via
+# datasketches::compact_theta_sketch::serialize()).  Byte-for-byte
+# parity is golden-tested against datasketches-java in
+# tests/test_murmur_wire.py.
+_WIRE_SERVER = 3
+_WIRE_FAMILY_COMPACT = 3
+_WIRE_FLAG_READONLY = 1 << 1
+_WIRE_FLAG_EMPTY = 1 << 2
+_WIRE_FLAG_COMPACT = 1 << 3
+_WIRE_FLAG_ORDERED = 1 << 4
+_WIRE_FLAG_SINGLE = 1 << 5
+_WIRE_FLAGS = _WIRE_FLAG_READONLY | _WIRE_FLAG_COMPACT | _WIRE_FLAG_ORDERED
 
 
 class ThetaSketch:
@@ -61,7 +76,11 @@ class ThetaSketch:
             self._consolidate()
 
     def update_values(self, values) -> None:
-        self.update_hashes(hash_values(values))
+        # Apache-compatible hashing (murmur3 x64-128, seed 9001,
+        # h1 >> 1): the same input values retain the same hashes as
+        # DuckDB/Druid/Hive theta sketches, so wire blobs genuinely
+        # merge across systems rather than merely parsing.
+        self.update_hashes(theta_hash_values(values))
 
     def _consolidate(self) -> None:
         if self._pending:
@@ -128,7 +147,7 @@ class ThetaSketch:
             "### Theta sketch summary:\n"
             f"   lg nominal size      : {self.lg_k}\n"
             f"   num retained entries : {self.num_retained}\n"
-            f"   seed hash            : 0\n"
+            f"   seed hash            : {DEFAULT_SEED_HASH}\n"
             f"   empty?               : {self.is_empty}\n"
             f"   estimation mode?     : {self.is_estimation_mode}\n"
             f"   theta (fraction)     : {self.get_theta():.6f}\n"
@@ -145,6 +164,16 @@ class ThetaSketch:
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "ThetaSketch":
+        """Accepts the engine-local DSKS frame OR an Apache
+        DataSketches compact theta blob (sniffed on the frame magic),
+        so Apache wire blobs work everywhere a theta blob does —
+        scalars, union aggregates, sketch stores."""
+        if not (
+            isinstance(blob, (bytes, bytearray))
+            and len(blob) >= 4
+            and bytes(blob[:4]) == MAGIC
+        ):
+            return cls.from_wire(blob)
         payload = unframe(blob, FAMILY_THETA)
         try:
             lg_k, _flags, theta, count = struct.unpack_from("<BBQI", payload, 0)
@@ -153,6 +182,87 @@ class ThetaSketch:
             raise SketchDeserializeError("Failed to deserialize Theta sketch") from exc
         sk = cls(lg_k)
         sk.theta = theta
+        sk.hashes = hashes.copy()
+        return sk
+
+    # ---- Apache DataSketches wire format (compact theta, serVer 3) ----
+
+    def to_wire(self) -> bytes:
+        """Serialize as an Apache DataSketches compact ordered theta
+        sketch — readable by DuckDB/Druid/Hive/datasketches-java, and
+        (because update hashing is murmur3-compatible) *mergeable*
+        with sketches those systems built over the same values.
+        Golden-tested byte-for-byte against datasketches-java.
+        """
+        self._consolidate()
+        head = bytearray(8)
+        head[1] = _WIRE_SERVER
+        head[2] = _WIRE_FAMILY_COMPACT
+        n = int(self.hashes.size)
+        if self.is_empty:
+            # datasketches-java writes seed hash 0 for the empty sketch
+            head[0] = 1
+            head[5] = _WIRE_FLAGS | _WIRE_FLAG_EMPTY
+            return bytes(head)
+        head[6:8] = struct.pack("<H", DEFAULT_SEED_HASH)
+        head[5] = _WIRE_FLAGS
+        body = np.ascontiguousarray(self.hashes).tobytes()
+        if self.theta == MAX_HASH:
+            if n == 1:  # single-item short form (flag bit 5)
+                head[0] = 1
+                head[5] |= _WIRE_FLAG_SINGLE
+                return bytes(head) + body
+            head[0] = 2
+            # bytes 12-15 carry the sampling probability p as float 1.0
+            return bytes(head) + struct.pack("<If", n, 1.0) + body
+        head[0] = 3
+        return bytes(head) + struct.pack("<IfQ", n, 1.0, self.theta) + body
+
+    @classmethod
+    def from_wire(cls, blob: bytes, lg_k: int = DEFAULT_LG_K) -> "ThetaSketch":
+        """Parse an Apache compact theta blob (serial version 3).
+
+        The compact format does not carry a nominal K; ``lg_k`` only
+        affects later merges into this object (same as loading into an
+        Apache union with that lg_k).  Unordered compact input is
+        sorted on read.  Non-default seed hashes are rejected, like
+        the Apache readers do.
+        """
+        err = SketchDeserializeError("Failed to deserialize Theta sketch")
+        if not isinstance(blob, (bytes, bytearray)) or len(blob) < 8:
+            raise err
+        blob = bytes(blob)
+        pre_longs = blob[0] & 0x3F
+        ser_ver, family, flags = blob[1], blob[2], blob[5]
+        (seed_hash,) = struct.unpack_from("<H", blob, 6)
+        if ser_ver != _WIRE_SERVER or family != _WIRE_FAMILY_COMPACT:
+            raise err
+        if pre_longs not in (1, 2, 3) or len(blob) < 8 * pre_longs:
+            raise err
+        sk = cls(lg_k)
+        if flags & _WIRE_FLAG_EMPTY:
+            return sk
+        if seed_hash != DEFAULT_SEED_HASH:
+            raise SketchDeserializeError(
+                "Failed to deserialize Theta sketch: seed hash mismatch"
+            )
+        theta = MAX_HASH
+        if pre_longs == 1:
+            count = 1
+            off = 8
+        else:
+            # bytes 12-15 are the sampling probability p — ignored
+            (count,) = struct.unpack_from("<I", blob, 8)
+            off = 16
+            if pre_longs == 3:
+                (theta,) = struct.unpack_from("<Q", blob, 16)
+                off = 24
+        if len(blob) < off + 8 * count:
+            raise err
+        hashes = np.frombuffer(blob, dtype=np.uint64, count=count, offset=off)
+        if not (flags & _WIRE_FLAG_ORDERED):
+            hashes = np.sort(hashes)
+        sk.theta = int(theta)
         sk.hashes = hashes.copy()
         return sk
 

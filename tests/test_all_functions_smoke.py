@@ -91,6 +91,8 @@ def _args_for(name: str) -> str | None:
         "total_weight": f"{sk}",
         "get_theta": f"{sk}",
         "get_seed": f"{sk}",
+        "to_wire": f"{sk}",
+        "from_wire": f"datasketch_theta_to_wire({sk})",
         "lg_config_k": f"{sk}",
         "is_compact": f"{sk}",
         "epsilon": f"{sk}",

@@ -76,9 +76,11 @@ class TestTheta:
         assert sk.get_estimate() == 3.0
 
     def test_strings_and_empty_string(self):
+        # empty strings are skipped, matching datasketches-cpp
+        # update(const std::string&) — '' is NOT a distinct value
         sk = ThetaSketch()
         sk.update_values(pd.Series(["hello", "world", "hello world", "", "hello"]))
-        assert sk.get_estimate() == 4.0
+        assert sk.get_estimate() == 3.0
 
     def test_serialize_roundtrip(self):
         sk = ThetaSketch(10)
