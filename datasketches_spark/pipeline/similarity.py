@@ -270,24 +270,59 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF search: per query, scan only the ``n_probes`` nearest
     centroid cells (a pushed-down IN filter -> partition pruning when
-    the index is stored partitioned by centroid_id), re-rank exactly."""
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
-    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-    probe_rows = []
-    for r in q_rows:
-        v = np.asarray(r[1], dtype=np.float64)
-        v = v / max(np.linalg.norm(v), 1e-12)
-        probes = np.argsort(-(cn @ v))[:n_probes]
-        probe_rows.extend((r[0], int(c)) for c in probes)
-    spark = assigned.sparkSession
-    probe_df = spark.createDataFrame(probe_rows, f"{query_id_col} LONG, centroid_id LONG")
-    cand = assigned.join(F.broadcast(probe_df), "centroid_id").select(
+    the index is stored partitioned by centroid_id), re-rank exactly.
+
+    Probe assignment is DISTRIBUTED: a ``mapInPandas`` over the query
+    DataFrame with the (tiny) normalized centroid matrix in the UDF
+    closure — the query set never visits the driver, so a
+    million-query DataFrame works the same as ten queries.  Leave
+    ``broadcast_queries`` on for interactive query sets (both joins
+    broadcast); set it False for a LARGE query DataFrame so the
+    candidate/query joins shuffle instead of broadcasting (AQE picks
+    the strategy) — nothing in the plan is driver-bound either way.
+    """
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    n_probes = min(n_probes, cn.shape[0])
+    probe_schema = StructType(
+        [
+            StructField(query_id_col, queries.schema[query_id_col].dataType, True),
+            StructField("centroid_id", LongType(), True),
+        ]
+    )
+
+    def probe_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[query_vec_col].tolist(), dtype=np.float64)
+            mn = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            # stable per-row sort keeps probe sets deterministic on ties
+            top = np.argsort(-(mn @ cn.T), axis=1, kind="stable")[:, :n_probes]
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(
+                        pdf[query_id_col].to_numpy(), n_probes
+                    ),
+                    "centroid_id": top.ravel().astype(np.int64),
+                }
+            )
+
+    probe_df = queries.select(query_id_col, query_vec_col).mapInPandas(
+        probe_assign, schema=probe_schema
+    )
+    maybe_bcast = F.broadcast if broadcast_queries else (lambda d: d)
+    cand = assigned.join(maybe_bcast(probe_df), "centroid_id").select(
         query_id_col, F.col(id_col).alias("neighbor_id"), vec_col
     )
-    joined = cand.join(F.broadcast(queries), query_id_col).select(
+    joined = cand.join(maybe_bcast(queries), query_id_col).select(
         query_id_col,
         "neighbor_id",
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),

@@ -411,6 +411,40 @@ class TestIVF:
         assert total > 0
         assert hit / max(len(exact_sets) * 5, 1) >= 0.5  # recall@5 with half the cells probed
 
+    def test_ivf_topk_large_query_side_no_driver_collect(self, spark):
+        """Probe assignment is a mapInPandas over the query DataFrame
+        (centroid matrix in closure) — a 100k-row query side must run
+        without collecting queries to the driver.  Rows-only check:
+        every query gets exactly k ranked neighbors."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        vecs = rng.standard_normal((400, 8))
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+            "vec_id long, embedding array<double>",
+        )
+        assigned, cents = similarity.ivf_build(corpus, n_centroids=8, sample_limit=400)
+        n_q = 100_000
+        queries = (
+            spark.range(n_q)
+            .withColumnRenamed("id", "query_id")
+            .withColumn(
+                "query_vec",
+                F.array(*[
+                    F.sin((F.col("query_id") + 1) * F.lit(float(j + 1)) + 0.5)
+                    for j in range(8)
+                ]),
+            )
+        )
+        out = similarity.ivf_topk(
+            assigned, cents, queries, k=3, n_probes=1, broadcast_queries=False
+        )
+        counts = out.groupBy().agg(
+            F.count("*").alias("n"), F.countDistinct("query_id").alias("q")
+        ).first()
+        assert counts.q == n_q and counts.n == n_q * 3
+
     def test_ivf_partitioned_index_prunes_scans(self, spark, tmp_path):
         """The documented scale path: persist the assignment partitioned
         by centroid_id and probe-time reads must touch only the probed
