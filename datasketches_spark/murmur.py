@@ -233,22 +233,29 @@ def canonical_u64(values: np.ndarray) -> np.ndarray:
 
 
 def theta_hash_values(values, seed: int = DEFAULT_UPDATE_SEED) -> np.ndarray:
-    """Apache-compatible theta hashes: murmur3.h1 >> 1, zeros dropped.
+    """Apache-compatible theta hashes: murmur3.h1 >> 1, zeros dropped."""
+    h1, _ = murmur3_values(values, seed)
+    return _screen(h1)
+
+
+def murmur3_values(
+    values, seed: int = DEFAULT_UPDATE_SEED
+) -> tuple[np.ndarray, np.ndarray]:
+    """Both 64-bit murmur lanes of a value series, Apache-canonicalized.
 
     Accepts a pandas Series or numpy array; callers drop NULLs first.
     Strings hash their UTF-8 bytes, raw bytes hash as-is; EMPTY
     strings/bytes are skipped entirely (datasketches-cpp
     update(const std::string&) returns without updating on empty).
+    Theta uses h1 only; HLL/CPC coupons need (h1, h2).
     """
     if isinstance(values, pd.Series) and not (
         values.dtype == object or pd.api.types.is_string_dtype(values.dtype)
     ):
-        h1, _ = murmur3_u64(canonical_u64(values.to_numpy()), seed)
-        return _screen(h1)
+        return murmur3_u64(canonical_u64(values.to_numpy()), seed)
     arr = np.asarray(values) if not isinstance(values, pd.Series) else None
     if arr is not None and arr.dtype != object:
-        h1, _ = murmur3_u64(canonical_u64(arr), seed)
-        return _screen(h1)
+        return murmur3_u64(canonical_u64(arr), seed)
     # string/bytes path via Arrow buffers (flat bytes + offsets)
     ser = values if isinstance(values, pd.Series) else pd.Series(values, dtype=object)
     first = next((v for v in ser if v is not None), None)
@@ -272,10 +279,10 @@ def theta_hash_values(values, seed: int = DEFAULT_UPDATE_SEED) -> np.ndarray:
     if (lens == 0).any():  # Apache skips empty strings/bytes
         keep = np.flatnonzero(lens > 0)
         if keep.size == 0:
-            return np.empty(0, dtype=np.uint64)
+            empty = np.empty(0, dtype=np.uint64)
+            return empty, empty
         data, off = _buffers(pa_arr.take(pa.array(keep)))
-    h1, _ = murmur3_bytes(data, off, seed)
-    return _screen(h1)
+    return murmur3_bytes(data, off, seed)
 
 
 def _screen(h1: np.ndarray) -> np.ndarray:

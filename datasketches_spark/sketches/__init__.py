@@ -27,7 +27,8 @@ from .compactor import KllSketch, QuantilesSketch, ReqSketch
 from .reservoir import ReservoirSampleSketch
 from .stats import StatsSketch
 from .frequent_items import FrequentItemsSketch
-from .hll import CpcSketch, HllSketch
+from .cpc import CpcSketch
+from .hll import HllSketch
 from .tdigest import TDigestSketch
 from .theta import ThetaSketch, theta_a_not_b, theta_intersect, theta_union
 

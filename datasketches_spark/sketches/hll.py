@@ -257,33 +257,5 @@ class HllSketch:
         return cls._from_payload(unframe(blob, cls.FAMILY))
 
 
-class CpcSketch(HllSketch):
-    """CPC: distinct counting tuned for minimal serialized size.
-
-    Same estimator core as HLL; serialized registers are zlib-compressed
-    (the compressed-representation idea of the CPC paper, Lang 2017,
-    without its windowed-coupon machinery -- documented approximation).
-    lg_k range 4..26 per codegen/generated.cpp.j2:85-89.
-    """
-
-    FAMILY = FAMILY_CPC
-    NAME = "CPC"
-    LG_K_MIN, LG_K_MAX = 4, 26
-    # Our CPC core shares the HLL register estimator (the compressed
-    # representation gives the size advantage, not the estimator), so
-    # the honest error coefficient is HLL's 1.04 — NOT the true CPC
-    # paper's 0.679.  Claiming the tighter coefficient would emit
-    # over-narrow confidence bounds in dense mode.
-    RSE_COEFF = 1.04
-
-    def serialize(self) -> bytes:
-        return frame(self.FAMILY, zlib.compress(self._payload(), level=6))
-
-    @classmethod
-    def deserialize(cls, blob: bytes) -> "CpcSketch":
-        raw = unframe(blob, cls.FAMILY)
-        try:
-            payload = zlib.decompress(raw)
-        except zlib.error as exc:
-            raise SketchDeserializeError("Failed to deserialize CPC sketch") from exc
-        return cls._from_payload(payload)
+# CPC moved to sketches/cpc.py: a real coupon-collector core with the
+# ICON estimator (it no longer shares HLL's register estimator).
