@@ -2,11 +2,13 @@
 
 The Spark-side machinery here is REAL and tested -- schemas, typed
 metadata extraction (JVM expressions), Arrow batch shapes, partition
-behavior of ``mapInPandas`` decoders.  The *decoders themselves* are
-deterministic fakes, clearly marked: this container ships no image/
-audio libraries, so `decode_*` produce seeded pseudo-features from the
-bytes (swap the marked section for PIL/librosa/ffmpeg in a real
-deployment) and `strict=True` raises NotImplementedError instead.
+behavior of ``mapInPandas`` decoders.  The decoders use REAL libraries
+when importable — PIL for image decode/resize, cv2 for video frames —
+probed lazily on each executor, and fall back to clearly-marked
+deterministic fakes ONLY when the library is genuinely missing (this
+container ships neither; a cluster that has them gets real decoding
+with zero code change).  ``strict=True`` raises NotImplementedError
+instead of faking when the library is absent.
 """
 
 from __future__ import annotations
@@ -40,6 +42,27 @@ def binary_metadata(bin_col) -> Column:
     )
 
 
+def _pil():
+    """PIL.Image if importable, else None — called on executors so each
+    worker probes its own environment (import result is cached by
+    Python's module system)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _cv2():
+    try:
+        import cv2  # noqa: PLC0415
+
+        return cv2
+    except ImportError:
+        return None
+
+
 def _fake_features(blob: bytes, n_features: int) -> np.ndarray:
     """DETERMINISTIC FAKE decoder core: seeded features from content.
 
@@ -61,9 +84,12 @@ def decode_image_features(
 ) -> DataFrame:
     """(id, features array<float>) via Arrow-batched mapInPandas.
 
-    ``strict=True`` raises NotImplementedError (no image libs in this
-    environment); default uses the deterministic fake decoder so the
-    distributed plumbing is fully exercisable.
+    With PIL importable on the executors the features are REAL: the
+    image is decoded, converted to grayscale, resampled onto a small
+    grid, and the first ``n_features`` normalized pixels are emitted
+    (undecodable bytes -> NULL).  Without PIL the deterministic fake
+    decoder keeps the distributed plumbing exercisable; ``strict=True``
+    raises NotImplementedError instead of faking.
     """
     schema = StructType(
         [
@@ -72,17 +98,35 @@ def decode_image_features(
         ]
     )
 
+    def _real_features(image_mod, blob: bytes) -> list | None:
+        import io  # noqa: PLC0415
+
+        try:
+            g = int(np.ceil(np.sqrt(n_features)))
+            img = image_mod.open(io.BytesIO(blob)).convert("L").resize((g, g))
+            px = np.asarray(img, dtype=np.float32).ravel()[:n_features]
+            return (px / 255.0).tolist()
+        except Exception:  # undecodable payload
+            return None
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
+        image_mod = _pil()
+        if image_mod is None and strict:
             raise NotImplementedError(
-                "real image decoding requires PIL/torchvision; not available "
-                "in this environment (stub per project brief)"
+                "real image decoding requires PIL; not installed on this "
+                "executor (strict=True forbids the deterministic fake)"
             )
         for pdf in batches:
-            feats = [
-                None if b is None else _fake_features(bytes(b), n_features).tolist()
-                for b in pdf[bin_col]
-            ]
+            if image_mod is not None:
+                feats = [
+                    None if b is None else _real_features(image_mod, bytes(b))
+                    for b in pdf[bin_col]
+                ]
+            else:
+                feats = [
+                    None if b is None else _fake_features(bytes(b), n_features).tolist()
+                    for b in pdf[bin_col]
+                ]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, bin_col).mapInPandas(decode, schema=schema)
@@ -111,16 +155,51 @@ def sample_frames(
         ]
     )
 
+    def _real_frames(cv2_mod, blob: bytes) -> list[np.ndarray]:
+        """Decode every_nth-th frame (up to max_frames) with OpenCV,
+        each reduced to n_features grayscale grid pixels."""
+        import os  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
+
+        g = int(np.ceil(np.sqrt(n_features)))
+        out: list[np.ndarray] = []
+        with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
+            f.write(blob)
+            path = f.name
+        try:
+            cap = cv2_mod.VideoCapture(path)
+            idx = 0
+            while len(out) < max_frames:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if idx % max(every_nth, 1) == 0:
+                    gray = cv2_mod.cvtColor(frame, cv2_mod.COLOR_BGR2GRAY)
+                    small = cv2_mod.resize(gray, (g, g)).astype(np.float32)
+                    out.append(small.ravel()[:n_features] / 255.0)
+                idx += 1
+            cap.release()
+        finally:
+            os.unlink(path)
+        return out
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
+        cv2_mod = _cv2()
+        if cv2_mod is None and strict:
             raise NotImplementedError(
-                "real video decoding requires ffmpeg; not available in this "
-                "environment (stub per project brief)"
+                "real video decoding requires cv2/ffmpeg; not installed on "
+                "this executor (strict=True forbids the deterministic fake)"
             )
         for pdf in batches:
             ids, idxs, feats = [], [], []
             for rid, b in zip(pdf[id_col], pdf[bin_col]):
                 if b is None:
+                    continue
+                if cv2_mod is not None:
+                    for i, fr in enumerate(_real_frames(cv2_mod, bytes(b))):
+                        ids.append(rid)
+                        idxs.append(i)
+                        feats.append(fr.tolist())
                     continue
                 n_frames = min(max_frames, max(1, len(b) // max(every_nth, 1)))
                 for i in range(n_frames):
@@ -160,11 +239,21 @@ def resize_binary(
     )
     n_out = target_w * target_h
 
+    def _real_resize(image_mod, blob: bytes) -> bytes | None:
+        import io  # noqa: PLC0415
+
+        try:
+            img = image_mod.open(io.BytesIO(blob)).convert("L")
+            return img.resize((target_w, target_h)).tobytes()
+        except Exception:  # undecodable payload
+            return None
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
+        image_mod = _pil()
+        if image_mod is None and strict:
             raise NotImplementedError(
-                "real image resizing requires PIL/torchvision; not available "
-                "in this environment (stub per project brief)"
+                "real image resizing requires PIL; not installed on this "
+                "executor (strict=True forbids the deterministic fake)"
             )
         for pdf in batches:
             out = []
@@ -172,8 +261,11 @@ def resize_binary(
                 if b is None:
                     out.append(None)
                     continue
+                if image_mod is not None:
+                    out.append(_real_resize(image_mod, bytes(b)))
+                    continue
                 # DETERMINISTIC FAKE: content-seeded byte payload of the
-                # exact target size (swap for a real resampler).
+                # exact target size (swap happens above when PIL exists).
                 h = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.uint64)
                 seed = int(splitmix64(np.array([h.sum() + len(b)], dtype=np.uint64))[0])
                 rng = np.random.default_rng(seed)
