@@ -1,0 +1,70 @@
+"""Warm same-window pairing: bench.py vs the DuckDB proxy, alternated.
+
+The judge's bench gate is the RATIO of bench.py's total to
+scripts/baseline_duckdb.py's total, measured warm and in the same time
+window (this container has multi-second external load bursts, so two
+single-shot runs taken minutes apart are not comparable — see
+CLAUDE.md "Hard-won facts").  This script alternates full runs of both
+harnesses N times and prints every pair plus the min/median ratios.
+
+Usage: python scripts/bench_pairing.py [N]   (default 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _run(cmd: list[str]) -> dict:
+    out = subprocess.run(
+        cmd,
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=900,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON line from {cmd}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    pairs = []
+    for i in range(n):
+        spark = _run([sys.executable, "bench.py"])
+        duck = _run([sys.executable, "scripts/baseline_duckdb.py"])
+        ratio = spark["value"] / duck["value"]
+        pairs.append((spark["value"], duck["value"], ratio))
+        print(
+            json.dumps(
+                {
+                    "pair": i + 1,
+                    "spark_total_sec": spark["value"],
+                    "duckdb_total_sec": duck["value"],
+                    "ratio": round(ratio, 2),
+                }
+            ),
+            flush=True,
+        )
+    ratios = sorted(r for _, _, r in pairs)
+    print(
+        json.dumps(
+            {
+                "pairs": n,
+                "min_ratio": round(ratios[0], 2),
+                "median_ratio": round(ratios[n // 2], 2),
+                "spark_best": min(p[0] for p in pairs),
+                "duckdb_best": min(p[1] for p in pairs),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

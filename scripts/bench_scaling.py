@@ -22,7 +22,11 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 import datasketches_spark as dss
-from datasketches_spark.aggregation import sketch_agg, theta_agg_hybrid
+from datasketches_spark.aggregation import (
+    salted_sketch_agg,
+    sketch_agg,
+    theta_agg_hybrid,
+)
 from datasketches_spark.pipeline.sampling import weighted_sample
 
 
@@ -83,7 +87,54 @@ def main() -> None:
                 k=5,
                 by=["g"],
             ).collect(),
+            # grouped: 1k groups through the blob two-phase path (one
+            # partial blob per (group, partition) crosses the shuffle)
+            "theta_grouped_1k": lambda: sketch_agg(
+                spark.range(n, numPartitions=32).select(
+                    (F.col("id") % 1000).alias("g"),
+                    (F.col("id") % (n // 4)).alias("k"),
+                ),
+                "k",
+                "theta",
+                group_cols=["g"],
+                k=12,
+                finalize=lambda sk: {"est": sk.get_estimate()},
+                finalize_schema="est double",
+            ).collect(),
         }
+        # skew: one group holds 50% of all rows (g=0), the rest spread
+        # over 3 more groups — compares the single-reducer merge against
+        # the salted pre-merge that flattens the straggler.  256 input
+        # partitions make each group's merge see 256 partial states (the
+        # local analog of a wide cluster): unsalted, ONE task per group
+        # folds all 256 while 31 cores idle; salted, 8 pre-merge tasks
+        # per group run in parallel first.
+        skew_df = spark.range(n, numPartitions=256).select(
+            F.when(F.col("id") % 2 == 0, 0)
+            .otherwise((F.col("id") % 2 + F.col("id") % 3).cast("int"))
+            .alias("g"),
+            (F.col("id") % (n // 4)).alias("k"),
+        )
+        variants.update(
+            {
+                "blob_skew_unsalted": lambda: sketch_agg(
+                    skew_df, "k", "theta", group_cols=["g"], k=16,
+                    finalize=lambda sk: {"est": sk.get_estimate()},
+                    finalize_schema="est double",
+                ).collect(),
+                "blob_skew_salted8": lambda: salted_sketch_agg(
+                    skew_df, "k", "theta", group_cols=["g"], k=16, num_salts=8
+                ).select(
+                    "g", F.expr("datasketch_theta_estimate(sketch)")
+                ).collect(),
+                "hybrid_skew_unsalted": lambda: theta_agg_hybrid(
+                    skew_df, "k", group_cols=["g"], lg_k=16
+                ).collect(),
+                "hybrid_skew_salted8": lambda: theta_agg_hybrid(
+                    skew_df, "k", group_cols=["g"], lg_k=16, pre_merge_salts=8
+                ).collect(),
+            }
+        )
         best = {name: float("inf") for name in variants}
         for it in range(3):  # interleaved; iteration 0 is warmup
             for name, fn in variants.items():

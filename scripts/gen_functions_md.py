@@ -50,7 +50,36 @@ _ARITY = {
 }
 
 
+_SPECIAL = {
+    "datasketch_cpc_lower_bound": (
+        "kappa 1..3 bands from the ICON estimator constant "
+        "0.7213/sqrt(k) (sketches/cpc.py; Apache's tighter 0.589 is the "
+        "HIP estimator, which does not survive merges — Apache's own "
+        "merged CPC sketches fall back to ICON the same way)"
+    ),
+    "datasketch_cpc_upper_bound": (
+        "kappa 1..3 bands from the ICON estimator constant "
+        "0.7213/sqrt(k) — see lower_bound note"
+    ),
+    "datasketch_theta_to_wire": (
+        "exports the Apache DataSketches compact-ordered theta format "
+        "(byte-identical to datasketches-java in exact mode; "
+        "cross-system MERGEABLE since update hashing is murmur3/9001)"
+    ),
+    "datasketch_theta_from_wire": (
+        "imports an Apache compact theta blob into the engine frame; "
+        "every theta reader also sniffs wire blobs directly"
+    ),
+    "datasketch_theta_get_seed": (
+        "returns the seed HASH (37836 = 0x93CC for the default seed "
+        "9001), matching the reference's get_seed_hash() passthrough"
+    ),
+}
+
+
 def _note(name: str) -> str:
+    if name in _SPECIAL:
+        return f" — {_SPECIAL[name]}"
     if name.startswith("datasketch_tdigest"):
         return ""  # tdigest has no inclusive arg in the reference either
     for suffix, note in _ARITY.items():
