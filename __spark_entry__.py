@@ -182,6 +182,37 @@ def q_kll_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches KLL wire-format interop, oracle-gated.
+
+    Builds an exact-mode KLL per return flag (k=32768 > group size at
+    sf0.01 — single level, no compaction), exports each as an Apache
+    KLL doubles blob (``datasketch_kll_to_wire`` — the format
+    datasketches-{java,cpp}/DuckDB/Druid emit, cross-validated live
+    against datasketches-java in tests/test_kll_wire.py), re-imports
+    the wire blob and queries it.  The count and median survive the
+    round trip exactly, and the blob length must equal the Apache
+    exact-mode layout: 20-byte preamble + one 4-byte level offset +
+    min/max doubles + 8 bytes per item = 40 + 8n — a byte-level
+    framing check the DuckDB oracle expresses arithmetically."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "kll",
+        group_cols=["l_returnflag"],
+        k=32768,
+    )
+    return sk.withColumn("wire", F.expr("datasketch_kll_to_wire(sketch)")).select(
+        "l_returnflag",
+        F.expr("datasketch_kll_n(datasketch_kll_from_wire(wire))").alias("n_items"),
+        F.expr("datasketch_kll_quantile(datasketch_kll_from_wire(wire), 0.5)").alias(
+            "median_qty"
+        ),
+        F.expr("CAST(octet_length(wire) AS BIGINT)").alias("wire_bytes"),
+    )
+
+
 def q_kll_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure(spark)
     sk = sketch_agg(
@@ -1850,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_hybrid_by_status": q_theta_hybrid_by_status,
         "stats_profile_price": q_stats_profile_price,
         "theta_wire_roundtrip": q_theta_wire_roundtrip,
+        "kll_wire_roundtrip": q_kll_wire_roundtrip,
     }
 
 
@@ -1893,6 +1925,13 @@ def oracle_sql() -> dict[str, str]:
             "min(CASE WHEN cd >= 0.25 THEN v END) AS p25, "
             "min(CASE WHEN cd >= 0.5 THEN v END) AS p50, "
             "min(CASE WHEN cd >= 0.75 THEN v END) AS p75 FROM ("
+            + _CUME.format(g="l_returnflag", v="l_quantity", t="lineitem")
+            + ") GROUP BY g"
+        ),
+        "kll_wire_roundtrip": (
+            "SELECT g AS l_returnflag, count(*) AS n_items, "
+            "min(CASE WHEN cd >= 0.5 THEN v END) AS median_qty, "
+            "40 + 8 * count(*) AS wire_bytes FROM ("
             + _CUME.format(g="l_returnflag", v="l_quantity", t="lineitem")
             + ") GROUP BY g"
         ),

@@ -278,6 +278,14 @@ def build_scalar_registry() -> dict[str, object]:
         )
         reg[p + "psi"] = _psi_udf(cls)
 
+    # Apache DataSketches wire interop for KLL (the reference's KLL
+    # blobs ARE this format): export any KLL blob as an Apache
+    # doubles/floats sketch, import Apache blobs into the engine frame.
+    # Import is also implicit — every KLL reader sniffs wire blobs.
+    p = "datasketch_kll_"
+    reg[p + "to_wire"] = _unary(KllSketch, lambda sk: sk.to_wire(), "binary")
+    reg[p + "from_wire"] = _unary(KllSketch, lambda sk: sk.serialize(), "binary")
+
     # ---- TDigest (no `inclusive` args, generator.py:160-166) ----
     p = "datasketch_tdigest_"
     reg[p + "is_empty"] = _unary(TDigestSketch, lambda sk: bool(sk.is_empty), "boolean")

@@ -380,6 +380,28 @@ class CompactorSketch:
             raise SketchDeserializeError(f"Failed to deserialize {cls.NAME} sketch") from exc
 
 
+# Apache DataSketches KLL wire format (family 15).  Serial version 1 =
+# empty/full compact, 2 = single-item short form.  The reference's KLL
+# blobs ARE this format (its Finalize serializes the datasketches-cpp
+# kll_sketch, src/generated.cpp:3108-4485); layout verified against
+# datasketches-java 6.2 dumps and cross-checked live in
+# tests/test_murmur_wire.py.
+_KLL_WIRE_FAMILY = 15
+_KLL_WIRE_M = 8  # min level width; java rejects anything else
+_KLL_FLAG_EMPTY = 1
+_KLL_FLAG_L0_SORTED = 2
+_KLL_FLAG_SINGLE = 4
+
+
+def _kll_wire_level_capacity(k: int, num_levels: int, level: int) -> int:
+    """Apache's level capacity: max(m, round-half-up(k * (2/3)^depth)),
+    in exact integer arithmetic — readers re-derive the total array
+    capacity from (k, m, numLevels), so the writer must agree exactly."""
+    depth = num_levels - 1 - level
+    pow3 = 3**depth
+    return max(_KLL_WIRE_M, ((k << depth) * 2 + pow3) // (2 * pow3))
+
+
 class KllSketch(CompactorSketch):
     """KLL quantile sketch (reference src/generated.cpp:3108-4485)."""
 
@@ -395,6 +417,173 @@ class KllSketch(CompactorSketch):
         # calibrated to the reference's published numbers: ~1.33%
         # single-sided / ~1.65% double-sided at K=200 (docs/README.md:532)
         return (2.443 if pmf else 1.970) / self.k**0.9433
+
+    # ---- Apache DataSketches wire format (KLL doubles/floats) ----
+
+    _WIRE_WIDTHS = {"float64": ("<d", 8), "float32": ("<f", 4)}
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "KllSketch":
+        """Accepts the engine-local DSKS frame OR an Apache
+        DataSketches KLL blob (sniffed on the frame magic), so blobs
+        written by the reference / datasketches-{java,cpp} work
+        everywhere a KLL blob does — scalars, union aggregates,
+        sketch stores."""
+        from .base import MAGIC
+
+        if not (
+            isinstance(blob, (bytes, bytearray))
+            and len(blob) >= 4
+            and bytes(blob[:4]) == MAGIC
+        ):
+            return cls.from_wire(blob)
+        return super().deserialize(blob)
+
+    def to_wire(self) -> bytes:
+        """Serialize as an Apache DataSketches KLL doubles (or floats)
+        sketch — readable by DuckDB/Druid/Hive/datasketches-java.
+        Empty and single-item short forms are byte-identical to
+        datasketches-java; the full form is semantically identical
+        (level offsets rebased to 0, every level sorted) and verified
+        by heapifying into datasketches-java live.
+        """
+        if self.dtype not in self._WIRE_WIDTHS:
+            raise ValueError(
+                "only float64/float32 KLL sketches have an Apache wire form "
+                f"(doubles/floats sketch); this sketch holds {self.dtype}"
+            )
+        fmt, width = self._WIRE_WIDTHS[self.dtype]
+        k = int(self.k)
+        if self.n == 0:
+            return struct.pack(
+                "<BBBBHBB", 2, 1, _KLL_WIRE_FAMILY, _KLL_FLAG_EMPTY, k, _KLL_WIRE_M, 0
+            )
+        if self.n == 1:
+            item = next(lv[0] for lv in self.levels if lv.size)
+            return (
+                struct.pack(
+                    "<BBBBHBB", 2, 2, _KLL_WIRE_FAMILY, _KLL_FLAG_SINGLE,
+                    k, _KLL_WIRE_M, 0,
+                )
+                + struct.pack(fmt, item)
+            )
+        levels = list(self.levels)
+        while len(levels) > 1 and levels[-1].size == 0:
+            levels.pop()
+        num_levels = len(levels)
+        # compact layout: the levels array carries numLevels in-memory
+        # offsets; Apache readers re-derive the full array capacity from
+        # (k, m, numLevels) and require the valid region to be
+        # TOP-ALIGNED — offsets[0] = capacity - retained — so emit
+        # offsets on that base, not 0
+        retained = sum(int(lv.size) for lv in levels)
+        capacity = sum(
+            _kll_wire_level_capacity(k, num_levels, lvl) for lvl in range(num_levels)
+        )
+        if retained > capacity:
+            # our capacity policy (ceil) can retain slightly more than
+            # Apache's (round-half-up) allows; fold the overflow by
+            # compacting until the blob fits the Apache envelope
+            tmp = self.__class__(self.k, self.dtype)
+            tmp.merge(self)
+            while sum(lv.size for lv in tmp.levels) > capacity:
+                target = max(
+                    (i for i, lv in enumerate(tmp.levels) if lv.size >= 2),
+                    key=lambda i: tmp.levels[i].size,
+                )
+                tmp._compact_level(target)
+            return tmp.to_wire()
+        offsets, acc = [], capacity - retained
+        for lv in levels:
+            offsets.append(acc)
+            acc += int(lv.size)
+        head = struct.pack(
+            "<BBBBHBB", 5, 1, _KLL_WIRE_FAMILY, _KLL_FLAG_L0_SORTED,
+            k, _KLL_WIRE_M, 0,
+        )
+        # minK: our k degrades in place on mixed-K merges, so it plays
+        # both the capacity and the error role — emit it for both fields
+        head += struct.pack("<QHBB", self.n, k, num_levels, 0)
+        head += struct.pack(f"<{num_levels}I", *offsets)
+        head += struct.pack(fmt, self.min_item) + struct.pack(fmt, self.max_item)
+        body = b"".join(
+            np.ascontiguousarray(np.sort(lv)).tobytes() for lv in levels
+        )
+        return head + body
+
+    @classmethod
+    def from_wire(cls, blob: bytes, dtype: str = "float64") -> "KllSketch":
+        """Parse an Apache KLL doubles blob (or floats with
+        ``dtype='float32'``; the preamble does not carry the item type
+        — like the Apache readers, the caller picks the typed reader,
+        and a 4-byte-item blob is auto-detected from the length).
+        Compact forms only (serVer 1/2); the rare updatable form
+        (serVer 3) is rejected like Apache's compact readers do.
+        """
+        err = SketchDeserializeError("Failed to deserialize KLL sketch")
+        if not isinstance(blob, (bytes, bytearray)) or len(blob) < 8:
+            raise err
+        blob = bytes(blob)
+        pre_ints, ser_ver, family, flags, k, m, _ = struct.unpack_from("<BBBBHBB", blob, 0)
+        if family != _KLL_WIRE_FAMILY or m != _KLL_WIRE_M or k < 1:
+            raise err
+        sk = cls(max(k, cls.K_MIN), dtype)
+        if flags & _KLL_FLAG_EMPTY:
+            return sk
+        fmt, width = cls._WIRE_WIDTHS[dtype]
+        if ser_ver == 2 or (flags & _KLL_FLAG_SINGLE):
+            if len(blob) < 8 + width:
+                raise err
+            (item,) = struct.unpack_from(fmt, blob, 8)
+            sk.update(np.asarray([item]))
+            return sk
+        if ser_ver != 1 or pre_ints != 5 or len(blob) < 20:
+            raise err
+        n, min_k, num_levels, _ = struct.unpack_from("<QHBB", blob, 8)
+        if num_levels < 1 or len(blob) < 20 + 4 * num_levels:
+            raise err
+        offsets = list(struct.unpack_from(f"<{num_levels}I", blob, 20))
+        off = 20 + 4 * num_levels
+        capacity = sum(
+            _kll_wire_level_capacity(k, num_levels, lvl) for lvl in range(num_levels)
+        )
+
+        def _width_ok(w: int, exact: bool) -> bool:
+            body = len(blob) - off - 2 * w
+            if body < 0 or body % w:
+                return False
+            return not exact or capacity - offsets[0] == body // w
+
+        # the preamble carries no item type; writers top-align offsets so
+        # capacity(k, m, numLevels) - offsets[0] == retained — use that
+        # identity to tell a doubles body from a floats body, falling
+        # back to byte alignment for blobs that rebased their offsets
+        if dtype == "float64" and not _width_ok(8, exact=True) and _width_ok(4, exact=True):
+            return cls.from_wire(blob, "float32")
+        if not _width_ok(width, exact=False):
+            if dtype == "float64" and _width_ok(4, exact=False):
+                return cls.from_wire(blob, "float32")
+            raise err
+        body_bytes = len(blob) - off - 2 * width
+        retained = body_bytes // width
+        np_dt = _NP_DTYPES[dtype]
+        sk.min_item = np_dt(struct.unpack_from(fmt, blob, off)[0])
+        sk.max_item = np_dt(struct.unpack_from(fmt, blob, off + width)[0])
+        items = np.frombuffer(blob, dtype=np_dt, count=retained, offset=off + 2 * width)
+        base = offsets[0]
+        bounds = [o - base for o in offsets] + [retained]
+        if any(b < 0 or b > retained for b in bounds) or any(
+            a > b for a, b in zip(bounds, bounds[1:])
+        ):
+            raise err
+        sk.n = int(n)
+        # a degraded java sketch reports its error via minK — adopt it as
+        # our k so later merges keep the coarser-resolution contract
+        sk.k = max(int(min_k), cls.K_MIN)
+        sk.levels = [items[bounds[i] : bounds[i + 1]].copy() for i in range(num_levels)]
+        sk.compacted = num_levels > 1 or sk.n > retained
+        sk._sorted_cache = None
+        return sk
 
 
 class QuantilesSketch(CompactorSketch):

@@ -74,6 +74,15 @@ _SPECIAL = {
         "returns the seed HASH (37836 = 0x93CC for the default seed "
         "9001), matching the reference's get_seed_hash() passthrough"
     ),
+    "datasketch_kll_to_wire": (
+        "exports the Apache DataSketches KLL doubles/floats format "
+        "(byte-identical to datasketches-java for empty/single forms, "
+        "heapify-verified live for the full form — tests/test_kll_wire.py)"
+    ),
+    "datasketch_kll_from_wire": (
+        "imports an Apache KLL doubles/floats blob into the engine "
+        "frame; every KLL reader also sniffs wire blobs directly"
+    ),
 }
 
 

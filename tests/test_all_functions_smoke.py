@@ -92,7 +92,7 @@ def _args_for(name: str) -> str | None:
         "get_theta": f"{sk}",
         "get_seed": f"{sk}",
         "to_wire": f"{sk}",
-        "from_wire": f"datasketch_theta_to_wire({sk})",
+        "from_wire": f"datasketch_{fam}_to_wire({sk})",
         "lg_config_k": f"{sk}",
         "is_compact": f"{sk}",
         "epsilon": f"{sk}",
