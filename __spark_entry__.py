@@ -380,6 +380,38 @@ def q_frequent_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fi_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches frequent-items wire interop, oracle-gated.
+
+    Builds an exact-mode FI sketch (5 distinct priorities << map
+    capacity, offset 0 — counts exact), exports it as an Apache
+    items-sketch blob with the strings serde
+    (``datasketch_frequent_items_to_wire`` — the format
+    datasketches-{java,cpp}/DuckDB/Druid emit, cross-validated live in
+    tests/test_fi_wire.py), re-imports the wire blob and reads the
+    frequent items back.  Counts survive exactly, and the blob length
+    must equal the Apache layout: 32-byte preamble + 8 bytes per
+    active item + (4 + utf8-length) per item string — expressed
+    arithmetically by the DuckDB oracle."""
+    _ensure(spark)
+    sk = sketch_agg(_t(spark, sf_dir, "orders"), "o_orderpriority", "frequent_items")
+    return (
+        sk.withColumn("wire", F.expr("datasketch_frequent_items_to_wire(sketch)"))
+        .select(
+            F.expr(
+                "explode(datasketch_frequent_items_get_frequent("
+                "datasketch_frequent_items_from_wire(wire), 'NO_FALSE_POSITIVES'))"
+            ).alias("r"),
+            F.expr("CAST(octet_length(wire) AS BIGINT)").alias("wire_bytes"),
+        )
+        .select(
+            F.col("r.item").alias("o_orderpriority"),
+            F.col("r.estimate").alias("n_orders"),
+            "wire_bytes",
+        )
+    )
+
+
 def q_frequent_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure(spark)
     sk = sketch_agg(_t(spark, sf_dir, "orders"), "o_orderpriority", "frequent_items")
@@ -1882,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile_price": q_stats_profile_price,
         "theta_wire_roundtrip": q_theta_wire_roundtrip,
         "kll_wire_roundtrip": q_kll_wire_roundtrip,
+        "fi_wire_roundtrip": q_fi_wire_roundtrip,
     }
 
 
@@ -1985,6 +2018,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority AS item, count(*) AS estimate "
             "FROM orders GROUP BY o_orderpriority"
         ),
+        "fi_wire_roundtrip": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   (SELECT (32 + sum(12 + length(p)))::BIGINT
+                    FROM (SELECT DISTINCT o_orderpriority AS p FROM orders)) AS wire_bytes
+            FROM orders GROUP BY o_orderpriority
+        """,
         "frequent_meta": (
             "SELECT (SELECT count(*) FROM orders WHERE o_orderpriority='1-URGENT') AS urgent_cnt, "
             "count(*) AS total_weight, count(DISTINCT o_orderpriority) AS num_active, "

@@ -408,6 +408,10 @@ def build_scalar_registry() -> dict[str, object]:
     reg[p + "total_weight"] = _unary(F, lambda sk: int(sk.total_weight()), "long")
     reg[p + "is_empty"] = _unary(F, lambda sk: bool(sk.is_empty), "boolean")
     reg[p + "num_active"] = _unary(F, lambda sk: int(sk.num_active), "long")
+    # Apache DataSketches wire interop (strings serde) — the
+    # reference's FI blobs ARE this format; readers also sniff it
+    reg[p + "to_wire"] = _unary(F, lambda sk: sk.to_wire(), "binary")
+    reg[p + "from_wire"] = _unary(F, lambda sk: sk.serialize(), "binary")
     # ---- Bloom filter (beyond-reference family; see sketches/bloom.py) ----
     p = "datasketch_bloom_"
     B = BloomFilterSketch

@@ -35,6 +35,17 @@ from .base import FAMILY_FREQUENT_ITEMS, SketchDeserializeError, frame, unframe
 DEFAULT_LG_MAX_K = 10  # src/frequent_items_sketch.cpp:25,38
 _LOAD_FACTOR = 0.75
 
+# Apache DataSketches frequent-items wire format (family 10, serVer 1)
+# with ArrayOfStringsSerDe items — the reference's FI blobs ARE this
+# format (its Finalize serializes frequent_items_sketch<std::string>,
+# src/frequent_items_sketch.cpp:193-348).  Layout verified against
+# datasketches-java 6.2 dumps; cross-validated live in
+# tests/test_fi_wire.py.
+_FI_WIRE_FAMILY = 10
+_FI_WIRE_SERVER = 1
+_FI_FLAG_EMPTY = 4
+_FI_LG_MIN_MAP = 3
+
 ERROR_TYPE_NO_FALSE_POSITIVES = "NO_FALSE_POSITIVES"
 ERROR_TYPE_NO_FALSE_NEGATIVES = "NO_FALSE_NEGATIVES"
 
@@ -178,8 +189,95 @@ class FrequentItemsSketch:
             parts.append(b)
         return frame(FAMILY_FREQUENT_ITEMS, b"".join(parts))
 
+    # ---- Apache DataSketches wire format (items sketch, strings) ----
+
+    def to_wire(self) -> bytes:
+        """Serialize as an Apache DataSketches frequent-items sketch
+        over strings (``ArrayOfStringsSerDe``) — readable by
+        DuckDB/Druid/Hive/datasketches-java.  Empty form is
+        byte-identical to datasketches-java; the full form is
+        semantically identical (hash-map iteration order is not
+        canonical in Apache's own writer either) and verified by
+        loading into datasketches-java live.
+        """
+        lg_max = self.lg_max_k
+        if self.is_empty:
+            # java writes flags 0x05 (EMPTY | bit0) for the empty form
+            return struct.pack(
+                "<BBBBBBH", 1, _FI_WIRE_SERVER, _FI_WIRE_FAMILY,
+                lg_max, _FI_LG_MIN_MAP, _FI_FLAG_EMPTY | 1, 0,
+            )
+        # smallest current-map size that holds numActive at 0.75 load,
+        # clamped to [LG_MIN_MAP, lg_max] — java allocates from this
+        lg_cur = _FI_LG_MIN_MAP
+        while (1 << lg_cur) * _LOAD_FACTOR < len(self.counts) and lg_cur < lg_max:
+            lg_cur += 1
+        head = struct.pack(
+            "<BBBBBBH", 4, _FI_WIRE_SERVER, _FI_WIRE_FAMILY, lg_max, lg_cur, 0, 0
+        )
+        head += struct.pack("<IIQQ", len(self.counts), 0, self.stream_weight, self.offset)
+        items = list(self.counts.items())
+        counts = b"".join(struct.pack("<Q", c) for _, c in items)
+        serde = b"".join(
+            struct.pack("<I", len(e)) + e
+            for e in (item.encode("utf-8") for item, _ in items)
+        )
+        return head + counts + serde
+
+    @classmethod
+    def from_wire(cls, blob: bytes) -> "FrequentItemsSketch":
+        """Parse an Apache frequent-items blob (strings serde).
+
+        Stored per-item counts are lower bounds in both engines (the
+        purge subtracts the accrued offset before eviction), so counts
+        map across directly; ``offset`` is Apache's maximum error.
+        """
+        err = SketchDeserializeError("Failed to deserialize Frequent Items sketch")
+        if not isinstance(blob, (bytes, bytearray)) or len(blob) < 8:
+            raise err
+        blob = bytes(blob)
+        pre_longs, ser_ver, family, lg_max, _lg_cur, flags, _ = struct.unpack_from(
+            "<BBBBBBH", blob, 0
+        )
+        if ser_ver != _FI_WIRE_SERVER or family != _FI_WIRE_FAMILY:
+            raise err
+        sk = cls(min(max(lg_max, 3), 21))
+        if flags & _FI_FLAG_EMPTY:
+            return sk
+        if pre_longs != 4 or len(blob) < 32:
+            raise err
+        num_active, _, stream_len, offset = struct.unpack_from("<IIQQ", blob, 8)
+        off = 32
+        if len(blob) < off + 8 * num_active:
+            raise err
+        counts = struct.unpack_from(f"<{num_active}Q", blob, off)
+        off += 8 * num_active
+        try:
+            for c in counts:
+                (blen,) = struct.unpack_from("<I", blob, off)
+                off += 4
+                if len(blob) < off + blen:
+                    raise err
+                item = blob[off : off + blen].decode("utf-8")
+                off += blen
+                sk.counts[item] = int(c)
+        except (struct.error, UnicodeDecodeError) as exc:
+            raise err from exc
+        sk.offset = int(offset)
+        sk.stream_weight = int(stream_len)
+        return sk
+
     @classmethod
     def deserialize(cls, blob: bytes) -> "FrequentItemsSketch":
+        from .base import MAGIC
+
+        if not (
+            isinstance(blob, (bytes, bytearray))
+            and len(blob) >= 4
+            and bytes(blob[:4]) == MAGIC
+        ):
+            # Apache wire blob (no DSKS frame) — sniffed like theta/KLL
+            return cls.from_wire(blob)
         payload = unframe(blob, FAMILY_FREQUENT_ITEMS)
         try:
             lg_max_k, offset, stream_weight, count = struct.unpack_from("<BQQI", payload, 0)

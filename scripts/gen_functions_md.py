@@ -83,6 +83,16 @@ _SPECIAL = {
         "imports an Apache KLL doubles/floats blob into the engine "
         "frame; every KLL reader also sniffs wire blobs directly"
     ),
+    "datasketch_frequent_items_to_wire": (
+        "exports the Apache DataSketches items-sketch format with the "
+        "strings serde (cross-validated live against datasketches-java "
+        "— tests/test_fi_wire.py; stored counts are lower bounds in "
+        "both engines, so counts map across directly)"
+    ),
+    "datasketch_frequent_items_from_wire": (
+        "imports an Apache frequent-items blob (strings serde) into "
+        "the engine frame; every FI reader also sniffs wire blobs"
+    ),
 }
 
 
