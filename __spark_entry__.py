@@ -302,6 +302,36 @@ def q_req_tail_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdigest_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches t-digest wire interop, oracle-gated.
+
+    Builds a t-digest of the 5 nation keys per region (singleton
+    centroids at delta=100 — median and total weight exact), exports
+    each as an Apache t-digest blob (``datasketch_tdigest_to_wire`` —
+    the format datasketches-{java,cpp}/DuckDB emit, byte-parity and
+    cross-merge verified live in tests/test_tdigest_wire.py),
+    re-imports and queries it.  Blob length is the Apache full-form
+    layout: 32-byte preamble+min/max + 16 bytes per centroid."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "nation"),
+        "n_nationkey",
+        "tdigest",
+        group_cols=["n_regionkey"],
+        k=100,
+    )
+    return sk.withColumn("wire", F.expr("datasketch_tdigest_to_wire(sketch)")).select(
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        F.expr(
+            "datasketch_tdigest_total_weight(datasketch_tdigest_from_wire(wire))"
+        ).alias("total_w"),
+        F.expr("datasketch_tdigest_quantile(datasketch_tdigest_from_wire(wire), 0.5)").alias(
+            "median_key"
+        ),
+        F.expr("CAST(octet_length(wire) AS BIGINT)").alias("wire_bytes"),
+    )
+
+
 def q_tdigest_weight_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure(spark)
     return sketch_agg(
@@ -1915,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_wire_roundtrip": q_theta_wire_roundtrip,
         "kll_wire_roundtrip": q_kll_wire_roundtrip,
         "fi_wire_roundtrip": q_fi_wire_roundtrip,
+        "tdigest_wire_roundtrip": q_tdigest_wire_roundtrip,
     }
 
 
@@ -2002,6 +2033,13 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_weight_by_flag": (
             "SELECT l_returnflag, count(*) AS total_weight, 200 AS k_param "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "tdigest_wire_roundtrip": (
+            "SELECT n_regionkey::BIGINT AS n_regionkey, "
+            "count(*)::BIGINT AS total_w, "
+            "median(n_nationkey)::DOUBLE AS median_key, "
+            "(32 + 16 * count(*))::BIGINT AS wire_bytes "
+            "FROM nation GROUP BY n_regionkey"
         ),
         "hll_distinct_nations_by_region": (
             "SELECT n_regionkey::BIGINT AS n_regionkey, "

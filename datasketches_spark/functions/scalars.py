@@ -312,6 +312,10 @@ def build_scalar_registry() -> dict[str, object]:
         TDigestSketch, lambda sk, a: sk.describe(bool(a)),
         "string", 1, opt=(False,),
     )
+    # Apache DataSketches wire interop — the reference's tdigest blobs
+    # ARE this format; every tdigest reader also sniffs wire blobs
+    reg[p + "to_wire"] = _unary(TDigestSketch, lambda sk: sk.to_wire(), "binary")
+    reg[p + "from_wire"] = _unary(TDigestSketch, lambda sk: sk.serialize(), "binary")
 
     # ---- Theta (src/theta_sketch.cpp:221-354) ----
     p = "datasketch_theta_"

@@ -19,6 +19,22 @@ import numpy as np
 
 from .base import FAMILY_TDIGEST, SketchDeserializeError, frame, unframe
 
+# Apache DataSketches t-digest wire format (family 20, serVer 1) —
+# the reference's tdigest blobs ARE this format (its Finalize
+# serializes datasketches::tdigest<double>, src/generated.cpp:473-476).
+# Layout verified against datasketches-java 6.2 dumps and
+# cross-validated live in tests/test_tdigest_wire.py:
+#   byte0 preLongs (1 empty/single, 2 full), byte1 serVer=1,
+#   byte2 family=20, bytes3-4 k (u16), byte5 flags, bytes6-7 unused;
+#   single: the one value (f64) at offset 8;
+#   full: numCentroids u32 @8, min f64 @16, max f64 @24, then
+#   (mean f64, weight u64) pairs, means ascending.
+_TD_WIRE_FAMILY = 20
+_TD_WIRE_SERVER = 1
+_TD_FLAG_EMPTY = 1
+# java writes 0x06 (single-value + merge-orientation bits) for n==1
+_TD_FLAGS_SINGLE = 6
+
 
 class TDigestSketch:
     __slots__ = ("delta", "means", "weights", "total", "min_item", "max_item", "_buf")
@@ -220,8 +236,93 @@ class TDigestSketch:
             head + self.means.tobytes() + self.weights.tobytes(),
         )
 
+    # ---- Apache DataSketches wire format (t-digest doubles) ----
+
+    def to_wire(self) -> bytes:
+        """Serialize as an Apache DataSketches t-digest (doubles) —
+        readable by DuckDB/Druid/datasketches-{java,cpp}.  Empty and
+        single-item forms are byte-identical to datasketches-java; the
+        full form carries our centroids verbatim (any valid centroid
+        set is a valid t-digest — scale-function differences affect
+        accuracy, not the format), verified by loading into
+        datasketches-java live."""
+        self._compress()
+        if not (0 < self.delta <= 0xFFFF):
+            raise ValueError(
+                "t-digest compression does not fit the Apache wire "
+                f"preamble (u16): {self.delta}"
+            )
+        if self.means.size == 0:
+            return struct.pack(
+                "<BBBHBH", 1, _TD_WIRE_SERVER, _TD_WIRE_FAMILY,
+                self.delta, _TD_FLAG_EMPTY, 0,
+            )
+        if self.total_weight() == 1:
+            return struct.pack(
+                "<BBBHBH", 1, _TD_WIRE_SERVER, _TD_WIRE_FAMILY,
+                self.delta, _TD_FLAGS_SINGLE, 0,
+            ) + struct.pack("<d", float(self.means[0]))
+        head = struct.pack(
+            "<BBBHBH", 2, _TD_WIRE_SERVER, _TD_WIRE_FAMILY, self.delta, 0, 0
+        )
+        head += struct.pack("<IIdd", self.means.size, 0, self.min_item, self.max_item)
+        pairs = np.empty(self.means.size, dtype=[("m", "<f8"), ("w", "<u8")])
+        pairs["m"] = self.means
+        pairs["w"] = np.rint(self.weights).astype(np.uint64)
+        return head + pairs.tobytes()
+
+    @classmethod
+    def from_wire(cls, blob: bytes) -> "TDigestSketch":
+        """Parse an Apache t-digest (doubles) blob.  Centroids are
+        adopted verbatim (sorted if a reverse-merge orientation wrote
+        them descending); min/max and total weight come from the blob."""
+        err = SketchDeserializeError("Failed to deserialize TDigest sketch")
+        if not isinstance(blob, (bytes, bytearray)) or len(blob) < 8:
+            raise err
+        blob = bytes(blob)
+        pre_longs, ser_ver, family, k, flags, _ = struct.unpack_from("<BBBHBH", blob, 0)
+        if ser_ver != _TD_WIRE_SERVER or family != _TD_WIRE_FAMILY or k < 1:
+            raise err
+        sk = cls(k)
+        if flags & _TD_FLAG_EMPTY:
+            return sk
+        if pre_longs == 1:
+            if len(blob) < 16:
+                raise err
+            (v,) = struct.unpack_from("<d", blob, 8)
+            sk.update(np.asarray([v]))
+            return sk
+        if pre_longs != 2 or len(blob) < 32:
+            raise err
+        count, _, mn, mx = struct.unpack_from("<IIdd", blob, 8)
+        if len(blob) < 32 + 16 * count or count < 1:
+            raise err
+        pairs = np.frombuffer(
+            blob, dtype=[("m", "<f8"), ("w", "<u8")], count=count, offset=32
+        )
+        means = pairs["m"].astype(np.float64)
+        weights = pairs["w"].astype(np.float64)
+        if means.size > 1 and means[0] > means[-1]:
+            means, weights = means[::-1], weights[::-1]
+        order = np.argsort(means, kind="stable")
+        sk.means = means[order].copy()
+        sk.weights = weights[order].copy()
+        sk.total = float(sk.weights.sum())
+        sk.min_item = float(mn)
+        sk.max_item = float(mx)
+        return sk
+
     @classmethod
     def deserialize(cls, blob: bytes) -> "TDigestSketch":
+        from .base import MAGIC
+
+        if not (
+            isinstance(blob, (bytes, bytearray))
+            and len(blob) >= 4
+            and bytes(blob[:4]) == MAGIC
+        ):
+            # Apache wire blob (no DSKS frame) — sniffed like theta/KLL/FI
+            return cls.from_wire(blob)
         payload = unframe(blob, FAMILY_TDIGEST)
         try:
             delta, total, mn, mx, count = struct.unpack_from("<IdddI", payload, 0)

@@ -93,6 +93,15 @@ _SPECIAL = {
         "imports an Apache frequent-items blob (strings serde) into "
         "the engine frame; every FI reader also sniffs wire blobs"
     ),
+    "datasketch_tdigest_to_wire": (
+        "exports the Apache DataSketches t-digest doubles format "
+        "(empty/single byte-identical to datasketches-java, full form "
+        "heapify+merge verified live — tests/test_tdigest_wire.py)"
+    ),
+    "datasketch_tdigest_from_wire": (
+        "imports an Apache t-digest blob into the engine frame; every "
+        "tdigest reader also sniffs wire blobs directly"
+    ),
 }
 
 
