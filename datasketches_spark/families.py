@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .sketches.base import MAGIC
+from .sketches.base import is_framed
 from .sketches import (
     BloomFilterSketch,
     CountMinSketch,
@@ -127,7 +127,7 @@ def update_sketch(family: str, sk, series: pd.Series, merge: bool = False) -> No
             # alias to distinguish sketch_hll from plain BINARY, so
             # dispatch per value on the DSKS frame magic: framed blobs
             # merge, anything else is hashed as a raw byte value.
-            framed = s.map(lambda b: b is not None and bytes(b[:4]) == MAGIC)
+            framed = s.map(lambda b: b is not None and is_framed(b))
             for blob in s[framed]:
                 sk.merge(cls.deserialize(bytes(blob)))
             raw = s[~framed].dropna()

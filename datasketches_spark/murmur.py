@@ -270,6 +270,19 @@ def murmur3_values(
     # string/bytes path via Arrow buffers (flat bytes + offsets)
     ser = values if isinstance(values, pd.Series) else pd.Series(values, dtype=object)
     first = next((v for v in ser if v is not None), None)
+    if first is not None and not isinstance(first, (str, bytes, bytearray)):
+        # non-string objects (decimal.Decimal from Spark DecimalType,
+        # boxed ints/floats): hash as numerics — DuckDB implicitly
+        # casts DECIMAL to DOUBLE for the reference's double-typed
+        # sketch functions, so DOUBLE-canonical hashing is the
+        # cross-system-compatible semantics
+        try:
+            num = pd.to_numeric(ser)
+        except (ValueError, TypeError) as exc:
+            raise TypeError(
+                f"unsupported value type for hashing: {type(first).__name__}"
+            ) from exc
+        return murmur3_u64(canonical_u64(num.to_numpy()), seed)
     typ = pa.large_binary() if isinstance(first, (bytes, bytearray)) else pa.large_utf8()
     pa_arr = pa.array(ser, type=typ, from_pandas=True)
 

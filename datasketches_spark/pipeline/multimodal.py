@@ -166,6 +166,7 @@ def sample_frames(
         with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
             f.write(blob)
             path = f.name
+        cap = None
         try:
             cap = cv2_mod.VideoCapture(path)
             idx = 0
@@ -178,8 +179,13 @@ def sample_frames(
                     small = cv2_mod.resize(gray, (g, g)).astype(np.float32)
                     out.append(small.ravel()[:n_features] / 255.0)
                 idx += 1
-            cap.release()
+        except cv2_mod.error:
+            # a corrupt mid-stream frame degrades to the frames decoded
+            # so far, like an unopenable container degrades to zero
+            pass
         finally:
+            if cap is not None:
+                cap.release()
             os.unlink(path)
         return out
 

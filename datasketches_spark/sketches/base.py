@@ -17,6 +17,15 @@ import struct
 MAGIC = b"DSKS"
 VERSION = 1
 
+# Families whose payload SEMANTICS changed incompatibly bump their
+# frame version so blobs persisted before the change fail loudly
+# ("Failed to deserialize") instead of parsing and merging silently
+# wrong.  Theta/CPC v2: update hashing moved from splitmix64 to
+# Apache-compatible murmur3/9001 (and CPC to the coupon core) — a v1
+# theta blob's retained hashes live in a different hash space, so
+# unioning it with v2 sketches would double-count every overlap.
+_FAMILY_VERSIONS: dict[int, int] = {}  # populated below the constants
+
 FAMILY_THETA = 1
 FAMILY_KLL = 2
 FAMILY_QUANTILES = 3
@@ -29,6 +38,8 @@ FAMILY_BLOOM = 9
 FAMILY_RESERVOIR = 10
 FAMILY_CMS = 11
 FAMILY_STATS = 12
+
+_FAMILY_VERSIONS.update({FAMILY_THETA: 2, FAMILY_CPC: 2})
 
 FAMILY_NAMES = {
     FAMILY_THETA: "Theta",
@@ -58,8 +69,12 @@ class SketchDeserializeError(ValueError):
     pass
 
 
+def family_version(family: int) -> int:
+    return _FAMILY_VERSIONS.get(family, VERSION)
+
+
 def frame(family: int, payload: bytes) -> bytes:
-    return MAGIC + struct.pack("<BB", family, VERSION) + payload
+    return MAGIC + struct.pack("<BB", family, family_version(family)) + payload
 
 
 def unframe(blob: bytes, expected_family: int) -> bytes:
@@ -69,9 +84,19 @@ def unframe(blob: bytes, expected_family: int) -> bytes:
     if bytes(blob[:4]) != MAGIC:
         raise SketchDeserializeError(f"Failed to deserialize {name} sketch")
     family, version = struct.unpack_from("<BB", blob, 4)
-    if family != expected_family or version != VERSION:
+    if family != expected_family or version != family_version(expected_family):
         raise SketchDeserializeError(f"Failed to deserialize {name} sketch")
     return bytes(blob[6:])
+
+
+def is_framed(blob) -> bool:
+    """True iff the blob carries this engine's DSKS frame magic (the
+    shared sniff used by families that also accept Apache wire blobs)."""
+    return (
+        isinstance(blob, (bytes, bytearray))
+        and len(blob) >= 4
+        and bytes(blob[:4]) == MAGIC
+    )
 
 
 def peek_family(blob: bytes) -> int | None:

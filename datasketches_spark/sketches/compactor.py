@@ -429,13 +429,9 @@ class KllSketch(CompactorSketch):
         written by the reference / datasketches-{java,cpp} work
         everywhere a KLL blob does — scalars, union aggregates,
         sketch stores."""
-        from .base import MAGIC
+        from .base import is_framed
 
-        if not (
-            isinstance(blob, (bytes, bytearray))
-            and len(blob) >= 4
-            and bytes(blob[:4]) == MAGIC
-        ):
+        if not is_framed(blob):
             return cls.from_wire(blob)
         return super().deserialize(blob)
 
@@ -527,7 +523,12 @@ class KllSketch(CompactorSketch):
         pre_ints, ser_ver, family, flags, k, m, _ = struct.unpack_from("<BBBBHBB", blob, 0)
         if family != _KLL_WIRE_FAMILY or m != _KLL_WIRE_M or k < 1:
             raise err
-        sk = cls(max(k, cls.K_MIN), dtype)
+        # Apache allows k up to the u16 range (65535) — wider than the
+        # reference's bind-time cap this engine mirrors for SQL-built
+        # sketches (32768); accept the full wire range on import by
+        # assigning k past validate_k (capacity math is k-agnostic)
+        sk = cls(min(max(k, cls.K_MIN), cls.K_MAX), dtype)
+        sk.k = int(k)
         if flags & _KLL_FLAG_EMPTY:
             return sk
         fmt, width = cls._WIRE_WIDTHS[dtype]

@@ -59,6 +59,22 @@ _ICON_RSE = 0.7213475204444817
 _COLS = np.arange(64)
 
 
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values.
+
+    A single float64 frexp is off by one for values within half a ULP
+    below a power of two (they round UP to it, changing the exponent
+    — e.g. 2^64-512 → frexp says 65); splitting into 32-bit halves
+    keeps every operand exactly representable, so the result is exact
+    for the full 64-bit range.  Returns 0 for v == 0.
+    """
+    hi = (v >> np.uint64(32)).astype(np.float64)
+    lo = (v & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    _, ehi = np.frexp(hi)
+    _, elo = np.frexp(lo)
+    return np.where(hi > 0, 32 + ehi, elo)
+
+
 def _expected_coupons(n: float, k: float) -> float:
     """E[#distinct coupons] after n distinct values over k rows."""
     p = (2.0 ** -(_COLS + 1)) / k
@@ -122,9 +138,7 @@ class CpcSketch:
         if h1.size == 0:
             return
         row = h1 & np.uint64(self._m - 1)
-        fv = h2.astype(np.float64)
-        _, exp = np.frexp(fv)
-        col = np.where(h2 == 0, 63, np.minimum(64 - exp, 63))
+        col = np.minimum(64 - _bit_length_u64(h2), 63)  # h2==0 → 63
         rowcol = ((row.astype(np.uint32) << np.uint32(6))
                   | col.astype(np.uint32))
         if self.mode == _MODE_DENSE:

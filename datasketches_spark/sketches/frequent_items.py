@@ -269,13 +269,9 @@ class FrequentItemsSketch:
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "FrequentItemsSketch":
-        from .base import MAGIC
+        from .base import is_framed
 
-        if not (
-            isinstance(blob, (bytes, bytearray))
-            and len(blob) >= 4
-            and bytes(blob[:4]) == MAGIC
-        ):
+        if not is_framed(blob):
             # Apache wire blob (no DSKS frame) — sniffed like theta/KLL
             return cls.from_wire(blob)
         payload = unframe(blob, FAMILY_FREQUENT_ITEMS)

@@ -101,13 +101,15 @@ class HllSketch:
         idx = (h & m_mask).astype(np.int64)
         v = h >> np.uint64(self.lg_k)  # 63 - lg_k significant bits
         nbits = 63 - self.lg_k
-        # bit_length via frexp: v fits exactly in float64 (<= 2^59 < 2^53?
-        # no -- for lg_k >= 10 it does; for smaller lg_k round-trip error of
-        # +-1 ulp cannot change the exponent of an integer, so frexp stays
-        # exact for the bit-length computation)
-        fv = v.astype(np.float64)
-        _, exp = np.frexp(fv)
-        rho = np.where(v == 0, nbits + 1, nbits - exp + 1).astype(np.uint8)
+        # exact bit length via 32-bit halves (a single float64 frexp is
+        # off by one for values within half a ULP below a power of two
+        # — they round UP to it; see cpc._bit_length_u64)
+        hi = (v >> np.uint64(32)).astype(np.float64)
+        lo = (v & np.uint64(0xFFFFFFFF)).astype(np.float64)
+        _, ehi = np.frexp(hi)
+        _, elo = np.frexp(lo)
+        blen = np.where(hi > 0, 32 + ehi, elo)
+        rho = (nbits - blen + 1).astype(np.uint8)  # v==0 → nbits+1
         np.maximum.at(self.registers, idx, rho)
 
     def merge(self, other: "HllSketch") -> None:

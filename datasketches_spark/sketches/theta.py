@@ -28,7 +28,7 @@ import numpy as np
 
 from ..hashing import MAX_HASH
 from ..murmur import DEFAULT_SEED_HASH, theta_hash_values
-from .base import FAMILY_THETA, MAGIC, SketchDeserializeError, frame, unframe
+from .base import FAMILY_THETA, SketchDeserializeError, frame, is_framed, unframe
 
 DEFAULT_LG_K = 12
 
@@ -168,11 +168,7 @@ class ThetaSketch:
         DataSketches compact theta blob (sniffed on the frame magic),
         so Apache wire blobs work everywhere a theta blob does —
         scalars, union aggregates, sketch stores."""
-        if not (
-            isinstance(blob, (bytes, bytearray))
-            and len(blob) >= 4
-            and bytes(blob[:4]) == MAGIC
-        ):
+        if not is_framed(blob):
             return cls.from_wire(blob)
         payload = unframe(blob, FAMILY_THETA)
         try:

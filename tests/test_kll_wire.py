@@ -209,3 +209,13 @@ def test_live_jvm_floats_sketch_autodetected(jvm_kll):
     back = jvm.org.apache.datasketches.kll.KllFloatsSketch.heapify(mem)
     assert back.getN() == 300
     assert back.getMaxItem() == 299.0
+
+
+def test_from_wire_accepts_java_k_range_past_sql_cap():
+    # Apache allows k up to 65535; our SQL bind cap is 32768 — wire
+    # import must accept the full range (empty-form blob, k=40000)
+    import struct
+
+    blob = struct.pack("<BBBBHBB", 2, 1, 15, 1, 40000, 8, 0)
+    sk = KllSketch.from_wire(blob)
+    assert sk.k == 40000 and sk.n == 0

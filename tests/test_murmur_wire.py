@@ -247,3 +247,32 @@ def test_live_jvm_reads_our_estimation_blob(jvm_theta):
     u.union(jvm.org.apache.datasketches.theta.CompactSketch.wrap(omem))
     est = u.getResult().getEstimate()
     assert est == pytest.approx(110_000, rel=0.05)
+
+
+def test_decimal_objects_hash_as_doubles():
+    """Spark DecimalType arrives as object-dtype decimal.Decimal; DuckDB
+    implicitly casts DECIMAL to DOUBLE for the double-typed sketch
+    functions, so the hash must equal the DOUBLE hash (regression:
+    this path used to crash in pa.array with ArrowTypeError)."""
+    from decimal import Decimal
+
+    hd = theta_hash_values(pd.Series([Decimal("1.5"), Decimal("2.25")], dtype=object))
+    hf = theta_hash_values(np.array([1.5, 2.25], dtype=np.float64))
+    assert np.array_equal(np.sort(hd), np.sort(hf))
+
+
+def test_unhashable_object_type_raises_cleanly():
+    with pytest.raises(TypeError, match="unsupported value type"):
+        theta_hash_values(pd.Series([object(), object()], dtype=object))
+
+
+def test_pre_rehash_theta_blob_fails_loudly():
+    """Theta frame v2: a v1 blob (splitmix64 hash space) must raise,
+    not parse into the murmur3 hash space and merge silently wrong."""
+    sk = ThetaSketch(12)
+    sk.update_values(np.arange(100, dtype=np.int64))
+    blob = bytearray(sk.serialize())
+    assert blob[5] == 2  # current theta frame version
+    blob[5] = 1  # forge a pre-rehash blob
+    with pytest.raises(SketchDeserializeError, match="Failed to deserialize Theta"):
+        ThetaSketch.deserialize(bytes(blob))
