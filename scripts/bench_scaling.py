@@ -117,6 +117,24 @@ def main() -> None:
         )
         variants.update(
             {
+                # sparse-partial regime: k=18 (262k cap) over ~117k
+                # distinct keys per partition in the hot group — partials
+                # are UNSATURATED, so the same total hashes cross the
+                # shuffle either way and salting genuinely splits the hot
+                # group's 256-partial merge 8 ways.  The k=16 scenario
+                # below is the saturated regime where every partial is
+                # capped and salting multiplies shuffled partials instead.
+                "blob_skew_sparse_unsalted": lambda: sketch_agg(
+                    skew_df, "k", "theta", group_cols=["g"], k=18,
+                    finalize=lambda sk: {"est": sk.get_estimate()},
+                    finalize_schema="est double",
+                ).collect(),
+                "blob_skew_sparse_salted8": lambda: salted_sketch_agg(
+                    skew_df, "k", "theta", group_cols=["g"], k=18,
+                    num_salts=8,
+                ).select(
+                    "g", F.expr("datasketch_theta_estimate(sketch)")
+                ).collect(),
                 "blob_skew_unsalted": lambda: sketch_agg(
                     skew_df, "k", "theta", group_cols=["g"], k=16,
                     finalize=lambda sk: {"est": sk.get_estimate()},
