@@ -362,6 +362,32 @@ def q_hll_distinct_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_hll_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL wire interop, oracle-gated.
+
+    Builds a sparse-exact HLL per region (5 nation keys, LIST coupon
+    form), exports each as an Apache HLL blob
+    (``datasketch_hll_to_wire`` — the Python HLL's registers are
+    byte-identical to datasketches-java's for the same inputs, so
+    these blobs MERGE cross-system; tests/test_hll_wire.py), re-imports
+    and estimates.  Coupon-unique counting keeps the tiny-n estimate
+    exact through the round trip, and the LIST blob length is the
+    Apache layout: 8-byte preamble + 4 bytes per coupon."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "nation"), "n_nationkey", "hll",
+        group_cols=["n_regionkey"], k=12,
+    )
+    return sk.withColumn("wire", F.expr("datasketch_hll_to_wire(sketch)")).select(
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        F.expr(
+            "CAST(round(datasketch_hll_estimate("
+            "datasketch_hll_from_wire(wire))) AS BIGINT)"
+        ).alias("distinct_nations"),
+        F.expr("CAST(octet_length(wire) AS BIGINT)").alias("wire_bytes"),
+    )
+
+
 def q_hll_union_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-status HLL sketches merged: 1500 distinct < sparse limit 2048."""
     _ensure(spark)
@@ -1946,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_wire_roundtrip": q_kll_wire_roundtrip,
         "fi_wire_roundtrip": q_fi_wire_roundtrip,
         "tdigest_wire_roundtrip": q_tdigest_wire_roundtrip,
+        "hll_wire_roundtrip": q_hll_wire_roundtrip,
     }
 
 
@@ -2039,6 +2066,12 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS total_w, "
             "median(n_nationkey)::DOUBLE AS median_key, "
             "(32 + 16 * count(*))::BIGINT AS wire_bytes "
+            "FROM nation GROUP BY n_regionkey"
+        ),
+        "hll_wire_roundtrip": (
+            "SELECT n_regionkey::BIGINT AS n_regionkey, "
+            "count(DISTINCT n_nationkey)::BIGINT AS distinct_nations, "
+            "(8 + 4 * count(DISTINCT n_nationkey))::BIGINT AS wire_bytes "
             "FROM nation GROUP BY n_regionkey"
         ),
         "hll_distinct_nations_by_region": (

@@ -397,6 +397,15 @@ def build_scalar_registry() -> dict[str, object]:
     reg["datasketch_hll_is_compact"] = _unary(
         HllSketch, lambda sk: bool(sk.is_compact), "boolean"
     )
+    # Apache DataSketches wire interop — the Python HLL's registers are
+    # byte-identical to datasketches-java's (same coupon scheme), so
+    # wire blobs MERGE cross-system; every HLL reader sniffs them too
+    reg["datasketch_hll_to_wire"] = _unary(
+        HllSketch, lambda sk: sk.to_wire(), "binary"
+    )
+    reg["datasketch_hll_from_wire"] = _unary(
+        HllSketch, lambda sk: sk.serialize(), "binary"
+    )
 
     # ---- Frequent Items ----
     p = "datasketch_frequent_items_"

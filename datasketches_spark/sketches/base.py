@@ -20,9 +20,9 @@ VERSION = 1
 # Families whose payload SEMANTICS changed incompatibly bump their
 # frame version so blobs persisted before the change fail loudly
 # ("Failed to deserialize") instead of parsing and merging silently
-# wrong.  Theta/CPC v2: update hashing moved from splitmix64 to
-# Apache-compatible murmur3/9001 (and CPC to the coupon core) — a v1
-# theta blob's retained hashes live in a different hash space, so
+# wrong.  Theta/CPC/HLL v2: update hashing moved from splitmix64 to
+# Apache-compatible murmur3/9001 (CPC/HLL to the coupon scheme) — a v1
+# blob's retained hashes/registers live in a different hash space, so
 # unioning it with v2 sketches would double-count every overlap.
 _FAMILY_VERSIONS: dict[int, int] = {}  # populated below the constants
 
@@ -39,7 +39,7 @@ FAMILY_RESERVOIR = 10
 FAMILY_CMS = 11
 FAMILY_STATS = 12
 
-_FAMILY_VERSIONS.update({FAMILY_THETA: 2, FAMILY_CPC: 2})
+_FAMILY_VERSIONS.update({FAMILY_THETA: 2, FAMILY_CPC: 2, FAMILY_HLL: 2})
 
 FAMILY_NAMES = {
     FAMILY_THETA: "Theta",

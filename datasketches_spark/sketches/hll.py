@@ -1,40 +1,57 @@
-"""HyperLogLog and CPC distinct-count sketches (pure-Python core).
+"""HyperLogLog distinct-count sketch (pure-Python, Apache-compatible core).
 
-Reference surface: ``datasketch_hll`` / ``datasketch_cpc`` aggregates +
-scalars (/root/reference/src/generated.cpp:866-1138, 5948-6956).  Note
-the primary Spark-side HLL path in this engine is Spark 4's *native*
-Apache DataSketches HLL (``hll_sketch_agg`` etc., JVM-side and
-wire-compatible with the reference); this module provides (a) the
-Python-format HLL used by the SQL-registered ``datasketch_hll`` UDAF
-and (b) the CPC family, for which no native Spark support exists.
+Reference surface: ``datasketch_hll`` aggregate + scalars
+(/root/reference/src/generated.cpp:866-1138).  Note the primary
+Spark-side HLL path in this engine is Spark 4's *native* Apache
+DataSketches HLL (``hll_sketch_agg`` etc., JVM-side); this module
+provides the Python-format HLL used by the SQL-registered
+``datasketch_hll`` UDAF.
 
-Design:
-- SPARSE mode keeps the exact set of unique 63-bit hashes until it
-  exceeds 2^lg_k / 2 entries -> estimates are EXACT (the reference's
-  small-N tests, e.g. test/sql/datasketch_hll.test:90-109, rely on
-  exact small-range behavior).
-- DENSE mode: classic HLL registers (index = low lg_k bits, rho =
-  leading-zero rank of the remaining 63-lg_k bits), harmonic-mean
-  estimator with linear-counting small-range correction
-  (Flajolet et al., 2007).
-- CPC reuses the core but zlib-compresses the serialized registers --
-  honoring the reference's "~40% smaller than HLL" storage contract
-  (docs/README.md:49-56) without re-implementing the full CPC paper;
-  documented approximation.
+Design (round 4 — Apache coupon scheme, wire-compatible):
+- hashing is murmur3 x64-128 seed 9001 (murmur.py, Apache-identical);
+  an update contributes the Apache COUPON (slotNo = h1 & 2^26-1,
+  value = min(NLZ(h2), 62) + 1) — the same mapping datasketches-java
+  pins via the stored coupon 0x08E6657B for int 5
+  (tests/test_murmur_wire.py::test_hll_coupon_golden).  Because the
+  register value comes from an independent hash lane, it is invariant
+  under lg_k: mixed-K folds are a plain max-fold over slot & (m'-1).
+- SPARSE mode keeps the exact set of unique h1 hashes (plus aligned
+  coupon values) until it exceeds 2^lg_k / 2 entries -> estimates are
+  EXACT (the reference's small-N tests, e.g.
+  test/sql/datasketch_hll.test:90-109, rely on exact small-range
+  behavior).
+- DENSE mode: registers[slot] = max(value), harmonic-mean estimator
+  with linear-counting small-range correction (Flajolet et al., 2007).
+- to_wire()/from_wire() speak the Apache HLL formats (LIST/SET coupon
+  modes and dense HLL_4/6/8), so blobs cross to
+  DuckDB/Druid/Hive/datasketches-{java,cpp} and back — and MERGE
+  correctly cross-system because the register mapping is identical.
 """
 
 from __future__ import annotations
 
 import struct
-import zlib
 
 import numpy as np
 
-from ..hashing import hash_values
-from .base import FAMILY_CPC, FAMILY_HLL, SketchDeserializeError, frame, unframe
+from ..murmur import murmur3_values
+from .base import FAMILY_HLL, SketchDeserializeError, frame, is_framed, unframe
+from .cpc import _bit_length_u64
 
 _MODE_SPARSE = 0
 _MODE_DENSE = 1
+
+# Apache DataSketches HLL wire format (family 7, serVer 1).  Layout
+# verified against datasketches-java 6.2 dumps and cross-validated live
+# in tests/test_hll_wire.py.  modeByte = (tgtHllType << 2) | curMode
+# with curMode 0=LIST, 1=SET, 2=HLL and tgt 0=HLL_4, 1=HLL_6, 2=HLL_8.
+_HLL_WIRE_FAMILY = 7
+_HLL_FLAG_EMPTY = 4
+_HLL_FLAG_COMPACT = 8
+_HLL_FLAG_OUT_OF_ORDER = 16
+_HLL_TGT_4 = 0
+_HLL_TGT_6 = 1
+_HLL_TGT_8 = 2
 
 
 def _alpha(m: int) -> float:
@@ -53,7 +70,7 @@ class HllSketch:
     LG_K_MIN, LG_K_MAX = 4, 21  # codegen/generated.cpp.j2:80-84
     RSE_COEFF = 1.04  # classic HLL relative standard error coefficient
 
-    __slots__ = ("lg_k", "mode", "sparse", "registers")
+    __slots__ = ("lg_k", "mode", "sparse", "sparse_vals", "registers")
 
     def __init__(self, lg_k: int = 12):
         if not (self.LG_K_MIN <= lg_k <= self.LG_K_MAX):
@@ -64,7 +81,8 @@ class HllSketch:
             )
         self.lg_k = int(lg_k)
         self.mode = _MODE_SPARSE
-        self.sparse = np.empty(0, dtype=np.uint64)
+        self.sparse = np.empty(0, dtype=np.uint64)  # unique h1 hashes
+        self.sparse_vals = np.empty(0, dtype=np.uint8)  # aligned coupon values
         self.registers = None  # np.uint8[m] in dense mode
 
     # -- building -------------------------------------------------------
@@ -76,41 +94,41 @@ class HllSketch:
     def _sparse_limit(self) -> int:
         return max(16, self._m // 2)
 
-    def update_hashes(self, h: np.ndarray) -> None:
-        if h.size == 0:
+    def update_coupons(self, h1: np.ndarray, vals: np.ndarray) -> None:
+        """Fold (h1 hash, coupon value) pairs.  The slot is h1's low
+        lg_k bits; the value is NLZ(h2)+1, independent of both slot
+        and lg_k (Apache's coupon scheme)."""
+        if h1.size == 0:
             return
-        if self.mode == _MODE_SPARSE:
-            self.sparse = np.unique(np.concatenate([self.sparse, h]))
-            if self.sparse.size > self._sparse_limit:
-                self._promote()
-        else:
-            self._dense_update(h)
+        if self.mode == _MODE_DENSE:
+            self._dense_update(h1, vals)
+            return
+        hashes = np.concatenate([self.sparse, h1])
+        values = np.concatenate([self.sparse_vals, vals.astype(np.uint8)])
+        self.sparse, idx = np.unique(hashes, return_index=True)
+        self.sparse_vals = values[idx]
+        if self.sparse.size > self._sparse_limit:
+            self._promote()
 
     def update_values(self, values) -> None:
-        self.update_hashes(hash_values(values))
+        h1, h2 = murmur3_values(values)
+        if h1.size == 0:
+            return
+        # Apache coupon value: min(NLZ(h2), 62) + 1  (6-bit range 1..63)
+        vals = (np.minimum(64 - _bit_length_u64(h2), 62) + 1).astype(np.uint8)
+        self.update_coupons(h1, vals)
 
     def _promote(self) -> None:
         self.registers = np.zeros(self._m, dtype=np.uint8)
         self.mode = _MODE_DENSE
         if self.sparse.size:
-            self._dense_update(self.sparse)
+            self._dense_update(self.sparse, self.sparse_vals)
         self.sparse = np.empty(0, dtype=np.uint64)
+        self.sparse_vals = np.empty(0, dtype=np.uint8)
 
-    def _dense_update(self, h: np.ndarray) -> None:
-        m_mask = np.uint64(self._m - 1)
-        idx = (h & m_mask).astype(np.int64)
-        v = h >> np.uint64(self.lg_k)  # 63 - lg_k significant bits
-        nbits = 63 - self.lg_k
-        # exact bit length via 32-bit halves (a single float64 frexp is
-        # off by one for values within half a ULP below a power of two
-        # — they round UP to it; see cpc._bit_length_u64)
-        hi = (v >> np.uint64(32)).astype(np.float64)
-        lo = (v & np.uint64(0xFFFFFFFF)).astype(np.float64)
-        _, ehi = np.frexp(hi)
-        _, elo = np.frexp(lo)
-        blen = np.where(hi > 0, 32 + ehi, elo)
-        rho = (nbits - blen + 1).astype(np.uint8)  # v==0 → nbits+1
-        np.maximum.at(self.registers, idx, rho)
+    def _dense_update(self, h1: np.ndarray, vals: np.ndarray) -> None:
+        idx = (h1 & np.uint64(self._m - 1)).astype(np.int64)
+        np.maximum.at(self.registers, idx, vals.astype(np.uint8))
 
     def merge(self, other: "HllSketch") -> None:
         if other.lg_k < self.lg_k:
@@ -121,16 +139,17 @@ class HllSketch:
             # the min so later promotion lands at the coarser size)
             self._fold_to(other.lg_k)
         if other.mode == _MODE_SPARSE:
-            self.update_hashes(other.sparse)
+            self.update_coupons(other.sparse, other.sparse_vals)
             return
         if self.mode == _MODE_SPARSE:
-            sp = self.sparse
+            sp, sv = self.sparse, self.sparse_vals
             self.lg_k = min(self.lg_k, other.lg_k)
             self.registers = np.zeros(self._m, dtype=np.uint8)
             self.mode = _MODE_DENSE
             self.sparse = np.empty(0, dtype=np.uint64)
+            self.sparse_vals = np.empty(0, dtype=np.uint8)
             if sp.size:
-                self._dense_update(sp)
+                self._dense_update(sp, sv)
         if other.lg_k > self.lg_k:
             other = other._folded_copy(self.lg_k)
         np.maximum(self.registers, other.registers, out=self.registers)
@@ -148,38 +167,21 @@ class HllSketch:
         self.registers = folded.registers
 
     def _folded_copy(self, lg_k: int) -> "HllSketch":
-        # EXACT register downsampling (no raw hashes needed).  With
-        # index = low lg_k bits and rho taken from the remaining top
-        # window, an item's rho is INVARIANT under index narrowing
-        # whenever its value word v = h >> lg_k is nonzero: the bits
-        # that move from index to value extend v at the BOTTOM, so the
-        # leading-zero rank from the top is unchanged.  Only saturated
-        # registers (rho = nbits+1, meaning v == 0) re-derive their
-        # coarse rho from the fine index's top bits t = j >> lg_k':
-        # the coarse value word is exactly t, so rho' = nbits' -
-        # bitlen(t) + 1 (or nbits'+1 when t == 0).  Fine buckets fold
-        # into coarse bucket j mod 2^lg_k' (the low index bits).
+        # EXACT register downsampling: the coupon value comes from an
+        # independent hash lane, so it is invariant under lg_k — fine
+        # slot j folds into coarse slot j & (m'-1) with a plain max
+        # (the same reason Apache unions can always fold to the
+        # coarser configured K)
         out = HllSketch.__new__(type(self))
         out.lg_k = lg_k
         out.mode = _MODE_DENSE
         out.sparse = np.empty(0, dtype=np.uint64)
+        out.sparse_vals = np.empty(0, dtype=np.uint8)
         m2 = 1 << lg_k
-        nbits = 63 - self.lg_k
-        nbits2 = 63 - lg_k
-        r = self.registers.astype(np.int64)
+        coarse = np.zeros(m2, dtype=np.uint8)
         j = np.arange(self._m, dtype=np.int64)
-        t = j >> lg_k
-        tb = np.zeros_like(t)
-        nz = t > 0
-        _, exp = np.frexp(t[nz].astype(np.float64))
-        tb[nz] = exp  # bit length of t
-        saturated_rho = np.where(t == 0, nbits2 + 1, nbits2 + 1 - tb)
-        contrib = np.where(
-            r == 0, 0, np.where(r <= nbits, r, saturated_rho)
-        )
-        coarse = np.zeros(m2, dtype=np.int64)
-        np.maximum.at(coarse, j & (m2 - 1), contrib)
-        out.registers = coarse.astype(np.uint8)
+        np.maximum.at(coarse, j & (m2 - 1), self.registers)
+        out.registers = coarse
         return out
 
     # -- queries --------------------------------------------------------
@@ -233,6 +235,7 @@ class HllSketch:
             return (
                 struct.pack("<BBI", self.lg_k, _MODE_SPARSE, self.sparse.size)
                 + self.sparse.tobytes()
+                + self.sparse_vals.tobytes()
             )
         return struct.pack("<BBI", self.lg_k, _MODE_DENSE, 0) + self.registers.tobytes()
 
@@ -245,7 +248,12 @@ class HllSketch:
             lg_k, mode, count = struct.unpack_from("<BBI", payload, 0)
             sk = cls(lg_k)
             if mode == _MODE_SPARSE:
-                sk.sparse = np.frombuffer(payload, dtype=np.uint64, count=count, offset=6).copy()
+                sk.sparse = np.frombuffer(
+                    payload, dtype=np.uint64, count=count, offset=6
+                ).copy()
+                sk.sparse_vals = np.frombuffer(
+                    payload, dtype=np.uint8, count=count, offset=6 + 8 * count
+                ).copy()
             else:
                 sk.mode = _MODE_DENSE
                 regs = np.frombuffer(payload, dtype=np.uint8, count=1 << lg_k, offset=6)
@@ -256,7 +264,165 @@ class HllSketch:
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "HllSketch":
+        if not is_framed(blob):
+            # Apache wire blob (no DSKS frame) — sniffed like the other
+            # wire-capable families
+            return cls.from_wire(blob)
         return cls._from_payload(unframe(blob, cls.FAMILY))
+
+    # ---- Apache DataSketches wire format (HLL) ----
+
+    def to_wire(self) -> bytes:
+        """Serialize as an Apache DataSketches HLL sketch — readable by
+        DuckDB/Druid/Hive/datasketches-{java,cpp}, and MERGEABLE with
+        sketches those systems built over the same values (identical
+        murmur3/9001 coupon mapping).  Sparse states emit the LIST
+        (≤8 coupons) or SET coupon form; dense states emit HLL_8 with
+        the composite-estimator fields (KxQ, numAtCurMin) computed
+        from the registers and the out-of-order flag set so readers
+        use them (we do not carry a HIP accumulator).
+        """
+        lg_k = self.lg_k
+        if self.mode == _MODE_SPARSE:
+            slot_no = (self.sparse & np.uint64((1 << 26) - 1)).astype(np.uint32)
+            coupons = np.unique(
+                (self.sparse_vals.astype(np.uint32) << np.uint32(26)) | slot_no
+            )
+            n = int(coupons.size)
+            if n == 0:
+                return struct.pack(
+                    "<BBBBBBBB", 2, 1, _HLL_WIRE_FAMILY, lg_k, 3,
+                    _HLL_FLAG_EMPTY | _HLL_FLAG_COMPACT, 0, _HLL_TGT_8 << 2,
+                )
+            if n <= 8:  # LIST form
+                return (
+                    struct.pack(
+                        "<BBBBBBBB", 2, 1, _HLL_WIRE_FAMILY, lg_k, 3,
+                        _HLL_FLAG_COMPACT, n, _HLL_TGT_8 << 2,
+                    )
+                    + coupons.astype("<u4").tobytes()
+                )
+            # SET form; lgArr sized like Apache's coupon hash set
+            lg_arr = 5
+            while (1 << lg_arr) * 3 // 4 < n:
+                lg_arr += 1
+            return (
+                struct.pack(
+                    "<BBBBBBBB", 3, 1, _HLL_WIRE_FAMILY, lg_k, lg_arr,
+                    _HLL_FLAG_COMPACT, 0, (_HLL_TGT_8 << 2) | 1,
+                )
+                + struct.pack("<I", n)
+                + coupons.astype("<u4").tobytes()
+            )
+        # dense → HLL_8 mode (40-byte preamble + m register bytes)
+        regs = self.registers
+        kxq = np.exp2(-regs.astype(np.float64))
+        kxq0 = float(kxq[regs < 32].sum())
+        kxq1 = float(kxq[regs >= 32].sum())
+        num_at_cur_min = int(np.count_nonzero(regs == 0))
+        head = struct.pack(
+            "<BBBBBBBB", 10, 1, _HLL_WIRE_FAMILY, lg_k, 0,
+            _HLL_FLAG_OUT_OF_ORDER, 0, (_HLL_TGT_8 << 2) | 2,
+        )
+        head += struct.pack("<ddd", 0.0, kxq0, kxq1)
+        head += struct.pack("<ii", num_at_cur_min, 0)
+        return head + regs.tobytes()
+
+    @classmethod
+    def from_wire(cls, blob: bytes) -> "HllSketch":
+        """Parse an Apache HLL blob: LIST/SET coupon modes and dense
+        HLL_4 (nibbles + curMin + aux exceptions), HLL_6 (packed),
+        HLL_8.  Coupons import as sparse entries keyed by the coupon
+        itself (its low bits ARE the slot), so small-n estimates stay
+        exact and later promotion lands in the right registers."""
+        err = SketchDeserializeError("Failed to deserialize HLL sketch")
+        if not isinstance(blob, (bytes, bytearray)) or len(blob) < 8:
+            raise err
+        blob = bytes(blob)
+        pre_ints, ser_ver, family, lg_k, lg_arr, flags, b6, mode_byte = (
+            struct.unpack_from("<BBBBBBBB", blob, 0)
+        )
+        if ser_ver != 1 or family != _HLL_WIRE_FAMILY:
+            raise err
+        if not (cls.LG_K_MIN <= lg_k <= cls.LG_K_MAX):
+            raise err
+        sk = cls(lg_k)
+        cur_mode = mode_byte & 0x3
+        if flags & _HLL_FLAG_EMPTY:
+            return sk
+        if cur_mode == 0:  # LIST: count in byte 6, coupons follow
+            count = b6
+            if len(blob) < 8 + 4 * count:
+                raise err
+            coupons = np.frombuffer(blob, dtype="<u4", count=count, offset=8)
+            sk._ingest_coupons(coupons)
+            return sk
+        if cur_mode == 1:  # SET: count int at 8, coupons follow
+            if len(blob) < 12:
+                raise err
+            (count,) = struct.unpack_from("<I", blob, 8)
+            if len(blob) < 12 + 4 * count:
+                raise err
+            coupons = np.frombuffer(blob, dtype="<u4", count=count, offset=12)
+            sk._ingest_coupons(coupons)
+            return sk
+        if cur_mode != 2 or len(blob) < 40:
+            raise err
+        # HLL mode: tgt type from the mode byte, registers after the
+        # 40-byte preamble
+        tgt = (mode_byte >> 2) & 0x3
+        cur_min = b6
+        m = 1 << lg_k
+        body = blob[40:]
+        if tgt == _HLL_TGT_8:
+            if len(body) < m:
+                raise err
+            regs = np.frombuffer(body, dtype=np.uint8, count=m).copy()
+        elif tgt == _HLL_TGT_6:
+            nbytes = (m * 6 + 7) // 8
+            if len(body) < nbytes:
+                raise err
+            bits = np.unpackbits(
+                np.frombuffer(body, dtype=np.uint8, count=nbytes), bitorder="little"
+            )
+            bits = bits[: m * 6].reshape(m, 6)
+            regs = (bits << np.arange(6, dtype=np.uint8)).sum(axis=1).astype(np.uint8)
+        elif tgt == _HLL_TGT_4:
+            nbytes = m // 2
+            (aux_count,) = struct.unpack_from("<i", blob, 36)
+            if len(body) < nbytes + 4 * aux_count:
+                raise err
+            packed = np.frombuffer(body, dtype=np.uint8, count=nbytes)
+            nibbles = np.empty(m, dtype=np.uint8)
+            nibbles[0::2] = packed & 0x0F
+            nibbles[1::2] = packed >> 4
+            # nibble v encodes register value curMin + v (including 0);
+            # the AUX_TOKEN 15 marks an exception whose aux entry is a
+            # plain COUPON, (value << 26) | slotNo (verified against a
+            # live dump: 0x480008dd = slot 2269, value 18)
+            regs = (nibbles + cur_min).astype(np.uint8)
+            if aux_count:
+                aux = np.frombuffer(body, dtype="<u4", count=aux_count, offset=nbytes)
+                slots = (aux & np.uint32(m - 1)).astype(np.int64)
+                vals = (aux >> np.uint32(26)).astype(np.uint8)
+                regs[slots] = vals
+        else:
+            raise err
+        sk.mode = _MODE_DENSE
+        sk.registers = regs
+        sk.sparse = np.empty(0, dtype=np.uint64)
+        sk.sparse_vals = np.empty(0, dtype=np.uint8)
+        return sk
+
+    def _ingest_coupons(self, coupons: np.ndarray) -> None:
+        """Import Apache coupons as sparse entries keyed by the coupon
+        value itself: coupon & (m-1) == slotNo & (m-1), so promotion
+        puts them in the correct register, and unique-coupon counting
+        reproduces Apache's exact small-n LIST/SET estimates."""
+        coupons = np.unique(coupons)
+        h1 = coupons.astype(np.uint64)
+        vals = (coupons >> np.uint32(26)).astype(np.uint8)
+        self.update_coupons(h1, vals)
 
 
 # CPC moved to sketches/cpc.py: a real coupon-collector core with the

@@ -102,6 +102,16 @@ _SPECIAL = {
         "imports an Apache t-digest blob into the engine frame; every "
         "tdigest reader also sniffs wire blobs directly"
     ),
+    "datasketch_hll_to_wire": (
+        "exports the Apache DataSketches HLL format (LIST/SET coupons "
+        "or HLL_8; registers byte-identical to datasketches-java for "
+        "the same inputs, so blobs MERGE cross-system — "
+        "tests/test_hll_wire.py)"
+    ),
+    "datasketch_hll_from_wire": (
+        "imports an Apache HLL blob (LIST/SET/HLL_4/HLL_6/HLL_8) into "
+        "the engine frame; every HLL reader also sniffs wire blobs"
+    ),
 }
 
 

@@ -1,0 +1,152 @@
+"""Apache DataSketches HLL wire-format verification.
+
+Round 4 reworked the Python HLL onto Apache's coupon scheme (murmur3
+x64-128 seed 9001; slot = h1 low bits, value = min(NLZ(h2),62)+1), so
+its DENSE REGISTERS ARE BYTE-IDENTICAL to datasketches-java's HLL_8
+array for the same inputs — verified live below.  That makes wire
+blobs not merely parseable but cross-system MERGEABLE.  Estimates in
+estimation mode may differ between engines (each applies its own
+estimator — ours classic harmonic+linear-counting, Apache HIP or
+composite — to the same registers); the registers, and therefore every
+downstream union, agree exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datasketches_spark.sketches.base import SketchDeserializeError
+from datasketches_spark.sketches.hll import HllSketch
+
+
+# ------------------------------------------------- golden blobs (java 6.2.0)
+
+# new HllSketch(12, TgtHllType.HLL_8) with no updates
+_GOLDEN_EMPTY = "0201070c030c0008"
+# ... after update(5): LIST mode, one coupon — the same coupon golden
+# the reference pins in test/sql/datasketch_hll.test:17
+_GOLDEN_ONE = "0201070c030801087b65e608"
+
+
+def test_empty_byte_parity():
+    assert HllSketch(12).to_wire().hex() == _GOLDEN_EMPTY
+
+
+def test_single_coupon_byte_parity():
+    sk = HllSketch(12)
+    sk.update_values(np.array([5], dtype=np.int64))
+    assert sk.to_wire().hex() == _GOLDEN_ONE
+
+
+def test_reads_java_list_blob():
+    sk = HllSketch.from_wire(bytes.fromhex(_GOLDEN_ONE))
+    assert sk.get_estimate() == 1.0
+    # deserialize() sniffs wire blobs (no DSKS frame required)
+    assert HllSketch.deserialize(bytes.fromhex(_GOLDEN_ONE)).get_estimate() == 1.0
+
+
+def test_sparse_wire_roundtrip_exact():
+    sk = HllSketch(12)
+    sk.update_values(np.arange(300, dtype=np.int64))
+    rt = HllSketch.from_wire(sk.to_wire())
+    assert rt.get_estimate() == 300.0  # unique-coupon counting stays exact
+    assert rt.lg_config_k == 12
+
+
+def test_dense_wire_roundtrip_identical_registers():
+    sk = HllSketch(10)
+    sk.update_values(np.arange(50_000, dtype=np.int64))
+    rt = HllSketch.from_wire(sk.to_wire())
+    assert np.array_equal(rt.registers, sk.registers)
+    assert rt.get_estimate() == sk.get_estimate()
+
+
+def test_corrupt_raises_reference_message():
+    with pytest.raises(SketchDeserializeError, match="Failed to deserialize HLL"):
+        HllSketch.from_wire(b"\xde\xad\xbe\xef\xde\xad\xbe\xef")
+    with pytest.raises(SketchDeserializeError, match="Failed to deserialize HLL"):
+        HllSketch.deserialize(b"\x00\x01\x02")
+
+
+# ------------------------------------------------ live JVM cross-validation
+
+
+@pytest.fixture(scope="module")
+def jvm_hll(spark):
+    jvm = spark.sparkContext._jvm
+    HS = jvm.org.apache.datasketches.hll.HllSketch
+    TT = jvm.org.apache.datasketches.hll.TgtHllType
+
+    def build(n, lg_k=12, tgt="HLL_8"):
+        sk = HS(lg_k, getattr(TT, tgt))
+        for i in range(n):
+            sk.update(i)
+        return sk
+
+    def heapify(blob: bytes):
+        mem = jvm.org.apache.datasketches.memory.Memory.wrap(blob)
+        return HS.heapify(mem)
+
+    return jvm, build, heapify
+
+
+def test_live_jvm_registers_byte_identical(jvm_hll):
+    """The core wire contract: same inputs → byte-identical HLL_8
+    register arrays.  Everything else (cross-merges, unions in either
+    engine) follows from this."""
+    _, build, _ = jvm_hll
+    jsk = build(100_000)
+    jregs = np.frombuffer(bytes(jsk.toCompactByteArray())[40:], dtype=np.uint8)
+    ours = HllSketch(12)
+    ours.update_values(np.arange(100_000, dtype=np.int64))
+    assert np.array_equal(jregs, ours.registers)
+
+
+def test_live_jvm_reads_all_our_forms(jvm_hll):
+    _, _, heapify = jvm_hll
+    small = HllSketch(12)
+    small.update_values(np.arange(5, dtype=np.int64))
+    assert heapify(small.to_wire()).getEstimate() == pytest.approx(5.0, abs=0.01)
+    mid = HllSketch(12)
+    mid.update_values(np.arange(300, dtype=np.int64))
+    assert heapify(mid.to_wire()).getEstimate() == pytest.approx(300.0, rel=0.01)
+    big = HllSketch(12)
+    big.update_values(np.arange(60_000, dtype=np.int64))
+    jbig = heapify(big.to_wire())
+    assert jbig.getEstimate() == pytest.approx(60_000, rel=0.05)
+
+
+def test_live_jvm_we_read_all_java_tgt_types(jvm_hll):
+    """HLL_4 (nibbles+curMin+coupon aux), HLL_6 (6-bit packed) and
+    HLL_8 must all decode to the SAME register array (HLL_8 is the
+    uncompressed truth)."""
+    _, build, _ = jvm_hll
+    truth = np.frombuffer(
+        bytes(build(100_000, tgt="HLL_8").toCompactByteArray())[40:], dtype=np.uint8
+    )
+    for tgt in ("HLL_4", "HLL_6", "HLL_8"):
+        ours = HllSketch.from_wire(bytes(build(100_000, tgt=tgt).toCompactByteArray()))
+        assert np.array_equal(ours.registers, truth), tgt
+
+
+def test_live_jvm_cross_merge(jvm_hll):
+    """Union half java / half ours in BOTH engines: results agree
+    because the register mapping is identical."""
+    jvm, build, heapify = jvm_hll
+    jsk = build(50_000)
+    ours = HllSketch(12)
+    ours.update_values(np.arange(25_000, 75_000, dtype=np.int64))
+    # java-side union
+    u = jvm.org.apache.datasketches.hll.Union(12)
+    u.update(jsk)
+    u.update(heapify(ours.to_wire()))
+    jm = np.frombuffer(
+        bytes(u.getResult(jvm.org.apache.datasketches.hll.TgtHllType.HLL_8)
+              .toCompactByteArray())[40:], dtype=np.uint8,
+    )
+    # our-side union
+    merged = HllSketch.from_wire(bytes(jsk.toCompactByteArray()))
+    merged.merge(ours)
+    assert np.array_equal(jm, merged.registers)
+    assert merged.get_estimate() == pytest.approx(75_000, rel=0.05)
