@@ -64,6 +64,37 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+_ALPHA_INF = 1.0 / (2.0 * np.log(2.0))
+
+
+def _ertl_sigma(x: float) -> float:
+    """sigma(x) = x + sum_{k>=1} x^(2^k) * 2^(k-1)  (Ertl §5)."""
+    if x >= 1.0:
+        return float("inf")
+    y, z = 1.0, x
+    while True:
+        x = x * x
+        z_prev = z
+        z += x * y
+        y += y
+        if z == z_prev:
+            return z
+
+
+def _ertl_tau(x: float) -> float:
+    """tau(x) = (1/3)(1 - x - sum_{k>=1} (1 - x^(2^-k))^2 * 2^-k)."""
+    if x <= 0.0 or x >= 1.0:
+        return 0.0
+    y, z = 1.0, 1.0 - x
+    while True:
+        x = np.sqrt(x)
+        z_prev = z
+        y *= 0.5
+        z -= (1.0 - x) ** 2 * y
+        if z == z_prev:
+            return z / 3.0
+
+
 class HllSketch:
     FAMILY = FAMILY_HLL
     NAME = "HLL"
@@ -200,13 +231,21 @@ class HllSketch:
     def get_estimate(self) -> float:
         if self.mode == _MODE_SPARSE:
             return float(self.sparse.size)
-        m = self._m
-        regs = self.registers.astype(np.float64)
-        raw = _alpha(m) * m * m / np.sum(np.exp2(-regs))
-        zeros = int(np.count_nonzero(self.registers == 0))
-        if raw <= 2.5 * m and zeros > 0:
-            return float(m * np.log(m / zeros))
-        return float(raw)
+        # Ertl's improved raw estimator (arXiv:1702.01284 §5): unbiased
+        # across the whole range with no hard linear-counting switch.
+        # Our coupon value is NLZ of an independent 64-bit lane — the
+        # idealized geometric register distribution the derivation
+        # assumes — with values capped at 63, so q = 62.
+        m = float(self._m)
+        q = 62
+        counts = np.bincount(self.registers, minlength=q + 2).astype(np.float64)
+        z = m * _ertl_tau(1.0 - counts[q + 1] / m) * (2.0 ** -q)
+        mid = counts[1 : q + 1]
+        z += float((mid * np.exp2(-np.arange(1.0, q + 1.0))).sum())
+        z += m * _ertl_sigma(counts[0] / m)
+        if z == 0.0:
+            return float("inf")
+        return float(_ALPHA_INF * m * m / z)
 
     def get_bound(self, num_std_devs: int, upper: bool) -> float:
         if not (1 <= num_std_devs <= 3):
