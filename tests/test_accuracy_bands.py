@@ -78,6 +78,24 @@ class TestHllBands:
         sk.update_values(_dist())
         assert 75_000 <= sk.get_estimate() <= 175_000
 
+    def test_ertl_estimator_unbiased_mid_range(self):
+        # the Ertl improved raw estimator has no linear-counting
+        # transition artifact: across independent trials in the
+        # mid-range the MEAN error must be well inside the 1.04/sqrt(m)
+        # RSE and each trial inside 3 sigma
+        import numpy as np
+
+        n, trials, rse = 30_000, 12, 1.04 / np.sqrt(1 << 12)
+        errs = []
+        for seed in range(trials):
+            sk = HllSketch(12)
+            rng = np.random.default_rng(seed)
+            sk.update_values(rng.integers(0, 2**62, size=n, dtype=np.int64))
+            err = sk.get_estimate() / n - 1.0
+            assert abs(err) < 3.0 * rse
+            errs.append(err)
+        assert abs(float(np.mean(errs))) < rse
+
 
 class TestCpcBands:
     """Real-CPC estimation-mode bands: the ICON estimator's RSE is
