@@ -1,0 +1,124 @@
+"""Property-based round-trip fuzz for the Apache wire formats.
+
+Every wire-capable family: random build → to_wire → from_wire must
+reproduce the queryable state (estimates, ranks, counts), across edge
+sizes (0, 1, 2 items), extreme magnitudes, and negative values.  The
+JVM cross-checks live in the per-family test files; these run without
+a JVM and hammer the parsers instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datasketches_spark.sketches.base import SketchDeserializeError
+from datasketches_spark.sketches.compactor import KllSketch
+from datasketches_spark.sketches.frequent_items import FrequentItemsSketch
+from datasketches_spark.sketches.hll import HllSketch
+from datasketches_spark.sketches.tdigest import TDigestSketch
+from datasketches_spark.sketches.theta import ThetaSketch
+
+_floats = st.lists(
+    st.floats(
+        min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+    ),
+    min_size=0,
+    max_size=400,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_floats)
+def test_kll_wire_roundtrip_property(values):
+    sk = KllSketch(60)
+    if values:
+        sk.update(np.asarray(values, dtype=np.float64))
+    rt = KllSketch.from_wire(sk.to_wire())
+    assert rt.n == sk.n
+    assert rt.num_retained == sk.num_retained
+    if values:
+        for q in (0.0, 0.37, 1.0):
+            assert rt.get_quantile(q) == sk.get_quantile(q)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_floats)
+def test_tdigest_wire_roundtrip_property(values):
+    sk = TDigestSketch(50)
+    if values:
+        sk.update(np.asarray(values, dtype=np.float64))
+    rt = TDigestSketch.from_wire(sk.to_wire())
+    assert rt.total_weight() == sk.total_weight()
+    if values:
+        assert rt.min_item == sk.min_item and rt.max_item == sk.max_item
+        for q in (0.1, 0.9):
+            assert rt.get_quantile(q) == pytest.approx(sk.get_quantile(q))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=500))
+def test_theta_wire_roundtrip_property(values):
+    sk = ThetaSketch(8)
+    if values:
+        sk.update_values(np.asarray(values, dtype=np.int64))
+    rt = ThetaSketch.from_wire(sk.to_wire())
+    assert rt.get_estimate() == sk.get_estimate()
+    assert rt.theta == sk.theta
+    assert np.array_equal(rt.hashes, sk.hashes)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=500))
+def test_hll_wire_roundtrip_property(values):
+    sk = HllSketch(8)  # sparse limit 128 — exercises LIST, SET and HLL_8
+    if values:
+        sk.update_values(np.asarray(values, dtype=np.int64))
+    rt = HllSketch.from_wire(sk.to_wire())
+    if sk.mode == 1:  # dense: registers must survive exactly
+        assert np.array_equal(rt.registers, sk.registers)
+        assert rt.get_estimate() == sk.get_estimate()
+    else:
+        # sparse → coupon forms: estimates agree up to slot+value
+        # coupon collisions (none at these sizes in practice)
+        assert rt.get_estimate() == pytest.approx(sk.get_estimate(), rel=0.02)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(min_size=1, max_size=12), st.integers(1, 1000)),
+        max_size=120,
+    )
+)
+def test_fi_wire_roundtrip_property(pairs):
+    sk = FrequentItemsSketch(4)
+    for item, w in pairs:
+        sk.update_counts(np.array([item], dtype=object), np.array([w]))
+    rt = FrequentItemsSketch.from_wire(sk.to_wire())
+    assert rt.counts == sk.counts
+    assert rt.offset == sk.offset
+    assert rt.total_weight() == sk.total_weight()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_garbage_never_parses_silently(blob):
+    """Random bytes must raise the reference's deserialize error, never
+    return a sketch (except the vanishingly-unlikely valid preamble —
+    guarded by the per-family structural checks)."""
+    for cls, name in (
+        (KllSketch, "KLL"),
+        (TDigestSketch, "TDigest"),
+        (ThetaSketch, "Theta"),
+        (HllSketch, "HLL"),
+        (FrequentItemsSketch, "Frequent Items"),
+    ):
+        try:
+            cls.from_wire(blob)
+        except SketchDeserializeError:
+            pass  # the expected outcome
+        except Exception as exc:  # noqa: BLE001
+            pytest.fail(f"{name} raised {type(exc).__name__} instead: {exc}")
