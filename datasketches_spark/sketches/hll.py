@@ -40,6 +40,7 @@ from .cpc import _bit_length_u64
 
 _MODE_SPARSE = 0
 _MODE_DENSE = 1
+_MODE_SPARSE_COUPONS = 2  # wire-imported sparse: keys are Apache coupons
 
 # Apache DataSketches HLL wire format (family 7, serVer 1).  Layout
 # verified against datasketches-java 6.2 dumps and cross-validated live
@@ -101,7 +102,9 @@ class HllSketch:
     LG_K_MIN, LG_K_MAX = 4, 21  # codegen/generated.cpp.j2:80-84
     RSE_COEFF = 1.04  # classic HLL relative standard error coefficient
 
-    __slots__ = ("lg_k", "mode", "sparse", "sparse_vals", "registers")
+    __slots__ = (
+        "lg_k", "mode", "sparse", "sparse_vals", "sparse_is_coupons", "registers",
+    )
 
     def __init__(self, lg_k: int = 12):
         if not (self.LG_K_MIN <= lg_k <= self.LG_K_MAX):
@@ -112,8 +115,17 @@ class HllSketch:
             )
         self.lg_k = int(lg_k)
         self.mode = _MODE_SPARSE
-        self.sparse = np.empty(0, dtype=np.uint64)  # unique h1 hashes
+        self.sparse = np.empty(0, dtype=np.uint64)  # unique keys (see below)
         self.sparse_vals = np.empty(0, dtype=np.uint8)  # aligned coupon values
+        # Sparse keys come in two spaces: full 64-bit h1 hashes for
+        # natively built sketches (n-exact uniqueness), or 32-bit Apache
+        # COUPONS for wire-imported ones (h1 is not recoverable from a
+        # LIST/SET blob).  The spaces are NOT mixable — deduping an h1
+        # set against a coupon set would double-count shared items — so
+        # the moment a coupon-keyed operand enters a merge, BOTH sides
+        # convert to coupons (coupon = value<<26 | h1&(2^26-1), exactly
+        # Apache's own sparse semantics and accuracy).
+        self.sparse_is_coupons = False
         self.registers = None  # np.uint8[m] in dense mode
 
     # -- building -------------------------------------------------------
@@ -125,17 +137,34 @@ class HllSketch:
     def _sparse_limit(self) -> int:
         return max(16, self._m // 2)
 
-    def update_coupons(self, h1: np.ndarray, vals: np.ndarray) -> None:
-        """Fold (h1 hash, coupon value) pairs.  The slot is h1's low
-        lg_k bits; the value is NLZ(h2)+1, independent of both slot
-        and lg_k (Apache's coupon scheme)."""
-        if h1.size == 0:
+    @staticmethod
+    def _coupons_of(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        return (vals.astype(np.uint64) << np.uint64(26)) | (
+            keys & np.uint64((1 << 26) - 1)
+        )
+
+    def update_coupons(
+        self, keys: np.ndarray, vals: np.ndarray, coupon_keyed: bool = False
+    ) -> None:
+        """Fold (key, coupon value) pairs.  ``keys`` are h1 hashes by
+        default, or Apache coupons with ``coupon_keyed=True``; the slot
+        is the key's low lg_k bits either way (a coupon's low 26 bits
+        ARE slotNo), and the value is NLZ(h2)+1, independent of both
+        slot and lg_k (Apache's coupon scheme)."""
+        if keys.size == 0:
             return
+        vals = vals.astype(np.uint8)
         if self.mode == _MODE_DENSE:
-            self._dense_update(h1, vals)
+            self._dense_update(keys, vals)
             return
-        hashes = np.concatenate([self.sparse, h1])
-        values = np.concatenate([self.sparse_vals, vals.astype(np.uint8)])
+        # unify the key spaces before deduping (see __init__ note)
+        if coupon_keyed and not self.sparse_is_coupons:
+            self.sparse = self._coupons_of(self.sparse, self.sparse_vals)
+            self.sparse_is_coupons = True
+        elif self.sparse_is_coupons and not coupon_keyed:
+            keys = self._coupons_of(keys, vals)
+        hashes = np.concatenate([self.sparse, keys.astype(np.uint64)])
+        values = np.concatenate([self.sparse_vals, vals])
         self.sparse, idx = np.unique(hashes, return_index=True)
         self.sparse_vals = values[idx]
         if self.sparse.size > self._sparse_limit:
@@ -156,6 +185,7 @@ class HllSketch:
             self._dense_update(self.sparse, self.sparse_vals)
         self.sparse = np.empty(0, dtype=np.uint64)
         self.sparse_vals = np.empty(0, dtype=np.uint8)
+        self.sparse_is_coupons = False
 
     def _dense_update(self, h1: np.ndarray, vals: np.ndarray) -> None:
         idx = (h1 & np.uint64(self._m - 1)).astype(np.int64)
@@ -170,7 +200,10 @@ class HllSketch:
             # the min so later promotion lands at the coarser size)
             self._fold_to(other.lg_k)
         if other.mode == _MODE_SPARSE:
-            self.update_coupons(other.sparse, other.sparse_vals)
+            self.update_coupons(
+                other.sparse, other.sparse_vals,
+                coupon_keyed=other.sparse_is_coupons,
+            )
             return
         if self.mode == _MODE_SPARSE:
             sp, sv = self.sparse, self.sparse_vals
@@ -179,6 +212,7 @@ class HllSketch:
             self.mode = _MODE_DENSE
             self.sparse = np.empty(0, dtype=np.uint64)
             self.sparse_vals = np.empty(0, dtype=np.uint8)
+            self.sparse_is_coupons = False
             if sp.size:
                 self._dense_update(sp, sv)
         if other.lg_k > self.lg_k:
@@ -208,6 +242,7 @@ class HllSketch:
         out.mode = _MODE_DENSE
         out.sparse = np.empty(0, dtype=np.uint64)
         out.sparse_vals = np.empty(0, dtype=np.uint8)
+        out.sparse_is_coupons = False
         m2 = 1 << lg_k
         coarse = np.zeros(m2, dtype=np.uint8)
         j = np.arange(self._m, dtype=np.int64)
@@ -271,8 +306,9 @@ class HllSketch:
     # -- serialization --------------------------------------------------
     def _payload(self) -> bytes:
         if self.mode == _MODE_SPARSE:
+            mode = _MODE_SPARSE_COUPONS if self.sparse_is_coupons else _MODE_SPARSE
             return (
-                struct.pack("<BBI", self.lg_k, _MODE_SPARSE, self.sparse.size)
+                struct.pack("<BBI", self.lg_k, mode, self.sparse.size)
                 + self.sparse.tobytes()
                 + self.sparse_vals.tobytes()
             )
@@ -286,13 +322,14 @@ class HllSketch:
         try:
             lg_k, mode, count = struct.unpack_from("<BBI", payload, 0)
             sk = cls(lg_k)
-            if mode == _MODE_SPARSE:
+            if mode in (_MODE_SPARSE, _MODE_SPARSE_COUPONS):
                 sk.sparse = np.frombuffer(
                     payload, dtype=np.uint64, count=count, offset=6
                 ).copy()
                 sk.sparse_vals = np.frombuffer(
                     payload, dtype=np.uint8, count=count, offset=6 + 8 * count
                 ).copy()
+                sk.sparse_is_coupons = mode == _MODE_SPARSE_COUPONS
             else:
                 sk.mode = _MODE_DENSE
                 regs = np.frombuffer(payload, dtype=np.uint8, count=1 << lg_k, offset=6)
@@ -323,10 +360,12 @@ class HllSketch:
         """
         lg_k = self.lg_k
         if self.mode == _MODE_SPARSE:
-            slot_no = (self.sparse & np.uint64((1 << 26) - 1)).astype(np.uint32)
-            coupons = np.unique(
-                (self.sparse_vals.astype(np.uint32) << np.uint32(26)) | slot_no
-            )
+            if self.sparse_is_coupons:
+                coupons = self.sparse.astype(np.uint32)  # already unique
+            else:
+                coupons = np.unique(
+                    self._coupons_of(self.sparse, self.sparse_vals)
+                ).astype(np.uint32)
             n = int(coupons.size)
             if n == 0:
                 return struct.pack(
@@ -389,15 +428,23 @@ class HllSketch:
         cur_mode = mode_byte & 0x3
         if flags & _HLL_FLAG_EMPTY:
             return sk
+        # Only the compact layouts are supported (java toCompactByteArray
+        # / cpp serialize_compact — what every engine exchanges).  The
+        # updatable LIST/SET/HLL_4 layouts interleave zero gaps and
+        # empty aux slots that would silently corrupt a compact-shaped
+        # read, so reject them loudly.  HLL_6/HLL_8 register blocks are
+        # identical in both layouts (verified: java emits the same
+        # bytes) and are accepted regardless of the flag.
+        compact = bool(flags & _HLL_FLAG_COMPACT)
         if cur_mode == 0:  # LIST: count in byte 6, coupons follow
             count = b6
-            if len(blob) < 8 + 4 * count:
+            if pre_ints != 2 or not compact or len(blob) < 8 + 4 * count:
                 raise err
             coupons = np.frombuffer(blob, dtype="<u4", count=count, offset=8)
             sk._ingest_coupons(coupons)
             return sk
         if cur_mode == 1:  # SET: count int at 8, coupons follow
-            if len(blob) < 12:
+            if pre_ints != 3 or not compact or len(blob) < 12:
                 raise err
             (count,) = struct.unpack_from("<I", blob, 8)
             if len(blob) < 12 + 4 * count:
@@ -405,7 +452,7 @@ class HllSketch:
             coupons = np.frombuffer(blob, dtype="<u4", count=count, offset=12)
             sk._ingest_coupons(coupons)
             return sk
-        if cur_mode != 2 or len(blob) < 40:
+        if cur_mode != 2 or pre_ints != 10 or len(blob) < 40:
             raise err
         # HLL mode: tgt type from the mode byte, registers after the
         # 40-byte preamble
@@ -427,9 +474,14 @@ class HllSketch:
             bits = bits[: m * 6].reshape(m, 6)
             regs = (bits << np.arange(6, dtype=np.uint8)).sum(axis=1).astype(np.uint8)
         elif tgt == _HLL_TGT_4:
+            # HLL_4's updatable layout pads the aux table with empty
+            # slots — compact form only (the flags byte carries COMPACT
+            # for HLL_4, unlike HLL_6/8 whose layouts don't differ)
+            if not compact:
+                raise err
             nbytes = m // 2
             (aux_count,) = struct.unpack_from("<i", blob, 36)
-            if len(body) < nbytes + 4 * aux_count:
+            if aux_count < 0 or len(body) < nbytes + 4 * aux_count:
                 raise err
             packed = np.frombuffer(body, dtype=np.uint8, count=nbytes)
             nibbles = np.empty(m, dtype=np.uint8)
@@ -454,14 +506,15 @@ class HllSketch:
         return sk
 
     def _ingest_coupons(self, coupons: np.ndarray) -> None:
-        """Import Apache coupons as sparse entries keyed by the coupon
-        value itself: coupon & (m-1) == slotNo & (m-1), so promotion
-        puts them in the correct register, and unique-coupon counting
-        reproduces Apache's exact small-n LIST/SET estimates."""
-        coupons = np.unique(coupons)
-        h1 = coupons.astype(np.uint64)
+        """Import Apache coupons as coupon-keyed sparse entries:
+        coupon & (m-1) == slotNo & (m-1), so promotion puts them in
+        the correct register, and unique-coupon counting reproduces
+        Apache's exact small-n LIST/SET estimates.  update_coupons
+        converts any h1-keyed state to coupons first, so merging
+        wire-imported and natively built sparse sketches never mixes
+        key spaces (which would double-count shared items)."""
         vals = (coupons >> np.uint32(26)).astype(np.uint8)
-        self.update_coupons(h1, vals)
+        self.update_coupons(coupons.astype(np.uint64), vals, coupon_keyed=True)
 
 
 # CPC moved to sketches/cpc.py: a real coupon-collector core with the

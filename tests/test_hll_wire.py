@@ -6,7 +6,7 @@ its DENSE REGISTERS ARE BYTE-IDENTICAL to datasketches-java's HLL_8
 array for the same inputs — verified live below.  That makes wire
 blobs not merely parseable but cross-system MERGEABLE.  Estimates in
 estimation mode may differ between engines (each applies its own
-estimator — ours classic harmonic+linear-counting, Apache HIP or
+estimator — ours Ertl's improved raw estimator, Apache HIP or
 composite — to the same registers); the registers, and therefore every
 downstream union, agree exactly.
 """
@@ -150,3 +150,68 @@ def test_live_jvm_cross_merge(jvm_hll):
     merged.merge(ours)
     assert np.array_equal(jm, merged.registers)
     assert merged.get_estimate() == pytest.approx(75_000, rel=0.05)
+
+
+def test_native_wire_sparse_merge_does_not_double_count():
+    """Regression: native sparse keys are 64-bit h1, wire-imported
+    sparse keys are coupons — merging must unify the key space (both
+    to coupons), not dedupe across spaces and double-count."""
+    a = HllSketch(12)
+    a.update_values(np.arange(100, dtype=np.int64))
+    b = HllSketch.from_wire(a.to_wire())
+    a.merge(b)
+    assert a.get_estimate() == 100.0
+    # reverse direction: coupon-keyed absorbing native
+    c = HllSketch.from_wire(b.to_wire())
+    native = HllSketch(12)
+    native.update_values(np.arange(100, dtype=np.int64))
+    c.merge(native)
+    assert c.get_estimate() == 100.0
+    # coupon-keyed state survives the engine frame
+    rt = HllSketch.deserialize(c.serialize())
+    assert rt.sparse_is_coupons and rt.get_estimate() == 100.0
+
+
+def test_malformed_preamble_rejected():
+    import struct
+
+    # pre_ints contradicting the mode
+    with pytest.raises(SketchDeserializeError):
+        HllSketch.from_wire(struct.pack("<BBBBBBBB", 99, 1, 7, 12, 3, 8, 0, 8))
+    # negative auxCount in an HLL_4 blob
+    m = 4096
+    bad = (
+        struct.pack("<BBBBBBBB", 10, 1, 7, 12, 5, 8, 2, 2)
+        + b"\x00" * 24
+        + struct.pack("<ii", 0, -1)
+        + b"\x00" * (m // 2)
+        + b"\x00\x01\x02\x03"
+    )
+    with pytest.raises(SketchDeserializeError):
+        HllSketch.from_wire(bad)
+
+
+def test_live_jvm_updatable_blobs_rejected_not_misparsed(jvm_hll):
+    """java's toUpdatableByteArray SET/HLL_4 layouts interleave zero
+    gaps / padded aux tables; a compact-shaped read would silently
+    corrupt, so they must raise instead."""
+    jvm, _, _ = jvm_hll
+    HS = jvm.org.apache.datasketches.hll.HllSketch
+    TT = jvm.org.apache.datasketches.hll.TgtHllType
+    jset = HS(12, TT.HLL_8)
+    for i in range(300):
+        jset.update(i)
+    with pytest.raises(SketchDeserializeError):
+        HllSketch.from_wire(bytes(jset.toUpdatableByteArray()))
+    j4 = HS(12, TT.HLL_4)
+    for i in range(100_000):
+        j4.update(i)
+    with pytest.raises(SketchDeserializeError):
+        HllSketch.from_wire(bytes(j4.toUpdatableByteArray()))
+    # ...while HLL_8 updatable == compact layout and stays readable
+    j8 = HS(12, TT.HLL_8)
+    for i in range(100_000):
+        j8.update(i)
+    ours = HllSketch.from_wire(bytes(j8.toUpdatableByteArray()))
+    truth = np.frombuffer(bytes(j8.toCompactByteArray())[40:], dtype=np.uint8)
+    assert np.array_equal(ours.registers, truth)
