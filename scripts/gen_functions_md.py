@@ -109,8 +109,14 @@ _SPECIAL = {
         "tests/test_hll_wire.py)"
     ),
     "datasketch_hll_from_wire": (
-        "imports an Apache HLL blob (LIST/SET/HLL_4/HLL_6/HLL_8) into "
-        "the engine frame; every HLL reader also sniffs wire blobs"
+        "imports an Apache HLL blob (compact LIST/SET/HLL_4/HLL_6/"
+        "HLL_8) into the engine frame; every HLL reader also sniffs "
+        "wire blobs"
+    ),
+    "datasketch_hll_estimate": (
+        "dense mode uses Ertl's improved raw estimator "
+        "(arXiv:1702.01284) — unbiased across the range, no "
+        "linear-counting switch; sparse mode is exact"
     ),
 }
 
