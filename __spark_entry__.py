@@ -388,6 +388,40 @@ def q_hll_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cpc_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches CPC wire interop, oracle-gated (round 5 —
+    the last of the 8 families to cross systems).
+
+    Builds a sparse-exact CPC per region (5 nation keys), exports each
+    as an Apache CPC blob (``datasketch_cpc_to_wire`` — byte-identical
+    to datasketches-java's MERGED serialization per flavor,
+    golden-tested and live-cross-merged in tests/test_cpc_wire.py),
+    re-imports and estimates.  Tiny-n ICON stays within rounding of
+    exact through the round trip.  Two byte-level checks the DuckDB
+    oracle expresses literally: the 8-byte preamble is the constant
+    SPARSE_HYBRID_MERGED header (preInts 4, serVer 1, family 16,
+    lgK 11, flags 0x0A, seedHash 0x93CC), and the little-endian
+    numCoupons field (bytes 9-12) equals the distinct count."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "nation"), "n_nationkey", "cpc",
+        group_cols=["n_regionkey"], k=11,
+    )
+    return sk.withColumn("wire", F.expr("datasketch_cpc_to_wire(sketch)")).select(
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        F.expr(
+            "CAST(round(datasketch_cpc_estimate("
+            "datasketch_cpc_from_wire(wire))) AS BIGINT)"
+        ).alias("distinct_nations"),
+        F.expr("substring(hex(wire), 1, 16)").alias("wire_preamble"),
+        F.expr(
+            "CAST(conv(concat(substring(hex(wire), 23, 2),"
+            " substring(hex(wire), 21, 2), substring(hex(wire), 19, 2),"
+            " substring(hex(wire), 17, 2)), 16, 10) AS BIGINT)"
+        ).alias("wire_num_coupons"),
+    )
+
+
 def q_hll_union_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-status HLL sketches merged: 1500 distinct < sparse limit 2048."""
     _ensure(spark)
@@ -1973,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fi_wire_roundtrip": q_fi_wire_roundtrip,
         "tdigest_wire_roundtrip": q_tdigest_wire_roundtrip,
         "hll_wire_roundtrip": q_hll_wire_roundtrip,
+        "cpc_wire_roundtrip": q_cpc_wire_roundtrip,
     }
 
 
@@ -2072,6 +2107,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_regionkey::BIGINT AS n_regionkey, "
             "count(DISTINCT n_nationkey)::BIGINT AS distinct_nations, "
             "(8 + 4 * count(DISTINCT n_nationkey))::BIGINT AS wire_bytes "
+            "FROM nation GROUP BY n_regionkey"
+        ),
+        "cpc_wire_roundtrip": (
+            "SELECT n_regionkey::BIGINT AS n_regionkey, "
+            "count(DISTINCT n_nationkey)::BIGINT AS distinct_nations, "
+            "'0401100B000ACC93' AS wire_preamble, "
+            "count(DISTINCT n_nationkey)::BIGINT AS wire_num_coupons "
             "FROM nation GROUP BY n_regionkey"
         ),
         "hll_distinct_nations_by_region": (

@@ -406,6 +406,16 @@ def build_scalar_registry() -> dict[str, object]:
     reg["datasketch_hll_from_wire"] = _unary(
         HllSketch, lambda sk: sk.serialize(), "binary"
     )
+    # Apache DataSketches CPC wire interop (round 5, the last interop
+    # family): our blobs are byte-identical to java's MERGED
+    # serialization per flavor; all eight formats import (HIP
+    # accumulators skipped, like an Apache union does); readers sniff
+    reg["datasketch_cpc_to_wire"] = _unary(
+        CpcSketch, lambda sk: sk.to_wire(), "binary"
+    )
+    reg["datasketch_cpc_from_wire"] = _unary(
+        CpcSketch, lambda sk: sk.serialize(), "binary"
+    )
 
     # ---- Frequent Items ----
     p = "datasketch_frequent_items_"

@@ -28,14 +28,17 @@ Counting sketch (the Apache DataSketches CPC):
 - below k/2 distinct values the sketch is sparse-exact (full hashes
   retained, estimates exact), which preserves the engine's
   deterministic exact-mode query surfaces;
-- serialization is the CPC structure (sliding window + surprise
-  list): an offset byte, the per-row 8-bit window at that offset
-  (zlib'd), and the exceptional coupons outside the window — measured
-  ~1.6 KB at lg_k=11, beating an equal-ACCURACY HLL (lg_k=12, 4.2 KB)
-  by ~60%, comfortably past the reference's "~40% smaller" pitch
-  (docs/README.md CPC section).  Blob framing is engine-local (DSKS);
-  Apache's custom length-limited entropy codes are the one piece not
-  replicated.
+- the engine-local serialization is the CPC structure (sliding window
+  + surprise list): an offset byte, the per-row 8-bit window at that
+  offset (zlib'd), and the exceptional coupons outside the window —
+  measured ~1.6 KB at lg_k=11, beating an equal-ACCURACY HLL (lg_k=12,
+  4.2 KB) by ~60%, comfortably past the reference's "~40% smaller"
+  pitch (docs/README.md CPC section);
+- to_wire()/from_wire() additionally speak the Apache DataSketches
+  CPC wire format with its length-limited entropy codes (cpc_wire.py,
+  round 5) — byte-identical to datasketches-java's merged
+  serialization, so blobs cross to DuckDB/Druid/Hive and back, and
+  readers sniff un-framed Apache blobs automatically.
 
 lg_k range 4..26 per codegen/generated.cpp.j2:85-89.
 """
@@ -48,7 +51,7 @@ import zlib
 import numpy as np
 
 from ..murmur import murmur3_values
-from .base import FAMILY_CPC, SketchDeserializeError, frame, unframe
+from .base import FAMILY_CPC, SketchDeserializeError, frame, is_framed, unframe
 
 _MODE_SPARSE = 0
 _MODE_DENSE = 1
@@ -270,6 +273,46 @@ class CpcSketch:
             lines.append(f"   num coupons   : {self.num_coupons()}")
         return "\n".join(lines) + "\n"
 
+    # -- Apache wire format (cpc_wire.py) -------------------------------
+    def _to_bitmap(self) -> np.ndarray:
+        """The coupon bit matrix of the current state (copy in sparse)."""
+        if self.mode == _MODE_DENSE:
+            return self.bitmap
+        bitmap = np.zeros(self._m, dtype=np.uint64)
+        if self.sparse_coupons.size:
+            rc = self.sparse_coupons
+            np.bitwise_or.at(
+                bitmap,
+                (rc >> np.uint32(6)).astype(np.int64),
+                np.uint64(1) << (rc & np.uint32(63)).astype(np.uint64),
+            )
+        return bitmap
+
+    def to_wire(self) -> bytes:
+        """Serialize as an Apache DataSketches CPC blob (serVer 1,
+        family 16, MERGED formats) — readable by DuckDB/Druid/Hive/
+        datasketches-java, and mergeable with sketches those systems
+        built over the same values (the coupon mapping is identical).
+        Byte-parity and both-direction merges verified live against
+        datasketches-java in tests/test_cpc_wire.py."""
+        from .cpc_wire import bitmap_to_wire
+
+        return bitmap_to_wire(self.lg_k, self._to_bitmap())
+
+    @classmethod
+    def from_wire(cls, blob: bytes) -> "CpcSketch":
+        """Parse any of the eight Apache CPC wire formats.  The result
+        is a dense (estimation-mode) sketch: the wire state is the
+        coupon matrix, which no longer carries the full value hashes
+        our sparse-exact mode tracks, exactly like an Apache merge."""
+        from .cpc_wire import wire_to_bitmap
+
+        lg_k, bitmap, _c = wire_to_bitmap(blob)
+        sk = cls(lg_k)
+        sk.mode = _MODE_DENSE
+        sk.bitmap = bitmap
+        return sk
+
     # -- serialization --------------------------------------------------
     def serialize(self) -> bytes:
         if self.mode == _MODE_SPARSE:
@@ -323,6 +366,9 @@ class CpcSketch:
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "CpcSketch":
+        if not is_framed(blob):
+            # Apache wire blob (no DSKS frame) — sniffed like theta/KLL
+            return cls.from_wire(blob)
         raw = unframe(blob, FAMILY_CPC)
         try:
             payload = zlib.decompress(raw)

@@ -265,6 +265,13 @@ class FrequentItemsSketch:
             raise err from exc
         sk.offset = int(offset)
         sk.stream_weight = int(stream_len)
+        # A java blob with lgMaxK beyond our SQL bind-time cap (21) may
+        # carry more active items than the clamped map's capacity
+        # invariant allows; purge down now (offset stays consistent)
+        # rather than letting the first update trigger an oversized
+        # purge with a surprise offset jump.
+        if len(sk.counts) > sk._capacity:
+            sk._purge()
         return sk
 
     @classmethod

@@ -278,8 +278,11 @@ class HllSketch:
         mid = counts[1 : q + 1]
         z += float((mid * np.exp2(-np.arange(1.0, q + 1.0))).sum())
         z += m * _ertl_sigma(counts[0] / m)
-        if z == 0.0:
-            return float("inf")
+        # z==0 is only reachable from a crafted/corrupt wire blob with
+        # every register saturated at 63; clamp to the all-63 floor so
+        # the estimate stays a large *finite* bound (Apache behaves the
+        # same way) instead of propagating inf into SQL results.
+        z = max(z, m * 2.0**-63)
         return float(_ALPHA_INF * m * m / z)
 
     def get_bound(self, num_std_devs: int, upper: bool) -> float:

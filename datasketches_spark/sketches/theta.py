@@ -256,10 +256,14 @@ class ThetaSketch:
         if len(blob) < off + 8 * count:
             raise err
         hashes = np.frombuffer(blob, dtype=np.uint64, count=count, offset=off)
-        if not (flags & _WIRE_FLAG_ORDERED):
-            hashes = np.sort(hashes)
+        # Screen corrupt blobs: the compact-theta invariant is strictly
+        # increasing hashes in (0, theta).  Zeros, duplicates, or
+        # out-of-range entries would silently skew num_retained and the
+        # scalar set algebra, so drop them (np.unique also sorts, which
+        # covers the unordered-flag case).
+        hashes = np.unique(hashes[(hashes > np.uint64(0)) & (hashes < np.uint64(theta))])
         sk.theta = int(theta)
-        sk.hashes = hashes.copy()
+        sk.hashes = hashes
         return sk
 
 

@@ -16,6 +16,7 @@ from hypothesis import strategies as st
 
 from datasketches_spark.sketches.base import SketchDeserializeError
 from datasketches_spark.sketches.compactor import KllSketch
+from datasketches_spark.sketches.cpc import CpcSketch
 from datasketches_spark.sketches.frequent_items import FrequentItemsSketch
 from datasketches_spark.sketches.hll import HllSketch
 from datasketches_spark.sketches.tdigest import TDigestSketch
@@ -103,6 +104,21 @@ def test_fi_wire_roundtrip_property(pairs):
     assert rt.total_weight() == sk.total_weight()
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=600),
+    st.integers(min_value=4, max_value=12),
+)
+def test_cpc_wire_roundtrip_property(values, lg_k):
+    sk = CpcSketch(lg_k)
+    if values:
+        sk.update_values(np.array(values, dtype=np.int64))
+    rt = CpcSketch.from_wire(sk.to_wire())
+    assert rt.lg_k == lg_k
+    assert np.array_equal(rt.bitmap, sk._to_bitmap())
+    assert rt.num_coupons() == sk.num_coupons()
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.binary(min_size=0, max_size=64))
 def test_garbage_never_parses_silently(blob):
@@ -115,6 +131,7 @@ def test_garbage_never_parses_silently(blob):
         (ThetaSketch, "Theta"),
         (HllSketch, "HLL"),
         (FrequentItemsSketch, "Frequent Items"),
+        (CpcSketch, "CPC"),
     ):
         try:
             cls.from_wire(blob)
@@ -122,3 +139,65 @@ def test_garbage_never_parses_silently(blob):
             pass  # the expected outcome
         except Exception as exc:  # noqa: BLE001
             pytest.fail(f"{name} raised {type(exc).__name__} instead: {exc}")
+
+
+# ---- hardening regressions (round-5 advice items) -------------------
+
+
+def test_hll_saturated_registers_estimate_is_finite():
+    """All registers at 63 (only reachable from a crafted wire blob)
+    must yield a large finite estimate, not inf."""
+    import math
+
+    from datasketches_spark.sketches import hll as hll_mod
+
+    sk = HllSketch(12)
+    sk._promote()
+    sk.registers[:] = 63
+    est = sk.get_estimate()
+    assert math.isfinite(est)
+    assert est > 1e15  # astronomically large, as Apache reports
+    assert math.isfinite(sk.get_bound(2, upper=True))
+    del hll_mod
+
+
+def test_theta_from_wire_screens_invalid_hashes():
+    """Zeros, duplicates, and hashes >= theta in a compact blob are
+    dropped on read, preserving the strictly-increasing-in-(0,theta)
+    invariant the set algebra relies on."""
+    import struct as _struct
+
+    sk = ThetaSketch(12)
+    sk.update_values(np.arange(1, 6, dtype=np.int64))
+    blob = bytearray(sk.to_wire())
+    # pre_longs==2 form: count at byte 8, hashes from byte 16
+    assert blob[0] == 2
+    (count,) = _struct.unpack_from("<I", blob, 8)
+    hashes = np.frombuffer(bytes(blob[16:]), dtype=np.uint64).copy()
+    # corrupt: zero, duplicate, and a max-value entry
+    hashes[0] = 0
+    hashes[2] = hashes[1]
+    hashes[4] = np.uint64(2**63)  # == MAX_HASH (theta) => out of range
+    bad = bytes(blob[:16]) + hashes.tobytes()
+    rt = ThetaSketch.from_wire(bad)
+    assert rt.hashes.size == count - 3
+    assert (rt.hashes > 0).all()
+    assert (rt.hashes < np.uint64(rt.theta)).all()
+    assert (np.diff(rt.hashes.astype(np.uint64)) > 0).all()
+
+
+def test_fi_from_wire_purges_to_clamped_capacity():
+    """A wire blob whose active-item count exceeds the (clamped)
+    map capacity purges on import, keeping the offset consistent."""
+    sk = FrequentItemsSketch(4)  # capacity 12
+    for i in range(10):
+        sk.counts[f"item{i}"] = i + 1
+        sk.stream_weight += i + 1
+    blob = bytearray(sk.to_wire())
+    blob[3] = 3  # patch lg_max down => clamped capacity 6 < 10 active
+    rt = FrequentItemsSketch.from_wire(bytes(blob))
+    assert len(rt.counts) <= rt._capacity
+    assert rt.offset > 0  # purge accrued error honestly
+    # lower-bound semantics preserved: stored + offset >= true count
+    for item, c in rt.counts.items():
+        assert c + rt.offset >= sk.counts[item]
