@@ -422,6 +422,61 @@ def q_cpc_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache classic-quantiles wire interop, oracle-gated (round 5).
+
+    Exact-mode sketches (2k = 32768 > any group at sf0.01) export as
+    Apache DoublesSketch blobs (``datasketch_quantiles_to_wire`` — the
+    format the reference / datasketches-{java,cpp} emit; the engine's
+    round-5 MRL restructure makes the projection lossless, verified
+    live against java in tests/test_quantiles_req_wire.py), re-import,
+    and answer exactly.  The compact exact-mode blob length is the
+    Apache layout arithmetic the DuckDB oracle can state: 16-byte
+    preamble + 8*(min + max + n base-buffer items)."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "quantiles",
+        group_cols=["o_orderpriority"], k=16384,
+    )
+    return sk.withColumn(
+        "wire", F.expr("datasketch_quantiles_to_wire(sketch)")
+    ).select(
+        "o_orderpriority",
+        F.expr(
+            "datasketch_quantiles_quantile("
+            "datasketch_quantiles_from_wire(wire), 0.5)"
+        ).alias("median_price"),
+        F.expr("datasketch_quantiles_n(datasketch_quantiles_from_wire(wire))").alias(
+            "n_orders"
+        ),
+        F.expr("CAST(octet_length(wire) AS BIGINT)").alias("wire_bytes"),
+    )
+
+
+def q_req_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache REQ wire interop, oracle-gated (round 5 — the 8th and
+    last family to cross systems).
+
+    Exact-mode REQ per priority (3k = 3072 > any group at sf0.01,
+    single level) exports as an Apache REQ EXACT-format blob (one
+    compactor block; format verified live against datasketches-java),
+    re-imports, and answers exactly.  EXACT blob length is pure
+    arithmetic: 8-byte preamble + 20-byte compactor header + 8n."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "req",
+        group_cols=["o_orderpriority"], k=1024,
+    )
+    return sk.withColumn("wire", F.expr("datasketch_req_to_wire(sketch)")).select(
+        "o_orderpriority",
+        F.expr("datasketch_req_quantile(datasketch_req_from_wire(wire), 0.95)").alias(
+            "p95_price"
+        ),
+        F.expr("datasketch_req_n(datasketch_req_from_wire(wire))").alias("n_orders"),
+        F.expr("CAST(octet_length(wire) AS BIGINT)").alias("wire_bytes"),
+    )
+
+
 def q_hll_union_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-status HLL sketches merged: 1500 distinct < sparse limit 2048."""
     _ensure(spark)
@@ -2008,6 +2063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_wire_roundtrip": q_tdigest_wire_roundtrip,
         "hll_wire_roundtrip": q_hll_wire_roundtrip,
         "cpc_wire_roundtrip": q_cpc_wire_roundtrip,
+        "quantiles_wire_roundtrip": q_quantiles_wire_roundtrip,
+        "req_wire_roundtrip": q_req_wire_roundtrip,
     }
 
 
@@ -2115,6 +2172,22 @@ def oracle_sql() -> dict[str, str]:
             "'0401100B000ACC93' AS wire_preamble, "
             "count(DISTINCT n_nationkey)::BIGINT AS wire_num_coupons "
             "FROM nation GROUP BY n_regionkey"
+        ),
+        "quantiles_wire_roundtrip": (
+            "SELECT g AS o_orderpriority, "
+            "min(CASE WHEN cd >= 0.5 THEN v END) AS median_price, "
+            "count(*) AS n_orders, "
+            "(16 + 8 * (2 + count(*)))::BIGINT AS wire_bytes FROM ("
+            + _CUME.format(g="o_orderpriority", v="o_totalprice", t="orders")
+            + ") GROUP BY g"
+        ),
+        "req_wire_roundtrip": (
+            "SELECT g AS o_orderpriority, "
+            "min(CASE WHEN cd >= 0.95 THEN v END) AS p95_price, "
+            "count(*) AS n_orders, "
+            "(28 + 8 * count(*))::BIGINT AS wire_bytes FROM ("
+            + _CUME.format(g="o_orderpriority", v="o_totalprice", t="orders")
+            + ") GROUP BY g"
         ),
         "hll_distinct_nations_by_region": (
             "SELECT n_regionkey::BIGINT AS n_regionkey, "

@@ -285,6 +285,19 @@ def build_scalar_registry() -> dict[str, object]:
     p = "datasketch_kll_"
     reg[p + "to_wire"] = _unary(KllSketch, lambda sk: sk.to_wire(), "binary")
     reg[p + "from_wire"] = _unary(KllSketch, lambda sk: sk.serialize(), "binary")
+    # ... and for classic Quantiles + REQ (round 5 — with these, all
+    # eight reference families cross systems).  Quantiles blobs are the
+    # Apache DoublesSketch layout (lossless: the engine state IS the
+    # Apache MRL state); REQ blobs are the Apache REQ layout (levels
+    # export as compactors).  Readers sniff both formats implicitly.
+    p = "datasketch_quantiles_"
+    reg[p + "to_wire"] = _unary(QuantilesSketch, lambda sk: sk.to_wire(), "binary")
+    reg[p + "from_wire"] = _unary(
+        QuantilesSketch, lambda sk: sk.serialize(), "binary"
+    )
+    p = "datasketch_req_"
+    reg[p + "to_wire"] = _unary(ReqSketch, lambda sk: sk.to_wire(), "binary")
+    reg[p + "from_wire"] = _unary(ReqSketch, lambda sk: sk.serialize(), "binary")
 
     # ---- TDigest (no `inclusive` args, generator.py:160-166) ----
     p = "datasketch_tdigest_"

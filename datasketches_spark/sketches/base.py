@@ -24,6 +24,9 @@ VERSION = 1
 # Apache-compatible murmur3/9001 (CPC/HLL to the coupon scheme) — a v1
 # blob's retained hashes/registers live in a different hash space, so
 # unioning it with v2 sketches would double-count every overlap.
+# Quantiles v2: the level stack moved from flexible capacities to the
+# Apache/MRL exact-k invariant (round 5); a v1 blob's level
+# populations would break the new merge's carry bookkeeping.
 _FAMILY_VERSIONS: dict[int, int] = {}  # populated below the constants
 
 FAMILY_THETA = 1
@@ -39,7 +42,9 @@ FAMILY_RESERVOIR = 10
 FAMILY_CMS = 11
 FAMILY_STATS = 12
 
-_FAMILY_VERSIONS.update({FAMILY_THETA: 2, FAMILY_CPC: 2, FAMILY_HLL: 2})
+_FAMILY_VERSIONS.update(
+    {FAMILY_THETA: 2, FAMILY_CPC: 2, FAMILY_HLL: 2, FAMILY_QUANTILES: 2}
+)
 
 FAMILY_NAMES = {
     FAMILY_THETA: "Theta",

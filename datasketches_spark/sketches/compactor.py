@@ -392,6 +392,35 @@ _KLL_FLAG_EMPTY = 1
 _KLL_FLAG_L0_SORTED = 2
 _KLL_FLAG_SINGLE = 4
 
+# Apache DataSketches classic quantiles wire format (family 8, serVer
+# 3).  The reference's datasketch_quantiles blobs ARE this format (its
+# Finalize serializes the datasketches-cpp quantiles_sketch,
+# src/generated.cpp:1695-3107; golden single-value blob at
+# test/sql/datasketch_quantiles.test:14-17).  Compact layout: 8-byte
+# preamble (preLongs, serVer, family, flags, k u16, pad) + n u64 +
+# min + max + sorted base buffer (n mod 2k items) + one exact-k sorted
+# block per set bit of bitPattern = n div 2k, ascending.
+_Q_WIRE_FAMILY = 8
+_Q_WIRE_SER_VER = 3
+_Q_FLAG_EMPTY = 4
+_Q_FLAG_COMPACT = 8
+_Q_FLAG_ORDERED = 16
+
+# Apache DataSketches REQ wire format (family 17, serVer 1).  The
+# reference's datasketch_req blobs ARE this format (golden
+# single-value blob at test/sql/datasketch_req.test:14-17).  Preamble:
+# (preInts, serVer, family, flags, k u16, numLevels, numRawItems);
+# formats EMPTY / RAW (n<=4, bare sorted items) / EXACT (one
+# compactor) / ESTIMATION (n u64 + min + max + compactors).  Each
+# compactor block: state u64, sectionSize f32, lgWeight u8,
+# numSections u8, 2 pad, count u32, sorted items.
+_REQ_WIRE_FAMILY = 17
+_REQ_WIRE_SER_VER = 1
+_REQ_FLAG_EMPTY = 4
+_REQ_FLAG_HRA = 8
+_REQ_FLAG_RAW = 16
+_REQ_FLAG_SORTED = 32
+
 
 def _kll_wire_level_capacity(k: int, num_levels: int, level: int) -> int:
     """Apache's level capacity: max(m, round-half-up(k * (2/3)^depth)),
@@ -588,7 +617,21 @@ class KllSketch(CompactorSketch):
 
 
 class QuantilesSketch(CompactorSketch):
-    """Classic quantiles sketch (reference src/generated.cpp:1695-3107)."""
+    """Classic quantiles sketch (reference src/generated.cpp:1695-3107).
+
+    Round 5: restructured from the flexible compactor stack to the
+    exact Apache/MRL state — ``levels[0]`` is a 2k base buffer
+    (weight-1 items) and every ``levels[j>=1]`` holds EXACTLY k items
+    at weight 2^j, full iff bit j-1 of ``n // 2k`` is set (binary
+    carry, Manku-Rajagopalan-Lindsay).  With that invariant the Apache
+    DoublesSketch wire layout (serVer 3, family 8) is a LOSSLESS
+    projection of the state, so blobs cross to/from the reference /
+    Druid / Hive / datasketches-java (``to_wire``/``from_wire``).  The
+    query surfaces and the exact-mode contract (every item retained
+    until n reaches 2k) are unchanged; the engine-local frame is
+    version-bumped so pre-restructure blobs fail loudly rather than
+    merging with broken level invariants.
+    """
 
     FAMILY = FAMILY_QUANTILES
     K_MIN, K_MAX = 1, 32768
@@ -601,6 +644,258 @@ class QuantilesSketch(CompactorSketch):
         # empirical constants from the Apache DataSketches classic
         # quantiles analysis (docs/README.md:259-261 table shape)
         return (1.854 if pmf else 1.576) / self.k**0.9657
+
+    # ---- MRL build path (overrides the flexible-compactor base) ----
+
+    def _empty_arr(self) -> np.ndarray:
+        return np.empty(0, dtype=_NP_DTYPES[self.dtype])
+
+    def update(self, values: np.ndarray) -> None:
+        arr = np.asarray(values, dtype=_NP_DTYPES[self.dtype])
+        if arr.dtype.kind == "f":
+            arr = arr[~np.isnan(arr)]
+        if arr.size == 0:
+            return
+        lo, hi = arr.min(), arr.max()
+        self.min_item = lo if self.min_item is None else min(self.min_item, lo)
+        self.max_item = hi if self.max_item is None else max(self.max_item, hi)
+        self.n += int(arr.size)
+        self.levels[0] = np.concatenate([self.levels[0], arr])
+        self._sorted_cache = None
+        self._propagate_base()
+
+    def _propagate_base(self) -> None:
+        two_k = 2 * self.k
+        while self.levels[0].size >= two_k:
+            block = self.levels[0][:two_k]
+            self.levels[0] = self.levels[0][two_k:]
+            self._carry(np.sort(block), 1)
+
+    def _carry(self, sorted_2k: np.ndarray, j: int) -> None:
+        """Zip a sorted 2k block to k (random offset) and inject it at
+        level j (Apache inPlacePropagateCarry)."""
+        self._inject(sorted_2k[self._next_coin() :: 2].copy(), j)
+
+    def _inject(self, s: np.ndarray, j: int) -> None:
+        """Place an exact-k sorted set at level j, carrying up binary-
+        addition style while the target level is occupied."""
+        while True:
+            while len(self.levels) <= j:
+                self.levels.append(self._empty_arr())
+            if self.levels[j].size == 0:
+                self.levels[j] = s
+                self.compacted = True
+                return
+            merged = np.sort(np.concatenate([self.levels[j], s]))
+            self.levels[j] = self._empty_arr()
+            s = merged[self._next_coin() :: 2].copy()
+            j += 1
+
+    def merge(self, other: "QuantilesSketch") -> None:
+        if other.dtype != self.dtype:
+            if self.n == 0:
+                self.dtype = other.dtype
+                self.levels = [self._empty_arr()]
+            else:
+                raise ValueError("cannot merge sketches of different value types")
+        if other.n == 0:
+            return
+        if self.n == 0:
+            # an empty accumulator adopts the other's k and state wholesale
+            self.k = other.k
+            self.levels = [lv.copy() for lv in other.levels]
+            self.n = other.n
+            self.min_item, self.max_item = other.min_item, other.max_item
+            self.compacted = other.compacted
+            self._sorted_cache = None
+            return
+        kc = min(self.k, other.k)
+        if self.k > kc:
+            self._downsample_to(kc)
+        if other.k > kc:
+            tmp = self.__class__(other.k, other.dtype)
+            tmp.merge(other)  # cheap copy via the empty-adoption path
+            tmp._downsample_to(kc)
+            other = tmp
+        self.n += other.n
+        self.min_item = min(self.min_item, other.min_item)
+        self.max_item = max(self.max_item, other.max_item)
+        self.compacted = self.compacted or other.compacted
+        for j in range(len(other.levels) - 1, 0, -1):
+            if other.levels[j].size:
+                self._inject(np.sort(other.levels[j]), j)
+        if other.levels[0].size:
+            self.levels[0] = np.concatenate([self.levels[0], other.levels[0]])
+            self._propagate_base()
+        self._sorted_cache = None
+
+    def _downsample_to(self, kc: int) -> None:
+        """Degrade to a coarser k, like the reference's mixed-K unions.
+
+        Power-of-2 ratios use Apache's stride-zip (each full level's
+        sorted items sampled every 2^r with a random phase, landing at
+        level j+r — exact weight bookkeeping, O(retained)).  Non-pow2
+        ratios (an extension — the reference's C++ quantiles require
+        power-of-2 k outright) re-feed each level as weight-expanded
+        base items in 2k-sized chunks: exact in distribution, O(n)."""
+        if kc >= self.k:
+            return
+        ratio = self.k // kc
+        pow2 = self.k % kc == 0 and (ratio & (ratio - 1)) == 0
+        old_levels = self.levels[1:]
+        self.levels = [self.levels[0]]
+        self.k = kc
+        self._sorted_cache = None
+        if pow2:
+            r = ratio.bit_length() - 1
+            for j, lv in enumerate(old_levels, start=1):
+                if lv.size:
+                    phase = 0
+                    for _ in range(r):
+                        phase = (phase << 1) | self._next_coin()
+                    self._inject(np.sort(lv)[phase::ratio].copy(), j + r)
+            self._propagate_base()
+            return
+        for j, lv in enumerate(old_levels, start=1):
+            if lv.size:
+                reps = 1 << j
+                chunk = max(1, (4 * kc) // reps + 1)
+                for s in range(0, lv.size, chunk):
+                    self.levels[0] = np.concatenate(
+                        [self.levels[0], np.repeat(lv[s : s + chunk], reps)]
+                    )
+                    self._propagate_base()
+
+    # ---- Apache DataSketches wire format (classic quantiles) ----
+
+    _WIRE_WIDTHS = {
+        "float64": ("<d", 8),
+        "float32": ("<f", 4),
+        "int64": ("<q", 8),
+    }
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "QuantilesSketch":
+        """Engine DSKS frame OR an Apache classic-quantiles blob
+        (sniffed on the frame magic), like the KLL/theta readers."""
+        from .base import is_framed
+
+        if not is_framed(blob):
+            return cls.from_wire(blob)
+        return super().deserialize(blob)
+
+    def to_wire(self) -> bytes:
+        """Serialize as an Apache DataSketches classic quantiles
+        sketch (serVer 3, family 8, compact ordered) — readable by
+        DuckDB/Druid/Hive/datasketches-java.  Because the restructured
+        state IS the Apache state, the projection is lossless; the
+        flags byte matches datasketches-cpp (the reference's writer,
+        golden test/sql/datasketch_quantiles.test:14-17), which java
+        reads but marks differently (java also sets READ_ONLY=2).
+        """
+        fmt, width = self._WIRE_WIDTHS[self.dtype]
+        k = int(self.k)
+        if self.n == 0:
+            return struct.pack(
+                "<BBBBHH", 1, _Q_WIRE_SER_VER, _Q_WIRE_FAMILY,
+                _Q_FLAG_EMPTY | _Q_FLAG_COMPACT | _Q_FLAG_ORDERED, k, 0,
+            )
+        head = struct.pack(
+            "<BBBBHH", 2, _Q_WIRE_SER_VER, _Q_WIRE_FAMILY,
+            _Q_FLAG_COMPACT | _Q_FLAG_ORDERED, k, 0,
+        ) + struct.pack("<Q", self.n)
+        parts = [struct.pack(fmt, self.min_item), struct.pack(fmt, self.max_item)]
+        parts.append(np.ascontiguousarray(np.sort(self.levels[0])).tobytes())
+        for lv in self.levels[1:]:
+            if lv.size:
+                parts.append(np.ascontiguousarray(np.sort(lv)).tobytes())
+        return head + b"".join(parts)
+
+    @classmethod
+    def from_wire(cls, blob: bytes, dtype: str = "float64") -> "QuantilesSketch":
+        """Parse an Apache classic-quantiles blob — both the compact
+        form (what the reference and ``toByteArray(true)`` emit) and
+        java's updatable form (base-buffer slack derived from the blob
+        length; only valid levels are serialized in either form).  The
+        preamble has no item type: the caller picks the typed reader
+        and a 4-byte-item blob is auto-detected from the length
+        identity, like the KLL reader."""
+        err = SketchDeserializeError("Failed to deserialize Quantiles sketch")
+        if not isinstance(blob, (bytes, bytearray)) or len(blob) < 8:
+            raise err
+        blob = bytes(blob)
+        pre_longs, ser_ver, family, flags, k = struct.unpack_from("<BBBBH", blob, 0)
+        if family != _Q_WIRE_FAMILY or ser_ver != _Q_WIRE_SER_VER or k < 1:
+            raise err
+        sk = cls(min(max(k, cls.K_MIN), cls.K_MAX), dtype)
+        sk.k = int(k)
+        if flags & _Q_FLAG_EMPTY:
+            return sk
+        if pre_longs != 2 or len(blob) < 16:
+            raise err
+        (n,) = struct.unpack_from("<Q", blob, 8)
+        if n == 0:
+            raise err
+        two_k = 2 * k
+        bb_count = int(n % two_k)
+        bit_pattern = n // two_k
+        num_full = bin(bit_pattern).count("1")
+        fmt, width = cls._WIRE_WIDTHS[dtype]
+
+        is_compact = bool(flags & _Q_FLAG_COMPACT)
+
+        def _layout(w: int):
+            """(bb_alloc, level_stride_slotted) or None if the length
+            identity fails at this item width.
+
+            Compact: packed — bb_count items then num_full k-blocks.
+            Updatable: the serialized combined buffer is SLOTTED — the
+            full 2k base buffer (garbage past bb_count) then one
+            k-slot per ALLOCATED level (garbage in invalid ones)."""
+            body = len(blob) - 16
+            if body % w:
+                return None
+            total = body // w
+            if is_compact:
+                return (bb_count, False) if total == 2 + bb_count + k * num_full else None
+            if bit_pattern == 0:
+                alloc = total - 2
+                return (alloc, False) if bb_count <= alloc <= two_k else None
+            extra = total - 2 - two_k
+            if extra >= 0 and extra % k == 0 and extra // k >= bit_pattern.bit_length():
+                return (two_k, True)
+            return None
+
+        layout = _layout(width)
+        if layout is None and dtype == "float64" and _layout(4) is not None:
+            return cls.from_wire(blob, "float32")
+        if layout is None:
+            raise err
+        bb_alloc, slotted = layout
+        np_dt = _NP_DTYPES[dtype]
+        off = 16
+        sk.min_item = np_dt(struct.unpack_from(fmt, blob, off)[0])
+        sk.max_item = np_dt(struct.unpack_from(fmt, blob, off + width)[0])
+        off += 2 * width
+        bb = np.frombuffer(blob, dtype=np_dt, count=bb_count, offset=off).copy()
+        off += bb_alloc * width
+        sk.levels = [bb if is_compact else np.sort(bb)]
+        j, bp = 1, bit_pattern
+        while bp:
+            if bp & 1:
+                lv = np.frombuffer(blob, dtype=np_dt, count=k, offset=off).copy()
+                while len(sk.levels) <= j:
+                    sk.levels.append(sk._empty_arr())
+                sk.levels[j] = lv
+                off += k * width
+            elif slotted:
+                off += k * width  # skip the invalid level's slot
+            j += 1
+            bp >>= 1
+        sk.n = int(n)
+        sk.compacted = bit_pattern != 0
+        sk._sorted_cache = None
+        return sk
 
 
 class ReqSketch(CompactorSketch):
@@ -626,3 +921,168 @@ class ReqSketch(CompactorSketch):
 
     def _protect_high(self, level: int) -> int:
         return self.k
+
+    # ---- Apache DataSketches wire format (REQ) ----
+    #
+    # The REQ serialized state is a list of per-compactor buffers at
+    # weight 2^lgWeight — structurally identical to this engine's
+    # level stack — so the projection needs no restructuring: each
+    # level exports as one compactor (state=0, sectionSize=k,
+    # numSections=3: java's fresh-compactor fields, consistent with
+    # its nominal-capacity invariant 2*3*k >= our 4k retained cap),
+    # and each imported compactor's buffer becomes the level at its
+    # lgWeight.  Rank/quantile/cdf answers are computed from
+    # (items, weights) in both engines, so queries agree exactly on
+    # crossed state.  float32 is the datasketches-java item type
+    # (verified live); float64/int64 mirror the reference's templated
+    # C++ variants with the same layout at their item widths.
+
+    _WIRE_WIDTHS = {"float64": ("<d", 8), "float32": ("<f", 4), "int64": ("<q", 8)}
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "ReqSketch":
+        from .base import is_framed
+
+        if not is_framed(blob):
+            return cls.from_wire(blob)
+        return super().deserialize(blob)
+
+    def to_wire(self) -> bytes:
+        """Serialize as an Apache DataSketches REQ sketch (serVer 1,
+        family 17, HRA mode — the reference's only mode).  The empty
+        and raw (n<=4) forms byte-match the reference's golden blobs
+        (test/sql/datasketch_req.test:14-17)."""
+        fmt, width = self._WIRE_WIDTHS[self.dtype]
+        k = int(self.k)
+        if self.n == 0:
+            return struct.pack(
+                "<BBBBHBB", 2, _REQ_WIRE_SER_VER, _REQ_WIRE_FAMILY,
+                _REQ_FLAG_EMPTY | _REQ_FLAG_HRA | _REQ_FLAG_RAW | _REQ_FLAG_SORTED,
+                k, 0, 0,
+            )
+        levels = list(self.levels)
+        while len(levels) > 1 and levels[-1].size == 0:
+            levels.pop()
+        if self.n <= 4:
+            items = np.sort(levels[0])
+            return (
+                struct.pack(
+                    "<BBBBHBB", 2, _REQ_WIRE_SER_VER, _REQ_WIRE_FAMILY,
+                    _REQ_FLAG_HRA | _REQ_FLAG_RAW | _REQ_FLAG_SORTED,
+                    k, 1, int(self.n),
+                )
+                + np.ascontiguousarray(items).tobytes()
+            )
+
+        def compactor(j: int, lv: np.ndarray) -> bytes:
+            return (
+                struct.pack("<Qf", 0, float(k))
+                + struct.pack("<BBH", j, 3, 0)
+                + struct.pack("<I", int(lv.size))
+                + np.ascontiguousarray(np.sort(lv)).tobytes()
+            )
+
+        if len(levels) == 1:  # EXACT: one compactor, n == its count
+            return (
+                struct.pack(
+                    "<BBBBHBB", 2, _REQ_WIRE_SER_VER, _REQ_WIRE_FAMILY,
+                    _REQ_FLAG_HRA | _REQ_FLAG_SORTED, k, 1, 0,
+                )
+                + compactor(0, levels[0])
+            )
+        head = struct.pack(
+            "<BBBBHBB", 4, _REQ_WIRE_SER_VER, _REQ_WIRE_FAMILY,
+            _REQ_FLAG_HRA | _REQ_FLAG_SORTED, k, len(levels), 0,
+        )
+        head += struct.pack("<Q", self.n)
+        head += struct.pack(fmt, self.min_item) + struct.pack(fmt, self.max_item)
+        return head + b"".join(compactor(j, lv) for j, lv in enumerate(levels))
+
+    @classmethod
+    def from_wire(cls, blob: bytes, dtype: str | None = None) -> "ReqSketch":
+        """Parse an Apache REQ blob (all four formats).  The preamble
+        has no item type; with ``dtype=None`` the reader tries float32
+        (the datasketches-java width) and falls back to float64 via
+        the exact length identity of the compactor blocks."""
+        err = SketchDeserializeError("Failed to deserialize REQ sketch")
+        if not isinstance(blob, (bytes, bytearray)) or len(blob) < 8:
+            raise err
+        blob = bytes(blob)
+        if dtype is None:
+            for dt in ("float32", "float64"):
+                try:
+                    return cls.from_wire(blob, dt)
+                except SketchDeserializeError:
+                    continue
+            raise err
+        pre_ints, ser_ver, family, flags, k, num_levels, raw_count = (
+            struct.unpack_from("<BBBBHBB", blob, 0)
+        )
+        if family != _REQ_WIRE_FAMILY or ser_ver != _REQ_WIRE_SER_VER:
+            raise err
+        if k < cls.K_MIN or k > cls.K_MAX or k % 2:
+            raise err
+        fmt, width = cls._WIRE_WIDTHS[dtype]
+        np_dt = _NP_DTYPES[dtype]
+        sk = cls(k, dtype)
+        if flags & _REQ_FLAG_EMPTY:
+            if len(blob) != 8:
+                raise err
+            return sk
+        if flags & _REQ_FLAG_RAW:
+            if raw_count < 1 or len(blob) != 8 + raw_count * width:
+                raise err
+            items = np.frombuffer(blob, dtype=np_dt, count=raw_count, offset=8)
+            sk.update(items.copy())
+            return sk
+
+        def read_compactor(off: int) -> tuple[int, np.ndarray, int]:
+            if len(blob) < off + 20:
+                raise err
+            _state, _sec = struct.unpack_from("<Qf", blob, off)
+            lg_weight, _num_sec, _ = struct.unpack_from("<BBH", blob, off + 12)
+            (count,) = struct.unpack_from("<I", blob, off + 16)
+            end = off + 20 + count * width
+            if count < 1 or len(blob) < end:
+                raise err
+            items = np.frombuffer(
+                blob, dtype=np_dt, count=count, offset=off + 20
+            ).copy()
+            return lg_weight, items, end
+
+        if pre_ints == 2:  # EXACT: single compactor
+            lg_w, items, end = read_compactor(8)
+            if lg_w != 0 or end != len(blob):
+                raise err
+            sk.levels = [np.sort(items)]
+            sk.n = int(items.size)
+            sk.min_item = items.min()
+            sk.max_item = items.max()
+            sk._sorted_cache = None
+            return sk
+        if pre_ints != 4 or num_levels < 1 or len(blob) < 16 + 2 * width:
+            raise err
+        (n,) = struct.unpack_from("<Q", blob, 8)
+        off = 16
+        mn = np_dt(struct.unpack_from(fmt, blob, off)[0])
+        mx = np_dt(struct.unpack_from(fmt, blob, off + width)[0])
+        off += 2 * width
+        levels: list[np.ndarray] = []
+        for _ in range(num_levels):
+            lg_w, items, off = read_compactor(off)
+            while len(levels) <= lg_w:
+                levels.append(np.empty(0, dtype=np_dt))
+            levels[lg_w] = np.sort(items)
+        if off != len(blob):
+            raise err
+        retained = sum(int(lv.size) for lv in levels)
+        total_weight = sum(int(lv.size) << j for j, lv in enumerate(levels))
+        if n < retained or total_weight != n:
+            raise err
+        sk.levels = levels
+        sk.n = int(n)
+        sk.min_item = mn
+        sk.max_item = mx
+        sk.compacted = len(levels) > 1 or n > retained
+        sk._sorted_cache = None
+        return sk

@@ -1,0 +1,219 @@
+"""Apache DataSketches classic-Quantiles + REQ wire verification.
+
+With these two families (round 5) all EIGHT reference families cross
+systems.  Classic quantiles was restructured onto the Apache/MRL state
+(2k base buffer + exact-k levels, bitPattern = n // 2k), making the
+wire layout a lossless projection: a java compact blob round-trips
+through this engine byte-identically except the flags byte (we write
+the datasketches-cpp flag set the reference emits; java also sets
+READ_ONLY).  REQ's serialized state is a per-compactor buffer list —
+structurally our level stack — so it crosses without restructuring.
+
+Goldens: the reference's own test blobs
+(test/sql/datasketch_quantiles.test:14-17, datasketch_req.test:14-17).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datasketches_spark.sketches.base import SketchDeserializeError
+from datasketches_spark.sketches.compactor import QuantilesSketch, ReqSketch
+
+# the reference's golden single-value blobs (float32 variants)
+_Q_GOLDEN_ONE = "02030818100000000100000000000000" + "0000a040" * 3
+_REQ_GOLDEN_ONE = "0201113810000101" + "0000a040"
+
+
+# ------------------------------------------------------------- quantiles
+
+
+def test_quantiles_reference_golden_byte_parity():
+    sk = QuantilesSketch(16, "float32")
+    sk.update(np.array([5.0], dtype=np.float32))
+    assert sk.to_wire().hex() == _Q_GOLDEN_ONE
+
+
+def test_quantiles_reads_reference_golden():
+    sk = QuantilesSketch.from_wire(bytes.fromhex(_Q_GOLDEN_ONE))
+    assert sk.dtype == "float32"
+    assert sk.n == 1 and sk.k == 16
+    assert sk.get_quantile(0.5) == 5.0
+    # deserialize() sniffs wire blobs
+    assert QuantilesSketch.deserialize(bytes.fromhex(_Q_GOLDEN_ONE)).n == 1
+
+
+def test_quantiles_mrl_invariant():
+    """levels[0] == n mod 2k; level j full iff bit j-1 of n // 2k."""
+    rng = np.random.default_rng(1)
+    for k, n in [(16, 31), (16, 32), (16, 1000), (128, 50_000)]:
+        sk = QuantilesSketch(k)
+        sk.update(rng.random(n))
+        assert sk.levels[0].size == n % (2 * k)
+        bp = n // (2 * k)
+        for j in range(1, len(sk.levels)):
+            assert sk.levels[j].size == (k if (bp >> (j - 1)) & 1 else 0)
+
+
+def test_quantiles_wire_roundtrip_lossless():
+    rng = np.random.default_rng(2)
+    for k, n in [(16, 0), (16, 1), (16, 100), (128, 50_000)]:
+        sk = QuantilesSketch(k)
+        if n:
+            sk.update(rng.random(n))
+        rt = QuantilesSketch.from_wire(sk.to_wire())
+        assert rt.n == sk.n and rt.k == sk.k
+        for a, b in zip(rt.levels, sk.levels):
+            assert np.array_equal(np.sort(a), np.sort(b))
+
+
+def test_quantiles_merge_preserves_invariant_and_accuracy():
+    rng = np.random.default_rng(3)
+    a, b = QuantilesSketch(64), QuantilesSketch(64)
+    da, db = rng.random(7000), rng.random(4000) + 0.3
+    a.update(da)
+    b.update(db)
+    a.merge(b)
+    n = 11_000
+    assert a.n == n and a.levels[0].size == n % 128
+    alldata = np.concatenate([da, db])
+    assert a.get_quantile(0.5) == pytest.approx(np.quantile(alldata, 0.5), abs=0.05)
+
+
+def test_quantiles_mixed_k_downsample():
+    rng = np.random.default_rng(4)
+    fine, coarse = QuantilesSketch(64), QuantilesSketch(16)
+    df, dc = rng.random(5000), rng.random(3000)
+    fine.update(df)
+    coarse.update(dc)
+    fine.merge(coarse)  # pow2 ratio: Apache-style stride zip
+    assert fine.k == 16 and fine.n == 8000
+    assert fine.get_quantile(0.5) == pytest.approx(0.5, abs=0.1)
+    odd, oddc = QuantilesSketch(48), QuantilesSketch(20)
+    odd.update(df)
+    oddc.update(dc)
+    odd.merge(oddc)  # non-pow2 ratio: exact O(n) weight expansion
+    assert odd.k == 20 and odd.n == 8000
+    assert odd.get_quantile(0.5) == pytest.approx(0.5, abs=0.1)
+
+
+def test_quantiles_corrupt_raises():
+    with pytest.raises(SketchDeserializeError, match="Failed to deserialize Quantiles"):
+        QuantilesSketch.from_wire(b"\x00\x01\x02\x03\x04\x05\x06\x07")
+    good = QuantilesSketch(16)
+    good.update(np.arange(100.0))
+    with pytest.raises(SketchDeserializeError, match="Failed to deserialize Quantiles"):
+        QuantilesSketch.from_wire(good.to_wire()[:30])
+
+
+# ------------------------------------------------------------------- REQ
+
+
+def test_req_reference_golden_byte_parity():
+    sk = ReqSketch(16, "float32")
+    sk.update(np.array([5.0], dtype=np.float32))
+    assert sk.to_wire().hex() == _REQ_GOLDEN_ONE
+
+
+def test_req_reads_reference_golden():
+    sk = ReqSketch.from_wire(bytes.fromhex(_REQ_GOLDEN_ONE))
+    assert sk.n == 1 and sk.k == 16 and sk.dtype == "float32"
+    assert sk.get_quantile(0.9) == 5.0
+    assert ReqSketch.deserialize(bytes.fromhex(_REQ_GOLDEN_ONE)).n == 1
+
+
+def test_req_wire_roundtrip_all_formats():
+    rng = np.random.default_rng(5)
+    for k, n in [(12, 0), (12, 1), (12, 4), (12, 50), (12, 3000), (64, 20_000)]:
+        sk = ReqSketch(k)
+        if n:
+            sk.update(rng.random(n) * 100)
+        rt = ReqSketch.from_wire(sk.to_wire(), "float64")
+        assert rt.n == sk.n and rt.k == sk.k
+        assert rt.num_retained == sk.num_retained
+        if n:
+            assert rt.get_rank(50.0) == sk.get_rank(50.0)
+            assert rt.get_quantile(0.95) == sk.get_quantile(0.95)
+
+
+def test_req_corrupt_raises():
+    with pytest.raises(SketchDeserializeError, match="Failed to deserialize REQ"):
+        ReqSketch.from_wire(b"\xff" * 16)
+    good = ReqSketch(12)
+    good.update(np.arange(1000.0))
+    with pytest.raises(SketchDeserializeError, match="Failed to deserialize REQ"):
+        ReqSketch.from_wire(good.to_wire()[:40])
+
+
+# ------------------------------------------------ live JVM cross-checks
+
+
+@pytest.fixture(scope="module")
+def jvm_q(spark):
+    jvm = spark.sparkContext._jvm
+
+    def wrap(blob: bytes):
+        return jvm.org.apache.datasketches.memory.Memory.wrap(bytearray(blob))
+
+    return jvm, wrap
+
+
+def test_live_jvm_reads_our_quantiles(jvm_q):
+    """java heapifies our blobs and answers IDENTICAL quantiles —
+    the state projection is lossless and the rank semantics agree."""
+    jvm, wrap = jvm_q
+    rng = np.random.default_rng(6)
+    for k, n in [(16, 1), (16, 100), (128, 10_000)]:
+        sk = QuantilesSketch(k)
+        sk.update(rng.random(n) * 100)
+        jsk = jvm.org.apache.datasketches.quantiles.DoublesSketch.heapify(
+            wrap(sk.to_wire())
+        )
+        assert jsk.getN() == n
+        for q in (0.1, 0.5, 0.9):
+            assert jsk.getQuantile(q) == sk.get_quantile(q)
+
+
+def test_live_jvm_quantiles_roundtrip_parity(jvm_q):
+    """java compact blob -> from_wire -> to_wire is byte-identical
+    except the flags byte (cpp vs java flag conventions); both the
+    compact and updatable java forms parse."""
+    jvm, wrap = jvm_q
+    rng = np.random.default_rng(7)
+    for k, n in [(16, 100), (128, 10_000)]:
+        b = jvm.org.apache.datasketches.quantiles.DoublesSketch.builder()
+        b.setK(k)
+        jsk = b.build()
+        for v in rng.random(n) * 50:
+            jsk.update(float(v))
+        jb = bytearray(jsk.toByteArray(True))
+        rt = QuantilesSketch.from_wire(bytes(jb))
+        ob = bytearray(rt.to_wire())
+        jb[3] = ob[3] = 0
+        assert bytes(jb) == bytes(ob)
+        upd = QuantilesSketch.from_wire(bytes(jsk.toByteArray(False)))
+        assert upd.n == n
+        assert upd.get_quantile(0.5) == jsk.getQuantile(0.5)
+
+
+def test_live_jvm_req_cross(jvm_q):
+    jvm, wrap = jvm_q
+    rng = np.random.default_rng(8)
+    for k, n in [(12, 4), (12, 80), (12, 3000), (32, 20_000)]:
+        data = (rng.random(n) * 100).astype(np.float32)
+        sk = ReqSketch(k, "float32")
+        sk.update(data)
+        jsk = jvm.org.apache.datasketches.req.ReqSketch.heapify(wrap(sk.to_wire()))
+        assert jsk.getN() == n
+        for q in (0.5, 0.95):
+            # py4j renders java floats through a lossy repr; compare as f32
+            assert np.float32(jsk.getQuantile(q)) == np.float32(sk.get_quantile(q))
+        RB = jvm.org.apache.datasketches.req.ReqSketchBuilder()
+        RB.setK(k)
+        j2 = RB.build()
+        for v in data:
+            j2.update(float(v))
+        rt = ReqSketch.from_wire(bytes(j2.toByteArray()))
+        assert rt.n == n and rt.dtype == "float32"
+        assert np.float32(rt.get_quantile(0.5)) == np.float32(j2.getQuantile(0.5))

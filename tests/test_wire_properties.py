@@ -16,6 +16,7 @@ from hypothesis import strategies as st
 
 from datasketches_spark.sketches.base import SketchDeserializeError
 from datasketches_spark.sketches.compactor import KllSketch
+from datasketches_spark.sketches.compactor import QuantilesSketch, ReqSketch
 from datasketches_spark.sketches.cpc import CpcSketch
 from datasketches_spark.sketches.frequent_items import FrequentItemsSketch
 from datasketches_spark.sketches.hll import HllSketch
@@ -119,6 +120,32 @@ def test_cpc_wire_roundtrip_property(values, lg_k):
     assert rt.num_coupons() == sk.num_coupons()
 
 
+@settings(max_examples=30, deadline=None)
+@given(_floats, st.sampled_from([16, 64, 128]))
+def test_quantiles_wire_roundtrip_property(values, k):
+    sk = QuantilesSketch(k)
+    if values:
+        sk.update(np.array(values))
+    rt = QuantilesSketch.from_wire(sk.to_wire())
+    assert rt.n == sk.n and rt.k == sk.k
+    for a, b in zip(rt.levels, sk.levels):
+        assert np.array_equal(np.sort(a), np.sort(b))
+
+
+@settings(max_examples=30, deadline=None)
+@given(_floats, st.sampled_from([4, 12, 64]))
+def test_req_wire_roundtrip_property(values, k):
+    sk = ReqSketch(k)
+    if values:
+        sk.update(np.array(values))
+    rt = ReqSketch.from_wire(sk.to_wire(), "float64")
+    assert rt.n == sk.n
+    assert rt.num_retained == sk.num_retained
+    if values:
+        mid = float(np.median(values))
+        assert rt.get_rank(mid) == sk.get_rank(mid)
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.binary(min_size=0, max_size=64))
 def test_garbage_never_parses_silently(blob):
@@ -132,6 +159,8 @@ def test_garbage_never_parses_silently(blob):
         (HllSketch, "HLL"),
         (FrequentItemsSketch, "Frequent Items"),
         (CpcSketch, "CPC"),
+        (QuantilesSketch, "Quantiles"),
+        (ReqSketch, "REQ"),
     ):
         try:
             cls.from_wire(blob)
