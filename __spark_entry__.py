@@ -1031,12 +1031,13 @@ def q_bloom_contains_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = dss.bloom_prune(customer, "c_custkey", orders, "o_custkey", lg_m=20)
     # left-semi needs no distinct() on the build side (it would add a
     # whole extra shuffle for nothing -- semi joins dedup by nature).
-    # NOT broadcast: orders is the fact side here, so the scale-correct
-    # verify is a shuffle semi-join where the bloom-pruned probe side
-    # is already tiny (measured: the broadcast variant is also ~0.1 s
-    # slower locally -- the broadcast exchange adds a job).
+    # shuffle_hash, not broadcast: orders is the fact side, so at scale
+    # it must never be a broadcast build side, and locally the
+    # broadcast exchange is a whole extra JOB (measured r5: auto-plan 3
+    # jobs / 0.91 s vs shuffle-hash + driver-merged bloom build 2 jobs
+    # / 0.59 s best-of-3 warm).
     verified = pruned.join(
-        orders.select("o_custkey"),
+        orders.select("o_custkey").hint("shuffle_hash"),
         pruned["c_custkey"] == F.col("o_custkey"),
         "left_semi",
     )
