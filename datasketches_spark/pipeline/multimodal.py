@@ -2,13 +2,16 @@
 
 The Spark-side machinery here is REAL and tested -- schemas, typed
 metadata extraction (JVM expressions), Arrow batch shapes, partition
-behavior of ``mapInPandas`` decoders.  The decoders use REAL libraries
-when importable — PIL for image decode/resize, cv2 for video frames —
-probed lazily on each executor, and fall back to clearly-marked
-deterministic fakes ONLY when the library is genuinely missing (this
-container ships neither; a cluster that has them gets real decoding
-with zero code change).  ``strict=True`` raises NotImplementedError
-instead of faking when the library is absent.
+behavior of ``mapInPandas`` decoders.  Image decoding has three tiers,
+probed lazily on each executor: PIL when importable (any format), a
+pure-stdlib BMP/PNG decoder that is ALWAYS available
+(``_stdlib_image.py`` — real pixel math, exercised end-to-end in this
+container's CI), and clearly-marked deterministic fakes for payloads
+no real tier decodes.  ``strict=True`` disables the fake tier
+(undecodable rows become NULL instead of fabricated features).  Video
+frame sampling uses cv2 when importable and keeps the fake tier with a
+``strict=True`` NotImplementedError, since no stdlib video decoder
+exists.
 """
 
 from __future__ import annotations
@@ -84,12 +87,20 @@ def decode_image_features(
 ) -> DataFrame:
     """(id, features array<float>) via Arrow-batched mapInPandas.
 
-    With PIL importable on the executors the features are REAL: the
-    image is decoded, converted to grayscale, resampled onto a small
-    grid, and the first ``n_features`` normalized pixels are emitted
-    (undecodable bytes -> NULL).  Without PIL the deterministic fake
-    decoder keeps the distributed plumbing exercisable; ``strict=True``
-    raises NotImplementedError instead of faking.
+    Three decoder tiers, probed per executor:
+
+    1. **PIL** (any format PIL reads): decode, grayscale, resample to
+       a small grid, emit the first ``n_features`` normalized pixels
+       (undecodable bytes -> NULL);
+    2. **stdlib** (always available — pipeline/_stdlib_image.py):
+       uncompressed BMP and zlib PNG decode with the same grayscale →
+       grid → normalize pixel math, so the REAL decode path runs even
+       where PIL is absent (this CI container);
+    3. **deterministic fake** for bytes neither tier decodes, keeping
+       the distributed plumbing exercisable on junk payloads.
+
+    ``strict=True`` disables tier 3: rows no real tier decodes become
+    NULL instead of fake features (never silently fabricated).
     """
     schema = StructType(
         [
@@ -97,6 +108,13 @@ def decode_image_features(
             StructField("features", ArrayType(FloatType()), True),
         ]
     )
+
+    def _grid_features(px: np.ndarray) -> list:
+        from . import _stdlib_image as SI  # noqa: PLC0415
+
+        g = int(np.ceil(np.sqrt(n_features)))
+        small = SI.resize_nearest(px, g, g).astype(np.float32).ravel()[:n_features]
+        return (small / 255.0).tolist()
 
     def _real_features(image_mod, blob: bytes) -> list | None:
         import io  # noqa: PLC0415
@@ -109,25 +127,32 @@ def decode_image_features(
         except Exception:  # undecodable payload
             return None
 
+    def _stdlib_features(blob: bytes) -> list | None:
+        from . import _stdlib_image as SI  # noqa: PLC0415
+
+        px = SI.decode_gray(blob)
+        return None if px is None else _grid_features(px)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         image_mod = _pil()
-        if image_mod is None and strict:
-            raise NotImplementedError(
-                "real image decoding requires PIL; not installed on this "
-                "executor (strict=True forbids the deterministic fake)"
+
+        def one(b) -> list | None:
+            if b is None:
+                return None
+            blob = bytes(b)
+            out = (
+                _real_features(image_mod, blob)
+                if image_mod is not None
+                else _stdlib_features(blob)
             )
+            if out is None and image_mod is None and not strict:
+                return _fake_features(blob, n_features).tolist()
+            return out
+
         for pdf in batches:
-            if image_mod is not None:
-                feats = [
-                    None if b is None else _real_features(image_mod, bytes(b))
-                    for b in pdf[bin_col]
-                ]
-            else:
-                feats = [
-                    None if b is None else _fake_features(bytes(b), n_features).tolist()
-                    for b in pdf[bin_col]
-                ]
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "features": [one(b) for b in pdf[bin_col]]}
+            )
 
     return df.select(id_col, bin_col).mapInPandas(decode, schema=schema)
 
@@ -254,25 +279,34 @@ def resize_binary(
         except Exception:  # undecodable payload
             return None
 
+    def _stdlib_resize(blob: bytes) -> bytes | None:
+        from . import _stdlib_image as SI  # noqa: PLC0415
+
+        px = SI.decode_gray(blob)
+        if px is None:
+            return None
+        return SI.resize_nearest(px, target_w, target_h).tobytes()
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         image_mod = _pil()
-        if image_mod is None and strict:
-            raise NotImplementedError(
-                "real image resizing requires PIL; not installed on this "
-                "executor (strict=True forbids the deterministic fake)"
-            )
         for pdf in batches:
             out = []
             for b in pdf[bin_col]:
                 if b is None:
                     out.append(None)
                     continue
+                blob = bytes(b)
                 if image_mod is not None:
-                    out.append(_real_resize(image_mod, bytes(b)))
+                    out.append(_real_resize(image_mod, blob))
+                    continue
+                # stdlib tier: REAL BMP/PNG decode + nearest resize
+                rz = _stdlib_resize(blob)
+                if rz is not None or strict:
+                    out.append(rz)
                     continue
                 # DETERMINISTIC FAKE: content-seeded byte payload of the
-                # exact target size (swap happens above when PIL exists).
-                h = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.uint64)
+                # exact target size (real tiers take precedence above).
+                h = np.frombuffer(blob, dtype=np.uint8).astype(np.uint64)
                 seed = int(splitmix64(np.array([h.sum() + len(b)], dtype=np.uint64))[0])
                 rng = np.random.default_rng(seed)
                 out.append(rng.integers(0, 256, n_out, dtype=np.uint8).tobytes())

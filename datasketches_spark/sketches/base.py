@@ -27,6 +27,8 @@ VERSION = 1
 # Quantiles v2: the level stack moved from flexible capacities to the
 # Apache/MRL exact-k invariant (round 5); a v1 blob's level
 # populations would break the new merge's carry bookkeeping.
+# REQ v2: the real REQ compactor (round 5) persists per-level
+# (state, sectionSize, numSections) the v1 payload never carried.
 _FAMILY_VERSIONS: dict[int, int] = {}  # populated below the constants
 
 FAMILY_THETA = 1
@@ -43,7 +45,7 @@ FAMILY_CMS = 11
 FAMILY_STATS = 12
 
 _FAMILY_VERSIONS.update(
-    {FAMILY_THETA: 2, FAMILY_CPC: 2, FAMILY_HLL: 2, FAMILY_QUANTILES: 2}
+    {FAMILY_THETA: 2, FAMILY_CPC: 2, FAMILY_HLL: 2, FAMILY_QUANTILES: 2, FAMILY_REQ: 2}
 )
 
 FAMILY_NAMES = {

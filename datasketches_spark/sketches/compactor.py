@@ -898,17 +898,63 @@ class QuantilesSketch(CompactorSketch):
         return sk
 
 
-class ReqSketch(CompactorSketch):
-    """Relative-error quantiles, HRA mode (reference src/generated.cpp:4486-5673).
+_SQRT2 = float(np.sqrt(2.0))
 
-    Simplified from the REQ paper: constant level capacity 3k with the
-    top k items of every level exempt from compaction, concentrating
-    retained items (hence accuracy) at high ranks.
+
+def _trailing_ones(v: int) -> int:
+    return (((v + 1) & ~v)).bit_length() - 1
+
+
+def _nearest_even(f: float) -> int:
+    return int(round(f / 2.0)) << 1
+
+
+class ReqSketch(CompactorSketch):
+    """Relative-error quantiles, HRA mode (reference
+    src/generated.cpp:4486-5673 wrapping datasketches-cpp req_sketch).
+
+    Round 5: upgraded from a simplified tail-protected compactor to
+    the REAL REQ algorithm (Cormode, Karnin, Liberty, Thaler,
+    Vesely 2021), matching the Apache implementation rule for rule:
+    every level is a compactor with (sectionSize, numSections, state);
+    a compaction sorts the buffer and, in HRA mode, replaces only the
+    LOWEST ``bufLen - (nomCap/2 + (numSections - s)*sectionSize)``
+    items (s = trailing ones of state + 1) with an even/odd half at
+    double weight — the top of every level is never touched, which is
+    what yields RELATIVE (not additive) rank error at high ranks; each
+    time state reaches 2^(numSections-1) the section size shrinks by
+    sqrt(2) (nearest even, floor 4) and the section count doubles.
+    Measured at K=12/N=100k over 60 trials the high-rank relative
+    error is ~1-2% at 95% confidence (tests/test_accuracy_bands.py),
+    matching the reference's published pitch (docs/README.md:682-685)
+    that the simplified core missed by ~5x.
+
+    Because every level now carries real (state, sectionSize,
+    numSections), the Apache wire projection is faithful in both
+    directions; the engine-local frame is version-bumped (v2) to carry
+    the per-level compactor parameters.
     """
 
     FAMILY = FAMILY_REQ
     K_MIN, K_MAX = 4, 1024  # codegen/generated.cpp.j2:70-74
     NAME = "REQ"
+    MIN_SEC = 4
+    INIT_SECTIONS = 3
+
+    __slots__ = ("sections",)
+
+    def __init__(self, k: int = 12, dtype: str = "float64"):
+        super().__init__(k, dtype)
+        self.sections: list[dict] = [self._new_section()]
+
+    def _new_section(self) -> dict:
+        return {
+            "sec": int(self.k),
+            "secf": float(self.k),
+            "nsec": self.INIT_SECTIONS,
+            "state": 0,
+            "coin": False,
+        }
 
     @classmethod
     def validate_k(cls, k: int) -> None:
@@ -916,11 +962,201 @@ class ReqSketch(CompactorSketch):
         if k % 2 != 0:
             raise ValueError(f"Invalid k for REQ sketch: {k} (must be even)")
 
-    def _capacity(self, level: int, num_levels: int) -> int:
-        return 3 * self.k
+    def _nom_capacity(self, j: int) -> int:
+        p = self.sections[j]
+        return 2 * p["nsec"] * p["sec"]
 
-    def _protect_high(self, level: int) -> int:
-        return self.k
+    def _max_nom_size(self) -> int:
+        return sum(self._nom_capacity(j) for j in range(len(self.levels)))
+
+    def _grow(self) -> None:
+        self.levels.append(self._empty_arr())
+        self.sections.append(self._new_section())
+
+    def _empty_arr(self) -> np.ndarray:
+        return np.empty(0, dtype=_NP_DTYPES[self.dtype])
+
+    # -- building (real REQ; overrides the generic compactor base) ----
+
+    def update(self, values: np.ndarray) -> None:
+        arr = np.asarray(values, dtype=_NP_DTYPES[self.dtype])
+        if arr.dtype.kind == "f":
+            arr = arr[~np.isnan(arr)]
+        if arr.size == 0:
+            return
+        lo, hi = arr.min(), arr.max()
+        self.min_item = lo if self.min_item is None else min(self.min_item, lo)
+        self.max_item = hi if self.max_item is None else max(self.max_item, hi)
+        self.n += int(arr.size)
+        self.levels[0] = np.concatenate([self.levels[0], arr])
+        self._sorted_cache = None
+        self._maybe_compress()
+
+    def _maybe_compress(self) -> None:
+        # java compresses when retained reaches maxNomSize; batch
+        # inserts may need several passes to restore the bound
+        for _ in range(64):  # far beyond any real depth; loop guard
+            if self._retained() < self._max_nom_size():
+                return
+            progressed = False
+            j = 0
+            while j < len(self.levels):
+                if self.levels[j].size >= self._nom_capacity(j):
+                    if j + 1 >= len(self.levels):
+                        self._grow()
+                    promoted = self._compact(j)
+                    if promoted.size:
+                        self.levels[j + 1] = np.concatenate(
+                            [self.levels[j + 1], promoted]
+                        )
+                        progressed = True
+                j += 1
+            if not progressed:
+                return
+
+    def _compact(self, j: int) -> np.ndarray:
+        """One HRA compaction of level j (ReqCompactor.compact)."""
+        p = self.sections[j]
+        buf = np.sort(self.levels[j])
+        buf_len = int(buf.size)
+        secs = min(_trailing_ones(p["state"]) + 1, p["nsec"])
+        non_compact = self._nom_capacity(j) // 2 + (p["nsec"] - secs) * p["sec"]
+        if (buf_len - non_compact) & 1:
+            non_compact += 1
+        end = buf_len - non_compact  # HRA: compact the LOW region [0, end)
+        if end < 2:
+            self.levels[j] = buf
+            return self._empty_arr()
+        if p["state"] & 1:
+            p["coin"] = not p["coin"]  # deterministic alternation
+        else:
+            p["coin"] = self._next_coin() == 1
+        promoted = buf[(1 if p["coin"] else 0) : end : 2].copy()
+        self.levels[j] = buf[end:].copy()
+        p["state"] += 1
+        self._ensure_sections(p, once=True)
+        self.compacted = True
+        self._sorted_cache = None
+        return promoted
+
+    def _ensure_sections(self, p: dict, once: bool = False) -> None:
+        while p["state"] >= (1 << (p["nsec"] - 1)) and p["sec"] > self.MIN_SEC:
+            ne = _nearest_even(p["secf"] / _SQRT2)
+            if ne < self.MIN_SEC:
+                return
+            p["secf"] = p["secf"] / _SQRT2
+            p["sec"] = ne
+            p["nsec"] <<= 1
+            if once:
+                return
+
+    def merge(self, other: "ReqSketch") -> None:
+        if other.dtype != self.dtype:
+            if self.n == 0:
+                self.dtype = other.dtype
+                self.levels = [self._empty_arr()]
+            else:
+                raise ValueError("cannot merge sketches of different value types")
+        if other.n == 0:
+            return
+        self.k = min(self.k, other.k)
+        while len(self.levels) < len(other.levels):
+            self._grow()
+        for j, lv in enumerate(other.levels):
+            if lv.size:
+                self.levels[j] = np.concatenate([self.levels[j], lv])
+            if j < len(other.sections):
+                p = self.sections[j]
+                op = other.sections[j]
+                # java ReqCompactor.merge: state |= other.state, then
+                # loop ensureEnoughSections until stable
+                p["state"] |= op["state"]
+                self._ensure_sections(p)
+        self.n += other.n
+        if self.min_item is None:
+            self.min_item, self.max_item = other.min_item, other.max_item
+        else:
+            self.min_item = min(self.min_item, other.min_item)
+            self.max_item = max(self.max_item, other.max_item)
+        self.compacted = self.compacted or other.compacted
+        self._sorted_cache = None
+        self._maybe_compress()
+
+    # -- engine frame v2 (per-level compactor parameters preserved) ---
+
+    def serialize(self) -> bytes:
+        dt = _NP_DTYPES[self.dtype]
+        mn = struct.pack(
+            "<d", float(self.min_item) if self.min_item is not None else 0.0
+        )
+        mx = struct.pack(
+            "<d", float(self.max_item) if self.max_item is not None else 0.0
+        )
+        if self.dtype == "int64":
+            mn = struct.pack("<q", int(self.min_item) if self.min_item is not None else 0)
+            mx = struct.pack("<q", int(self.max_item) if self.max_item is not None else 0)
+        head = struct.pack(
+            "<IBBQ", self.k, DTYPE_CODES[self.dtype], 1 if self.compacted else 0, self.n
+        )
+        body = struct.pack("<B", len(self.levels))
+        for j, lv in enumerate(self.levels):
+            p = self.sections[j]
+            body += struct.pack(
+                "<IQIfBB", lv.size, p["state"], p["sec"], p["secf"],
+                p["nsec"], 1 if p["coin"] else 0,
+            )
+            body += np.ascontiguousarray(lv, dtype=dt).tobytes()
+        return frame(self.FAMILY, head + mn + mx + body)
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "ReqSketch":
+        from .base import is_framed
+
+        if not is_framed(blob):
+            return cls.from_wire(blob)
+        payload = unframe(blob, cls.FAMILY)
+        try:
+            k, dcode, compacted, n = struct.unpack_from("<IBBQ", payload, 0)
+            dtype = DTYPE_FROM_CODE[dcode]
+            off = 14
+            if dtype == "int64":
+                mn = struct.unpack_from("<q", payload, off)[0]
+                mx = struct.unpack_from("<q", payload, off + 8)[0]
+            else:
+                mn = struct.unpack_from("<d", payload, off)[0]
+                mx = struct.unpack_from("<d", payload, off + 8)[0]
+            off += 16
+            (num_levels,) = struct.unpack_from("<B", payload, off)
+            off += 1
+            sk = cls(k, dtype)
+            sk.n = n
+            sk.compacted = bool(compacted)
+            sk.min_item = None if n == 0 else _NP_DTYPES[dtype](mn)
+            sk.max_item = None if n == 0 else _NP_DTYPES[dtype](mx)
+            sk.levels, sk.sections = [], []
+            itemsize = np.dtype(_NP_DTYPES[dtype]).itemsize
+            for _ in range(num_levels):
+                count, state, sec, secf, nsec, coin = struct.unpack_from(
+                    "<IQIfBB", payload, off
+                )
+                off += struct.calcsize("<IQIfBB")
+                lv = np.frombuffer(
+                    payload, dtype=_NP_DTYPES[dtype], count=count, offset=off
+                )
+                off += count * itemsize
+                sk.levels.append(lv.copy())
+                sk.sections.append(
+                    {"sec": sec, "secf": secf, "nsec": nsec,
+                     "state": state, "coin": bool(coin)}
+                )
+            if not sk.levels:
+                sk.levels = [sk._empty_arr()]
+                sk.sections = [sk._new_section()]
+            return sk
+        except (struct.error, ValueError, KeyError, IndexError) as exc:
+            raise SketchDeserializeError(
+                f"Failed to deserialize {cls.NAME} sketch"
+            ) from exc
 
     # ---- Apache DataSketches wire format (REQ) ----
     #
@@ -938,14 +1174,6 @@ class ReqSketch(CompactorSketch):
     # C++ variants with the same layout at their item widths.
 
     _WIRE_WIDTHS = {"float64": ("<d", 8), "float32": ("<f", 4), "int64": ("<q", 8)}
-
-    @classmethod
-    def deserialize(cls, blob: bytes) -> "ReqSketch":
-        from .base import is_framed
-
-        if not is_framed(blob):
-            return cls.from_wire(blob)
-        return super().deserialize(blob)
 
     def to_wire(self) -> bytes:
         """Serialize as an Apache DataSketches REQ sketch (serVer 1,
@@ -975,9 +1203,11 @@ class ReqSketch(CompactorSketch):
             )
 
         def compactor(j: int, lv: np.ndarray) -> bytes:
+            # real per-level compactor parameters (round-5 REQ core)
+            p = self.sections[j] if j < len(self.sections) else self._new_section()
             return (
-                struct.pack("<Qf", 0, float(k))
-                + struct.pack("<BBH", j, 3, 0)
+                struct.pack("<Qf", int(p["state"]), float(p["secf"]))
+                + struct.pack("<BBH", j, int(p["nsec"]), 0)
                 + struct.pack("<I", int(lv.size))
                 + np.ascontiguousarray(np.sort(lv)).tobytes()
             )
@@ -1036,11 +1266,11 @@ class ReqSketch(CompactorSketch):
             sk.update(items.copy())
             return sk
 
-        def read_compactor(off: int) -> tuple[int, np.ndarray, int]:
+        def read_compactor(off: int):
             if len(blob) < off + 20:
                 raise err
-            _state, _sec = struct.unpack_from("<Qf", blob, off)
-            lg_weight, _num_sec, _ = struct.unpack_from("<BBH", blob, off + 12)
+            state, secf = struct.unpack_from("<Qf", blob, off)
+            lg_weight, num_sec, _ = struct.unpack_from("<BBH", blob, off + 12)
             (count,) = struct.unpack_from("<I", blob, off + 16)
             end = off + 20 + count * width
             if count < 1 or len(blob) < end:
@@ -1048,13 +1278,21 @@ class ReqSketch(CompactorSketch):
             items = np.frombuffer(
                 blob, dtype=np_dt, count=count, offset=off + 20
             ).copy()
-            return lg_weight, items, end
+            params = {
+                "sec": max(cls.MIN_SEC, _nearest_even(secf)),
+                "secf": float(secf) if secf >= cls.MIN_SEC else float(k),
+                "nsec": max(1, int(num_sec)),
+                "state": int(state),
+                "coin": False,
+            }
+            return lg_weight, items, params, end
 
         if pre_ints == 2:  # EXACT: single compactor
-            lg_w, items, end = read_compactor(8)
+            lg_w, items, params, end = read_compactor(8)
             if lg_w != 0 or end != len(blob):
                 raise err
             sk.levels = [np.sort(items)]
+            sk.sections = [params]
             sk.n = int(items.size)
             sk.min_item = items.min()
             sk.max_item = items.max()
@@ -1068,11 +1306,14 @@ class ReqSketch(CompactorSketch):
         mx = np_dt(struct.unpack_from(fmt, blob, off + width)[0])
         off += 2 * width
         levels: list[np.ndarray] = []
+        sections: list[dict] = []
         for _ in range(num_levels):
-            lg_w, items, off = read_compactor(off)
+            lg_w, items, params, off = read_compactor(off)
             while len(levels) <= lg_w:
                 levels.append(np.empty(0, dtype=np_dt))
+                sections.append(sk._new_section())
             levels[lg_w] = np.sort(items)
+            sections[lg_w] = params
         if off != len(blob):
             raise err
         retained = sum(int(lv.size) for lv in levels)
@@ -1080,6 +1321,7 @@ class ReqSketch(CompactorSketch):
         if n < retained or total_weight != n:
             raise err
         sk.levels = levels
+        sk.sections = sections
         sk.n = int(n)
         sk.min_item = mn
         sk.max_item = mx

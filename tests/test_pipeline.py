@@ -375,16 +375,64 @@ class TestMultimodal:
         assert len(rows) > 2  # more output rows than input rows
         assert {r.frame_idx for r in rows if r.id == 1} == {0, 1, 2}
 
-    def test_strict_raises_only_when_lib_missing(self, spark, bin_df):
+    def test_strict_never_fakes(self, spark, bin_df):
+        """strict=True disables the fake tier: these junk payloads are
+        undecodable by every real tier, so features must be NULL (with
+        or without PIL), never fabricated."""
+        out = multimodal.decode_image_features(
+            bin_df, "payload", "id", strict=True
+        ).collect()
+        assert len(out) == 2
+        assert all(r.features is None for r in out)
+        rz = multimodal.resize_binary(
+            bin_df, "payload", "id", target_w=8, target_h=4, strict=True
+        ).collect()
+        assert all(r.resized is None for r in rz)
+
+    def test_stdlib_tier_decodes_real_pixels(self, spark):
+        """The pure-stdlib tier (no PIL needed) runs REAL decode →
+        grayscale → grid-resample pixel math end-to-end: a constant
+        128-gray image must yield features == 128/255 exactly, for
+        both BMP and PNG payloads, through the whole Spark plumbing."""
+        from datasketches_spark.pipeline import _stdlib_image as SI
+
         if multimodal._pil() is not None:
-            # with PIL installed strict mode decodes for real
-            out = multimodal.decode_image_features(
-                bin_df, "payload", "id", strict=True
+            pytest.skip("PIL present: the stdlib tier is shadowed")
+        img = np.full((10, 10), 128, dtype=np.uint8)
+        df = spark.createDataFrame(
+            [
+                Row(id=1, payload=bytearray(SI.encode_bmp(img))),
+                Row(id=2, payload=bytearray(SI.encode_png(img))),
+            ]
+        )
+        feats = {
+            r.id: r.features
+            for r in multimodal.decode_image_features(
+                df, "payload", "id", n_features=9, strict=True
             ).collect()
-            assert len(out) == 2
-            return
-        with pytest.raises(Exception, match="NotImplementedError|real image decoding"):
-            multimodal.decode_image_features(bin_df, "payload", "id", strict=True).collect()
+        }
+        for i in (1, 2):
+            assert len(feats[i]) == 9
+            assert all(abs(f - 128 / 255.0) < 1e-6 for f in feats[i])
+
+    def test_stdlib_tier_resize_exact(self, spark):
+        """Nearest-neighbor resize through the stdlib tier: a 2x2
+        checkerboard upsampled to 4x4 has an exactly predictable byte
+        payload — real pixel math, not a content-hash fake."""
+        from datasketches_spark.pipeline import _stdlib_image as SI
+
+        if multimodal._pil() is not None:
+            pytest.skip("PIL present: the stdlib tier is shadowed")
+        img = np.array([[0, 255], [255, 0]], dtype=np.uint8)
+        df = spark.createDataFrame([Row(id=1, payload=bytearray(SI.encode_png(img)))])
+        r = multimodal.resize_binary(df, "payload", "id", 4, 4, strict=True).first()
+        got = np.frombuffer(bytes(r.resized), dtype=np.uint8).reshape(4, 4)
+        expect = np.array(
+            [[0, 0, 255, 255], [0, 0, 255, 255], [255, 255, 0, 0], [255, 255, 0, 0]],
+            dtype=np.uint8,
+        )
+        assert np.array_equal(got, expect)
+        assert r.width == 4 and r.height == 4
 
     def test_resize_contract(self, spark, bin_df):
         if multimodal._pil() is not None:
