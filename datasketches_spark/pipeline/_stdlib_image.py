@@ -32,7 +32,11 @@ def _luma(rgb: np.ndarray) -> np.ndarray:
     r = rgb[..., 0].astype(np.float32)
     g = rgb[..., 1].astype(np.float32)
     b = rgb[..., 2].astype(np.float32)
-    return np.clip(0.299 * r + 0.587 * g + 0.114 * b, 0, 255).astype(np.uint8)
+    # round, don't truncate: the weights sum to exactly 1, so a gray
+    # pixel (r==g==b) must map to itself, not itself-minus-one
+    return np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255).astype(
+        np.uint8
+    )
 
 
 def _decode_bmp(blob: bytes) -> np.ndarray | None:
@@ -60,7 +64,23 @@ def _decode_bmp(blob: bytes) -> np.ndarray | None:
     if not top_down:
         rows = rows[::-1]
     if bpp == 8:
-        return rows[:, :w].copy()
+        # resolve palette indices through the color table (BGRX
+        # entries between the header and the pixel data) — an indexed
+        # image with a non-gray palette must map through luma, not be
+        # read as raw indices
+        pal_off = 14 + hdr_size
+        n_pal = min((data_off - pal_off) // 4, 256)
+        if n_pal <= 0:
+            return None
+        pal = np.frombuffer(
+            blob, dtype=np.uint8, count=n_pal * 4, offset=pal_off
+        ).reshape(n_pal, 4)
+        lut = np.zeros(256, dtype=np.uint8)
+        lut[:n_pal] = _luma(pal[:, [2, 1, 0]].reshape(n_pal, 1, 3)).ravel()
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n_pal:
+            return None
+        return lut[idx]
     px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
     return _luma(px[..., [2, 1, 0]])  # BMP stores BGR(A)
 

@@ -7,11 +7,12 @@ probed lazily on each executor: PIL when importable (any format), a
 pure-stdlib BMP/PNG decoder that is ALWAYS available
 (``_stdlib_image.py`` — real pixel math, exercised end-to-end in this
 container's CI), and clearly-marked deterministic fakes for payloads
-no real tier decodes.  ``strict=True`` disables the fake tier
-(undecodable rows become NULL instead of fabricated features).  Video
-frame sampling uses cv2 when importable and keeps the fake tier with a
-``strict=True`` NotImplementedError, since no stdlib video decoder
-exists.
+no real tier decodes.  ``strict=True`` disables the fake tier and
+fails LOUDLY (NotImplementedError) when a payload needs PIL on an
+executor that lacks it; with PIL present, undecodable bytes are NULL.
+Video frame sampling uses cv2 when importable and keeps the fake tier
+with a ``strict=True`` NotImplementedError, since no stdlib video
+decoder exists.
 """
 
 from __future__ import annotations
@@ -99,8 +100,9 @@ def decode_image_features(
     3. **deterministic fake** for bytes neither tier decodes, keeping
        the distributed plumbing exercisable on junk payloads.
 
-    ``strict=True`` disables tier 3: rows no real tier decodes become
-    NULL instead of fake features (never silently fabricated).
+    ``strict=True`` disables tier 3 and fails loudly: a payload only
+    PIL could decode raises NotImplementedError on a PIL-less executor
+    (never silently fabricated, never silently dropped).
     """
     schema = StructType(
         [
@@ -145,7 +147,15 @@ def decode_image_features(
                 if image_mod is not None
                 else _stdlib_features(blob)
             )
-            if out is None and image_mod is None and not strict:
+            if out is None and image_mod is None:
+                if strict:
+                    # fail LOUDLY: without PIL the only real tier is the
+                    # stdlib BMP/PNG decoder; this payload needs more
+                    raise NotImplementedError(
+                        "real image decoding for this payload requires PIL "
+                        "(the stdlib tier covers BMP/PNG only); strict=True "
+                        "forbids the deterministic fake"
+                    )
                 return _fake_features(blob, n_features).tolist()
             return out
 
@@ -301,7 +311,13 @@ def resize_binary(
                     continue
                 # stdlib tier: REAL BMP/PNG decode + nearest resize
                 rz = _stdlib_resize(blob)
-                if rz is not None or strict:
+                if rz is None and strict:
+                    raise NotImplementedError(
+                        "real image resizing for this payload requires PIL "
+                        "(the stdlib tier covers BMP/PNG only); strict=True "
+                        "forbids the deterministic fake"
+                    )
+                if rz is not None:
                     out.append(rz)
                     continue
                 # DETERMINISTIC FAKE: content-seeded byte payload of the

@@ -60,8 +60,11 @@ def bloom_filter_blob(
     from .aggregation import sketch_partial
 
     if driver_merge is None:
-        width = df.sparkSession.sparkContext.defaultParallelism
-        driver_merge = width * (1 << lg_m) // 8 <= (64 << 20)
+        # one partial per INPUT PARTITION (not per core): gate on the
+        # actual scan partition count so the collect stays bounded on
+        # wide scans (getNumPartitions plans but runs no job)
+        parts = df.rdd.getNumPartitions()
+        driver_merge = parts * (1 << lg_m) // 8 <= (64 << 20)
     if not driver_merge:
         return bloom_filter_of(df, key_col, lg_m=lg_m).collect()[0]["sketch"]
     rows = sketch_partial(df, key_col, "bloom", k=lg_m).collect()

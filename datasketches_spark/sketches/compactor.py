@@ -756,6 +756,19 @@ class QuantilesSketch(CompactorSketch):
                     self._inject(np.sort(lv)[phase::ratio].copy(), j + r)
             self._propagate_base()
             return
+        # exact weight expansion costs O(n); cap it so a pathological
+        # mixed-K merge of a huge sketch fails loudly instead of
+        # stalling an executor for minutes (the reference's C++
+        # rejects non-pow2 k at construction, so this path only exists
+        # for this engine's extended k range)
+        expanded = sum(int(lv.size) << j for j, lv in enumerate(old_levels, start=1))
+        if expanded > (1 << 27):
+            raise ValueError(
+                "downsampling a Quantiles sketch across a non-power-of-2 "
+                f"K ratio re-feeds its full weight ({expanded} items here) "
+                "— beyond the 2^27 cap; use power-of-2 K values for "
+                "mixed-K unions at scale"
+            )
         for j, lv in enumerate(old_levels, start=1):
             if lv.size:
                 reps = 1 << j
@@ -792,7 +805,18 @@ class QuantilesSketch(CompactorSketch):
         flags byte matches datasketches-cpp (the reference's writer,
         golden test/sql/datasketch_quantiles.test:14-17), which java
         reads but marks differently (java also sets READ_ONLY=2).
+
+        float64/float32 only, like the KLL exporter: the preamble has
+        no item type, so an int64 blob would be silently re-read as
+        doubles by every Apache reader (and by our own sniffing
+        importer) — fail loudly instead.
         """
+        if self.dtype == "int64":
+            raise ValueError(
+                "only float64/float32 Quantiles sketches have an Apache "
+                "wire form (the preamble carries no item type; an int64 "
+                "body would be reinterpreted as doubles on import)"
+            )
         fmt, width = self._WIRE_WIDTHS[self.dtype]
         k = int(self.k)
         if self.n == 0:
@@ -1179,7 +1203,15 @@ class ReqSketch(CompactorSketch):
         """Serialize as an Apache DataSketches REQ sketch (serVer 1,
         family 17, HRA mode — the reference's only mode).  The empty
         and raw (n<=4) forms byte-match the reference's golden blobs
-        (test/sql/datasketch_req.test:14-17)."""
+        (test/sql/datasketch_req.test:14-17).  float64/float32 only,
+        like the KLL/Quantiles exporters (no item type in the
+        preamble)."""
+        if self.dtype == "int64":
+            raise ValueError(
+                "only float64/float32 REQ sketches have an Apache wire "
+                "form (the preamble carries no item type; an int64 body "
+                "would be reinterpreted as floats on import)"
+            )
         fmt, width = self._WIRE_WIDTHS[self.dtype]
         k = int(self.k)
         if self.n == 0:

@@ -231,10 +231,24 @@ class _BitReader:
 
 
 def uncompress_bytes(words: np.ndarray, count: int, table: np.ndarray) -> np.ndarray:
-    r = _BitReader(words)
+    """Sequential Huffman decode of the window: k symbols, one
+    table lookup each.  Variable-length codes force the sequential
+    walk; a plain-list table + local-variable loop keeps it ~1 µs per
+    symbol (lg_k 16 ≈ 60 ms per blob — import-path cost only; the
+    engine-local DSKS frame, not this, is the shuffle format)."""
+    tbl = table.tolist()  # python-int lookups beat np scalar indexing ~3x
+    w = words.astype(np.uint64).tolist()
+    nw = len(w)
     out = np.empty(count, dtype=np.uint8)
+    pos = 0
     for i in range(count):
-        out[i] = r.read_sym(table)
+        wi, b = pos >> 5, pos & 31
+        v = (w[wi] >> b) if wi < nw else 0
+        if b > 20 and wi + 1 < nw:
+            v |= w[wi + 1] << (32 - b)
+        entry = tbl[v & 0xFFF]
+        pos += entry >> 8
+        out[i] = entry & 0xFF
     return out
 
 
@@ -376,6 +390,12 @@ def wire_to_bitmap(blob: bytes) -> tuple[int, np.ndarray, int]:
     if len(blob) < 4 * pre_ints:
         raise err
 
+    def check_c(c: int) -> None:
+        # the matrix holds at most 64*k coupons; a corrupt count would
+        # otherwise drive absurd offsets/allocations downstream
+        if not (0 < c <= 64 * k):
+            raise err
+
     def words_at(off_ints: int, n_ints: int) -> np.ndarray:
         start = 4 * off_ints
         if len(blob) < start + 4 * n_ints:
@@ -387,9 +407,8 @@ def wire_to_bitmap(blob: bytes) -> tuple[int, np.ndarray, int]:
         if pre_ints != want:
             raise err
         c, csv_len = struct.unpack_from("<II", blob, 8)
+        check_c(c)
         csv = words_at(pre_ints, csv_len)
-        if c == 0:
-            raise err
         base = golomb_base_bits(k + c, c)
         pairs = uncompress_pairs(csv, c, base)
         _scatter_pairs(bitmap, pairs, err)
@@ -401,6 +420,7 @@ def wire_to_bitmap(blob: bytes) -> tuple[int, np.ndarray, int]:
         if pre_ints != want:
             raise err
         c, cw_len = struct.unpack_from("<II", blob, 8)
+        check_c(c)
         num_sv, csv_len = 0, 0
         sv_off = pre_ints
         cw_off = pre_ints
@@ -408,12 +428,18 @@ def wire_to_bitmap(blob: bytes) -> tuple[int, np.ndarray, int]:
         if pre_ints != 6:
             raise err
         c, num_sv, csv_len, cw_len = struct.unpack_from("<IIII", blob, 8)
+        check_c(c)
+        if num_sv > 64 * k:
+            raise err
         cw_off = pre_ints  # window stream first, sv stream after it
         sv_off = pre_ints + cw_len
     else:  # PINNED_SLIDING_HIP: kxp/hipAccum sit between numSV and lengths
         if pre_ints != 10:
             raise err
         c, num_sv = struct.unpack_from("<II", blob, 8)
+        check_c(c)
+        if num_sv > 64 * k:
+            raise err
         csv_len, cw_len = struct.unpack_from("<II", blob, 32)
         cw_off = pre_ints
         sv_off = pre_ints + cw_len
@@ -440,6 +466,8 @@ def wire_to_bitmap(blob: bytes) -> tuple[int, np.ndarray, int]:
             bitmap[rows] |= np.uint64(1) << cols.astype(np.uint64)
         else:  # SLIDING: inverse permutation then rotation
             stored = (pairs & 63).astype(np.int64)
+            if stored.size and int(stored.max()) >= 56:
+                raise err  # writers only emit rotated columns 0..55
             cols = (PERM_DEC[phase][stored].astype(np.int64) + offset + 8) & 63
             low = cols < offset
             # below-window pairs are surprising ZEROS: clear the bit

@@ -376,18 +376,24 @@ class TestMultimodal:
         assert {r.frame_idx for r in rows if r.id == 1} == {0, 1, 2}
 
     def test_strict_never_fakes(self, spark, bin_df):
-        """strict=True disables the fake tier: these junk payloads are
-        undecodable by every real tier, so features must be NULL (with
-        or without PIL), never fabricated."""
-        out = multimodal.decode_image_features(
-            bin_df, "payload", "id", strict=True
-        ).collect()
-        assert len(out) == 2
-        assert all(r.features is None for r in out)
-        rz = multimodal.resize_binary(
-            bin_df, "payload", "id", target_w=8, target_h=4, strict=True
-        ).collect()
-        assert all(r.resized is None for r in rz)
+        """strict=True disables the fake tier: junk payloads either
+        raise loudly (no PIL: the stdlib tier can't cover them) or
+        come back NULL (PIL present: its undecodable->NULL contract).
+        Either way, never fabricated features."""
+        if multimodal._pil() is None:
+            with pytest.raises(Exception, match="requires PIL|NotImplementedError"):
+                multimodal.decode_image_features(
+                    bin_df, "payload", "id", strict=True
+                ).collect()
+            with pytest.raises(Exception, match="requires PIL|NotImplementedError"):
+                multimodal.resize_binary(
+                    bin_df, "payload", "id", target_w=8, target_h=4, strict=True
+                ).collect()
+        else:
+            out = multimodal.decode_image_features(
+                bin_df, "payload", "id", strict=True
+            ).collect()
+            assert all(r.features is None for r in out)
 
     def test_stdlib_tier_decodes_real_pixels(self, spark):
         """The pure-stdlib tier (no PIL needed) runs REAL decode →
