@@ -230,3 +230,49 @@ def test_fi_from_wire_purges_to_clamped_capacity():
     # lower-bound semantics preserved: stored + offset >= true count
     for item, c in rt.counts.items():
         assert c + rt.offset >= sk.counts[item]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.sampled_from(["cpc", "quantiles", "req"]),
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_bitflip_corruption_never_escapes(family, n, corrupt_seed):
+    """Structured corruption: flip one byte of a VALID wire blob.
+    The parser must either reject it with the reference's deserialize
+    error or parse a (differently-valid) sketch — never leak an
+    IndexError/OverflowError/MemoryError from numpy internals."""
+    rng = np.random.default_rng(corrupt_seed)
+    if family == "cpc":
+        from datasketches_spark.sketches.cpc import CpcSketch as C
+
+        sk = C(10)
+        if n:
+            sk.update_values(np.arange(n, dtype=np.int64))
+        blob = bytearray(sk.to_wire())
+        parse = C.from_wire
+    elif family == "quantiles":
+        from datasketches_spark.sketches.compactor import QuantilesSketch as C
+
+        sk = C(16)
+        if n:
+            sk.update(rng.random(n))
+        blob = bytearray(sk.to_wire())
+        parse = C.from_wire
+    else:
+        from datasketches_spark.sketches.compactor import ReqSketch as C
+
+        sk = C(12)
+        if n:
+            sk.update(rng.random(n))
+        blob = bytearray(sk.to_wire())
+        parse = C.from_wire
+    pos = int(rng.integers(0, len(blob)))
+    blob[pos] ^= int(rng.integers(1, 256))
+    try:
+        parse(bytes(blob))
+    except SketchDeserializeError:
+        pass  # expected rejection
+    except Exception as exc:  # noqa: BLE001
+        pytest.fail(f"{family} byte-flip at {pos} leaked {type(exc).__name__}: {exc}")
