@@ -125,9 +125,14 @@ def update_sketch(family: str, sk, series: pd.Series, merge: bool = False) -> No
             # addition to sketch blobs (generator.py:30-44 lists BLOB
             # among the allowed input types). Spark has no catalog type
             # alias to distinguish sketch_hll from plain BINARY, so
-            # dispatch per value on the DSKS frame magic: framed blobs
-            # merge, anything else is hashed as a raw byte value.
-            framed = s.map(lambda b: b is not None and is_framed(b))
+            # dispatch per value on the DSKS frame magic OR the Apache
+            # wire preamble (serVer/family/lgK — the reference's typed
+            # blobs ARE that format): sketch blobs merge, anything
+            # else is hashed as a raw byte value.
+            framed = s.map(
+                lambda b: b is not None
+                and (is_framed(b) or cls.sniff_wire(bytes(b)))
+            )
             for blob in s[framed]:
                 sk.merge(cls.deserialize(bytes(blob)))
             raw = s[~framed].dropna()

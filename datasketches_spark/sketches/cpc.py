@@ -300,6 +300,22 @@ class CpcSketch:
         return bitmap_to_wire(self.lg_k, self._to_bitmap())
 
     @classmethod
+    def sniff_wire(cls, blob) -> bool:
+        """Cheap preamble check: does this look like an Apache CPC
+        blob (serVer 1, family 16, compressed flag, sane lgK)?  Used
+        by the SQL aggregates to give un-framed wire blobs the
+        reference's typed sketch-blob treatment (merge) rather than
+        hashing them as raw byte values."""
+        return (
+            isinstance(blob, (bytes, bytearray))
+            and len(blob) >= 8
+            and blob[1] == 1
+            and blob[2] == 16
+            and cls.LG_K_MIN <= blob[3] <= cls.LG_K_MAX
+            and (blob[5] & 2) != 0
+        )
+
+    @classmethod
     def from_wire(cls, blob: bytes) -> "CpcSketch":
         """Parse any of the eight Apache CPC wire formats.  The result
         is a dense (estimation-mode) sketch: the wire state is the

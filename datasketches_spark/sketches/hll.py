@@ -410,6 +410,21 @@ class HllSketch:
         return head + regs.tobytes()
 
     @classmethod
+    def sniff_wire(cls, blob) -> bool:
+        """Cheap preamble check: does this look like an Apache HLL
+        blob (serVer 1, family 7, sane lgK)?  Used by the SQL
+        aggregates to give un-framed wire blobs the reference's typed
+        sketch-blob treatment (merge) rather than hashing them as raw
+        byte values."""
+        return (
+            isinstance(blob, (bytes, bytearray))
+            and len(blob) >= 8
+            and blob[1] == 1
+            and blob[2] == _HLL_WIRE_FAMILY
+            and cls.LG_K_MIN <= blob[3] <= cls.LG_K_MAX
+        )
+
+    @classmethod
     def from_wire(cls, blob: bytes) -> "HllSketch":
         """Parse an Apache HLL blob: LIST/SET coupon modes and dense
         HLL_4 (nibbles + curMin + aux exceptions), HLL_6 (packed),

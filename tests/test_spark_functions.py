@@ -639,3 +639,50 @@ def test_approx_weighted_sample_and_top_terms(spark):
     assert s.groupBy("g").count().collect()[0]["count"] == 10
     t = approx.top_terms(df, "id", "text", "g", k=2)
     assert t.count() == 4  # 2 groups x top-2
+
+
+def test_wire_blobs_flow_through_sql_aggregates(spark):
+    """The cross-system claim end-to-end IN SQL: a column of Apache
+    wire blobs (as another system would export them) feeds directly
+    into the union aggregates — every reader sniffs the wire format,
+    so no explicit conversion step is needed.  Exercised for the
+    three round-5 families; exact-mode surfaces keep it
+    deterministic."""
+    import numpy as np
+
+    from datasketches_spark.sketches.compactor import QuantilesSketch, ReqSketch
+    from datasketches_spark.sketches.cpc import CpcSketch
+
+    rows = []
+    for i in range(4):
+        vals = np.arange(i * 100, i * 100 + 100)
+        c = CpcSketch(11)
+        c.update_values(vals.astype(np.int64))
+        q = QuantilesSketch(128)
+        q.update(vals.astype(np.float64))
+        r = ReqSketch(12)
+        r.update(vals.astype(np.float64))
+        rows.append(
+            Row(
+                cpc_wire=bytearray(c.to_wire()),
+                q_wire=bytearray(q.to_wire()),
+                req_wire=bytearray(r.to_wire()),
+            )
+        )
+    spark.createDataFrame(rows).createOrReplaceTempView("wire_blobs")
+    got = spark.sql(
+        """
+        SELECT
+          CAST(round(datasketch_cpc_estimate(datasketch_cpc(11, cpc_wire))) AS BIGINT) AS cpc_union,
+          datasketch_quantiles_n(datasketch_quantiles(128, q_wire)) AS q_n,
+          datasketch_quantiles_quantile(datasketch_quantiles(128, q_wire), 0.0) AS q_min,
+          datasketch_req_n(datasketch_req(12, req_wire)) AS req_n,
+          datasketch_req_quantile(datasketch_req(12, req_wire), 1.0) AS req_max
+        FROM wire_blobs
+        """
+    ).collect()[0]
+    # wire-imported CPC is estimation-mode (the coupon matrix, not the
+    # value hashes), so the union estimate carries ICON error bands
+    assert abs(got["cpc_union"] - 400) <= 4 * 0.7213 / (2048 ** 0.5) * 400 + 2
+    assert got["q_n"] == 400 and got["q_min"] == 0.0
+    assert got["req_n"] == 400 and got["req_max"] == 399.0
