@@ -653,11 +653,15 @@ def test_wire_blobs_flow_through_sql_aggregates(spark):
     from datasketches_spark.sketches.compactor import QuantilesSketch, ReqSketch
     from datasketches_spark.sketches.cpc import CpcSketch
 
+    from datasketches_spark.sketches.hll import HllSketch
+
     rows = []
     for i in range(4):
         vals = np.arange(i * 100, i * 100 + 100)
         c = CpcSketch(11)
         c.update_values(vals.astype(np.int64))
+        h = HllSketch(12)
+        h.update_values(vals.astype(np.int64))
         q = QuantilesSketch(128)
         q.update(vals.astype(np.float64))
         r = ReqSketch(12)
@@ -665,6 +669,7 @@ def test_wire_blobs_flow_through_sql_aggregates(spark):
         rows.append(
             Row(
                 cpc_wire=bytearray(c.to_wire()),
+                hll_wire=bytearray(h.to_wire()),
                 q_wire=bytearray(q.to_wire()),
                 req_wire=bytearray(r.to_wire()),
             )
@@ -674,6 +679,7 @@ def test_wire_blobs_flow_through_sql_aggregates(spark):
         """
         SELECT
           CAST(round(datasketch_cpc_estimate(datasketch_cpc(11, cpc_wire))) AS BIGINT) AS cpc_union,
+          CAST(round(datasketch_hll_estimate(datasketch_hll(12, hll_wire))) AS BIGINT) AS hll_union,
           datasketch_quantiles_n(datasketch_quantiles(128, q_wire)) AS q_n,
           datasketch_quantiles_quantile(datasketch_quantiles(128, q_wire), 0.0) AS q_min,
           datasketch_req_n(datasketch_req(12, req_wire)) AS req_n,
@@ -681,6 +687,9 @@ def test_wire_blobs_flow_through_sql_aggregates(spark):
         FROM wire_blobs
         """
     ).collect()[0]
+    # HLL LIST/SET coupons stay unique-countable through the wire:
+    # 400 disjoint values stay exact (coupon collisions aside)
+    assert abs(got["hll_union"] - 400) <= 8
     # wire-imported CPC is estimation-mode (the coupon matrix, not the
     # value hashes), so the union estimate carries ICON error bands
     assert abs(got["cpc_union"] - 400) <= 4 * 0.7213 / (2048 ** 0.5) * 400 + 2
