@@ -463,7 +463,12 @@ def wire_to_bitmap(blob: bytes) -> tuple[int, np.ndarray, int]:
             cols = (pairs & 63) + 8
             if int(cols.max(initial=0)) > 63:
                 raise err
-            bitmap[rows] |= np.uint64(1) << cols.astype(np.uint64)
+            # bitwise_or.at, NOT fancy-index |=: several pairs can
+            # share a row, and `bitmap[rows] |= x` silently drops all
+            # but one duplicate-row update
+            np.bitwise_or.at(
+                bitmap, rows, np.uint64(1) << cols.astype(np.uint64)
+            )
         else:  # SLIDING: inverse permutation then rotation
             stored = (pairs & 63).astype(np.int64)
             if stored.size and int(stored.max()) >= 56:

@@ -180,3 +180,17 @@ def test_live_jvm_we_read_all_flavors_hip(jvm_cpc):
         ours = CpcSketch.from_wire(bytes(jsk.toByteArray()))
         ref = _build(n)
         assert np.array_equal(ours.bitmap, ref._to_bitmap()), f"n={n}"
+
+
+def test_pinned_duplicate_row_pairs_roundtrip():
+    """Regression (round 5): PINNED import must OR-accumulate pairs
+    that share a ROW — `bitmap[rows] |= x` silently dropped all but
+    one duplicate-row update, failing the coupon-count consistency
+    check on real mid-density sketches.  Dense random streams at
+    lgK=11 reliably produce multi-pair rows."""
+    rng = np.random.default_rng(0)
+    for trial in range(30):
+        sk = CpcSketch(11)
+        sk.update_values(rng.integers(0, 1 << 40, 6000))
+        rt = CpcSketch.from_wire(sk.to_wire())
+        assert np.array_equal(rt.bitmap, sk._to_bitmap()), trial
