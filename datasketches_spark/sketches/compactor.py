@@ -849,10 +849,17 @@ class QuantilesSketch(CompactorSketch):
             raise err
         blob = bytes(blob)
         pre_longs, ser_ver, family, flags, k = struct.unpack_from("<BBBBH", blob, 0)
-        if family != _Q_WIRE_FAMILY or ser_ver != _Q_WIRE_SER_VER or k < 1:
+        if family != _Q_WIRE_FAMILY or ser_ver != _Q_WIRE_SER_VER:
             raise err
-        sk = cls(min(max(k, cls.K_MIN), cls.K_MAX), dtype)
-        sk.k = int(k)
+        # reject out-of-range k outright: the classic-quantiles u16 slot
+        # can encode up to 65535, but no valid writer emits k outside
+        # [K_MIN, K_MAX] (java requires a power of 2 <= 32768; this
+        # engine's binder allows the reference's 1..32768 range) -- a
+        # clamp-then-overwrite here would admit corrupt preambles past
+        # validate_k and silently skew the level math
+        if not (cls.K_MIN <= k <= cls.K_MAX):
+            raise err
+        sk = cls(int(k), dtype)
         if flags & _Q_FLAG_EMPTY:
             return sk
         if pre_longs != 2 or len(blob) < 16:
@@ -1305,7 +1312,11 @@ class ReqSketch(CompactorSketch):
             lg_weight, num_sec, _ = struct.unpack_from("<BBH", blob, off + 12)
             (count,) = struct.unpack_from("<I", blob, off + 16)
             end = off + 20 + count * width
-            if count < 1 or len(blob) < end:
+            # count == 0 is legal: java's ReqSerDe serializes EVERY
+            # compactor in the list, and a merged sketch can hold an
+            # empty middle level -- rejecting it would refuse valid
+            # Apache blobs (and our own gap-level re-exports)
+            if count > 0xFFFFFF or len(blob) < end:
                 raise err
             items = np.frombuffer(
                 blob, dtype=np_dt, count=count, offset=off + 20
@@ -1321,7 +1332,7 @@ class ReqSketch(CompactorSketch):
 
         if pre_ints == 2:  # EXACT: single compactor
             lg_w, items, params, end = read_compactor(8)
-            if lg_w != 0 or end != len(blob):
+            if lg_w != 0 or end != len(blob) or items.size < 1:
                 raise err
             sk.levels = [np.sort(items)]
             sk.sections = [params]

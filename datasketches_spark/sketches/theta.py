@@ -255,13 +255,16 @@ class ThetaSketch:
                 off = 24
         if len(blob) < off + 8 * count:
             raise err
-        hashes = np.frombuffer(blob, dtype=np.uint64, count=count, offset=off)
-        # Screen corrupt blobs: the compact-theta invariant is strictly
-        # increasing hashes in (0, theta).  Zeros, duplicates, or
-        # out-of-range entries would silently skew num_retained and the
-        # scalar set algebra, so drop them (np.unique also sorts, which
-        # covers the unordered-flag case).
-        hashes = np.unique(hashes[(hashes > np.uint64(0)) & (hashes < np.uint64(theta))])
+        raw = np.frombuffer(blob, dtype=np.uint64, count=count, offset=off)
+        # Screen corrupt blobs: the compact-theta invariant is DISTINCT
+        # hashes in (0, theta).  np.unique sorts (covering the
+        # unordered-flag case) and collapses duplicates; if anything was
+        # dropped -- zeros, duplicates, >= theta entries -- the blob is
+        # corrupt, and every family's contract is to fail loud rather
+        # than return a quietly skewed estimate.
+        hashes = np.unique(raw[(raw > np.uint64(0)) & (raw < np.uint64(theta))])
+        if hashes.size != count:
+            raise err
         sk.theta = int(theta)
         sk.hashes = hashes
         return sk

@@ -107,6 +107,24 @@ def test_quantiles_corrupt_raises():
         QuantilesSketch.from_wire(good.to_wire()[:30])
 
 
+def test_quantiles_from_wire_rejects_out_of_range_k():
+    """A preamble k outside [K_MIN, K_MAX] is corruption — no valid
+    writer emits it (java: pow2 <= 32768; this binder: 1..32768).  The
+    old clamp-then-overwrite admitted k up to 65535 past validate_k."""
+    good = QuantilesSketch(16)
+    good.update(np.arange(100.0))
+    blob = bytearray(good.to_wire())
+    for bad_k in (0, 40000, 65535):
+        b = blob.copy()
+        b[4:6] = int(bad_k).to_bytes(2, "little")
+        with pytest.raises(
+            SketchDeserializeError, match="Failed to deserialize Quantiles"
+        ):
+            QuantilesSketch.from_wire(bytes(b))
+    # every in-range k (including java's max, 32768) still parses
+    assert QuantilesSketch.from_wire(bytes(blob)).k == 16
+
+
 # ------------------------------------------------------------------- REQ
 
 
@@ -135,6 +153,37 @@ def test_req_wire_roundtrip_all_formats():
         if n:
             assert rt.get_rank(50.0) == sk.get_rank(50.0)
             assert rt.get_quantile(0.95) == sk.get_quantile(0.95)
+
+
+def _req_with_gap_level(dtype: str = "float64") -> ReqSketch:
+    """A REQ sketch whose middle level is empty — the state a merge can
+    produce (level 1 fully compacted away while level 2 holds items)."""
+    np_dt = np.float32 if dtype == "float32" else np.float64
+    sk = ReqSketch(12, dtype)
+    lv0 = np.sort(np.arange(10, dtype=np_dt))
+    lv2 = np.sort(np.arange(100, 120, dtype=np_dt))
+    sk.levels = [lv0, np.empty(0, dtype=np_dt), lv2]
+    sk.sections = [sk._new_section() for _ in range(3)]
+    sk.n = int(lv0.size) + int(lv2.size) * 4
+    sk.min_item = np_dt(0)
+    sk.max_item = np_dt(119)
+    sk.compacted = True
+    sk._sorted_cache = None
+    return sk
+
+
+def test_req_gap_level_roundtrip():
+    """An empty middle level round-trips: the export writes java's
+    layout (every compactor, count=0 allowed) and the reader accepts
+    it — a foreign blob with a gap level re-exports losslessly."""
+    sk = _req_with_gap_level()
+    rt = ReqSketch.from_wire(sk.to_wire(), "float64")
+    assert rt.n == sk.n
+    assert [lv.size for lv in rt.levels] == [10, 0, 20]
+    assert np.array_equal(rt.levels[2], sk.levels[2])
+    # and the re-export parses again (the round-5 bug: it did not)
+    rt2 = ReqSketch.from_wire(rt.to_wire(), "float64")
+    assert [lv.size for lv in rt2.levels] == [10, 0, 20]
 
 
 def test_req_corrupt_raises():

@@ -190,29 +190,28 @@ def test_hll_saturated_registers_estimate_is_finite():
     del hll_mod
 
 
-def test_theta_from_wire_screens_invalid_hashes():
-    """Zeros, duplicates, and hashes >= theta in a compact blob are
-    dropped on read, preserving the strictly-increasing-in-(0,theta)
-    invariant the set algebra relies on."""
-    import struct as _struct
-
+def test_theta_from_wire_rejects_invalid_hashes():
+    """Zeros, duplicates, or hashes >= theta in a compact blob are a
+    corruption signal: the reader fails loud (like every other family)
+    instead of returning a quietly skewed estimate."""
     sk = ThetaSketch(12)
     sk.update_values(np.arange(1, 6, dtype=np.int64))
     blob = bytearray(sk.to_wire())
     # pre_longs==2 form: count at byte 8, hashes from byte 16
     assert blob[0] == 2
-    (count,) = _struct.unpack_from("<I", blob, 8)
     hashes = np.frombuffer(bytes(blob[16:]), dtype=np.uint64).copy()
-    # corrupt: zero, duplicate, and a max-value entry
-    hashes[0] = 0
-    hashes[2] = hashes[1]
-    hashes[4] = np.uint64(2**63)  # == MAX_HASH (theta) => out of range
-    bad = bytes(blob[:16]) + hashes.tobytes()
-    rt = ThetaSketch.from_wire(bad)
-    assert rt.hashes.size == count - 3
-    assert (rt.hashes > 0).all()
-    assert (rt.hashes < np.uint64(rt.theta)).all()
-    assert (np.diff(rt.hashes.astype(np.uint64)) > 0).all()
+    for corrupt in (
+        lambda h: h.__setitem__(0, 0),  # zero entry
+        lambda h: h.__setitem__(2, h[1]),  # duplicate
+        lambda h: h.__setitem__(4, np.uint64(2**63)),  # == theta => range
+    ):
+        bad_h = hashes.copy()
+        corrupt(bad_h)
+        bad = bytes(blob[:16]) + bad_h.tobytes()
+        with pytest.raises(SketchDeserializeError, match="Theta"):
+            ThetaSketch.from_wire(bad)
+    # the uncorrupted blob still parses (sanity)
+    assert ThetaSketch.from_wire(bytes(blob)).hashes.size == hashes.size
 
 
 def test_fi_from_wire_purges_to_clamped_capacity():
