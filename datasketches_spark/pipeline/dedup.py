@@ -46,7 +46,12 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """Keep one row (min id) per identical canonical fingerprint.
 
     Formulated as ``min_by`` over the fingerprint groups rather than a
@@ -54,6 +59,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     at most one candidate row per (fingerprint, input partition)
     crosses the shuffle and nothing is sorted -- the window twin
     shuffles and sorts EVERY row.  Same surviving row set.
+
+    ``keep_cols`` slims the shuffle: the fingerprint is computed
+    map-side and only ``keep_cols`` ride in the min_by payload, so the
+    raw text never crosses the wire -- at 100 TB the shuffle carries
+    (16-byte fp, ids) instead of documents.  Default keeps every
+    column (text included).
     """
     fp = doc_fingerprint(F.col(text_col))
     # NULL-safe ordering key: min_by skips rows whose ordering key is
@@ -63,9 +74,10 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # compare; NULL fields sort first ASC), so NULL ids are kept and
     # ordered first -- matching row_number(... asc_nulls_first).
     order_key = F.struct(F.col(id_col).isNotNull(), F.col(id_col))
+    payload = list(keep_cols) if keep_cols is not None else list(df.columns)
     kept = (
         df.groupBy(fp.alias("__fp"))
-        .agg(F.min_by(F.struct(*df.columns), order_key).alias("__r"))
+        .agg(F.min_by(F.struct(*payload), order_key).alias("__r"))
         .select("__r.*")
     )
     return kept

@@ -22,10 +22,15 @@ and the filter itself is a storable, mergeable sketch column.
 
 from __future__ import annotations
 
+import math
+import struct
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 from .aggregation import sketch_agg
 from .sketches import BloomFilterSketch
@@ -109,12 +114,158 @@ def bloom_prune_with(
     return fact.where(probe(key))
 
 
+# ------------------------- JVM-native fast path (Spark built-in bloom)
+#
+# Spark ships a BloomFilter (util.sketch.BloomFilterImpl -- the same
+# machinery AQE's InjectRuntimeFilter aggregates with) whose BUILD runs
+# entirely JVM-side via DataFrameStatFunctions.bloomFilter: one
+# all-JVM job over the dim keys, zero Arrow transfer.  Scala-only API,
+# so reach it through the DataFrame's underlying _jdf.  The probe side
+# re-implements BloomFilterImpl.mightContainLong as vectorized numpy
+# (Murmur3_x86_32 over the long's two int halves, h1 + i*h2 double
+# hashing) so the fact side still streams through an Arrow-batched
+# UDF against broadcast filter bytes.  Integral keys only; the
+# portable DSKS sketch path below handles everything else and remains
+# the storable/mergeable surface.
+
+_M32_C1 = np.uint32(0xCC9E2D51)
+_M32_C2 = np.uint32(0x1B873593)
+
+
+def _mm32_rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+
+def _mm32_hash_long(vals: np.ndarray, seed) -> np.ndarray:
+    """Vectorized Murmur3_x86_32.hashLong (uint32 out).  ``seed`` is a
+    scalar or per-element uint32 array — the double-hashing scheme
+    seeds the second hash with the first."""
+    with np.errstate(over="ignore"):
+        low = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        high = (vals >> np.uint64(32)).astype(np.uint32)
+        h1 = np.asarray(seed, dtype=np.uint32)
+        for half in (low, high):
+            k1 = half * _M32_C1
+            k1 = _mm32_rotl(k1, 15) * _M32_C2
+            h1 = _mm32_rotl(h1 ^ k1, 13) * np.uint32(5) + np.uint32(0xE6546B64)
+        h1 ^= np.uint32(8)  # fmix(h1, 8 bytes)
+        h1 ^= h1 >> np.uint32(16)
+        h1 *= np.uint32(0x85EBCA6B)
+        h1 ^= h1 >> np.uint32(13)
+        h1 *= np.uint32(0xC2B2AE35)
+        h1 ^= h1 >> np.uint32(16)
+        return h1
+
+
+class SparkBloomFilter:
+    """Parsed Spark BloomFilter stream, probe-only.
+
+    Handles both wire versions: V1 (BloomFilterImpl — int32
+    double-hashing ``h1 + i*h2``) and V2 (BloomFilterImplV2, the
+    Spark 4 default — seeded hash pair, int64 accumulator
+    ``hi*0x7FFFFFFF + i*lo``).  Layouts recovered from the bundled
+    spark-sketch jar's bytecode (writeTo/scatterHashAndGetAllBits)."""
+
+    def __init__(self, version: int, num_hashes: int, seed: int, words: np.ndarray):
+        self.version = int(version)
+        self.num_hashes = int(num_hashes)
+        self.seed = np.uint32(seed & 0xFFFFFFFF)
+        self.words = words  # uint64, java BitArray layout
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "SparkBloomFilter":
+        (version,) = struct.unpack_from(">i", blob, 0)
+        if version == 1:
+            num_hashes, num_words = struct.unpack_from(">ii", blob, 4)
+            seed, off = 0, 12
+        elif version == 2:
+            num_hashes, seed, num_words = struct.unpack_from(">iii", blob, 4)
+            off = 16
+        else:
+            raise ValueError(f"unsupported Spark BloomFilter version {version}")
+        words = np.frombuffer(blob, dtype=">u8", count=num_words, offset=off)
+        return cls(version, num_hashes, seed, words.astype(np.uint64))
+
+    def _bit_test(self, idx: np.ndarray, out: np.ndarray) -> None:
+        bits = (self.words[idx >> 6] >> (idx.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+        out &= bits.astype(bool)
+
+    def contains_longs(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized mightContainLong over int64 keys."""
+        vals = np.ascontiguousarray(keys, dtype=np.int64).view(np.uint64)
+        hi = _mm32_hash_long(vals, self.seed)
+        lo = _mm32_hash_long(vals, hi)
+        bit_size = np.int64(self.words.size * 64)
+        out = np.ones(vals.shape, dtype=bool)
+        with np.errstate(over="ignore"):
+            if self.version == 2:
+                hi64 = hi.view(np.int32).astype(np.int64)
+                lo64 = lo.view(np.int32).astype(np.int64)
+                acc = hi64 * np.int64(0x7FFFFFFF)
+                for _ in range(self.num_hashes):
+                    acc = acc + lo64
+                    comb = np.where(acc < 0, ~acc, acc)
+                    self._bit_test(comb % bit_size, out)
+            else:
+                h1i = hi.view(np.int32).astype(np.int64)
+                h2i = lo.view(np.int32).astype(np.int64)
+                for i in range(1, self.num_hashes + 1):
+                    # int32 wrap-around like java, then flip negatives
+                    comb = (h1i + i * h2i).astype(np.int32)
+                    comb = np.where(comb < 0, ~comb, comb).astype(np.int64)
+                    self._bit_test(comb % bit_size, out)
+        return out
+
+
+def jvm_bloom_filter_bytes(
+    df: DataFrame, key_col: str, lg_m: int = 22, num_hashes: int = 6
+) -> bytes:
+    """Serialized Spark BloomFilter of an integral key column, built by
+    the JVM in one job (no Python, no Arrow).  ``2^lg_m`` bits;
+    expectedNumItems is back-derived so java picks ``num_hashes``
+    hash functions (k = round(numBits/n * ln 2))."""
+    num_bits = 1 << lg_m
+    expected = max(1, int(round(num_bits * math.log(2) / num_hashes)))
+    jbf = df._jdf.stat().bloomFilter(key_col, expected, num_bits)
+    jvm = df.sparkSession.sparkContext._jvm
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jbf.writeTo(baos)
+    return bytes(baos.toByteArray())
+
+
+def jvm_bloom_prune_with(
+    fact: DataFrame, fact_key, blob: bytes, invert: bool = False
+) -> DataFrame:
+    """Filter ``fact`` by Spark BloomFilter bytes (integral keys)."""
+    key = fact_key if isinstance(fact_key, Column) else F.col(fact_key)
+    bc = fact.sparkSession.sparkContext.broadcast(bytes(blob))
+    holder: list[SparkBloomFilter] = []
+
+    @pandas_udf("boolean")
+    def probe(keys: pd.Series) -> pd.Series:
+        if not holder:
+            holder.append(SparkBloomFilter.from_bytes(bc.value))
+        sk = holder[0]
+        out = pd.Series(False, index=keys.index)
+        ok = keys.notna()
+        if ok.any():
+            hits = sk.contains_longs(keys[ok].to_numpy(dtype="int64"))
+            out[ok] = ~hits if invert else hits
+        return out
+
+    return fact.where(probe(key.cast("long")))
+
+
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+
+
 def bloom_prune(
     fact: DataFrame,
     fact_key,
     dim: DataFrame,
     dim_key: str,
     lg_m: int = 22,
+    engine: str = "auto",
 ) -> DataFrame:
     """Rows of ``fact`` whose key is (probably) in ``dim[dim_key]``.
 
@@ -122,9 +273,21 @@ def bloom_prune(
     survives.  Output may contain a small fraction of non-matching rows
     (FPP ~ (1-e^(-6n/m))^6); follow with an exact join if needed.
 
-    The filter build is fully distributed (``bloom_filter_blob``:
-    driver-merged partials when bounded, else the two-phase blob-only
-    shuffle collecting exactly one blob), so this works unchanged when
-    ``dim`` has billions of keys.
+    ``engine='auto'`` rides Spark's built-in JVM BloomFilter when the
+    dim key is integral (build = one all-JVM job; probe = vectorized
+    numpy over the broadcast bytes — ``SparkBloomFilter``), and the
+    portable two-phase DSKS sketch path otherwise
+    (``bloom_filter_blob``: driver-merged partials when bounded, else
+    the blob-only shuffle).  Both scale unchanged when ``dim`` has
+    billions of keys; only the portable path yields a storable,
+    mergeable sketch column.
     """
+    if engine not in ("auto", "jvm", "python"):
+        raise ValueError(f"engine ({engine!r}) must be auto/jvm/python")
+    if engine == "auto":
+        dim_type = dim.schema[dim_key].dataType
+        engine = "jvm" if isinstance(dim_type, _INTEGRAL) else "python"
+    if engine == "jvm":
+        blob = jvm_bloom_filter_bytes(dim, dim_key, lg_m=lg_m)
+        return jvm_bloom_prune_with(fact, fact_key, blob)
     return bloom_prune_with(fact, fact_key, bloom_filter_blob(dim, dim_key, lg_m=lg_m))

@@ -175,6 +175,50 @@ def test_bloom_prune_no_false_negatives(spark):
     assert len(got) <= len(expect) * 1.05  # few false positives at this m/n
 
 
+def test_spark_bloom_probe_matches_jvm(spark):
+    """The vectorized numpy probe reproduces java's mightContain bit
+    for bit on the SAME serialized filter (BloomFilterImplV2 wire)."""
+    from datasketches_spark.runtime_filter import (
+        SparkBloomFilter,
+        jvm_bloom_filter_bytes,
+    )
+
+    dim = spark.range(0, 20000, 3).withColumnRenamed("id", "d")
+    blob = jvm_bloom_filter_bytes(dim, "d", lg_m=16)
+    sbf = SparkBloomFilter.from_bytes(blob)
+    jbf = spark.sparkContext._jvm.org.apache.spark.util.sketch.BloomFilter.readFrom(
+        spark.sparkContext._jvm.java.io.ByteArrayInputStream(bytearray(blob))
+    )
+    rng = np.random.default_rng(3)
+    keys = np.concatenate(
+        [np.arange(0, 20000, 3), rng.integers(-(10**12), 10**12, 500)]
+    ).astype(np.int64)
+    ours = sbf.contains_longs(keys)
+    theirs = np.array([jbf.mightContain(int(k)) for k in keys])
+    assert (ours == theirs).all()
+    assert ours[: len(range(0, 20000, 3))].all()  # members always hit
+
+
+def test_bloom_prune_engines_agree(spark):
+    """jvm and python engines both keep every true member; string keys
+    fall back to the portable path under engine='auto'."""
+    from datasketches_spark import bloom_prune
+
+    fact = spark.range(0, 3000).withColumnRenamed("id", "k")
+    dim = spark.range(0, 3000, 11).withColumnRenamed("id", "d")
+    expect = set(range(0, 3000, 11))
+    for engine in ("jvm", "python", "auto"):
+        got = {r["k"] for r in bloom_prune(fact, "k", dim, "d", lg_m=16,
+                                           engine=engine).collect()}
+        assert expect <= got
+    sfact = fact.selectExpr("cast(k as string) k")
+    sdim = dim.selectExpr("cast(d as string) d")
+    got = {r["k"] for r in bloom_prune(sfact, "k", sdim, "d", lg_m=16).collect()}
+    assert {str(k) for k in expect} <= got
+    with pytest.raises(ValueError, match="engine"):
+        bloom_prune(fact, "k", dim, "d", engine="nope")
+
+
 def test_bloom_io_roundtrip_with_metadata(spark, tmp_path):
     from datasketches_spark import io as dio
     from datasketches_spark.aggregation import sketch_agg

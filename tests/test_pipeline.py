@@ -109,6 +109,16 @@ class TestDedup:
         assert by_text["mixed group"] is None
         assert by_text["plain group"] == 3
 
+    def test_exact_dedup_keep_cols_slims_payload(self, spark, docs):
+        # keep_cols carries only the named columns through the shuffle;
+        # the surviving (id) set must match the full-payload dedup
+        full = dedup.exact_dedup(docs, "text", "doc_id")
+        slim = dedup.exact_dedup(docs, "text", "doc_id", keep_cols=["doc_id"])
+        assert slim.columns == ["doc_id"]
+        assert sorted(r.doc_id for r in slim.collect()) == sorted(
+            r.doc_id for r in full.collect()
+        )
+
     def test_minhash_identical_docs(self, spark, docs):
         pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.9)
         got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
