@@ -1595,10 +1595,13 @@ def q_doc_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-aware join (pipeline/skewjoin.py): lineitem x orders with
-    auto-detected hot orderkeys routed through a broadcast join.
-    Detection changes only the physical plan — the result is
-    row-identical to the plain join, which is the oracle."""
+    """Skew-aware join (pipeline/skewjoin.py): lineitem x orders.  At
+    bench SF Catalyst's stats say orders fits the broadcast threshold,
+    so skew_join's fast path returns the plain (planner-broadcast)
+    join — a broadcast join has no skew to split.  Past the threshold
+    (the 100 TB regime) it auto-detects hot orderkeys and routes them
+    through a broadcast slice while the cold tail shuffles.  Either
+    path is row-identical to the plain join, which is the oracle."""
     from datasketches_spark.pipeline.skewjoin import skew_join
 
     li = _t(spark, sf_dir, "lineitem").select(

@@ -111,14 +111,16 @@ def main():
         # this is a small-data harness setting only.
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.locality.wait", "0")
-        # local-only knob, MEASURED (round 2): at sf0.1 the Python
-        # sketch cores need ~25 ms/600k rows, so per-task worker+Arrow
-        # overhead dominates and FEWER, larger splits win -- 16 MB
-        # (1 split/table) beats 1 MB (11 splits) by ~0.2 s/query on
-        # the sketch path.  On a real cluster at 100 TB files
-        # outnumber cores and the 128 MB default is correct; this is
-        # purely a small-file harness setting.
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # local-only knob, re-MEASURED round 7 (one-session sweep over
+        # all 20 heads, best-of-3 interleaved): 8m beats 16m by ~0.65 s
+        # total -- 16m leaves lineitem (10.8 MB) as ONE split, so the
+        # heavy per-row stages (multi-family sketch builds, regex
+        # scoring) serialize onto one core; 8m splits it in two, while
+        # 4m/1m lose the gain to per-task overhead (round-2 result,
+        # re-confirmed).  On a real cluster at 100 TB files outnumber
+        # cores and the 128 MB default is correct; this is purely a
+        # small-file harness setting.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

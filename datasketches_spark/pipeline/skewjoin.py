@@ -61,6 +61,12 @@ def detect_hot_keys(
     ]
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame (no job; same stats the
+    planner's broadcast decision reads)."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+
 def skew_join(
     left: DataFrame,
     right: DataFrame,
@@ -74,10 +80,29 @@ def skew_join(
     """Join ``left`` (large, possibly skewed) with ``right`` on the
     equality key ``on``; hot keys detected from ``left`` unless given
     explicitly.  ``how`` must be 'inner' or 'left' (the splits are
-    disjoint by key, so their union is exact for these)."""
+    disjoint by key, so their union is exact for these).
+
+    Fast path: when Catalyst's size estimate says ``right`` fits the
+    session's broadcast threshold, the plain join is returned -- the
+    planner broadcasts it, the left side never shuffles, and a
+    broadcast join has no skew problem to solve (every left partition
+    probes locally).  The hot/cold split only earns its extra scan +
+    detection job when the right side is too big to broadcast -- the
+    regime this operator exists for at 100 TB."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if hot_keys is None:
+        # auto mode only: an explicit hot_keys list forces the split
+        # (callers use it to pin the plan; tests exercise it)
+        thr = int(
+            str(
+                left.sparkSession._jsparkSession.sessionState()
+                .conf()
+                .autoBroadcastJoinThreshold()
+            )
+        )
+        if 0 < thr and _plan_size_bytes(right) <= thr:
+            return left.join(right, on, how)
         hot_keys = detect_hot_keys(
             left, on, max_hot=max_hot, min_share=min_share, seed=seed
         )

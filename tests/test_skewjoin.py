@@ -69,6 +69,22 @@ class TestSkewJoin:
         )
         assert "BroadcastHashJoin" in plan
 
+    def test_auto_mode_short_circuits_broadcastable_right(self, spark):
+        # a right side under the broadcast threshold never pays the
+        # split (no Union in the plan) -- a broadcast join has no skew
+        # problem; an explicit hot_keys list still forces the split
+        left, right = _mk_skewed(spark)
+        auto_plan = (
+            skew_join(left, right, "k", min_share=0.05)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert auto_plan.count("Join") == 1  # single plain join
+        forced_plan = (
+            skew_join(left, right, "k", hot_keys=[0])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert forced_plan.count("Join") >= 2  # hot + cold split
+
     def test_bad_how(self, spark):
         left, right = _mk_skewed(spark)
         with pytest.raises(ValueError, match="how"):
