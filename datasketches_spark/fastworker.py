@@ -1,0 +1,90 @@
+"""Python-worker daemon module that memoizes per-task spark-files setup.
+
+The measured problem (local[32], pyspark 4.1, best-of-10 warm): a
+1-task mapInPandas job on 100 rows costs ~0.15 s wall while the same
+shape in pure JVM costs ~0.02 s.  Phase-timing the worker main loop
+(instrumented daemon) attributes ~115 ms of every Python task to
+``worker_util.setup_spark_files``, whose last step is
+``importlib.invalidate_caches()``: when the workers import pyspark
+from ``$SPARK_HOME/python/lib/pyspark.zip`` (the standard layout), the
+cached ``zipimporter`` re-reads the ~30 MB zip's central directory on
+EVERY call — reproduced standalone at ~97 ms per call.
+
+The spark-files directory and python-includes list are constant for
+nearly every task a session ever runs; they only change when files are
+added at runtime (``sc.addPyFile``).  This daemon keeps the exact
+wire protocol (the JVM's writes are consumed identically) but re-runs
+the cache invalidation ONLY when the (files dir, includes) tuple
+changes — so ``addPyFile`` still invalidates, and steady-state tasks
+skip the redundant zip re-scan.  Python-stage floor drops ~0.13 s per
+stage, which at 15+ Python stages per bench run is ~2 s of pure
+framework overhead.
+
+Opt in per session (workers must be able to import this package —
+in local mode the driver's cwd/PYTHONPATH suffices):
+
+    SparkSession.builder
+        .config("spark.python.daemon.module",
+                "datasketches_spark.fastworker")
+
+This module is otherwise a transparent pass-through to
+``pyspark.daemon`` (fork-server protocol unchanged), so it composes
+with worker reuse, memory limits, and faulthandler settings.  On a
+real cluster ship the package (``--py-files`` / image) and set the
+same conf; the per-task win is identical because the zip layout is.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+
+from pyspark import worker as _worker
+from pyspark import worker_util as _worker_util
+from pyspark.serializers import read_int
+from pyspark.worker_util import utf8_deserializer
+
+_last_files_state: tuple | None = None
+
+
+def _setup_spark_files_memo(infile) -> None:
+    """Protocol-identical replacement for worker_util.setup_spark_files:
+    same reads, same path setup, but importlib.invalidate_caches() runs
+    only when the (spark_files_dir, includes) state actually changes."""
+    global _last_files_state
+    spark_files_dir = utf8_deserializer.loads(infile)
+
+    if not _worker_util.is_remote_only():
+        from pyspark.core.files import SparkFiles
+
+        SparkFiles._root_directory = spark_files_dir
+        SparkFiles._is_running_on_worker = True
+
+    _worker_util.add_path(spark_files_dir)
+    includes = []
+    for _ in range(read_int(infile)):
+        filename = utf8_deserializer.loads(infile)
+        includes.append(filename)
+        _worker_util.add_path(os.path.join(spark_files_dir, filename))
+
+    state = (spark_files_dir, tuple(includes))
+    if state != _last_files_state:
+        importlib.invalidate_caches()
+        _last_files_state = state
+
+
+def _install() -> None:
+    # patch the name pyspark.worker.main actually calls (it imports
+    # setup_spark_files into its own module namespace)
+    _worker.setup_spark_files = _setup_spark_files_memo
+    _worker_util.setup_spark_files = _setup_spark_files_memo
+
+
+_install()
+
+# hand control to the stock daemon AFTER the patch: every forked worker
+# inherits the memoized setup
+from pyspark.daemon import manager  # noqa: E402
+
+if __name__ == "__main__":
+    manager()
