@@ -147,6 +147,29 @@ lines.append("")
 lines.append("Native JVM fast path (not in the SQL registry; Column API only):")
 lines.append("`hll_native.hll_build` / `hll_merge` / `hll_estimate` wrap Spark's")
 lines.append("built-in Apache DataSketches HLL (wire-compatible blobs).")
+lines.append("")
+lines.append("## `*_describe` text: parity and divergence")
+lines.append("")
+lines.append(
+    "The reference implements describe as datasketches-cpp "
+    "`sketch.to_string(summary, detail, false, false)` "
+    "(src/generated.cpp:6006) and its own tests assert only the "
+    "summary-header substring (`LIKE '%HLL sketch summary%'`, "
+    "`'%CPC sketch summary%'` — test/sql/datasketch_hll.test:84, "
+    "datasketch_cpc.test).  This engine's describe strings keep that "
+    "contract: every family's first line is the Apache-style "
+    "`### <Family> sketch summary:` header (t-Digest: "
+    "`### t-Digest summary:`, matching the non-Apache tdigest "
+    "library's convention), so ported SQL that greps the reference's "
+    "tested patterns behaves identically.  The BODY layout diverges "
+    "deliberately: field names/ordering are this engine's own "
+    "(estimates to 3 decimals, lower-case field labels) rather than a "
+    "byte-level clone of each datasketches-cpp to_string, which "
+    "varies by library version anyway.  SQL that parses describe "
+    "BODY text (no reference test does) is not portable in either "
+    "direction — use the typed metadata scalars "
+    "(`*_is_empty`, `*_num_retained`, `*_lg_config_k`, ...) instead; "
+    "every field the describe text shows has a typed twin.")
 
 open("/root/repo/docs/FUNCTIONS.md", "w").write("\n".join(lines) + "\n")
 print(f"wrote docs/FUNCTIONS.md: {total} functions")

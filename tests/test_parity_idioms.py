@@ -192,6 +192,34 @@ class TestDescribeAndErrors:
         assert "Theta sketch summary" in row.d
         assert "num retained entries : 100" in row.d
 
+    def test_describe_header_contract_all_families(self, spark):
+        # the reference's own describe tests assert only the summary
+        # header substring (LIKE '%HLL sketch summary%',
+        # datasketch_hll.test:84); every family here keeps that exact
+        # contract so ported grep-style SQL behaves identically --
+        # body layout divergence is documented in docs/FUNCTIONS.md
+        cases = [
+            ("datasketch_hll_describe(datasketch_hll(12, id), true, false)",
+             "HLL sketch summary"),
+            ("datasketch_cpc_describe(datasketch_cpc(12, id), true, false)",
+             "CPC sketch summary"),
+            ("datasketch_theta_describe(datasketch_theta(id))",
+             "Theta sketch summary"),
+            ("datasketch_kll_describe(datasketch_kll(200, cast(id as double)), true, false)",
+             "KLL sketch summary"),
+            ("datasketch_quantiles_describe(datasketch_quantiles(128, cast(id as double)), true, false)",
+             "Quantiles sketch summary"),
+            ("datasketch_req_describe(datasketch_req(12, cast(id as double)), true, false)",
+             "REQ sketch summary"),
+            ("datasketch_tdigest_describe(datasketch_tdigest(100, cast(id as double)), true)",
+             "t-Digest summary"),
+            # (no datasketch_frequent_items_describe: the reference has
+            # none either -- registry surfaces match 1:1)
+        ]
+        for expr, pat in cases:
+            row = spark.sql(f"SELECT {expr} AS d FROM range(100)").first()
+            assert pat in row.d, (expr, row.d[:120])
+
     def test_corrupt_blob_error_message(self, spark):
         with pytest.raises(Exception, match="Failed to deserialize"):
             spark.sql(

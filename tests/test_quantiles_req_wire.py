@@ -246,6 +246,95 @@ def test_live_jvm_quantiles_roundtrip_parity(jvm_q):
         assert upd.get_quantile(0.5) == jsk.getQuantile(0.5)
 
 
+def test_live_jvm_quantiles_merged_estimation_parity(jvm_q):
+    """Estimation-mode MERGED state crosses losslessly: two java
+    sketches (same-k and mixed-k) merged by java's DoublesUnion, the
+    compact union blob imports, re-exports byte-identically (mod the
+    flags byte), and every rank surface matches java's."""
+    jvm, wrap = jvm_q
+    rng = np.random.default_rng(9)
+
+    def jsk(k, data):
+        b = jvm.org.apache.datasketches.quantiles.DoublesSketch.builder()
+        b.setK(k)
+        s = b.build()
+        for v in data:
+            s.update(float(v))
+        return s
+
+    for ka, kb in [(64, 64), (128, 32)]:
+        u = jvm.org.apache.datasketches.quantiles.DoublesUnion.builder().build()
+        u.union(jsk(ka, rng.random(20_000) * 100))
+        u.union(jsk(kb, rng.random(7_000) * 100 + 30))
+        ju = u.getResult()
+        assert ju.getN() == 27_000
+        jb = bytearray(ju.toByteArray(True))
+        rt = QuantilesSketch.from_wire(bytes(jb))
+        assert rt.n == 27_000 and rt.k == ju.getK()
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            assert rt.get_quantile(q) == ju.getQuantile(q)
+        ob = bytearray(rt.to_wire())
+        jb[3] = ob[3] = 0
+        assert bytes(jb) == bytes(ob)
+
+
+def test_live_jvm_quantiles_updatable_fuzz(jvm_q):
+    """Bit-flip fuzz of the SLOTTED updatable DoublesSketch form
+    (toByteArray(false)): every corruption either raises the
+    deserialize error or yields a structurally sane sketch — never an
+    unhandled exception.  (The updatable layout has garbage slots, so
+    some flips land in dead bytes and parse identically — that is
+    valid, not a miss.)"""
+    jvm, wrap = jvm_q
+    rng = np.random.default_rng(10)
+    b = jvm.org.apache.datasketches.quantiles.DoublesSketch.builder()
+    b.setK(32)
+    s = b.build()
+    for v in rng.random(5_000) * 10:
+        s.update(float(v))
+    blob = bytes(s.toByteArray(False))
+    assert QuantilesSketch.from_wire(blob).n == 5_000
+    for _ in range(300):
+        pos = int(rng.integers(0, len(blob)))
+        bit = 1 << int(rng.integers(0, 8))
+        bad = bytearray(blob)
+        bad[pos] ^= bit
+        try:
+            sk = QuantilesSketch.from_wire(bytes(bad))
+        except SketchDeserializeError:
+            continue
+        # parsed: state must be internally consistent
+        assert sk.k >= 1
+        assert all(lv.size >= 0 for lv in sk.levels)
+        assert sk.levels[0].size <= 2 * sk.k
+
+
+def test_live_jvm_req_merged_estimation_parity(jvm_q):
+    """Estimation-mode MERGED REQ state: java merges two sketches, the
+    blob imports with identical rank surfaces, and the re-export is
+    byte-identical to java's serialization of the same merged state."""
+    jvm, wrap = jvm_q
+    rng = np.random.default_rng(11)
+    RB = jvm.org.apache.datasketches.req.ReqSketchBuilder()
+    RB.setK(12)
+    a = RB.build()
+    for v in (rng.random(15_000) * 100).astype(np.float32):
+        a.update(float(v))
+    b2 = RB.build()
+    for v in (rng.random(4_000) * 50).astype(np.float32):
+        b2.update(float(v))
+    a.merge(b2)
+    jb = bytearray(a.toByteArray())
+    rt = ReqSketch.from_wire(bytes(jb))
+    assert rt.n == 19_000 and rt.k == 12 and rt.dtype == "float32"
+    assert rt.num_retained == a.getNumRetained()
+    for q in (0.05, 0.5, 0.95, 0.99):
+        assert np.float32(rt.get_quantile(q)) == np.float32(a.getQuantile(q))
+    ob = bytearray(rt.to_wire())
+    jb[3] = ob[3] = 0
+    assert bytes(jb) == bytes(ob)
+
+
 def test_live_jvm_req_cross(jvm_q):
     jvm, wrap = jvm_q
     rng = np.random.default_rng(8)
