@@ -1,6 +1,7 @@
-"""Pure-stdlib image decoding: uncompressed BMP and zlib PNG.
+"""Pure-stdlib image decoding: uncompressed BMP, zlib PNG, and
+baseline-DCT JPEG.
 
-A real-decoder tier between PIL and the deterministic fake: both
+A real-decoder tier between PIL and the deterministic fake: all three
 formats are decodable with nothing beyond ``zlib`` + ``numpy``, so the
 decode → grayscale → resize pixel math in pipeline/multimodal.py is
 exercisable end-to-end in environments without PIL/cv2 (this CI
@@ -11,7 +12,15 @@ container included).  Formats covered:
   top-down rows, 4-byte row padding;
 - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha) and
   6 (RGBA), non-interlaced, with full scanline unfiltering
-  (None/Sub/Up/Average/Paeth per the PNG spec §4.5.4).
+  (None/Sub/Up/Average/Paeth per the PNG spec §4.5.4);
+- JPEG: baseline sequential DCT (SOF0/SOF1), 8-bit, Huffman-coded,
+  1- or 3-component, any 1-4 sampling factors, DRI/RSTn restart
+  markers.  Grayscale output needs only the luma plane, so chroma
+  blocks are entropy-decoded (the bitstream must advance) but their
+  IDCT is skipped.  Progressive (SOF2) and arithmetic-coded JPEGs
+  return None.  Decoder validated against java's ImageIO encoder
+  (javax.imageio writes standard Annex-K baseline JPEGs) in
+  tests/test_pipeline.py.
 
 ``decode_gray`` returns an HxW uint8 grayscale array (ITU-R 601 luma
 for color inputs) or None for anything unparseable — the same
@@ -170,8 +179,286 @@ def _decode_png(blob: bytes) -> np.ndarray | None:
     return _luma(px)
 
 
+# ------------------------------------------------------ baseline JPEG
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    """The JPEG zigzag scan order, derived (not transcribed): even
+    anti-diagonals run bottom-left -> top-right, odd ones the
+    reverse, clamped to the 8x8 block."""
+    out = []
+    for s in range(15):
+        cells = range(max(0, s - 7), min(s, 7) + 1)
+        if s % 2 == 0:
+            out.extend((s - c, c) for c in cells)  # up-right
+        else:
+            out.extend((r, s - r) for r in cells)  # down-left
+    return out
+
+
+_ZIG = _zigzag()
+_ZIG_ROWS = np.array([r for r, _ in _ZIG])
+_ZIG_COLS = np.array([c for _, c in _ZIG])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: F = A f A^T, f = A^T F A."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            cu = np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)
+            a[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return a
+
+
+_DCT_A = _dct_matrix()
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    byte unstuffing; RSTn markers are consumed on restart()."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8  # pad past EOF with zeros (spec: EOI pad)
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed FF
+                else:
+                    # a real marker: stop consuming, pad with zeros
+                    self.acc = (self.acc << 8) & 0xFFFFFFFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def restart(self) -> bool:
+        """Byte-align and consume an RSTn marker; False if absent."""
+        self.acc = 0
+        self.nbits = 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
+            return True
+        return False
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bits(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(blob: bytes) -> np.ndarray | None:
+    if len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    comps = None  # list of (cid, h, v, tq)
+    w = h = 0
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            return None
+        marker = blob[pos + 1]
+        if marker == 0xD8 or (0xD0 <= marker <= 0xD7):
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        (seg_len,) = struct.unpack_from(">H", blob, pos + 2)
+        body = blob[pos + 4 : pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            return None
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                off += 1
+                n = 64 * (2 if pq else 1)
+                if off + n > len(body):
+                    return None
+                raw = (
+                    np.frombuffer(body, dtype=">u2", count=64, offset=off)
+                    if pq
+                    else np.frombuffer(body, dtype=np.uint8, count=64, offset=off)
+                )
+                tbl = np.zeros((8, 8), dtype=np.float64)
+                tbl[_ZIG_ROWS, _ZIG_COLS] = raw
+                qt[tq] = tbl
+                off += n
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline decoding)
+            if body[0] != 8:
+                return None
+            h, w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            if nc not in (1, 3) or len(body) < 6 + 3 * nc:
+                return None
+            if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+                return None
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 0xF) <= 4):
+                    return None
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / hierarchical
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off + 17 <= len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = body[off + 17 : off + 17 + n]
+                if len(vals) != n:
+                    return None
+                huff[(tc, th)] = _build_huffman(bits, vals)
+                off += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if comps is None or ns != len(comps) or len(body) < 1 + 2 * ns + 3:
+                return None
+            scan = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                match = [c for c in comps if c[0] == cs]
+                if not match:
+                    return None
+                scan.append((match[0], tdta >> 4, tdta & 0xF))
+            pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if scan is None or not qt:
+        return None
+
+    # MCU geometry; a single-component scan is non-interleaved: 8x8
+    # data units regardless of declared sampling factors
+    if len(scan) == 1:
+        (cid, _, _, tq), td, ta = scan[0]
+        scan = [((cid, 1, 1, tq), td, ta)]
+    hm = max(c[0][1] for c in scan)
+    vm = max(c[0][2] for c in scan)
+    mcx = -(-w // (8 * hm))
+    mcy = -(-h // (8 * vm))
+    y_comp = scan[0][0]
+    yw, yv = y_comp[1], y_comp[2]
+    y_blocks = np.zeros((mcy * yv, mcx * yw, 8, 8), dtype=np.float64)
+
+    br = _BitReader(blob, pos)
+    pred = {c[0][0]: 0 for c in scan}
+    try:
+        for m in range(mcx * mcy):
+            if restart_interval and m and m % restart_interval == 0:
+                if not br.restart():
+                    return None
+                pred = {c[0][0]: 0 for c in scan}
+            my, mx = divmod(m, mcx)
+            for ci, ((cid, ch, cv, tq), td, ta) in enumerate(scan):
+                dc_tbl = huff.get((0, td))
+                ac_tbl = huff.get((1, ta))
+                q = qt.get(tq)
+                if dc_tbl is None or ac_tbl is None or q is None:
+                    return None
+                for by in range(cv):
+                    for bx in range(ch):
+                        t = _huff_decode(br, dc_tbl)
+                        if t is None or t > 15:
+                            return None
+                        diff = _extend(br.bits(t), t) if t else 0
+                        pred[cid] += diff
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, ac_tbl)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            coef[k] = _extend(br.bits(s), s)
+                            k += 1
+                        if ci == 0:  # luma only: chroma IDCT skipped
+                            blk = np.zeros((8, 8), dtype=np.float64)
+                            blk[_ZIG_ROWS, _ZIG_COLS] = coef
+                            blk *= q
+                            y_blocks[my * yv + by, mx * yw + bx] = blk
+    except (IndexError, KeyError):
+        return None
+
+    # one einsum IDCT over every luma block, then assemble the plane
+    spatial = np.einsum("ux,mnuv,vy->mnxy", _DCT_A, y_blocks, _DCT_A)
+    plane = spatial.transpose(0, 2, 1, 3).reshape(mcy * yv * 8, mcx * yw * 8)
+    plane = np.clip(np.rint(plane + 128), 0, 255).astype(np.uint8)
+    # luma plane dims for the image: ceil(w*yw/hm) x ceil(h*yv/vm)
+    pw = -(-w * yw // hm)
+    ph = -(-h * yv // vm)
+    plane = plane[:ph, :pw]
+    if (ph, pw) != (h, w):  # subsampled luma (rare): upscale to image size
+        plane = resize_nearest(plane, w, h)
+    return plane
+
+
 def decode_gray(blob: bytes) -> np.ndarray | None:
-    """HxW uint8 grayscale from BMP or PNG bytes, else None."""
+    """HxW uint8 grayscale from BMP, PNG, or baseline-JPEG bytes,
+    else None."""
     if not isinstance(blob, (bytes, bytearray)) or len(blob) < 8:
         return None
     blob = bytes(blob)
@@ -183,6 +470,11 @@ def decode_gray(blob: bytes) -> np.ndarray | None:
     if blob[:8] == _PNG_MAGIC:
         try:
             return _decode_png(blob)
+        except (struct.error, ValueError):
+            return None
+    if blob[:2] == b"\xff\xd8":
+        try:
+            return _decode_jpeg(blob)
         except (struct.error, ValueError):
             return None
     return None
@@ -211,6 +503,111 @@ def encode_bmp(gray: np.ndarray) -> bytes:
     head = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 2835, 2835, 256, 0)
     return head + info + palette + body
+
+
+def encode_jpeg_gray(gray: np.ndarray, q: int = 8) -> bytes:
+    """Minimal baseline-DCT grayscale JPEG (single component, flat
+    quantization ``q``, custom fixed-length Huffman tables carried in
+    DHT — canonical and prefix-free, just not size-optimal).  A real
+    JPEG: java's ImageIO decodes it (cross-checked in tests)."""
+    h, w = gray.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = gray
+    # edge-replicate padding so block borders don't ring
+    padded[h:, :w] = gray[-1:, :]
+    padded[:h, w:] = gray[:, -1:]
+    padded[h:, w:] = gray[-1, -1]
+
+    # canonical fixed-length tables: DC sizes 0..11 at 4 bits,
+    # AC symbols (EOB, ZRL, run 0-15 x size 1-10) at 9 bits
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_bits = [0] * 16
+    dc_bits[3] = len(dc_syms)  # all length 4
+    ac_bits = [0] * 16
+    ac_bits[8] = len(ac_syms)  # all length 9
+    dc_code = {sym: (4, i) for i, sym in enumerate(dc_syms)}
+    ac_code = {sym: (9, i) for i, sym in enumerate(ac_syms)}
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(val: int, n: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << n) | (val & ((1 << n) - 1))
+        nbits += n
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+
+    def put_mag(v: int) -> int:
+        """Append the magnitude bits of v; return its size category."""
+        t = int(abs(v)).bit_length()
+        if t:
+            put(v if v > 0 else v + (1 << t) - 1, t)
+        return t
+
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _DCT_A @ blk @ _DCT_A.T
+            zz = np.rint(coef[_ZIG_ROWS, _ZIG_COLS] / q).astype(int)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t = int(abs(diff)).bit_length()
+            ln, code = dc_code[t]
+            put(code, ln)
+            put_mag(diff)
+            run = 0
+            last = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_code[0xF0]
+                    put(code, ln)
+                    run -= 16
+                t = int(abs(v)).bit_length()
+                ln, code = ac_code[(run << 4) | t]
+                put(code, ln)
+                put_mag(v)
+                run = 0
+            if last < 63:
+                ln, code = ac_code[0x00]  # EOB
+                put(code, ln)
+    if nbits:
+        put(0x7F, 7 - ((nbits - 1) % 8) + 1)  # pad with 1s via 0x7F tail
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qzz = bytes([0]) + bytes([q] * 64)  # pq=0, tq=0, flat table (zigzag)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    # one DHT segment may carry several tables back to back
+    dht = (
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_syms)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, qzz)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + bytes(out)
+        + b"\xff\xd9"
+    )
 
 
 def encode_png(gray: np.ndarray) -> bytes:

@@ -4,7 +4,7 @@ The Spark-side machinery here is REAL and tested -- schemas, typed
 metadata extraction (JVM expressions), Arrow batch shapes, partition
 behavior of ``mapInPandas`` decoders.  Image decoding has three tiers,
 probed lazily on each executor: PIL when importable (any format), a
-pure-stdlib BMP/PNG decoder that is ALWAYS available
+pure-stdlib BMP/PNG/baseline-JPEG decoder that is ALWAYS available
 (``_stdlib_image.py`` — real pixel math, exercised end-to-end in this
 container's CI), and clearly-marked deterministic fakes for payloads
 no real tier decodes.  ``strict=True`` disables the fake tier and
@@ -94,7 +94,8 @@ def decode_image_features(
        a small grid, emit the first ``n_features`` normalized pixels
        (undecodable bytes -> NULL);
     2. **stdlib** (always available — pipeline/_stdlib_image.py):
-       uncompressed BMP and zlib PNG decode with the same grayscale →
+       uncompressed BMP, zlib PNG, and baseline-DCT JPEG decode with
+       the same grayscale →
        grid → normalize pixel math, so the REAL decode path runs even
        where PIL is absent (this CI container);
     3. **deterministic fake** for bytes neither tier decodes, keeping
@@ -150,10 +151,10 @@ def decode_image_features(
             if out is None and image_mod is None:
                 if strict:
                     # fail LOUDLY: without PIL the only real tier is the
-                    # stdlib BMP/PNG decoder; this payload needs more
+                    # stdlib BMP/PNG/JPEG decoder; this payload needs more
                     raise NotImplementedError(
                         "real image decoding for this payload requires PIL "
-                        "(the stdlib tier covers BMP/PNG only); strict=True "
+                        "(the stdlib tier covers BMP/PNG/baseline-JPEG); strict=True "
                         "forbids the deterministic fake"
                     )
                 return _fake_features(blob, n_features).tolist()
@@ -309,12 +310,12 @@ def resize_binary(
                 if image_mod is not None:
                     out.append(_real_resize(image_mod, blob))
                     continue
-                # stdlib tier: REAL BMP/PNG decode + nearest resize
+                # stdlib tier: REAL BMP/PNG/JPEG decode + nearest resize
                 rz = _stdlib_resize(blob)
                 if rz is None and strict:
                     raise NotImplementedError(
                         "real image resizing for this payload requires PIL "
-                        "(the stdlib tier covers BMP/PNG only); strict=True "
+                        "(the stdlib tier covers BMP/PNG/baseline-JPEG); strict=True "
                         "forbids the deterministic fake"
                     )
                 if rz is not None:

@@ -431,6 +431,89 @@ class TestMultimodal:
             assert len(feats[i]) == 9
             assert all(abs(f - 128 / 255.0) < 1e-6 for f in feats[i])
 
+    def test_stdlib_jpeg_roundtrip_and_tolerance(self, spark):
+        """Baseline-DCT JPEG in the stdlib tier: our encoder's output
+        decodes back within quantization error, odd (non-multiple-of-8)
+        dims crop correctly, and truncated bytes yield None."""
+        from datasketches_spark.pipeline import _stdlib_image as SI
+
+        rng = np.random.default_rng(5)
+        x = np.linspace(0, 4 * np.pi, 40)
+        img = (
+            127 + 60 * np.sin(x)[None, :] * np.cos(0.7 * x)[:, None]
+            + rng.normal(0, 3, (40, 40))
+        ).clip(0, 255).astype(np.uint8)
+        blob = SI.encode_jpeg_gray(img, q=8)
+        dec = SI.decode_gray(blob)
+        assert dec is not None and dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+        odd = img[:33, :21]
+        d2 = SI.decode_gray(SI.encode_jpeg_gray(odd, q=4))
+        assert d2.shape == odd.shape
+        assert np.abs(d2.astype(int) - odd.astype(int)).max() <= 10
+        assert SI.decode_gray(blob[:40]) is None
+        assert SI.decode_gray(b"\xff\xd8\xff\xc2" + blob[4:]) is None  # progressive
+
+    def test_stdlib_jpeg_cross_validates_with_java_imageio(self, spark):
+        """Live-JVM oracle: javax.imageio writes standard Annex-K
+        baseline JPEGs (grayscale 1-component and 4:2:0 color).  Our
+        decoder must read both within +-2 of java's own decode, and
+        java must read OUR encoder's output."""
+        from datasketches_spark.pipeline import _stdlib_image as SI
+
+        jvm = spark.sparkContext._jvm
+        BI = jvm.java.awt.image.BufferedImage
+
+        def j_encode(img, rgb=False):
+            if rgb:
+                bi = BI(img.shape[1], img.shape[0], BI.TYPE_3BYTE_BGR)
+                data = img[..., ::-1].copy().tobytes()
+            else:
+                bi = BI(img.shape[1], img.shape[0], BI.TYPE_BYTE_GRAY)
+                data = img.tobytes()
+            bi.getRaster().setDataElements(
+                0, 0, img.shape[1], img.shape[0], bytearray(data)
+            )
+            baos = jvm.java.io.ByteArrayOutputStream()
+            assert jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+            return bytes(baos.toByteArray())
+
+        def j_decode_gray(blob):
+            bi = jvm.javax.imageio.ImageIO.read(
+                jvm.java.io.ByteArrayInputStream(bytearray(blob))
+            )
+            if bi is None:
+                return None
+            w, h = bi.getWidth(), bi.getHeight()
+            gray = BI(w, h, BI.TYPE_BYTE_GRAY)
+            g2 = gray.getGraphics()
+            g2.drawImage(bi, 0, 0, None)
+            g2.dispose()
+            data = gray.getRaster().getDataElements(0, 0, w, h, None)
+            return np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w)
+
+        x = np.linspace(0, 3 * np.pi, 48)
+        img = (
+            127 + 80 * np.sin(x)[None, :] * np.cos(0.7 * x)[:, None]
+        ).clip(0, 255).astype(np.uint8)
+
+        jb = j_encode(img)
+        ours = SI.decode_gray(jb)
+        assert ours is not None and ours.shape == img.shape
+        assert np.abs(ours.astype(int) - j_decode_gray(jb).astype(int)).max() <= 1
+
+        color = np.stack([img, np.roll(img, 7, 0), 255 - img], axis=-1)
+        jcb = j_encode(color, rgb=True)
+        ours_c = SI.decode_gray(jcb)  # 4:2:0 subsampled, luma-only path
+        assert ours_c is not None and ours_c.shape == img.shape
+        assert np.abs(
+            ours_c.astype(int) - j_decode_gray(jcb).astype(int)
+        ).max() <= 2
+
+        jd = j_decode_gray(SI.encode_jpeg_gray(img, q=6))
+        assert jd is not None
+        assert np.abs(jd.astype(int) - img.astype(int)).max() <= 10
+
     def test_stdlib_tier_resize_exact(self, spark):
         """Nearest-neighbor resize through the stdlib tier: a 2x2
         checkerboard upsampled to 4x4 has an exactly predictable byte
