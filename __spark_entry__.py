@@ -749,6 +749,29 @@ def q_theta_lgk_sql_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_union_py_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python-core HLL blob union through the SQL aggregate
+    surface (``datasketch_hll_union``), kept driver-gated after
+    hll_union_custkey moved to the JVM-native fast path: per-status
+    blob sketches built by the two-phase scale path union to the
+    global distinct-customer count (coupon-exact at gate SF, sparse
+    limit 2048 > 1500 distinct)."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "orders"), "o_custkey", "hll",
+        group_cols=["o_orderstatus"], k=12,
+    )
+    sk.createOrReplaceTempView("__hll_status_sketches")
+    return spark.sql(
+        """
+        SELECT CAST(round(datasketch_hll_estimate(
+                 datasketch_hll_union(12, sketch))) AS BIGINT)
+               AS distinct_customers
+        FROM __hll_status_sketches
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline queries (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -2143,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_wire_roundtrip": q_quantiles_wire_roundtrip,
         "req_wire_roundtrip": q_req_wire_roundtrip,
         "curation_sample_stats": q_curation_sample_stats,
+        "hll_union_py_statuses": q_hll_union_py_statuses,
     }
 
 
@@ -2876,6 +2900,9 @@ def oracle_sql() -> dict[str, str]:
     # the KLL-cuts variant computes the identical inclusive-rank
     # histogram, so it shares the oracle arithmetic verbatim
     out["quantity_equi_depth_kll"] = out["quantity_equi_depth"]
+    # the python-core blob union answers the same exact count as the
+    # JVM-native hll_union_custkey (both coupon-exact at gate SF)
+    out["hll_union_py_statuses"] = out["hll_union_custkey"]
     return out
 
 
