@@ -39,48 +39,52 @@ from __future__ import annotations
 import importlib
 import os
 
-from pyspark import worker as _worker
-from pyspark import worker_util as _worker_util
-from pyspark.serializers import read_int
-from pyspark.worker_util import utf8_deserializer
-
 _last_files_state: tuple | None = None
 
 
-def _setup_spark_files_memo(infile) -> None:
-    """Protocol-identical replacement for worker_util.setup_spark_files:
-    same reads, same path setup, but importlib.invalidate_caches() runs
-    only when the (spark_files_dir, includes) state actually changes."""
-    global _last_files_state
-    spark_files_dir = utf8_deserializer.loads(infile)
-
-    if not _worker_util.is_remote_only():
-        from pyspark.core.files import SparkFiles
-
-        SparkFiles._root_directory = spark_files_dir
-        SparkFiles._is_running_on_worker = True
-
-    _worker_util.add_path(spark_files_dir)
-    includes = []
-    for _ in range(read_int(infile)):
-        filename = utf8_deserializer.loads(infile)
-        includes.append(filename)
-        _worker_util.add_path(os.path.join(spark_files_dir, filename))
-
-    state = (spark_files_dir, tuple(includes))
-    if state != _last_files_state:
-        importlib.invalidate_caches()
-        _last_files_state = state
-
-
 def _install() -> None:
-    # patch the name pyspark.worker.main actually calls (it imports
-    # setup_spark_files into its own module namespace)
+    """Patch the name pyspark.worker.main actually calls (it imports
+    setup_spark_files into its own module namespace).  The memo is
+    protocol-identical to worker_util.setup_spark_files: same reads,
+    same path setup, but importlib.invalidate_caches() runs only when
+    the (spark_files_dir, includes) state actually changes."""
+    from pyspark import worker as _worker
+    from pyspark import worker_util as _worker_util
+    from pyspark.serializers import read_int
+    from pyspark.worker_util import utf8_deserializer
+
+    def _setup_spark_files_memo(infile) -> None:
+        global _last_files_state
+        spark_files_dir = utf8_deserializer.loads(infile)
+
+        if not _worker_util.is_remote_only():
+            from pyspark.core.files import SparkFiles
+
+            SparkFiles._root_directory = spark_files_dir
+            SparkFiles._is_running_on_worker = True
+
+        _worker_util.add_path(spark_files_dir)
+        includes = []
+        for _ in range(read_int(infile)):
+            filename = utf8_deserializer.loads(infile)
+            includes.append(filename)
+            _worker_util.add_path(os.path.join(spark_files_dir, filename))
+
+        state = (spark_files_dir, tuple(includes))
+        if state != _last_files_state:
+            importlib.invalidate_caches()
+            _last_files_state = state
+
     _worker.setup_spark_files = _setup_spark_files_memo
     _worker_util.setup_spark_files = _setup_spark_files_memo
 
 
-_install()
+try:
+    _install()
+except Exception:  # pragma: no cover - defensive: never break workers
+    # a future pyspark may move these hooks; stock behavior is only
+    # slower, so degrade to it rather than failing worker startup
+    pass
 
 # hand control to the stock daemon AFTER the patch: every forked worker
 # inherits the memoized setup
