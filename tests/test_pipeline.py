@@ -782,6 +782,24 @@ class TestDecontam:
         )
         assert row.ngs == []
 
+    def test_hash_join_matches_string_join(self, spark):
+        # the xxhash64-keyed fast path must answer identically to the
+        # exact string join (collisions are ~2^-64 per pair; none here)
+        D, train, bench = self._corpora(spark)
+        fast = {
+            r.doc_id: r.n_contaminated
+            for r in D.contamination(
+                train, bench, "doc_id", "text", n=3, hash_join=True
+            ).collect()
+        }
+        exact = {
+            r.doc_id: r.n_contaminated
+            for r in D.contamination(
+                train, bench, "doc_id", "text", n=3, hash_join=False
+            ).collect()
+        }
+        assert fast == exact == {1: 5, 3: 3}
+
     def test_benchmark_side_is_broadcast(self, spark):
         """The 100 TB-side contract: the plan must probe the benchmark
         n-gram set via a broadcast join, never shuffle the train side
