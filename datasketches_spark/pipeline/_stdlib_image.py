@@ -475,7 +475,9 @@ def decode_gray(blob: bytes) -> np.ndarray | None:
     if blob[:2] == b"\xff\xd8":
         try:
             return _decode_jpeg(blob)
-        except (struct.error, ValueError):
+        except (struct.error, ValueError, IndexError, KeyError):
+            # truncated segment bodies / corrupt table ids surface as
+            # index errors deep in the marker parse — same None contract
             return None
     return None
 

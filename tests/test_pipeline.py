@@ -454,6 +454,33 @@ class TestMultimodal:
         assert SI.decode_gray(blob[:40]) is None
         assert SI.decode_gray(b"\xff\xd8\xff\xc2" + blob[4:]) is None  # progressive
 
+    def test_stdlib_jpeg_bitflip_fuzz_never_crashes(self, spark):
+        """Corruption hardening for the new decoder: 400 random
+        bit-flips over a valid JPEG (plus random FFD8-prefixed junk)
+        must yield None or a valid uint8 array — never an unhandled
+        exception.  Mirrors the wire-blob fuzz contract."""
+        from datasketches_spark.pipeline import _stdlib_image as SI
+
+        rng = np.random.default_rng(7)
+        img = (rng.integers(0, 256, (24, 24))).astype(np.uint8)
+        blob = SI.encode_jpeg_gray(img, q=8)
+        for _ in range(400):
+            bad = bytearray(blob)
+            bad[int(rng.integers(2, len(blob)))] ^= 1 << int(rng.integers(0, 8))
+            out = SI.decode_gray(bytes(bad))
+            if out is not None:
+                assert out.dtype == np.uint8 and out.ndim == 2
+        for n in (8, 40, 300):
+            junk = b"\xff\xd8" + bytes(rng.integers(0, 256, n).tolist())
+            out = SI.decode_gray(junk)
+            if out is not None:
+                assert out.dtype == np.uint8 and out.ndim == 2
+        # empty segment body (seg_len == 2) used to IndexError
+        import struct as _s
+        assert SI.decode_gray(
+            b"\xff\xd8\xff\xc0" + _s.pack(">H", 2) + b"\xff\xd9"
+        ) is None
+
     def test_stdlib_jpeg_cross_validates_with_java_imageio(self, spark):
         """Live-JVM oracle: javax.imageio writes standard Annex-K
         baseline JPEGs (grayscale 1-component and 4:2:0 color).  Our
