@@ -199,6 +199,44 @@ def test_spark_bloom_probe_matches_jvm(spark):
     assert ours[: len(range(0, 20000, 3))].all()  # members always hit
 
 
+def test_spark_bloom_probe_v1_wire(spark):
+    """The V1 (BloomFilterImpl) stream still parses and probes
+    bit-for-bit: Spark 4 writes V2, but V1 blobs exist in the wild.
+    Constructed reflectively (the package-local ctor) and filled with
+    java's own putLong."""
+    from datasketches_spark.runtime_filter import SparkBloomFilter
+
+    jvm = spark.sparkContext._jvm
+    cls = jvm.java.lang.Class.forName(
+        "org.apache.spark.util.sketch.BloomFilterImpl"
+    )
+    ctor = [
+        c for c in cls.getDeclaredConstructors()
+        if c.getParameterCount() == 2
+    ][0]
+    ctor.setAccessible(True)
+    gw = spark.sparkContext._gateway
+    args = gw.new_array(jvm.java.lang.Object, 2)
+    args[0] = jvm.java.lang.Integer(6)
+    args[1] = jvm.java.lang.Long(1 << 16)
+    jbf = ctor.newInstance(args)
+    for k in range(0, 5000, 7):
+        jbf.putLong(k)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jbf.writeTo(baos)
+    blob = bytes(baos.toByteArray())
+    sbf = SparkBloomFilter.from_bytes(blob)
+    assert sbf.version == 1 and sbf.num_hashes == 6
+    rng = np.random.default_rng(9)
+    keys = np.concatenate(
+        [np.arange(0, 5000, 7), rng.integers(-(10**12), 10**12, 500)]
+    ).astype(np.int64)
+    ours = sbf.contains_longs(keys)
+    theirs = np.array([jbf.mightContain(int(k)) for k in keys])
+    assert (ours == theirs).all()
+    assert ours[: len(range(0, 5000, 7))].all()
+
+
 def test_bloom_prune_engines_agree(spark):
     """jvm and python engines both keep every true member; string keys
     fall back to the portable path under engine='auto'."""
