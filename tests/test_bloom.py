@@ -257,6 +257,23 @@ def test_bloom_prune_engines_agree(spark):
         bloom_prune(fact, "k", dim, "d", engine="nope")
 
 
+def test_jvm_engine_integral_widths_no_false_negatives(spark):
+    """Scala's stat.bloomFilter hashes every integral width as a long,
+    matching the probe's cast-to-long — no member may ever be lost for
+    tinyint/smallint/int/bigint keys."""
+    from datasketches_spark import bloom_prune
+
+    for t in ("tinyint", "smallint", "int", "bigint"):
+        fact = spark.range(0, 120).selectExpr(f"cast(id as {t}) k")
+        dim = spark.range(0, 120, 3).selectExpr(f"cast(id as {t}) d")
+        got = {
+            int(r["k"])
+            for r in bloom_prune(fact, "k", dim, "d", lg_m=16,
+                                 engine="jvm").collect()
+        }
+        assert set(range(0, 120, 3)) <= got, t
+
+
 def test_bloom_io_roundtrip_with_metadata(spark, tmp_path):
     from datasketches_spark import io as dio
     from datasketches_spark.aggregation import sketch_agg
