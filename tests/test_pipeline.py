@@ -451,6 +451,12 @@ class TestMultimodal:
         d2 = SI.decode_gray(SI.encode_jpeg_gray(odd, q=4))
         assert d2.shape == odd.shape
         assert np.abs(d2.astype(int) - odd.astype(int)).max() <= 10
+        # sub-block shapes (1x1 up to a sliver of two MCUs) crop right
+        for shape in [(1, 1), (1, 8), (8, 1), (3, 9), (16, 2)]:
+            tiny = rng.integers(0, 256, shape).astype(np.uint8)
+            dt = SI.decode_gray(SI.encode_jpeg_gray(tiny, q=2))
+            assert dt is not None and dt.shape == shape
+            assert np.abs(dt.astype(int) - tiny.astype(int)).max() <= 4
         assert SI.decode_gray(blob[:40]) is None
         assert SI.decode_gray(b"\xff\xd8\xff\xc2" + blob[4:]) is None  # progressive
 
