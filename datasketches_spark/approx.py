@@ -356,3 +356,35 @@ def retention(
     return retention_matrix(
         df, user_col, period_col, lg_k=lg_k, cohort_period=cohort_period
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    max_overlap: int = 0,
+) -> DataFrame:
+    """Training rows whose benchmark word-n-gram overlap is at most
+    ``max_overlap`` — the pre-training "did the test set leak?" filter.
+    The benchmark n-gram set broadcasts (hash-keyed longs); the train
+    side streams through the probe without shuffling its text
+    (pipeline/decontam.py for the knobs)."""
+    from .pipeline.decontam import decontaminate as _d
+
+    return _d(train, bench, id_col, text_col, n=n, max_overlap=max_overlap)
+
+
+def dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep one row (min id) per identical canonical text fingerprint.
+    ``keep_cols`` slims the shuffle to just those columns — at scale
+    the wire carries (16-byte fp, ids), never documents."""
+    from .pipeline.dedup import exact_dedup
+
+    return exact_dedup(df, text_col, id_col, keep_cols=keep_cols)

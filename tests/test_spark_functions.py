@@ -490,6 +490,27 @@ def test_approx_top_items_and_sample(spark):
     assert len(s) == 1000  # exact mode keeps all
 
 
+def test_approx_decontaminate_and_dedup(spark):
+    from datasketches_spark import approx
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "totally clean sentence nothing shared here at all"),
+         (3, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(9, "we saw the quick brown fox jumps over a fence")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in approx.decontaminate(
+        train, bench, "doc_id", "text", n=3).collect())
+    assert kept == [2]
+    dd = approx.dedup(train, "text", "doc_id", keep_cols=["doc_id"])
+    assert sorted(r.doc_id for r in dd.collect()) == [1, 2]
+    assert dd.columns == ["doc_id"]
+
+
 def test_approx_native_engine(spark):
     from datasketches_spark import approx
 
