@@ -142,3 +142,81 @@ def merge_bucketed_sketch_tables(
         F.expr(f"{merge_fn}(__a, __b)")
     )
     return joined.select(*on, merged.alias(sketch_col))
+
+
+# ----------------------------- Apache wire-format publish / ingest
+
+_WIRE_FAMILIES = frozenset(
+    ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest",
+     "frequent_items"]
+)
+
+
+def write_wire_table(
+    df: DataFrame,
+    path: str,
+    sketch_col: str,
+    family: str,
+    k: int | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Publish a sketch table in the Apache DataSketches WIRE format —
+    the serialization DuckDB (the reference), Druid, Hive and
+    datasketches-{java,cpp} read natively.  One projection converts the
+    engine's DSKS frames via ``datasketch_<family>_to_wire``; the
+    column metadata records family/K plus ``wire: True`` so
+    :func:`read_wire_table` (and humans) know the layout.  Requires
+    ``datasketches_spark.register(spark)``.
+
+    This is the cross-system hand-off: the written parquet is
+    consumable by any DataSketches-speaking engine with zero knowledge
+    of this package (reference docs/README.md:9 — sketch state that
+    moves between systems).
+    """
+    if family not in _WIRE_FAMILIES:
+        raise ValueError(
+            f"family {family!r} has no Apache wire format "
+            f"(wire-capable: {sorted(_WIRE_FAMILIES)})"
+        )
+    out = df.withColumn(
+        sketch_col, F.expr(f"datasketch_{family}_to_wire({sketch_col})")
+    )
+    out = with_sketch_metadata(out, sketch_col, family, k)
+    meta = {_META_KEY: {"family": family, "k": k, "format_version": 1,
+                        "wire": True}}
+    w = out.withMetadata(sketch_col, meta).write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_wire_table(
+    spark: SparkSession,
+    path: str,
+    family: str | None = None,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Ingest an Apache wire-format sketch table — written by
+    :func:`write_wire_table` or by ANY other DataSketches system —
+    normalizing the blobs to engine frames via
+    ``datasketch_<family>_from_wire``.  ``family`` is read from the
+    column metadata when this engine wrote the table; foreign tables
+    must name it (wire blobs carry no engine framing).  Requires
+    ``datasketches_spark.register(spark)``.
+    """
+    df = spark.read.parquet(path)
+    info = sketch_column_info(df, sketch_col)
+    if family is None:
+        if not info or "family" not in info:
+            raise ValueError(
+                "wire table carries no family metadata; pass family="
+            )
+        family = info["family"]
+    if family not in _WIRE_FAMILIES:
+        raise ValueError(f"family {family!r} has no Apache wire format")
+    out = df.withColumn(
+        sketch_col, F.expr(f"datasketch_{family}_from_wire({sketch_col})")
+    )
+    return with_sketch_metadata(out, sketch_col, family,
+                                (info or {}).get("k"))

@@ -64,3 +64,59 @@ class TestBucketedSketchTables:
         ).collect()
         assert len(out) == 16
         assert all(r["est"] == 100.0 for r in out)
+
+
+class TestWireTables:
+    def test_wire_publish_is_foreign_readable(self, spark, tmp_path):
+        """write_wire_table emits blobs a FOREIGN engine reads with no
+        knowledge of this package: live datasketches-java heapifies a
+        blob straight out of the parquet and answers the same
+        estimate."""
+        sk = _day_sketches(spark, 0, 3000)
+        path = str(tmp_path / "theta_wire")
+        dio.write_wire_table(sk, path, "sketch", "theta", k=14)
+        raw = spark.read.parquet(path)
+        row = raw.filter(F.col("g") == 3).first()
+        jvm = spark.sparkContext._jvm
+        jsk = jvm.org.apache.datasketches.theta.Sketches.wrapSketch(
+            jvm.org.apache.datasketches.memory.Memory.wrap(
+                bytearray(bytes(row["sketch"]))
+            )
+        )
+        # group 3 holds ids 3, 19, 35, ... (exact mode)
+        assert round(jsk.getEstimate()) == len(range(3, 3000, 16))
+
+    def test_wire_roundtrip_through_read_wire_table(self, spark, tmp_path):
+        sk = _day_sketches(spark, 0, 3000)
+        want = {
+            r["g"]: r["est"]
+            for r in sk.selectExpr(
+                "g", "CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT) est"
+            ).collect()
+        }
+        path = str(tmp_path / "theta_wire_rt")
+        dio.write_wire_table(sk, path, "sketch", "theta", k=14)
+        back = dio.read_wire_table(spark, path)
+        info = dio.sketch_column_info(back, "sketch")
+        assert info["family"] == "theta" and info["k"] == 14
+        got = {
+            r["g"]: r["est"]
+            for r in back.selectExpr(
+                "g", "CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT) est"
+            ).collect()
+        }
+        assert got == want
+
+    def test_wire_family_validation(self, spark, tmp_path):
+        sk = _day_sketches(spark, 0, 100)
+        with pytest.raises(ValueError, match="wire format"):
+            dio.write_wire_table(sk, str(tmp_path / "x"), "sketch", "bloom")
+        # foreign table without metadata must demand a family
+        path = str(tmp_path / "bare")
+        sk.selectExpr(
+            "g", "datasketch_theta_to_wire(sketch) AS sketch"
+        ).write.parquet(path)
+        with pytest.raises(ValueError, match="family"):
+            dio.read_wire_table(spark, path)
+        back = dio.read_wire_table(spark, path, family="theta")
+        assert back.count() == 16
