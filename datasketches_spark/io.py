@@ -179,6 +179,14 @@ def write_wire_table(
             f"family {family!r} has no Apache wire format "
             f"(wire-capable: {sorted(_WIRE_FAMILIES)})"
         )
+    prior = sketch_column_info(df, sketch_col)
+    if prior and prior.get("wire"):
+        raise ValueError(
+            f"column '{sketch_col}' metadata already says wire: True — "
+            "these blobs are Apache wire format, not DSKS frames; "
+            "re-publishing would double-convert. Write the DataFrame "
+            "with df.write.parquet directly, or read_wire_table first."
+        )
     out = df.withColumn(
         sketch_col, F.expr(f"datasketch_{family}_to_wire({sketch_col})")
     )
@@ -207,6 +215,15 @@ def read_wire_table(
     """
     df = spark.read.parquet(path)
     info = sketch_column_info(df, sketch_col)
+    if info and not info.get("wire"):
+        # A DSKS-framed table (write_sketch_table) carries the same
+        # family/k metadata; accepting it here would fail row-by-row at
+        # action time inside from_wire. Error early instead.
+        raise ValueError(
+            f"table at {path} was written by write_sketch_table "
+            "(engine DSKS frames, metadata wire flag absent) — use "
+            "read_sketch_table, not read_wire_table"
+        )
     if family is None:
         if not info or "family" not in info:
             raise ValueError(

@@ -344,6 +344,12 @@ def _decode_jpeg(blob: bytes) -> np.ndarray | None:
                 return None
             if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
                 return None
+            # Cap total pixels BEFORE any dimension-derived allocation: a
+            # crafted SOF0 can declare 65535x65535 (~34 GB of y_blocks)
+            # with no entropy data behind it. 2^26 px (~8K x 8K) is far
+            # beyond any corpus thumbnail this decoder tier is for.
+            if w * h > 1 << 26:
+                return None
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -475,9 +481,11 @@ def decode_gray(blob: bytes) -> np.ndarray | None:
     if blob[:2] == b"\xff\xd8":
         try:
             return _decode_jpeg(blob)
-        except (struct.error, ValueError, IndexError, KeyError):
+        except (struct.error, ValueError, IndexError, KeyError, MemoryError):
             # truncated segment bodies / corrupt table ids surface as
-            # index errors deep in the marker parse — same None contract
+            # index errors deep in the marker parse — same None contract.
+            # MemoryError: belt-and-braces behind the SOF0 pixel cap —
+            # untrusted bytes must never fail the Spark task.
             return None
     return None
 
@@ -512,6 +520,12 @@ def encode_jpeg_gray(gray: np.ndarray, q: int = 8) -> bytes:
     quantization ``q``, custom fixed-length Huffman tables carried in
     DHT — canonical and prefix-free, just not size-optimal).  A real
     JPEG: java's ImageIO decodes it (cross-checked in tests)."""
+    # q >= 2 keeps every quantized AC coefficient within the fixed
+    # Huffman table's size categories 1..10: the level-shifted DCT can
+    # reach |1024|, and 1024/1 has bit_length 11 -> KeyError at q=1.
+    if not (2 <= int(q) <= 255):
+        raise ValueError("encode_jpeg_gray: q must be in [2, 255]")
+    q = int(q)
     h, w = gray.shape
     bh, bw = -(-h // 8), -(-w // 8)
     padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)

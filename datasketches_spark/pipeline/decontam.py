@@ -100,12 +100,15 @@ def contamination(
     of the n-gram string: the broadcast map carries 8-byte longs (a
     LongHashedRelation, smaller and faster to probe than a string
     map), measured ~30% faster end-to-end at sf0.1 with identical
-    output.  A false overlap needs a 64-bit collision between a train
-    and a bench n-gram — expected collisions at |bench|=10^7 distinct
-    n-grams are ~|train ngrams|*10^7/2^64 < 10^-5 per corpus, and a
-    collision can only ever ADD one phantom overlap count, never lose
-    a real one (no false negatives, same contract as the bloom
-    filter).  Set ``hash_join=False`` for exact string equality.
+    output.  A 64-bit collision can perturb the per-document count in
+    EITHER direction with negligible probability (~2^-64 per pair): a
+    train/bench collision adds a phantom overlap, while two distinct
+    contaminated n-grams colliding with each other UNDERCOUNT the
+    ``count_distinct`` by one — so with ``max_overlap > 0`` a
+    contaminated document could in principle be kept.  Expected
+    collisions at |bench|=10^7 distinct n-grams are
+    ~|train ngrams|*10^7/2^64 < 10^-5 per corpus.  Set
+    ``hash_join=False`` for exact string equality.
     """
     bng = benchmark_ngrams(bench, text_col, n)
     exploded = _fan_out_if_narrow(train).select(

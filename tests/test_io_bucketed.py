@@ -120,3 +120,20 @@ class TestWireTables:
             dio.read_wire_table(spark, path)
         back = dio.read_wire_table(spark, path, family="theta")
         assert back.count() == 16
+
+    def test_wire_flag_guards_cross_format_misuse(self, spark, tmp_path):
+        """A DSKS table must be rejected by read_wire_table EARLY (not
+        fail row-by-row at action time), and a published wire table must
+        refuse a second write_wire_table (double conversion)."""
+        sk = _day_sketches(spark, 0, 100)
+        dsks_path = str(tmp_path / "dsks")
+        dio.write_sketch_table(sk, dsks_path, "sketch", "theta", k=14)
+        with pytest.raises(ValueError, match="read_sketch_table"):
+            dio.read_wire_table(spark, dsks_path)
+        wire_path = str(tmp_path / "wire")
+        dio.write_wire_table(sk, wire_path, "sketch", "theta", k=14)
+        republished = spark.read.parquet(wire_path)
+        with pytest.raises(ValueError, match="double-convert"):
+            dio.write_wire_table(
+                republished, str(tmp_path / "wire2"), "sketch", "theta"
+            )

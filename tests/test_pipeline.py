@@ -487,6 +487,46 @@ class TestMultimodal:
             b"\xff\xd8\xff\xc0" + _s.pack(">H", 2) + b"\xff\xd9"
         ) is None
 
+    def test_stdlib_jpeg_giant_sof_rejected_before_alloc(self):
+        """A crafted SOF0 declaring 65535x65535 (~34 GB of blocks) must
+        return None from the pixel cap — not attempt the allocation and
+        MemoryError the Spark task (untrusted corpus bytes contract)."""
+        import resource
+        import struct as _s
+
+        from datasketches_spark.pipeline import _stdlib_image as SI
+
+        rng = np.random.default_rng(3)
+        img = (rng.integers(0, 256, (16, 16))).astype(np.uint8)
+        blob = bytearray(SI.encode_jpeg_gray(img, q=8))
+        sof = blob.find(b"\xff\xc0")
+        assert sof > 0
+        # patch declared h, w to 65535x65535 (offsets: marker+len+prec)
+        _s.pack_into(">HH", blob, sof + 5, 65535, 65535)
+        before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        assert SI.decode_gray(bytes(blob)) is None
+        after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        # ru_maxrss is KiB on linux; the 34 GB alloc would move it by GBs
+        assert after - before < 1 << 20
+
+    def test_stdlib_jpeg_encode_q_validated(self):
+        """q=1 can produce AC size category 11, outside the fixed
+        Huffman table — must raise up front, not KeyError mid-encode."""
+        from datasketches_spark.pipeline import _stdlib_image as SI
+
+        # max-contrast checkerboard: the q=1 KeyError repro
+        img = np.indices((8, 8)).sum(0) % 2 * 255
+        img = img.astype(np.uint8)
+        with pytest.raises(ValueError, match="q must be"):
+            SI.encode_jpeg_gray(img, q=1)
+        with pytest.raises(ValueError, match="q must be"):
+            SI.encode_jpeg_gray(img, q=0)
+        with pytest.raises(ValueError, match="q must be"):
+            SI.encode_jpeg_gray(img, q=256)
+        # q=2 on the same worst-case block stays in-table and round-trips
+        dec = SI.decode_gray(SI.encode_jpeg_gray(img, q=2))
+        assert dec is not None and dec.shape == (8, 8)
+
     def test_stdlib_jpeg_cross_validates_with_java_imageio(self, spark):
         """Live-JVM oracle: javax.imageio writes standard Annex-K
         baseline JPEGs (grayscale 1-component and 4:2:0 color).  Our
