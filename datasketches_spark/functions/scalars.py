@@ -299,6 +299,39 @@ def build_scalar_registry() -> dict[str, object]:
     reg[p + "to_wire"] = _unary(ReqSketch, lambda sk: sk.to_wire(), "binary")
     reg[p + "from_wire"] = _unary(ReqSketch, lambda sk: sk.serialize(), "binary")
 
+    # Integer-typed wire import (round 8): the reference registers
+    # sketch_kll_bigint / sketch_kll_integer etc. per DuckDB type
+    # (codegen/generator.py:49-60) and its C++ serializes
+    # kll_sketch<T> at sizeof(T)-byte items.  The Apache preamble
+    # carries NO item type, so an integer blob is byte-ambiguous with
+    # a float one of the same width — these typed readers are how the
+    # caller names the type, exactly like Apache's typed heapify
+    # entry points.  int32 items widen losslessly to the engine's
+    # int64 representation.  DSKS-framed blobs pass through untouched
+    # (idempotent import, any dtype).
+    def _wire_import(cls, wire_dtype: str):
+        from ..sketches.base import is_framed
+
+        @pandas_udf("binary")
+        def udf(s: pd.Series) -> pd.Series:
+            out = []
+            for b in s:
+                if b is None:
+                    out.append(None)
+                elif is_framed(bytes(b)):
+                    out.append(bytes(b))
+                else:
+                    out.append(cls.from_wire(bytes(b), wire_dtype).serialize())
+            return _obj_series(out)
+
+        return udf
+
+    for fam_cls, fam in (
+        (KllSketch, "kll"), (QuantilesSketch, "quantiles"), (ReqSketch, "req")
+    ):
+        reg[f"datasketch_{fam}_from_wire_bigint"] = _wire_import(fam_cls, "int64")
+        reg[f"datasketch_{fam}_from_wire_integer"] = _wire_import(fam_cls, "int32")
+
     # ---- TDigest (no `inclusive` args, generator.py:160-166) ----
     p = "datasketch_tdigest_"
     reg[p + "is_empty"] = _unary(TDigestSketch, lambda sk: bool(sk.is_empty), "boolean")

@@ -447,9 +447,14 @@ class KllSketch(CompactorSketch):
         # single-sided / ~1.65% double-sided at K=200 (docs/README.md:532)
         return (2.443 if pmf else 1.970) / self.k**0.9433
 
-    # ---- Apache DataSketches wire format (KLL doubles/floats) ----
+    # ---- Apache DataSketches wire format (KLL doubles/floats/ints) ----
 
-    _WIRE_WIDTHS = {"float64": ("<d", 8), "float32": ("<f", 4)}
+    _WIRE_WIDTHS = {
+        "float64": ("<d", 8),
+        "float32": ("<f", 4),
+        "int64": ("<q", 8),
+        "int32": ("<i", 4),
+    }
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "KllSketch":
@@ -465,17 +470,25 @@ class KllSketch(CompactorSketch):
         return super().deserialize(blob)
 
     def to_wire(self) -> bytes:
-        """Serialize as an Apache DataSketches KLL doubles (or floats)
-        sketch — readable by DuckDB/Druid/Hive/datasketches-java.
-        Empty and single-item short forms are byte-identical to
-        datasketches-java; the full form is semantically identical
-        (level offsets rebased to 0, every level sorted) and verified
-        by heapifying into datasketches-java live.
+        """Serialize as an Apache DataSketches KLL sketch — readable by
+        DuckDB/Druid/Hive/datasketches-java.  Empty and single-item
+        short forms are byte-identical to datasketches-java; the full
+        form is semantically identical (level offsets top-aligned,
+        every level sorted) and verified by heapifying into
+        datasketches-java live.
+
+        An int64 sketch serializes 8-byte integer items — the
+        reference's ``sketch_kll_bigint`` layout
+        (codegen/generator.py:49-60 instantiates ``kll_sketch<T>`` per
+        DuckDB type; the C++ serde writes sizeof(T)-byte items).  The
+        preamble carries NO item type: like every Apache reader, the
+        consumer must pick the typed reader (here
+        ``from_wire(blob, 'int64')`` / SQL
+        ``datasketch_kll_from_wire_bigint``).
         """
         if self.dtype not in self._WIRE_WIDTHS:
             raise ValueError(
-                "only float64/float32 KLL sketches have an Apache wire form "
-                f"(doubles/floats sketch); this sketch holds {self.dtype}"
+                f"KLL dtype {self.dtype} has no Apache wire form"
             )
         fmt, width = self._WIRE_WIDTHS[self.dtype]
         k = int(self.k)
@@ -539,11 +552,17 @@ class KllSketch(CompactorSketch):
     @classmethod
     def from_wire(cls, blob: bytes, dtype: str = "float64") -> "KllSketch":
         """Parse an Apache KLL doubles blob (or floats with
-        ``dtype='float32'``; the preamble does not carry the item type
-        — like the Apache readers, the caller picks the typed reader,
-        and a 4-byte-item blob is auto-detected from the length).
-        Compact forms only (serVer 1/2); the rare updatable form
-        (serVer 3) is rejected like Apache's compact readers do.
+        ``dtype='float32'``, or the reference's integer-typed variants
+        with ``dtype='int64'``/``'int32'`` — ``sketch_kll_bigint`` /
+        ``sketch_kll_integer``, codegen/generator.py:49-60).  The
+        preamble does not carry the item type — like the Apache
+        readers, the caller picks the typed reader; a 4-byte-item
+        FLOAT blob is auto-detected from the length identity, but an
+        integer blob is width-indistinguishable and MUST be named.
+        int32 items are widened to the engine's int64 representation
+        (lossless).  Compact forms only (serVer 1/2); the rare
+        updatable form (serVer 3) is rejected like Apache's compact
+        readers do.
         """
         err = SketchDeserializeError("Failed to deserialize KLL sketch")
         if not isinstance(blob, (bytes, bytearray)) or len(blob) < 8:
@@ -556,7 +575,8 @@ class KllSketch(CompactorSketch):
         # reference's bind-time cap this engine mirrors for SQL-built
         # sketches (32768); accept the full wire range on import by
         # assigning k past validate_k (capacity math is k-agnostic)
-        sk = cls(min(max(k, cls.K_MIN), cls.K_MAX), dtype)
+        engine_dtype = "int64" if dtype == "int32" else dtype
+        sk = cls(min(max(k, cls.K_MIN), cls.K_MAX), engine_dtype)
         sk.k = int(k)
         if flags & _KLL_FLAG_EMPTY:
             return sk
@@ -596,10 +616,13 @@ class KllSketch(CompactorSketch):
             raise err
         body_bytes = len(blob) - off - 2 * width
         retained = body_bytes // width
-        np_dt = _NP_DTYPES[dtype]
+        read_dt = np.int32 if dtype == "int32" else _NP_DTYPES[dtype]
+        np_dt = _NP_DTYPES[engine_dtype]
         sk.min_item = np_dt(struct.unpack_from(fmt, blob, off)[0])
         sk.max_item = np_dt(struct.unpack_from(fmt, blob, off + width)[0])
-        items = np.frombuffer(blob, dtype=np_dt, count=retained, offset=off + 2 * width)
+        items = np.frombuffer(blob, dtype=read_dt, count=retained, offset=off + 2 * width)
+        if read_dt is np.int32:
+            items = items.astype(np.int64)
         base = offsets[0]
         bounds = [o - base for o in offsets] + [retained]
         if any(b < 0 or b > retained for b in bounds) or any(
@@ -785,6 +808,7 @@ class QuantilesSketch(CompactorSketch):
         "float64": ("<d", 8),
         "float32": ("<f", 4),
         "int64": ("<q", 8),
+        "int32": ("<i", 4),
     }
 
     @classmethod
@@ -806,17 +830,14 @@ class QuantilesSketch(CompactorSketch):
         golden test/sql/datasketch_quantiles.test:14-17), which java
         reads but marks differently (java also sets READ_ONLY=2).
 
-        float64/float32 only, like the KLL exporter: the preamble has
-        no item type, so an int64 blob would be silently re-read as
-        doubles by every Apache reader (and by our own sniffing
-        importer) — fail loudly instead.
+        An int64 sketch serializes 8-byte integer items — the
+        reference's ``sketch_quantiles_bigint`` layout
+        (codegen/generator.py:49-60; ``quantiles_sketch<T>`` writes
+        sizeof(T)-byte items).  The preamble carries no item type, so
+        the consumer must pick the typed reader
+        (``from_wire(blob, 'int64')`` / SQL
+        ``datasketch_quantiles_from_wire_bigint``).
         """
-        if self.dtype == "int64":
-            raise ValueError(
-                "only float64/float32 Quantiles sketches have an Apache "
-                "wire form (the preamble carries no item type; an int64 "
-                "body would be reinterpreted as doubles on import)"
-            )
         fmt, width = self._WIRE_WIDTHS[self.dtype]
         k = int(self.k)
         if self.n == 0:
@@ -842,8 +863,11 @@ class QuantilesSketch(CompactorSketch):
         java's updatable form (base-buffer slack derived from the blob
         length; only valid levels are serialized in either form).  The
         preamble has no item type: the caller picks the typed reader
-        and a 4-byte-item blob is auto-detected from the length
-        identity, like the KLL reader."""
+        (``dtype`` in float64/float32/int64/int32 — the int variants
+        are the reference's ``sketch_quantiles_bigint``/``_integer``;
+        int32 widens to the engine's int64) and a 4-byte-item FLOAT
+        blob is auto-detected from the length identity, like the KLL
+        reader."""
         err = SketchDeserializeError("Failed to deserialize Quantiles sketch")
         if not isinstance(blob, (bytes, bytearray)) or len(blob) < 8:
             raise err
@@ -859,7 +883,8 @@ class QuantilesSketch(CompactorSketch):
         # validate_k and silently skew the level math
         if not (cls.K_MIN <= k <= cls.K_MAX):
             raise err
-        sk = cls(int(k), dtype)
+        engine_dtype = "int64" if dtype == "int32" else dtype
+        sk = cls(int(k), engine_dtype)
         if flags & _Q_FLAG_EMPTY:
             return sk
         if pre_longs != 2 or len(blob) < 16:
@@ -903,18 +928,24 @@ class QuantilesSketch(CompactorSketch):
         if layout is None:
             raise err
         bb_alloc, slotted = layout
-        np_dt = _NP_DTYPES[dtype]
+        read_dt = np.int32 if dtype == "int32" else _NP_DTYPES[dtype]
+        np_dt = _NP_DTYPES[engine_dtype]
+
+        def _read(count: int, at: int) -> np.ndarray:
+            arr = np.frombuffer(blob, dtype=read_dt, count=count, offset=at)
+            return arr.astype(np.int64) if read_dt is np.int32 else arr.copy()
+
         off = 16
         sk.min_item = np_dt(struct.unpack_from(fmt, blob, off)[0])
         sk.max_item = np_dt(struct.unpack_from(fmt, blob, off + width)[0])
         off += 2 * width
-        bb = np.frombuffer(blob, dtype=np_dt, count=bb_count, offset=off).copy()
+        bb = _read(bb_count, off)
         off += bb_alloc * width
         sk.levels = [bb if is_compact else np.sort(bb)]
         j, bp = 1, bit_pattern
         while bp:
             if bp & 1:
-                lv = np.frombuffer(blob, dtype=np_dt, count=k, offset=off).copy()
+                lv = _read(k, off)
                 while len(sk.levels) <= j:
                     sk.levels.append(sk._empty_arr())
                 sk.levels[j] = lv
@@ -1204,21 +1235,23 @@ class ReqSketch(CompactorSketch):
     # (verified live); float64/int64 mirror the reference's templated
     # C++ variants with the same layout at their item widths.
 
-    _WIRE_WIDTHS = {"float64": ("<d", 8), "float32": ("<f", 4), "int64": ("<q", 8)}
+    _WIRE_WIDTHS = {
+        "float64": ("<d", 8),
+        "float32": ("<f", 4),
+        "int64": ("<q", 8),
+        "int32": ("<i", 4),
+    }
 
     def to_wire(self) -> bytes:
         """Serialize as an Apache DataSketches REQ sketch (serVer 1,
         family 17, HRA mode — the reference's only mode).  The empty
         and raw (n<=4) forms byte-match the reference's golden blobs
-        (test/sql/datasketch_req.test:14-17).  float64/float32 only,
-        like the KLL/Quantiles exporters (no item type in the
-        preamble)."""
-        if self.dtype == "int64":
-            raise ValueError(
-                "only float64/float32 REQ sketches have an Apache wire "
-                "form (the preamble carries no item type; an int64 body "
-                "would be reinterpreted as floats on import)"
-            )
+        (test/sql/datasketch_req.test:14-17).  An int64 sketch writes
+        8-byte integer items — the reference's ``sketch_req_bigint``
+        layout (codegen/generator.py:49-60); the preamble carries no
+        item type, so the consumer must pick the typed reader
+        (``from_wire(blob, 'int64')`` / SQL
+        ``datasketch_req_from_wire_bigint``)."""
         fmt, width = self._WIRE_WIDTHS[self.dtype]
         k = int(self.k)
         if self.n == 0:
@@ -1272,7 +1305,11 @@ class ReqSketch(CompactorSketch):
         """Parse an Apache REQ blob (all four formats).  The preamble
         has no item type; with ``dtype=None`` the reader tries float32
         (the datasketches-java width) and falls back to float64 via
-        the exact length identity of the compactor blocks."""
+        the exact length identity of the compactor blocks.  Integer
+        blobs (the reference's ``sketch_req_bigint``/``_integer``)
+        are width-indistinguishable from the float ones and must be
+        named: ``dtype='int64'``/``'int32'`` (int32 widens to the
+        engine's int64)."""
         err = SketchDeserializeError("Failed to deserialize REQ sketch")
         if not isinstance(blob, (bytes, bytearray)) or len(blob) < 8:
             raise err
@@ -1292,8 +1329,10 @@ class ReqSketch(CompactorSketch):
         if k < cls.K_MIN or k > cls.K_MAX or k % 2:
             raise err
         fmt, width = cls._WIRE_WIDTHS[dtype]
-        np_dt = _NP_DTYPES[dtype]
-        sk = cls(k, dtype)
+        engine_dtype = "int64" if dtype == "int32" else dtype
+        read_dt = np.int32 if dtype == "int32" else _NP_DTYPES[dtype]
+        np_dt = _NP_DTYPES[engine_dtype]
+        sk = cls(k, engine_dtype)
         if flags & _REQ_FLAG_EMPTY:
             if len(blob) != 8:
                 raise err
@@ -1301,7 +1340,7 @@ class ReqSketch(CompactorSketch):
         if flags & _REQ_FLAG_RAW:
             if raw_count < 1 or len(blob) != 8 + raw_count * width:
                 raise err
-            items = np.frombuffer(blob, dtype=np_dt, count=raw_count, offset=8)
+            items = np.frombuffer(blob, dtype=read_dt, count=raw_count, offset=8)
             sk.update(items.copy())
             return sk
 
@@ -1319,8 +1358,11 @@ class ReqSketch(CompactorSketch):
             if count > 0xFFFFFF or len(blob) < end:
                 raise err
             items = np.frombuffer(
-                blob, dtype=np_dt, count=count, offset=off + 20
-            ).copy()
+                blob, dtype=read_dt, count=count, offset=off + 20
+            )
+            items = (
+                items.astype(np.int64) if read_dt is np.int32 else items.copy()
+            )
             params = {
                 "sec": max(cls.MIN_SEC, _nearest_even(secf)),
                 "secf": float(secf) if secf >= cls.MIN_SEC else float(k),

@@ -89,11 +89,49 @@ def test_engine_frame_still_reads():
     assert KllSketch.deserialize(sk.serialize()).get_rank(25.0) == sk.get_rank(25.0)
 
 
-def test_int64_sketch_has_no_wire_form():
-    sk = KllSketch(200, "int64")
-    sk.update(np.arange(10))
-    with pytest.raises(ValueError, match="int64"):
-        sk.to_wire()
+def test_int64_wire_roundtrip():
+    """Round 8: integer-typed wire crossing (the reference's
+    sketch_kll_bigint, codegen/generator.py:49-60).  The preamble has
+    no item type, so the typed reader must be named on import."""
+    for n in (0, 1, 3, 500, 20_000):
+        sk = KllSketch(200, "int64")
+        sk.update(np.arange(n, dtype=np.int64) * 7 - 3)
+        rt = KllSketch.from_wire(sk.to_wire(), "int64")
+        assert rt.n == sk.n and rt.dtype == "int64"
+        if n:
+            assert rt.get_min_item() == sk.get_min_item()
+            assert rt.get_max_item() == sk.get_max_item()
+            for q in (0.0, 0.25, 0.5, 0.99, 1.0):
+                got = rt.get_quantile(q)
+                assert got == sk.get_quantile(q)
+                assert isinstance(got, (int, np.integer))
+
+
+def test_int32_wire_import_widens():
+    """A 4-byte-item integer blob (the reference's
+    sketch_kll_integer) reads via dtype='int32' and widens losslessly
+    to the engine's int64 representation.  Synthesized by re-widthing
+    a float32 blob's layout: the width-4 parse paths are shared with
+    the java-verified floats reader, only the numpy view differs."""
+    src = KllSketch(160, "float32")
+    vals = np.arange(-250, 250, dtype=np.float32)
+    src.update(vals)
+    f32 = src.to_wire()
+    # same layout, items reinterpreted: float32 values here are exact
+    # small integers, so byte-for-byte re-encoding as int32 is a valid
+    # integer blob with the identical preamble/offsets
+    off = 20 + 4 * 1  # full form, 1 level at this n? derive instead:
+    import struct as _s
+    pre_ints, ser_ver, _, flags, k, m, _ = _s.unpack_from("<BBBBHBB", f32, 0)
+    assert ser_ver == 1 and pre_ints == 5
+    (nlv,) = _s.unpack_from("<B", f32, 18)
+    off = 20 + 4 * nlv
+    body = np.frombuffer(f32, dtype=np.float32, offset=off)
+    i32 = f32[:off] + body.astype(np.int32).tobytes()
+    rt = KllSketch.from_wire(i32, "int32")
+    assert rt.dtype == "int64" and rt.n == src.n
+    assert rt.get_min_item() == -250 and rt.get_max_item() == 249
+    assert rt.get_quantile(0.5) == int(src.get_quantile(0.5))
 
 
 def test_corrupt_raises_reference_message():
@@ -171,6 +209,53 @@ def test_live_jvm_empty_single_byte_parity(jvm_kll):
     ours = KllSketch(77)
     ours.update(np.array([42.25]))
     assert ours.to_wire() == bytes(build([42.25], k=77).toByteArray())
+
+
+def test_live_jvm_longs_blob_parses_identically(jvm_kll):
+    """datasketches-java 6.x ships KllLongsSketch — the 8-byte-integer
+    wire layout the reference's sketch_kll_bigint uses.  Its blobs
+    must parse via the int64 typed reader with identical answers."""
+    jvm, _, _ = jvm_kll
+    jsk = jvm.org.apache.datasketches.kll.KllLongsSketch.newHeapInstance(50)
+    for v in range(10_000):
+        jsk.update(v * 3 - 5)
+    ours = KllSketch.from_wire(bytes(jsk.toByteArray()), "int64")
+    assert ours.dtype == "int64"
+    assert ours.n == jsk.getN()
+    assert ours.num_retained == jsk.getNumRetained()
+    assert ours.get_min_item() == jsk.getMinItem()
+    assert ours.get_max_item() == jsk.getMaxItem()
+    for v in (0, 100, 14_000, 29_990):
+        assert ours.get_rank(v) == pytest.approx(jsk.getRank(v), abs=1.01 / ours.n)
+
+
+def test_live_jvm_longs_reads_our_int64_blob(jvm_kll):
+    """... and java must heapify OUR int64 export (estimation mode),
+    plus byte-parity on the empty/single short forms."""
+    jvm, _, _ = jvm_kll
+    KllLongs = jvm.org.apache.datasketches.kll.KllLongsSketch
+
+    def jheapify(blob):
+        mem = jvm.org.apache.datasketches.memory.Memory.wrap(blob)
+        return KllLongs.heapify(mem)
+
+    sk = KllSketch(60, "int64")
+    sk.update(np.arange(20_000, dtype=np.int64))
+    assert sk.is_estimation_mode
+    jsk = jheapify(sk.to_wire())
+    assert jsk.getN() == sk.n
+    assert jsk.getNumRetained() == sk.num_retained
+    assert jsk.getMinItem() == sk.get_min_item()
+    assert jsk.getMaxItem() == sk.get_max_item()
+    for v in (17, 5_000, 19_999):
+        assert jsk.getRank(v) == pytest.approx(sk.get_rank(v), abs=1.01 / sk.n)
+    # short-form byte parity
+    jempty = KllLongs.newHeapInstance(77)
+    assert KllSketch(77, "int64").to_wire() == bytes(jempty.toByteArray())
+    one = KllSketch(77, "int64")
+    one.update(np.array([42], dtype=np.int64))
+    jempty.update(42)
+    assert one.to_wire() == bytes(jempty.toByteArray())
 
 
 def test_live_jvm_cross_merge(jvm_kll):

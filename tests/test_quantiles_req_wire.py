@@ -98,6 +98,56 @@ def test_quantiles_mixed_k_downsample():
     assert odd.get_quantile(0.5) == pytest.approx(0.5, abs=0.1)
 
 
+def test_quantiles_int64_wire_roundtrip():
+    """Round 8: the reference's sketch_quantiles_bigint layout
+    (codegen/generator.py:49-60) — 8-byte integer items, typed reader
+    named on import."""
+    for n in (0, 1, 700, 30_000):
+        sk = QuantilesSketch(128, "int64")
+        sk.update(np.arange(n, dtype=np.int64) * 11 - 99)
+        rt = QuantilesSketch.from_wire(sk.to_wire(), "int64")
+        assert rt.n == sk.n and rt.dtype == "int64"
+        if n:
+            assert rt.get_min_item() == sk.get_min_item()
+            assert rt.get_max_item() == sk.get_max_item()
+            for q in (0.0, 0.5, 0.9, 1.0):
+                got = rt.get_quantile(q)
+                assert got == sk.get_quantile(q)
+                assert isinstance(got, (int, np.integer))
+
+
+def test_req_int64_wire_roundtrip():
+    """sketch_req_bigint: all four REQ wire forms cross at int64."""
+    for n in (0, 1, 3, 40, 25_000):
+        sk = ReqSketch(12, "int64")
+        sk.update(np.arange(n, dtype=np.int64) - 7)
+        rt = ReqSketch.from_wire(sk.to_wire(), "int64")
+        assert rt.n == sk.n and rt.dtype == "int64"
+        if n:
+            assert rt.get_min_item() == sk.get_min_item()
+            assert rt.get_max_item() == sk.get_max_item()
+            for q in (0.0, 0.5, 0.95, 1.0):
+                assert rt.get_quantile(q) == sk.get_quantile(q)
+
+
+def test_quantiles_int32_wire_import_widens():
+    """A 4-byte integer blob (sketch_quantiles_integer) reads via
+    dtype='int32' and widens to int64; synthesized by re-widthing a
+    float32 blob (the width-4 layout is java/float32-verified)."""
+    import struct as _s
+
+    src = QuantilesSketch(64, "float32")
+    src.update(np.arange(-300, 300, dtype=np.float32))
+    f32 = src.to_wire()
+    pre_longs = _s.unpack_from("<B", f32, 0)[0]
+    assert pre_longs == 2
+    body = np.frombuffer(f32, dtype=np.float32, offset=16)
+    i32 = f32[:16] + body.astype(np.int32).tobytes()
+    rt = QuantilesSketch.from_wire(i32, "int32")
+    assert rt.dtype == "int64" and rt.n == src.n
+    assert rt.get_min_item() == -300 and rt.get_max_item() == 299
+
+
 def test_quantiles_corrupt_raises():
     with pytest.raises(SketchDeserializeError, match="Failed to deserialize Quantiles"):
         QuantilesSketch.from_wire(b"\x00\x01\x02\x03\x04\x05\x06\x07")

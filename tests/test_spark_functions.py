@@ -716,3 +716,55 @@ def test_wire_blobs_flow_through_sql_aggregates(spark):
     assert abs(got["cpc_union"] - 400) <= 4 * 0.7213 / (2048 ** 0.5) * 400 + 2
     assert got["q_n"] == 400 and got["q_min"] == 0.0
     assert got["req_n"] == 400 and got["req_max"] == 399.0
+
+
+def test_integer_typed_wire_import_sql(spark):
+    """Round 8: datasketch_{kll,quantiles,req}_from_wire_bigint /
+    _integer — the SQL surface for the reference's integer-typed
+    sketch blobs (sketch_kll_bigint etc., codegen/generator.py:49-60).
+    Engine frames pass through untouched (idempotent)."""
+    import numpy as np
+
+    from datasketches_spark.sketches.compactor import (
+        KllSketch, QuantilesSketch, ReqSketch,
+    )
+
+    vals = np.arange(1000, dtype=np.int64) * 5 - 17
+    blobs = {}
+    for cls, fam in ((KllSketch, "kll"), (QuantilesSketch, "quantiles"),
+                     (ReqSketch, "req")):
+        sk = cls(128 if fam != "req" else 12, "int64")
+        sk.update(vals)
+        blobs[fam + "_wire"] = bytearray(sk.to_wire())
+        blobs[fam + "_frame"] = bytearray(sk.serialize())
+    spark.createDataFrame([Row(**blobs)]).createOrReplaceTempView("int_wire")
+    got = spark.sql(
+        """
+        SELECT
+          datasketch_kll_n(datasketch_kll_from_wire_bigint(kll_wire)) AS kll_n,
+          datasketch_kll_quantile(datasketch_kll_from_wire_bigint(kll_wire), 1.0) AS kll_max,
+          datasketch_kll_n(datasketch_kll_from_wire_bigint(kll_frame)) AS kll_frame_n,
+          datasketch_quantiles_quantile(datasketch_quantiles_from_wire_bigint(quantiles_wire), 0.0) AS q_min,
+          datasketch_req_quantile(datasketch_req_from_wire_bigint(req_wire), 1.0) AS req_max
+        FROM int_wire
+        """
+    ).collect()[0]
+    assert got["kll_n"] == 1000 and got["kll_frame_n"] == 1000
+    assert got["kll_max"] == 999 * 5 - 17
+    assert got["q_min"] == -17
+    assert got["req_max"] == 999 * 5 - 17
+
+    # 4-byte integer variant: synthesize from the wire layout
+    import struct as _s
+    sk32 = KllSketch(160, "float32")
+    sk32.update(np.arange(-50, 50, dtype=np.float32))
+    f32 = sk32.to_wire()
+    (nlv,) = _s.unpack_from("<B", f32, 18)
+    off = 20 + 4 * nlv
+    i32 = f32[:off] + np.frombuffer(f32, dtype=np.float32, offset=off).astype(np.int32).tobytes()
+    spark.createDataFrame([Row(b=bytearray(i32))]).createOrReplaceTempView("int32_wire")
+    got = spark.sql(
+        "SELECT datasketch_kll_quantile(datasketch_kll_from_wire_integer(b), 0.0) AS mn,"
+        " datasketch_kll_n(datasketch_kll_from_wire_integer(b)) AS n FROM int32_wire"
+    ).collect()[0]
+    assert got["mn"] == -50 and got["n"] == 100
