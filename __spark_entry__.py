@@ -2058,6 +2058,107 @@ def q_stats_profile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# one-call ergonomic layer gates (approx.py / io.py, round 8 — the surface a
+# new user touches first; deterministic because every estimate is exact-mode)
+# --------------------------------------------------------------------------
+
+
+def q_approx_distinct_one_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx.distinct — one-call approximate COUNT(DISTINCT) GROUP BY.
+    Theta-hybrid under the hood; exact at sf-gate cardinalities."""
+    from datasketches_spark import approx as A
+
+    _ensure(spark)
+    return A.distinct(
+        _t(spark, sf_dir, "orders"), "o_custkey", by=["o_orderpriority"], lg_k=16
+    )
+
+
+def q_approx_quantiles_one_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx.quantiles — one q_<p> column per probability (KLL,
+    inclusive; exact-mode at k=32768 > group sizes at the gate SFs)."""
+    from datasketches_spark import approx as A
+
+    _ensure(spark)
+    return A.quantiles(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        [0.25, 0.5, 0.75],
+        by=["o_orderpriority"],
+        k=32768,
+    )
+
+
+def q_approx_top_items_one_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx.top_items — heavy hitters with bounds (FI exact mode:
+    5 distinct priorities << map capacity, so bounds == estimate)."""
+    from datasketches_spark import approx as A
+
+    _ensure(spark)
+    return A.top_items(_t(spark, sf_dir, "orders"), "o_orderpriority", lg_max_k=10)
+
+
+def q_approx_sample_one_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx.sample — uniform k-sample per group via the mergeable
+    reservoir; k=64 >= group sizes, so the sample IS the group."""
+    from datasketches_spark import approx as A
+
+    _ensure(spark)
+    return A.sample(
+        _t(spark, sf_dir, "nation"), "n_name", k=64, by=["n_regionkey"]
+    ).select(F.col("n_regionkey").cast("long").alias("regionkey"), "item")
+
+
+def q_approx_dedup_one_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx.dedup — one-call exact dedup (min id per canonical text
+    fingerprint), slimmed to the id column so only (16-byte fp, id)
+    pairs cross the shuffle (pipeline/dedup.exact_dedup)."""
+    from datasketches_spark import approx as A
+
+    return A.dedup(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", keep_cols=["doc_id"]
+    )
+
+
+def q_approx_decontaminate_one_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx.decontaminate — the anti-join twin of decontam_overlap:
+    training docs with ZERO benchmark 5-gram overlap survive."""
+    from datasketches_spark import approx as A
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 400)
+    bench = docs.filter(F.col("doc_id") >= 400)
+    return A.decontaminate(train, bench, "doc_id", "text", n=5).select("doc_id")
+
+
+def q_wire_table_publish_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """io.write_wire_table -> io.read_wire_table round trip: publish
+    per-status theta sketches as an Apache wire-format parquet table
+    (consumable by DuckDB/Druid/datasketches-java with zero knowledge
+    of this engine), re-ingest, and query.  Exact mode at lg_k=16, so
+    the estimates hash-match COUNT(DISTINCT)."""
+    import os
+    import tempfile
+
+    from datasketches_spark import io as dio
+
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "orders"), "o_custkey", "theta",
+        group_cols=["o_orderstatus"], k=16,
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="dsks_wire_gate_"), "t")
+    dio.write_wire_table(sk, path, "sketch", "theta", k=16)
+    back = dio.read_wire_table(spark, path)
+    return back.select(
+        "o_orderstatus",
+        F.expr(
+            "CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)"
+        ).alias("distinct_customers"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared query inventory (SURVEY.md section 2 checklist).
 
@@ -2167,6 +2268,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "req_wire_roundtrip": q_req_wire_roundtrip,
         "curation_sample_stats": q_curation_sample_stats,
         "hll_union_py_statuses": q_hll_union_py_statuses,
+        "approx_distinct_one_call": q_approx_distinct_one_call,
+        "approx_quantiles_one_call": q_approx_quantiles_one_call,
+        "approx_top_items_one_call": q_approx_top_items_one_call,
+        "approx_sample_one_call": q_approx_sample_one_call,
+        "approx_dedup_one_call": q_approx_dedup_one_call,
+        "approx_decontaminate_one_call": q_approx_decontaminate_one_call,
+        "wire_table_publish_ingest": q_wire_table_publish_ingest,
     }
 
 
@@ -2896,6 +3004,40 @@ def oracle_sql() -> dict[str, str]:
             " max(o_totalprice)::DOUBLE AS max_price"
             " FROM orders GROUP BY 1"
         ),
+        # ---- one-call ergonomic layer (round 8 gates) ----
+        "approx_distinct_one_call": (
+            "SELECT o_orderpriority,"
+            " count(DISTINCT o_custkey)::BIGINT AS approx_distinct"
+            " FROM orders GROUP BY 1"
+        ),
+        "approx_quantiles_one_call": (
+            "SELECT g AS o_orderpriority, "
+            "min(CASE WHEN cd >= 0.25 THEN v END) AS q_0_25, "
+            "min(CASE WHEN cd >= 0.5 THEN v END) AS q_0_5, "
+            "min(CASE WHEN cd >= 0.75 THEN v END) AS q_0_75 FROM ("
+            + _CUME.format(g="o_orderpriority", v="o_totalprice", t="orders")
+            + ") GROUP BY g"
+        ),
+        "approx_top_items_one_call": (
+            "SELECT o_orderpriority AS item, count(*) AS estimate,"
+            " count(*) AS lower_bound, count(*) AS upper_bound"
+            " FROM orders GROUP BY 1"
+        ),
+        "approx_sample_one_call": (
+            "SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name AS item"
+            " FROM nation"
+        ),
+        "approx_dedup_one_call": (
+            f"SELECT min(doc_id) AS doc_id FROM ("
+            f"SELECT doc_id, {_T.oracle_fingerprint_sql()} AS fp FROM documents"
+            f") GROUP BY fp"
+        ),
+        "approx_decontaminate_one_call": _decontaminate_oracle(),
+        "wire_table_publish_ingest": (
+            "SELECT o_orderstatus,"
+            " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
+            " FROM orders GROUP BY 1"
+        ),
     }
     # the KLL-cuts variant computes the identical inclusive-rank
     # histogram, so it shares the oracle arithmetic verbatim
@@ -3040,6 +3182,21 @@ def _decontam_oracle() -> str:
         train AS (SELECT doc_id, unnest(ngs) AS ng FROM ngr WHERE doc_id < 400)
         SELECT t.doc_id, count(DISTINCT t.ng) AS n_contaminated
         FROM train t JOIN bench b USING (ng) GROUP BY t.doc_id
+    """
+
+
+def _decontaminate_oracle() -> str:
+    """Anti-join twin: training docs with zero benchmark overlap."""
+    from datasketches_spark.pipeline.decontam import oracle_ngrams_sql
+
+    ngs = oracle_ngrams_sql("text", 5)
+    return f"""
+        WITH ngr AS (SELECT doc_id, {ngs} AS ngs FROM documents),
+        bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM ngr WHERE doc_id >= 400),
+        train AS (SELECT doc_id, unnest(ngs) AS ng FROM ngr WHERE doc_id < 400),
+        cont AS (SELECT DISTINCT t.doc_id FROM train t JOIN bench b USING (ng))
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id < 400 AND d.doc_id NOT IN (SELECT doc_id FROM cont)
     """
 
 
