@@ -120,6 +120,24 @@ _SPECIAL = {
     ),
 }
 
+# Integer-typed wire readers (round 8): the Apache quantile-family
+# preambles carry NO item type, so integer blobs (the reference's
+# sketch_*_bigint / sketch_*_integer typed aliases,
+# codegen/generator.py:49-60) must be imported through a typed
+# reader, exactly like Apache's typed heapify entry points.
+for _fam in ("kll", "quantiles", "req"):
+    _SPECIAL[f"datasketch_{_fam}_from_wire_bigint"] = (
+        f"imports the reference's sketch_{_fam}_bigint wire layout "
+        "(8-byte integer items); engine frames pass through untouched. "
+        "The untyped from_wire would misread these bytes as doubles — "
+        "the preamble has no item type, the caller names it"
+    )
+    _SPECIAL[f"datasketch_{_fam}_from_wire_integer"] = (
+        f"imports the reference's sketch_{_fam}_integer wire layout "
+        "(4-byte integer items, widened losslessly to int64); engine "
+        "frames pass through untouched"
+    )
+
 
 def _note(name: str) -> str:
     if name in _SPECIAL:
@@ -170,6 +188,34 @@ lines.append(
     "direction — use the typed metadata scalars "
     "(`*_is_empty`, `*_num_retained`, `*_lg_config_k`, ...) instead; "
     "every field the describe text shows has a typed twin.")
+lines.append("")
+lines.append("## Pipeline-layer contracts reachable from SQL-adjacent APIs")
+lines.append("")
+lines.append(
+    "- **Decontamination hash join** "
+    "(`pipeline.decontam.contamination(hash_join=True)`, the default): "
+    "the broadcast benchmark n-gram set is keyed by `xxhash64(ngram)` "
+    "— 8-byte longs probe ~30% faster than a string map.  A 64-bit "
+    "collision can perturb a document's distinct-overlap count in "
+    "EITHER direction with probability ~2^-64 per pair (expected "
+    "collisions < 1e-5 per 100 TB-scale corpus); pass "
+    "`hash_join=False` for exact string equality.")
+lines.append(
+    "- **Bloom runtime filter engine selection** "
+    "(`runtime_filter.bloom_prune(engine='auto')`): integral dimension "
+    "keys build via Spark's JVM `DataFrameStatFunctions.bloomFilter` "
+    "(whole-stage scan, no Python) and probe via a bit-parity numpy "
+    "reimplementation of BloomFilterImplV2 (tests/test_bloom.py); "
+    "non-integral keys fall back to the DSKS python builder.  Force "
+    "either with `engine='jvm'|'python'`.  The filter BYTES broadcast "
+    "via `sc.broadcast`, never as a DataFrame column.")
+lines.append(
+    "- **Integer-typed quantile wire blobs**: export an int64 "
+    "KLL/Quantiles/REQ sketch with the family's `*_to_wire` (emits "
+    "the 8-byte-item `sketch_*_bigint` layout) and import with "
+    "`*_from_wire_bigint` / `*_from_wire_integer` — the untyped "
+    "`*_from_wire` assumes doubles/floats, as every Apache reader "
+    "does.")
 
 open("/root/repo/docs/FUNCTIONS.md", "w").write("\n".join(lines) + "\n")
 print(f"wrote docs/FUNCTIONS.md: {total} functions")
