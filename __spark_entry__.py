@@ -2064,6 +2064,34 @@ def q_stats_profile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_kll_bigint_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-typed Apache wire crossing (round 8): a KLL built over a
+    BIGINT column infers the int64 dtype (families.build_params), its
+    ``to_wire`` emits the reference's sketch_kll_bigint layout (8-byte
+    integer items; the preamble carries no item type), and
+    ``datasketch_kll_from_wire_bigint`` is the typed reader that names
+    it.  Exact mode at the gate SFs (k=32768 > rows per flag), so
+    count/min/max/median and the single-level blob length 40 + 8n all
+    hash-match plain SQL."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "kll",
+        group_cols=["l_returnflag"], k=32768,
+    )
+    return (
+        sk.withColumn("wire", F.expr("datasketch_kll_to_wire(sketch)"))
+        .withColumn("back", F.expr("datasketch_kll_from_wire_bigint(wire)"))
+        .select(
+            "l_returnflag",
+            F.expr("datasketch_kll_n(back)").alias("n_items"),
+            F.expr("datasketch_kll_min_item(back)").cast("bigint").alias("min_key"),
+            F.expr("datasketch_kll_max_item(back)").cast("bigint").alias("max_key"),
+            F.expr("datasketch_kll_quantile(back, 0.5D)").cast("bigint").alias("median_key"),
+            F.expr("CAST(octet_length(wire) AS BIGINT)").alias("wire_bytes"),
+        )
+    )
+
+
 def q_approx_distinct_one_call(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx.distinct — one-call approximate COUNT(DISTINCT) GROUP BY.
     Theta-hybrid under the hood; exact at sf-gate cardinalities."""
@@ -2268,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "req_wire_roundtrip": q_req_wire_roundtrip,
         "curation_sample_stats": q_curation_sample_stats,
         "hll_union_py_statuses": q_hll_union_py_statuses,
+        "kll_bigint_wire_roundtrip": q_kll_bigint_wire_roundtrip,
         "approx_distinct_one_call": q_approx_distinct_one_call,
         "approx_quantiles_one_call": q_approx_quantiles_one_call,
         "approx_top_items_one_call": q_approx_top_items_one_call,
@@ -3003,6 +3032,14 @@ def oracle_sql() -> dict[str, str]:
             " min(o_totalprice)::DOUBLE AS min_price,"
             " max(o_totalprice)::DOUBLE AS max_price"
             " FROM orders GROUP BY 1"
+        ),
+        "kll_bigint_wire_roundtrip": (
+            "SELECT g AS l_returnflag, count(*) AS n_items, "
+            "min(v)::BIGINT AS min_key, max(v)::BIGINT AS max_key, "
+            "min(CASE WHEN cd >= 0.5 THEN v END)::BIGINT AS median_key, "
+            "40 + 8 * count(*) AS wire_bytes FROM ("
+            + _CUME.format(g="l_returnflag", v="l_orderkey", t="lineitem")
+            + ") GROUP BY g"
         ),
         # ---- one-call ergonomic layer (round 8 gates) ----
         "approx_distinct_one_call": (
