@@ -60,6 +60,33 @@ def test_tdigest_wire_roundtrip_property(values):
             assert rt.get_quantile(q) == pytest.approx(sk.get_quantile(q))
 
 
+_ints = st.lists(
+    st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=400
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_ints, st.sampled_from(["kll", "quantiles", "req"]))
+def test_int64_wire_roundtrip_property(values, fam):
+    """Round 8: integer-typed wire (the reference's sketch_*_bigint).
+    Random int64 builds must survive to_wire -> from_wire(dtype=int64)
+    with identical n/retained/quantiles, across empty/single/negative/
+    extreme-magnitude inputs."""
+    cls = {"kll": KllSketch, "quantiles": QuantilesSketch, "req": ReqSketch}[fam]
+    k = 12 if fam == "req" else 60
+    sk = cls(k, "int64")
+    if values:
+        sk.update(np.asarray(values, dtype=np.int64))
+    rt = cls.from_wire(sk.to_wire(), "int64")
+    assert rt.n == sk.n and rt.dtype == "int64"
+    assert rt.num_retained == sk.num_retained
+    if values:
+        for q in (0.0, 0.37, 1.0):
+            got = rt.get_quantile(q)
+            assert got == sk.get_quantile(q)
+            assert isinstance(got, (int, np.integer))
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=500))
 def test_theta_wire_roundtrip_property(values):
