@@ -93,6 +93,11 @@ def _args_for(name: str) -> str | None:
         "get_seed": f"{sk}",
         "to_wire": f"{sk}",
         "from_wire": f"datasketch_{fam}_to_wire({sk})",
+        # typed integer readers: DSKS frames pass through untouched
+        # (the int-wire path itself is covered by the oracle gate +
+        # test_kll_wire/test_quantiles_req_wire roundtrips)
+        "from_wire_bigint": f"{sk}",
+        "from_wire_integer": f"{sk}",
         "lg_config_k": f"{sk}",
         "is_compact": f"{sk}",
         "epsilon": f"{sk}",
