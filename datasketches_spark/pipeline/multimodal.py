@@ -180,8 +180,15 @@ def sample_frames(
     """Video frame-sampling pattern: one input row -> many frame rows.
 
     Demonstrates the explode-shaped mapInPandas contract (output rows
-    need not align 1:1 with input rows).  Fake frame features are
-    deterministic in (content, frame_idx).
+    need not align 1:1 with input rows).  Decode tiers mirror the
+    image path:
+
+    1. **cv2/ffmpeg** when installed (any container/codec);
+    2. **stdlib MJPEG-AVI** (round 8, `_stdlib_video.py`): real RIFF
+       container parsing + the java-cross-validated baseline-JPEG
+       frame decoder — REAL pixels with zero third-party deps;
+    3. **deterministic fake** features for bytes neither tier decodes
+       (``strict=True`` forbids this tier and raises instead).
     """
     schema = StructType(
         [
@@ -225,30 +232,51 @@ def sample_frames(
             os.unlink(path)
         return out
 
+    def _stdlib_grid(frame: np.ndarray) -> list:
+        from . import _stdlib_image as SI  # noqa: PLC0415
+
+        g = int(np.ceil(np.sqrt(n_features)))
+        small = SI.resize_nearest(frame, g, g).astype(np.float32).ravel()[:n_features]
+        return (small / 255.0).tolist()
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import _stdlib_video as SV  # noqa: PLC0415
+
         cv2_mod = _cv2()
-        if cv2_mod is None and strict:
-            raise NotImplementedError(
-                "real video decoding requires cv2/ffmpeg; not installed on "
-                "this executor (strict=True forbids the deterministic fake)"
-            )
         for pdf in batches:
             ids, idxs, feats = [], [], []
             for rid, b in zip(pdf[id_col], pdf[bin_col]):
                 if b is None:
                     continue
+                blob = bytes(b)
                 if cv2_mod is not None:
-                    for i, fr in enumerate(_real_frames(cv2_mod, bytes(b))):
+                    for i, fr in enumerate(_real_frames(cv2_mod, blob)):
                         ids.append(rid)
                         idxs.append(i)
                         feats.append(fr.tolist())
                     continue
+                if SV.is_avi(blob):
+                    frames = SV.decode_frames(
+                        blob, every_nth=every_nth, max_frames=max_frames
+                    )
+                    if frames:
+                        for i, fr in enumerate(frames):
+                            ids.append(rid)
+                            idxs.append(i)
+                            feats.append(_stdlib_grid(fr))
+                        continue
+                if strict:
+                    raise NotImplementedError(
+                        "real video decoding for this payload requires "
+                        "cv2/ffmpeg (the stdlib tier covers MJPEG AVI); "
+                        "strict=True forbids the deterministic fake"
+                    )
                 n_frames = min(max_frames, max(1, len(b) // max(every_nth, 1)))
                 for i in range(n_frames):
                     ids.append(rid)
                     idxs.append(i)
                     feats.append(
-                        _fake_features(bytes(b) + i.to_bytes(4, "little"), n_features).tolist()
+                        _fake_features(blob + i.to_bytes(4, "little"), n_features).tolist()
                     )
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "features": feats})
 

@@ -405,6 +405,63 @@ class TestMultimodal:
             ).collect()
             assert all(r.features is None for r in out)
 
+    def test_stdlib_mjpeg_avi_frames_real_pixels(self, spark):
+        """Round 8 video tier: an MJPEG AVI (real RIFF container, real
+        baseline-JPEG frames) decodes REAL pixels through
+        sample_frames with no cv2 — constant-gray frames must come
+        back as their exact gray levels, every_nth/max_frames
+        honored."""
+        from datasketches_spark.pipeline import _stdlib_video as SV
+
+        if multimodal._cv2() is not None:
+            pytest.skip("cv2 present: stdlib video tier inactive")
+        # 12 constant frames of distinct levels: JPEG is exact on
+        # constant blocks (DC-only, no quantization error at any q)
+        frames = [np.full((16, 16), 20 * i + 10, dtype=np.uint8) for i in range(12)]
+        blob = SV.encode_mjpeg_avi(frames, fps=5)
+        meta = SV.probe(blob)
+        assert meta == {"n_frames": 12, "width": 16, "height": 16, "fps": 5.0}
+        df = spark.createDataFrame([Row(id=1, payload=bytearray(blob))])
+        rows = multimodal.sample_frames(
+            df, "payload", "id", every_nth=5, max_frames=3, n_features=4
+        ).collect()
+        # frames 0, 5, 10 -> levels 10, 110, 210
+        assert [r.frame_idx for r in rows] == [0, 1, 2]
+        got = [round(r.features[0] * 255) for r in rows]
+        assert got == [10, 110, 210]
+        # strict=True is satisfied by the stdlib tier on AVI payloads...
+        strict_rows = multimodal.sample_frames(
+            df, "payload", "id", every_nth=5, max_frames=3, strict=True
+        ).collect()
+        assert len(strict_rows) == 3
+        # ...and still raises on junk
+        junk = spark.createDataFrame([Row(id=1, payload=b"not a video")])
+        with pytest.raises(Exception, match="cv2|NotImplementedError"):
+            multimodal.sample_frames(junk, "payload", "id", strict=True).collect()
+
+    def test_stdlib_avi_corruption_never_crashes(self):
+        """Bit-flip fuzz over a valid AVI: the reader yields a (possibly
+        shorter) frame list or nothing — never an exception (untrusted
+        corpus bytes contract, same as the image/wire fuzz)."""
+        from datasketches_spark.pipeline import _stdlib_video as SV
+
+        rng = np.random.default_rng(11)
+        frames = [
+            (rng.integers(0, 256, (8, 8))).astype(np.uint8) for _ in range(3)
+        ]
+        blob = SV.encode_mjpeg_avi(frames, fps=10)
+        for _ in range(300):
+            bad = bytearray(blob)
+            bad[int(rng.integers(0, len(blob)))] ^= 1 << int(rng.integers(0, 8))
+            out = SV.decode_frames(bytes(bad))
+            assert isinstance(out, list)
+            for f in out:
+                assert f.dtype == np.uint8 and f.ndim == 2
+        # truncations at every length class
+        for cut in (0, 4, 11, 12, 40, len(blob) // 2, len(blob) - 3):
+            assert isinstance(SV.decode_frames(blob[:cut]), list)
+        assert SV.probe(b"RIFF\x00\x00\x00\x00AVI ") is None
+
     def test_stdlib_tier_decodes_real_pixels(self, spark):
         """The pure-stdlib tier (no PIL needed) runs REAL decode →
         grayscale → grid-resample pixel math end-to-end: a constant
