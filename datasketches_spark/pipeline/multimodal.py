@@ -10,9 +10,13 @@ container's CI), and clearly-marked deterministic fakes for payloads
 no real tier decodes.  ``strict=True`` disables the fake tier and
 fails LOUDLY (NotImplementedError) when a payload needs PIL on an
 executor that lacks it; with PIL present, undecodable bytes are NULL.
-Video frame sampling uses cv2 when importable and keeps the fake tier
-with a ``strict=True`` NotImplementedError, since no stdlib video
-decoder exists.
+Video frame sampling uses cv2 when importable, a pure-stdlib
+MJPEG-AVI reader (``_stdlib_video.py`` — real RIFF parsing + the
+java-cross-validated JPEG frame decoder) otherwise, and the fake tier
+with the same ``strict=True`` contract for payloads only cv2/ffmpeg
+could read.  Audio features decode PCM/float WAV with a pure-stdlib
+reader (``_stdlib_audio.py``); other codecs follow the same
+fake/strict policy.
 """
 
 from __future__ import annotations
@@ -365,3 +369,74 @@ def resize_binary(
             )
 
     return df.select(id_col, bin_col).mapInPandas(resize, schema=schema)
+
+
+def audio_features(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Corpus-curation audio signals from opaque binary audio columns:
+    ``(id, duration_s, sample_rate, rms, zcr, peak, clip_frac,
+    silence_frac)`` — the speech/music quality filters a 100 TB
+    multimodal pipeline gates ingestion on (too-quiet, clipped,
+    mostly-silence, implausible duration).
+
+    Decode tiers mirror the image/video paths: PCM / IEEE-float WAV
+    decodes with the pure-stdlib reader (`_stdlib_audio.py` — real
+    sample math, any channel count, 8/16/24/32-bit int and 32/64-bit
+    float); payloads in other codecs yield deterministic fake features
+    (content-seeded), or raise NotImplementedError under
+    ``strict=True``.  NULL payloads yield NULL features.
+    """
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("duration_s", FloatType(), True),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("rms", FloatType(), True),
+            StructField("zcr", FloatType(), True),
+            StructField("peak", FloatType(), True),
+            StructField("clip_frac", FloatType(), True),
+            StructField("silence_frac", FloatType(), True),
+        ]
+    )
+    cols = ["duration_s", "sample_rate", "rms", "zcr", "peak", "clip_frac", "silence_frac"]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import _stdlib_audio as SA  # noqa: PLC0415
+
+        def one(b) -> dict | None:
+            if b is None:
+                return None
+            blob = bytes(b)
+            feats = SA.features(blob)
+            if feats is not None:
+                return feats
+            if strict:
+                raise NotImplementedError(
+                    "real audio decoding for this payload requires an "
+                    "audio codec library (the stdlib tier covers PCM/"
+                    "IEEE-float WAV); strict=True forbids the "
+                    "deterministic fake"
+                )
+            fake = _fake_features(blob, 6)
+            return {
+                "duration_s": float(fake[0] * 600.0),
+                "sample_rate": 16000,
+                "rms": float(fake[1]),
+                "zcr": float(fake[2]),
+                "peak": float(fake[3]),
+                "clip_frac": float(fake[4]),
+                "silence_frac": float(fake[5]),
+            }
+
+        for pdf in batches:
+            rows = [one(b) for b in pdf[bin_col]]
+            out = {id_col: pdf[id_col]}
+            for c in cols:
+                out[c] = [None if r is None else r[c] for r in rows]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(decode, schema=schema)

@@ -462,6 +462,78 @@ class TestMultimodal:
             assert isinstance(SV.decode_frames(blob[:cut]), list)
         assert SV.probe(b"RIFF\x00\x00\x00\x00AVI ") is None
 
+    def test_stdlib_wav_audio_features_real_samples(self, spark):
+        """Round 8 audio tier: PCM WAV decodes REAL samples through
+        audio_features — a 440 Hz half-amplitude sine has known RMS
+        (0.5/sqrt2), ZCR (2f/rate) and duration; a clipped square wave
+        has clip_frac ~1; silence-padded audio reports its pad
+        fraction.  strict=True passes on WAV, raises on junk."""
+        from datasketches_spark.pipeline import _stdlib_audio as SA
+
+        rate = 16000
+        t = np.arange(rate) / rate
+        sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+        square = np.sign(np.sin(2 * np.pi * 100 * t))
+        padded = np.concatenate([np.zeros(rate // 4), sine, np.zeros(rate // 4)])
+        df = spark.createDataFrame(
+            [
+                Row(id=1, payload=bytearray(SA.encode_wav_pcm16(sine, rate))),
+                Row(id=2, payload=bytearray(SA.encode_wav_pcm16(square, rate))),
+                Row(id=3, payload=bytearray(SA.encode_wav_pcm16(padded, rate))),
+                Row(id=4, payload=None),
+            ]
+        )
+        out = {
+            r.id: r
+            for r in multimodal.audio_features(df, "payload", "id", strict=True).collect()
+        }
+        assert out[1].duration_s == pytest.approx(1.0)
+        assert out[1].sample_rate == rate
+        assert out[1].rms == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)
+        assert out[1].zcr == pytest.approx(2 * 440 / rate, abs=2e-3)
+        assert out[1].peak == pytest.approx(0.5, abs=1e-3)
+        assert out[1].clip_frac == 0.0
+        assert out[2].clip_frac > 0.99
+        assert out[3].silence_frac == pytest.approx(1 / 3, abs=0.01)
+        assert out[4].rms is None
+        # multi-channel + float codec round through decode_mono
+        stereo = np.stack([sine, sine], axis=1)
+        m = SA.decode_mono(SA.encode_wav_pcm16(stereo, 8000))
+        assert m is not None and m[1] == 8000
+        assert np.abs(m[0] - sine.astype(np.float32)).max() < 1e-3
+        # strict raises on non-WAV payloads
+        junk = spark.createDataFrame([Row(id=1, payload=b"ID3 mp3-ish bytes")])
+        with pytest.raises(Exception, match="audio codec|NotImplementedError"):
+            multimodal.audio_features(junk, "payload", "id", strict=True).collect()
+        # non-strict fakes deterministically
+        a = multimodal.audio_features(junk, "payload", "id").first()
+        b = multimodal.audio_features(junk, "payload", "id").first()
+        assert a == b
+
+    def test_stdlib_wav_corruption_never_crashes(self):
+        """Bit-flip + truncation fuzz over a valid WAV: features()
+        yields a dict or None, never an exception."""
+        from datasketches_spark.pipeline import _stdlib_audio as SA
+
+        rng = np.random.default_rng(13)
+        blob = SA.encode_wav_pcm16(rng.uniform(-1, 1, 2000), 8000)
+        for _ in range(300):
+            bad = bytearray(blob)
+            bad[int(rng.integers(0, len(blob)))] ^= 1 << int(rng.integers(0, 8))
+            out = SA.features(bytes(bad))
+            assert out is None or isinstance(out, dict)
+        for cut in (0, 4, 11, 12, 20, 43, len(blob) // 2):
+            assert SA.features(blob[:cut]) is None or isinstance(
+                SA.features(blob[:cut]), dict
+            )
+        # giant declared data chunk must not allocate
+        import struct as _s
+        hacked = bytearray(blob)
+        dpos = bytes(blob).find(b"data")
+        _s.pack_into("<I", hacked, dpos + 4, 0xFFFFFFF0)
+        out = SA.features(bytes(hacked))
+        assert out is None or isinstance(out, dict)
+
     def test_stdlib_tier_decodes_real_pixels(self, spark):
         """The pure-stdlib tier (no PIL needed) runs REAL decode →
         grayscale → grid-resample pixel math end-to-end: a constant
