@@ -2176,7 +2176,14 @@ def q_wire_table_publish_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"), "o_custkey", "theta",
         group_cols=["o_orderstatus"], k=16,
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="dsks_wire_gate_"), "t")
+    # stable per-SF path + overwrite mode: repeated gate runs (driver
+    # smoke, oracle, bench) reuse one directory instead of leaking a
+    # fresh mkdtemp per invocation
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dsks_wire_gate_{os.path.basename(sf_dir.rstrip('/'))}",
+        "t",
+    )
     dio.write_wire_table(sk, path, "sketch", "theta", k=16)
     back = dio.read_wire_table(spark, path)
     return back.select(

@@ -314,14 +314,23 @@ def build_scalar_registry() -> dict[str, object]:
 
         @pandas_udf("binary")
         def udf(s: pd.Series) -> pd.Series:
+            # per-batch memo, like _deser_batch: a stored blob queried
+            # across many rows converts once per Arrow batch
+            cache: dict[bytes, bytes] = {}
             out = []
             for b in s:
                 if b is None:
                     out.append(None)
-                elif is_framed(bytes(b)):
-                    out.append(bytes(b))
-                else:
-                    out.append(cls.from_wire(bytes(b), wire_dtype).serialize())
+                    continue
+                key = bytes(b)
+                v = cache.get(key)
+                if v is None:
+                    v = cache[key] = (
+                        key
+                        if is_framed(key)
+                        else cls.from_wire(key, wire_dtype).serialize()
+                    )
+                out.append(v)
             return _obj_series(out)
 
         return udf

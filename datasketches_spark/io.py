@@ -152,6 +152,24 @@ _WIRE_FAMILIES = frozenset(
 )
 
 
+# quantile families whose wire layout is item-typed: the Apache
+# preamble carries NO item type, so the metadata must (the reference's
+# typed aliases sketch_kll_bigint etc. carry it in the catalog type)
+_TYPED_WIRE_FAMILIES = frozenset(["kll", "quantiles", "req"])
+
+
+def _peek_dtype(df: DataFrame, sketch_col: str, family: str) -> str | None:
+    """Item dtype of one non-null DSKS blob (single-row action)."""
+    row = df.select(sketch_col).filter(F.col(sketch_col).isNotNull()).first()
+    if row is None:
+        return None
+    from .sketches import FAMILY_CLASSES, peek_family  # noqa: PLC0415
+
+    return FAMILY_CLASSES[peek_family(bytes(row[0]))].deserialize(
+        bytes(row[0])
+    ).dtype
+
+
 def write_wire_table(
     df: DataFrame,
     path: str,
@@ -160,6 +178,7 @@ def write_wire_table(
     k: int | None = None,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    dtype: str | None = None,
 ) -> None:
     """Publish a sketch table in the Apache DataSketches WIRE format —
     the serialization DuckDB (the reference), Druid, Hive and
@@ -168,6 +187,12 @@ def write_wire_table(
     column metadata records family/K plus ``wire: True`` so
     :func:`read_wire_table` (and humans) know the layout.  Requires
     ``datasketches_spark.register(spark)``.
+
+    For the item-typed quantile families (KLL/Quantiles/REQ) the item
+    ``dtype`` is ALSO recorded — the Apache preamble carries no item
+    type, so without it an int64 table would silently re-ingest as
+    doubles.  It is peeked from one blob when not passed (a single-row
+    action at publish time).
 
     This is the cross-system hand-off: the written parquet is
     consumable by any DataSketches-speaking engine with zero knowledge
@@ -187,12 +212,15 @@ def write_wire_table(
             "re-publishing would double-convert. Write the DataFrame "
             "with df.write.parquet directly, or read_wire_table first."
         )
+    if family in _TYPED_WIRE_FAMILIES and dtype is None:
+        dtype = _peek_dtype(df, sketch_col, family)
     out = df.withColumn(
         sketch_col, F.expr(f"datasketch_{family}_to_wire({sketch_col})")
     )
-    out = with_sketch_metadata(out, sketch_col, family, k)
-    meta = {_META_KEY: {"family": family, "k": k, "format_version": 1,
-                        "wire": True}}
+    meta_body = {"family": family, "k": k, "format_version": 1, "wire": True}
+    if dtype is not None:
+        meta_body["dtype"] = dtype
+    meta = {_META_KEY: meta_body}
     w = out.withMetadata(sketch_col, meta).write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -204,13 +232,17 @@ def read_wire_table(
     path: str,
     family: str | None = None,
     sketch_col: str = "sketch",
+    dtype: str | None = None,
 ) -> DataFrame:
     """Ingest an Apache wire-format sketch table — written by
     :func:`write_wire_table` or by ANY other DataSketches system —
-    normalizing the blobs to engine frames via
-    ``datasketch_<family>_from_wire``.  ``family`` is read from the
-    column metadata when this engine wrote the table; foreign tables
-    must name it (wire blobs carry no engine framing).  Requires
+    normalizing the blobs to engine frames via the family's typed
+    reader.  ``family`` (and, for the quantile families, the item
+    ``dtype``) are read from the column metadata when this engine
+    wrote the table; foreign tables must name the family — and the
+    dtype for integer-typed quantile blobs (``dtype='int64'`` for the
+    reference's ``sketch_*_bigint``, ``'int32'`` for ``_integer``),
+    since the Apache preamble carries no item type.  Requires
     ``datasketches_spark.register(spark)``.
     """
     df = spark.read.parquet(path)
@@ -232,8 +264,20 @@ def read_wire_table(
         family = info["family"]
     if family not in _WIRE_FAMILIES:
         raise ValueError(f"family {family!r} has no Apache wire format")
-    out = df.withColumn(
-        sketch_col, F.expr(f"datasketch_{family}_from_wire({sketch_col})")
-    )
-    return with_sketch_metadata(out, sketch_col, family,
-                                (info or {}).get("k"))
+    if dtype is None:
+        dtype = (info or {}).get("dtype")
+    if family in _TYPED_WIRE_FAMILIES and dtype == "int64":
+        reader = f"datasketch_{family}_from_wire_bigint"
+    elif family in _TYPED_WIRE_FAMILIES and dtype == "int32":
+        reader = f"datasketch_{family}_from_wire_integer"
+    else:
+        reader = f"datasketch_{family}_from_wire"
+    out = df.withColumn(sketch_col, F.expr(f"{reader}({sketch_col})"))
+    # re-tag as a DSKS table (no wire flag — the blobs are engine
+    # frames now), carrying the item dtype forward for re-publish
+    meta_body = {
+        "family": family, "k": (info or {}).get("k"), "format_version": 1,
+    }
+    if dtype is not None:
+        meta_body["dtype"] = dtype
+    return out.withMetadata(sketch_col, {_META_KEY: meta_body})

@@ -91,6 +91,12 @@ def decode_mono(blob: bytes) -> tuple[np.ndarray, int] | None:
     (codec, ch, rate, _, _, bits), data_len, off = parsed
     if rate <= 0 or not (1 <= ch <= 64):
         return None
+    # cap BEFORE any decode allocation: the float32 conversion costs
+    # 4x the payload plus a mixdown copy, so a multi-GB declared data
+    # chunk must be rejected here, not after frombuffer/astype
+    bytes_per_frame = max((max(bits, 8) // 8) * ch, 1)
+    if data_len // bytes_per_frame > _MAX_SAMPLES:
+        return None
     blob = bytes(blob)
     try:
         if codec == 1 and bits == 16:

@@ -60,19 +60,32 @@ def iter_mjpeg_frames(blob: bytes) -> Iterator[np.ndarray]:
         if size > len(blob):
             return
         if fourcc == b"LIST" and blob[pos + 8 : pos + 12] == b"movi":
-            mpos = pos + 12
-            mend = min(end, pos + 8 + size)
-            while mpos + 8 <= mend:
-                cid = blob[mpos : mpos + 4]
-                (csize,) = struct.unpack_from("<I", blob, mpos + 4)
-                if csize > _MAX_CHUNK or mpos + 8 + csize > len(blob):
-                    return
-                if cid[2:4] in (b"dc", b"db"):
-                    frame = decode_gray(blob[mpos + 8 : mpos + 8 + csize])
-                    if frame is not None:
-                        yield frame
-                mpos += 8 + csize + (csize & 1)  # chunks are word-aligned
+            yield from _walk_movi(blob, pos + 12, min(end, pos + 8 + size), 0)
         pos += 8 + size + (size & 1)
+
+
+def _walk_movi(blob: bytes, mpos: int, mend: int, depth: int):
+    """Yield decoded frames from a movi chunk run, recursing one level
+    into the AVI-1.0 ``LIST rec `` interleave sublists common muxers
+    emit for CD-ROM layouts."""
+    while mpos + 8 <= mend:
+        cid = blob[mpos : mpos + 4]
+        (csize,) = struct.unpack_from("<I", blob, mpos + 4)
+        if csize > _MAX_CHUNK or mpos + 8 + csize > len(blob):
+            return
+        if (
+            cid == b"LIST"
+            and depth == 0
+            and blob[mpos + 8 : mpos + 12] == b"rec "
+        ):
+            yield from _walk_movi(
+                blob, mpos + 12, min(mend, mpos + 8 + csize), depth + 1
+            )
+        elif cid[2:4] in (b"dc", b"db"):
+            frame = decode_gray(blob[mpos + 8 : mpos + 8 + csize])
+            if frame is not None:
+                yield frame
+        mpos += 8 + csize + (csize & 1)  # chunks are word-aligned
 
 
 def decode_frames(

@@ -254,7 +254,16 @@ def sample_frames(
                     continue
                 blob = bytes(b)
                 if cv2_mod is not None:
-                    for i, fr in enumerate(_real_frames(cv2_mod, blob)):
+                    real = _real_frames(cv2_mod, blob)
+                    if not real and strict:
+                        # same loud contract as the cv2-less branch: a
+                        # payload that decodes to zero frames must not
+                        # be silently dropped under strict=True
+                        raise NotImplementedError(
+                            "cv2 decoded zero frames from this payload; "
+                            "strict=True forbids silently dropping it"
+                        )
+                    for i, fr in enumerate(real):
                         ids.append(rid)
                         idxs.append(i)
                         feats.append(fr.tolist())

@@ -18,13 +18,16 @@ import subprocess
 import sys
 
 
-def _run(cmd: list[str]) -> dict:
+def _run(cmd: list[str], env: dict | None = None, timeout: int = 900) -> dict:
+    """Run a harness command and parse its last JSON line (shared with
+    bench_sf_slopes.py)."""
     out = subprocess.run(
         cmd,
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=900,
+        env=env,
+        timeout=timeout,
     )
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()

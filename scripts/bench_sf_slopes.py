@@ -21,24 +21,19 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_pairing import _run  # noqa: E402  (shared JSON-line runner)
+
 FIXED_ROWS = {"decontam_overlap", "scalar_over_2k_stored"}
 
 
 def _run_bench(sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    out = subprocess.run(
-        [sys.executable, "bench.py"], capture_output=True, text=True,
-        cwd=REPO, env=env, timeout=1800,
-    )
-    for line in reversed(out.stdout.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"no JSON from bench.py at {sf_dir}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    return _run([sys.executable, "bench.py"], env=env, timeout=1800)
 
 
 def main() -> None:

@@ -27,31 +27,55 @@ from pyspark.sql import functions as F
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# per-table key columns to shift by i * range; everything else copies
+# per-table key columns, each naming the ENTITY whose range defines
+# its shift stride — FK columns must share the owning table's stride
+# or replica joins dangle (max(o_custkey) < max(c_custkey) on standard
+# TPC-H: a third of customers never order)
 _SHIFTS = {
-    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "documents": ["doc_id"],
-    "events": ["event_id", "user_id"],
-    "embeddings": ["vec_id"],
+    "lineitem": {"l_orderkey": "order", "l_suppkey": "supp", "l_partkey": "part"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "documents": {"doc_id": "doc"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "embeddings": {"vec_id": "vec"},
+}
+# entity -> (owning table, key column) for the shared stride
+_ENTITY_OWNER = {
+    "order": ("orders", "o_orderkey"),
+    "cust": ("customer", "c_custkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "doc": ("documents", "doc_id"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "vec": ("embeddings", "vec_id"),
 }
 _COPY = ["nation", "region"]
 
 
-def _scale(spark: SparkSession, table: str, factor: int, out: str, files: int) -> None:
+def _entity_strides(spark: SparkSession) -> dict[str, int]:
+    strides = {}
+    for entity, (table, col) in _ENTITY_OWNER.items():
+        mx = spark.read.parquet(f"{SRC}/{table}.parquet").agg(F.max(col)).collect()[0][0]
+        strides[entity] = int(mx or 0) + 1
+    return strides
+
+
+def _scale(
+    spark: SparkSession, table: str, factor: int, out: str, files: int,
+    strides: dict[str, int],
+) -> None:
     df = spark.read.parquet(f"{SRC}/{table}.parquet")
-    shift_cols = [c for c in _SHIFTS.get(table, []) if c in df.columns]
-    ranges = {
-        c: int(df.agg(F.max(c)).collect()[0][0] or 0) + 1 for c in shift_cols
+    shift_cols = {
+        c: e for c, e in _SHIFTS.get(table, {}).items() if c in df.columns
     }
     parts = []
     for i in range(factor):
         rep = df
-        for c in shift_cols:
-            rep = rep.withColumn(c, F.col(c) + F.lit(i * ranges[c]))
+        for c, entity in shift_cols.items():
+            rep = rep.withColumn(c, F.col(c) + F.lit(i * strides[entity]))
         parts.append(rep)
     allup: DataFrame = parts[0]
     for p in parts[1:]:
@@ -78,9 +102,10 @@ def main() -> None:
         spark.read.parquet(f"{SRC}/{t}.parquet").coalesce(1).write.mode(
             "overwrite"
         ).parquet(dst)
-    for t, _ in _SHIFTS.items():
+    strides = _entity_strides(spark)
+    for t in _SHIFTS:
         files = 32 if t in ("lineitem", "orders", "events") else 8
-        _scale(spark, t, factor, out, files)
+        _scale(spark, t, factor, out, files, strides)
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n} rows -> {out}")
     spark.stop()

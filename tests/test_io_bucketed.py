@@ -121,6 +121,46 @@ class TestWireTables:
         back = dio.read_wire_table(spark, path, family="theta")
         assert back.count() == 16
 
+    def test_int64_wire_table_roundtrips_typed(self, spark, tmp_path):
+        """Round-8 regression (review finding): an int64 KLL table must
+        publish with its item dtype in metadata and re-ingest through
+        the TYPED reader — the untyped from_wire would silently
+        reinterpret 8-byte integer items as doubles (median of 0..999
+        came back 2.46e-321 before the fix)."""
+        from datasketches_spark.aggregation import sketch_agg
+
+        df = spark.range(1000).selectExpr("id % 2 AS g", "id AS v")
+        sk = sketch_agg(df, "v", "kll", group_cols=["g"], k=2048)
+        path = str(tmp_path / "kll_int64_wire")
+        dio.write_wire_table(sk, path, "sketch", "kll", k=2048)
+        raw_info = dio.sketch_column_info(spark.read.parquet(path), "sketch")
+        assert raw_info["dtype"] == "int64" and raw_info["wire"] is True
+        back = dio.read_wire_table(spark, path)
+        info = dio.sketch_column_info(back, "sketch")
+        # ingested blobs are engine frames again: dtype carries
+        # forward (re-publish stays typed), the wire flag must not
+        assert info["dtype"] == "int64" and not info.get("wire")
+        got = {
+            r["g"]: r["med"]
+            for r in back.selectExpr(
+                "g", "CAST(datasketch_kll_quantile(sketch, 0.5D) AS BIGINT) med"
+            ).collect()
+        }
+        assert 480 <= got[0] <= 520 and 480 <= got[1] <= 520
+        # foreign int64 table (no metadata): caller names the dtype
+        bare = str(tmp_path / "bare_int64")
+        sk.selectExpr(
+            "g", "datasketch_kll_to_wire(sketch) AS sketch"
+        ).write.parquet(bare)
+        back2 = dio.read_wire_table(spark, bare, family="kll", dtype="int64")
+        got2 = {
+            r["g"]: r["med"]
+            for r in back2.selectExpr(
+                "g", "CAST(datasketch_kll_quantile(sketch, 0.5D) AS BIGINT) med"
+            ).collect()
+        }
+        assert got2 == got
+
     def test_wire_flag_guards_cross_format_misuse(self, spark, tmp_path):
         """A DSKS table must be rejected by read_wire_table EARLY (not
         fail row-by-row at action time), and a published wire table must

@@ -439,6 +439,40 @@ class TestMultimodal:
         with pytest.raises(Exception, match="cv2|NotImplementedError"):
             multimodal.sample_frames(junk, "payload", "id", strict=True).collect()
 
+    def test_stdlib_avi_rec_list_interleave(self):
+        """AVI-1.0 'LIST rec ' interleave sublists (the CD-ROM layout
+        common muxers emit) must decode — review-fix regression."""
+        import struct as _s
+
+        from datasketches_spark.pipeline import _stdlib_video as SV
+
+        frames = [np.full((8, 8), 30 * i + 15, dtype=np.uint8) for i in range(4)]
+        blob = bytearray(SV.encode_mjpeg_avi(frames, fps=10))
+        # rebuild: wrap each 00dc chunk in its own LIST rec sublist
+        plain = bytes(blob)
+        mstart = plain.find(b"LIST", 12)
+        while plain[mstart + 8 : mstart + 12] != b"movi":
+            (sz,) = _s.unpack_from("<I", plain, mstart + 4)
+            mstart = plain.find(b"LIST", mstart + 8 + sz + (sz & 1))
+        (msz,) = _s.unpack_from("<I", plain, mstart + 4)
+        body = plain[mstart + 12 : mstart + 8 + msz]
+        chunks, pos = [], 0
+        while pos + 8 <= len(body):
+            (csz,) = _s.unpack_from("<I", body, pos + 4)
+            chunks.append(body[pos : pos + 8 + csz + (csz & 1)])
+            pos += 8 + csz + (csz & 1)
+        recs = b"".join(
+            b"LIST" + _s.pack("<I", 4 + len(c)) + b"rec " + c for c in chunks
+        )
+        movi = b"LIST" + _s.pack("<I", 4 + len(recs)) + b"movi" + recs
+        rebuilt = plain[:mstart] + movi + plain[mstart + 8 + msz + (msz & 1):]
+        rebuilt = (
+            b"RIFF" + _s.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+        )
+        got = SV.decode_frames(rebuilt)
+        assert len(got) == 4
+        assert [int(f[0, 0]) for f in got] == [15, 45, 75, 105]
+
     def test_stdlib_avi_corruption_never_crashes(self):
         """Bit-flip fuzz over a valid AVI: the reader yields a (possibly
         shorter) frame list or nothing — never an exception (untrusted
