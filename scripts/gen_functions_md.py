@@ -215,7 +215,19 @@ lines.append(
     "the 8-byte-item `sketch_*_bigint` layout) and import with "
     "`*_from_wire_bigint` / `*_from_wire_integer` — the untyped "
     "`*_from_wire` assumes doubles/floats, as every Apache reader "
-    "does.")
+    "does.  `io.write_wire_table` records the item dtype in column "
+    "metadata and `io.read_wire_table` routes through the typed "
+    "reader automatically; foreign integer tables must pass "
+    "`dtype='int64'|'int32'`.")
+lines.append(
+    "- **Multimodal decode tiers** (`pipeline.multimodal`): every "
+    "decoder probes per executor — PIL/cv2 when installed, then the "
+    "always-available stdlib tier (BMP/PNG/baseline-JPEG images, "
+    "MJPEG-AVI video frames, PCM/IEEE-float WAV audio — real pixel/"
+    "sample math, corruption-fuzzed), then clearly-marked "
+    "deterministic fakes.  `strict=True` forbids the fake tier: "
+    "payloads no real tier decodes raise NotImplementedError, never "
+    "fabricate, never silently drop.")
 
 open("/root/repo/docs/FUNCTIONS.md", "w").write("\n".join(lines) + "\n")
 print(f"wrote docs/FUNCTIONS.md: {total} functions")
