@@ -2203,7 +2203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rollup idioms, dedup/LSH, ANN, text/curation, multimodal, events
     time-series, drift, profiling).  Same-family variants (extra
     scalar surfaces, alternate key types, SQL-arity twins) follow
-    after entry 50; all 80 pass the identical oracle gate locally."""
+    after entry 50; all 104 pass the identical oracle gate locally
+    (scripts/check_oracle.py)."""
     return {
         # -- driver window: one representative per operator family --
         "theta_distinct_orders": q_theta_distinct_orders,
