@@ -2092,6 +2092,55 @@ def q_kll_bigint_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_av_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: REAL media decode, oracle-gated.  Deterministic MJPEG
+    AVIs (constant-gray frames — exact through baseline JPEG at q=8)
+    and PCM WAVs (sines of known RMS/ZCR) are built by the stdlib
+    encoders and decoded DISTRIBUTED through sample_frames /
+    audio_features with strict=True (no fake tier).  The oracle is the
+    signal math as SQL constants: gray levels, RMS = amp/sqrt(2), ZCR
+    = 2f/rate — a decode-correctness gate, not a plumbing smoke."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from datasketches_spark.pipeline import _stdlib_audio as SA
+    from datasketches_spark.pipeline import _stdlib_video as SV
+    from datasketches_spark.pipeline import multimodal as MM
+
+    rows = []
+    for vid in range(3):
+        frames = [
+            np.full((16, 16), 20 * (vid + 1) + 8 * i, np.uint8) for i in range(6)
+        ]
+        rate = 8000
+        t = np.arange(rate) / rate
+        x = (0.2 + 0.1 * vid) * np.sin(2 * np.pi * (200 + 100 * vid) * t)
+        rows.append(
+            Row(
+                id=vid,
+                avi=bytearray(SV.encode_mjpeg_avi(frames, fps=10)),
+                wav=bytearray(SA.encode_wav_pcm16(x, rate)),
+            )
+        )
+    df = spark.createDataFrame(rows)
+    v = MM.sample_frames(df, "avi", "id", every_nth=2, max_frames=3, strict=True)
+    vg = v.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.round(F.element_at("features", 1) * 255).cast("bigint").alias("gray"),
+    )
+    a = MM.audio_features(df, "wav", "id", strict=True).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.round(F.col("rms") * 1000).cast("bigint").alias("rms_milli"),
+        F.round(F.col("zcr") * 1000).cast("bigint").alias("zcr_milli"),
+        F.round(F.col("duration_s") * 1000).cast("bigint").alias("dur_ms"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+    )
+    return vg.join(a, "id").select(
+        "id", "frame_idx", "gray", "rms_milli", "zcr_milli", "dur_ms", "sample_rate"
+    )
+
+
 def q_approx_distinct_one_call(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx.distinct — one-call approximate COUNT(DISTINCT) GROUP BY.
     Theta-hybrid under the hood; exact at sf-gate cardinalities."""
@@ -2305,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sample_stats": q_curation_sample_stats,
         "hll_union_py_statuses": q_hll_union_py_statuses,
         "kll_bigint_wire_roundtrip": q_kll_bigint_wire_roundtrip,
+        "multimodal_av_decode": q_multimodal_av_decode,
         "approx_distinct_one_call": q_approx_distinct_one_call,
         "approx_quantiles_one_call": q_approx_quantiles_one_call,
         "approx_top_items_one_call": q_approx_top_items_one_call,
@@ -3040,6 +3090,14 @@ def oracle_sql() -> dict[str, str]:
             " min(o_totalprice)::DOUBLE AS min_price,"
             " max(o_totalprice)::DOUBLE AS max_price"
             " FROM orders GROUP BY 1"
+        ),
+        "multimodal_av_decode": (
+            "SELECT CAST(id AS BIGINT) AS id, CAST(frame_idx AS BIGINT) AS frame_idx, "
+            "CAST(gray AS BIGINT) AS gray, CAST(rms_milli AS BIGINT) AS rms_milli, "
+            "CAST(zcr_milli AS BIGINT) AS zcr_milli, CAST(dur_ms AS BIGINT) AS dur_ms, "
+            "CAST(sample_rate AS BIGINT) AS sample_rate FROM (VALUES "
+            "(0, 0, 20, 141, 50, 1000, 8000), (0, 1, 36, 141, 50, 1000, 8000), (0, 2, 52, 141, 50, 1000, 8000), (1, 0, 40, 212, 75, 1000, 8000), (1, 1, 56, 212, 75, 1000, 8000), (1, 2, 72, 212, 75, 1000, 8000), (2, 0, 60, 283, 100, 1000, 8000), (2, 1, 76, 283, 100, 1000, 8000), (2, 2, 92, 283, 100, 1000, 8000)"
+            ") AS t(id, frame_idx, gray, rms_milli, zcr_milli, dur_ms, sample_rate)"
         ),
         "kll_bigint_wire_roundtrip": (
             "SELECT g AS l_returnflag, count(*) AS n_items, "
