@@ -388,3 +388,49 @@ def dedup(
     from .pipeline.dedup import exact_dedup
 
     return exact_dedup(df, text_col, id_col, keep_cols=keep_cols)
+
+
+def media_metadata(df: DataFrame, bin_col: str) -> DataFrame:
+    """Typed metadata struct (n_bytes, magic_hex, checksum) appended
+    for an opaque binary media column — pure JVM expressions, no
+    decode (pipeline/multimodal.binary_metadata)."""
+    from .pipeline.multimodal import binary_metadata
+
+    return df.withColumn(f"{bin_col}_meta", binary_metadata(bin_col))
+
+
+def image_features(
+    df: DataFrame, bin_col: str, id_col: str,
+    n_features: int = 16, strict: bool = False,
+) -> DataFrame:
+    """(id, features) from an image binary column — PIL when
+    installed, else the stdlib BMP/PNG/baseline-JPEG decoder;
+    ``strict=True`` never fabricates (pipeline/multimodal)."""
+    from .pipeline.multimodal import decode_image_features
+
+    return decode_image_features(df, bin_col, id_col, n_features, strict=strict)
+
+
+def video_frames(
+    df: DataFrame, bin_col: str, id_col: str,
+    every_nth: int = 10, max_frames: int = 4, strict: bool = False,
+) -> DataFrame:
+    """(id, frame_idx, features) frame-sampled from a video binary
+    column — cv2 when installed, else the stdlib MJPEG-AVI reader."""
+    from .pipeline.multimodal import sample_frames
+
+    return sample_frames(
+        df, bin_col, id_col, every_nth=every_nth, max_frames=max_frames,
+        strict=strict,
+    )
+
+
+def audio_features(
+    df: DataFrame, bin_col: str, id_col: str, strict: bool = False
+) -> DataFrame:
+    """(id, duration_s, sample_rate, rms, zcr, peak, clip_frac,
+    silence_frac) from an audio binary column — stdlib PCM/float WAV
+    decode; other codecs fake-or-raise per ``strict``."""
+    from .pipeline.multimodal import audio_features as _af
+
+    return _af(df, bin_col, id_col, strict=strict)
