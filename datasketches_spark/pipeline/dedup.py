@@ -341,7 +341,40 @@ def lsh_verified_near_duplicates(
     if persist:
         sigs = sigs.persist()
     cand = minhash_candidate_pairs(sigs, id_col, bands, rows)
-    grams = df.select(F.col(id_col), char_ngrams(F.col(text_col), ngram).alias("g"))
+    # verify-side pruning: n-gram arrays are built ONLY for documents a
+    # candidate pair touches.  When dups are sparse (a typical web
+    # corpus: a few % of docs near-duplicate) |touched| << |docs| and
+    # this turns two full-corpus text scans + n-gram builds into two
+    # scans of the candidate slice.  Auto-gated on planner size stats
+    # (the skewjoin fast-path pattern): on toy inputs the extra
+    # persist + semi-join stages cost more than the n-gram build they
+    # avoid (measured sf0.1/200 docs: +0.25 s).  Measured caveat: on a
+    # DUP-HEAVY corpus pruning keeps almost everything (this repo's
+    # synthetic documents: 4917/5000 touched, pruned 12.8 s vs 11.6 —
+    # a small planned-overhead loss, bounded because the semi-join is
+    # left to Spark/AQE, never a forced broadcast of the id set).
+    from .skewjoin import _plan_size_bytes  # noqa: PLC0415
+
+    try:
+        prune = _plan_size_bytes(df) > (64 << 20)
+    except Exception:  # stats unavailable (e.g. streaming source)
+        prune = True
+    verify_src = df
+    if prune:
+        if persist:
+            # cand now feeds three branches (id-prune + both verify
+            # joins); unpersisted it would re-run the band explode +
+            # bucket self-join per branch
+            cand = cand.persist()
+        touched = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionByName(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        verify_src = df.join(touched, id_col, "leftsemi")
+    grams = verify_src.select(
+        F.col(id_col), char_ngrams(F.col(text_col), ngram).alias("g")
+    )
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("g").alias("g_a"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("g_b"))
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
