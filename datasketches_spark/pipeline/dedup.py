@@ -361,10 +361,33 @@ def lsh_verified_near_duplicates(
         prune = True
     verify_src = df
     if prune:
+        # Signature pre-filter BEFORE the exact verify: banding
+        # generates false-positive candidates in bulk (measured on the
+        # synthetic 5000-doc corpus: 124,529 candidates, of which 256
+        # have estimated J >= 0.55 — the rest are boilerplate
+        # collisions at true J ~0.1-0.3).  Comparing two 64-long
+        # signatures is ~30x cheaper than intersecting two multi-k
+        # n-gram arrays, so killing 99.8% of candidates here collapses
+        # the verify stage's cost.  Recall: a true pair at J >=
+        # threshold passes est >= threshold - 0.25 with Hoeffding
+        # P[miss] <= exp(-2*64*0.25^2) = 3.4e-4 — the same order as
+        # the banding miss itself, so the operator's documented
+        # equality claim is unchanged in kind or magnitude.
+        sa_ = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+        sb_ = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+        cand = (
+            cand.join(sa_, "id_a")
+            .join(sb_, "id_b")
+            .filter(
+                estimated_jaccard(F.col("sig_a"), F.col("sig_b"))
+                >= threshold - 0.25
+            )
+            .select("id_a", "id_b")
+        )
         if persist:
-            # cand now feeds three branches (id-prune + both verify
-            # joins); unpersisted it would re-run the band explode +
-            # bucket self-join per branch
+            # the filtered candidate set feeds three branches (the
+            # id-prune + both verify joins); it is tiny by
+            # construction, so caching it is cheap
             cand = cand.persist()
         touched = (
             cand.select(F.col("id_a").alias(id_col))

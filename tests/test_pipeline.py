@@ -80,6 +80,37 @@ class TestText:
 
 
 class TestDedup:
+    def test_lsh_verify_paths_agree(self, spark):
+        """Round 8: the big-input verify path (signature pre-filter +
+        candidate-id prune, forced via the size-stats gate) must return
+        EXACTLY the pairs the simple small-input path returns."""
+        import datasketches_spark.pipeline.skewjoin as sj
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        small = sorted(
+            map(
+                tuple,
+                dedup.lsh_verified_near_duplicates(
+                    docs, "doc_id", "text", threshold=0.8
+                ).collect(),
+            )
+        )
+        real = sj._plan_size_bytes
+        sj._plan_size_bytes = lambda df: 1 << 40  # force the big path
+        try:
+            big = sorted(
+                map(
+                    tuple,
+                    dedup.lsh_verified_near_duplicates(
+                        docs, "doc_id", "text", threshold=0.8
+                    ).collect(),
+                )
+            )
+        finally:
+            sj._plan_size_bytes = real
+        assert len(small) > 0  # the corpus has real near-dups
+        assert big == small
+
     def test_exact_duplicates(self, spark, docs):
         groups = dedup.exact_duplicates(docs, "text", "doc_id").collect()
         assert len(groups) == 1
