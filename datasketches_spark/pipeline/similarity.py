@@ -345,7 +345,10 @@ def embedding_cosine_near_duplicates(
     """Near-duplicate (id_a < id_b, cosine) pairs above threshold via
     LSH buckets (high-cosine pairs land in the same bucket with high
     probability) + exact verification."""
-    sig = hyperplane_signatures(df, id_col, vec_col, dim, n_bits, seed)
+    # persist: the self-join puts the signature mapInPandas pass in TWO
+    # plan branches; unpersisted, Spark recomputes the Python pass per
+    # branch (same fix as the minhash signatures in dedup.py)
+    sig = hyperplane_signatures(df, id_col, vec_col, dim, n_bits, seed).persist()
     a, b = sig.alias("a"), sig.alias("b")
     cand = a.join(
         b,
