@@ -2092,6 +2092,37 @@ def q_kll_bigint_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wire_table_int64_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: the io-level integer-typed wire-table round trip —
+    exactly the path where a silent dtype bug would corrupt results
+    (review-caught in round 8: int64 items re-ingested as doubles gave
+    denormal garbage).  write_wire_table peeks the KLL item dtype into
+    column metadata; read_wire_table routes through the typed reader.
+    Exact mode at the gate SFs, so count/median hash-match SQL."""
+    import os
+    import tempfile
+
+    from datasketches_spark import io as dio
+
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "kll",
+        group_cols=["l_returnflag"], k=32768,
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dsks_wire_i64_gate_{os.path.basename(sf_dir.rstrip('/'))}",
+        "t",
+    )
+    dio.write_wire_table(sk, path, "sketch", "kll", k=32768)
+    back = dio.read_wire_table(spark, path)
+    return back.select(
+        "l_returnflag",
+        F.expr("datasketch_kll_n(sketch)").alias("n_items"),
+        F.expr("datasketch_kll_quantile(sketch, 0.5D)").cast("bigint").alias("median_key"),
+    )
+
+
 def q_multimodal_av_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 8: REAL media decode, oracle-gated.  Deterministic MJPEG
     AVIs (constant-gray frames — exact through baseline JPEG at q=8)
@@ -2252,7 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rollup idioms, dedup/LSH, ANN, text/curation, multimodal, events
     time-series, drift, profiling).  Same-family variants (extra
     scalar surfaces, alternate key types, SQL-arity twins) follow
-    after entry 50; all 104 pass the identical oracle gate locally
+    after entry 50; all 106 pass the identical oracle gate locally
     (scripts/check_oracle.py)."""
     return {
         # -- driver window: one representative per operator family --
@@ -2355,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_py_statuses": q_hll_union_py_statuses,
         "kll_bigint_wire_roundtrip": q_kll_bigint_wire_roundtrip,
         "multimodal_av_decode": q_multimodal_av_decode,
+        "wire_table_int64_ingest": q_wire_table_int64_ingest,
         "approx_distinct_one_call": q_approx_distinct_one_call,
         "approx_quantiles_one_call": q_approx_quantiles_one_call,
         "approx_top_items_one_call": q_approx_top_items_one_call,
@@ -3098,6 +3130,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sample_rate AS BIGINT) AS sample_rate FROM (VALUES "
             "(0, 0, 20, 141, 50, 1000, 8000), (0, 1, 36, 141, 50, 1000, 8000), (0, 2, 52, 141, 50, 1000, 8000), (1, 0, 40, 212, 75, 1000, 8000), (1, 1, 56, 212, 75, 1000, 8000), (1, 2, 72, 212, 75, 1000, 8000), (2, 0, 60, 283, 100, 1000, 8000), (2, 1, 76, 283, 100, 1000, 8000), (2, 2, 92, 283, 100, 1000, 8000)"
             ") AS t(id, frame_idx, gray, rms_milli, zcr_milli, dur_ms, sample_rate)"
+        ),
+        "wire_table_int64_ingest": (
+            "SELECT g AS l_returnflag, count(*) AS n_items, "
+            "min(CASE WHEN cd >= 0.5 THEN v END)::BIGINT AS median_key FROM ("
+            + _CUME.format(g="l_returnflag", v="l_orderkey", t="lineitem")
+            + ") GROUP BY g"
         ),
         "kll_bigint_wire_roundtrip": (
             "SELECT g AS l_returnflag, count(*) AS n_items, "
