@@ -2123,6 +2123,44 @@ def q_wire_table_int64_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: decode-free media metadata (multimodal.media_probe) —
+    header parsing only, so every field is a deterministic function of
+    the fixture encoders; the oracle is the expected metadata as SQL
+    constants.  Includes a PROGRESSIVE JPEG (SOF2): its dimensions
+    probe even though the pixel decoder (baseline-only) refuses it."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from datasketches_spark.pipeline import _stdlib_audio as SA
+    from datasketches_spark.pipeline import _stdlib_image as SI
+    from datasketches_spark.pipeline import _stdlib_video as SV
+    from datasketches_spark.pipeline import multimodal as MM
+
+    img = np.zeros((10, 20), np.uint8)
+    jpeg = bytearray(SI.encode_jpeg_gray(img))
+    sof = bytes(jpeg).find(b"\xff\xc0")
+    prog = bytes(jpeg[:sof]) + b"\xff\xc2" + bytes(jpeg[sof + 2:])
+    rows = [
+        Row(id=1, b=bytearray(SI.encode_bmp(img))),
+        Row(id=2, b=bytearray(SI.encode_png(img))),
+        Row(id=3, b=bytearray(prog)),
+        Row(id=4, b=bytearray(SV.encode_mjpeg_avi([img] * 4, fps=2))),
+        Row(id=5, b=bytearray(SA.encode_wav_pcm16(np.zeros(1000), 4000))),
+        Row(id=6, b=b"not media at all"),
+    ]
+    out = MM.media_probe(spark.createDataFrame(rows), "b", "id")
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        "kind", "format",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.round(F.col("duration_s") * 1000).cast("bigint").alias("dur_ms"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+    )
+
+
 def q_multimodal_av_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 8: REAL media decode, oracle-gated.  Deterministic MJPEG
     AVIs (constant-gray frames — exact through baseline JPEG at q=8)
@@ -2283,7 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rollup idioms, dedup/LSH, ANN, text/curation, multimodal, events
     time-series, drift, profiling).  Same-family variants (extra
     scalar surfaces, alternate key types, SQL-arity twins) follow
-    after entry 50; all 106 pass the identical oracle gate locally
+    after entry 50; all 107 pass the identical oracle gate locally
     (scripts/check_oracle.py)."""
     return {
         # -- driver window: one representative per operator family --
@@ -2386,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_py_statuses": q_hll_union_py_statuses,
         "kll_bigint_wire_roundtrip": q_kll_bigint_wire_roundtrip,
         "multimodal_av_decode": q_multimodal_av_decode,
+        "media_probe_meta": q_media_probe_meta,
         "wire_table_int64_ingest": q_wire_table_int64_ingest,
         "approx_distinct_one_call": q_approx_distinct_one_call,
         "approx_quantiles_one_call": q_approx_quantiles_one_call,
@@ -3130,6 +3169,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sample_rate AS BIGINT) AS sample_rate FROM (VALUES "
             "(0, 0, 20, 141, 50, 1000, 8000), (0, 1, 36, 141, 50, 1000, 8000), (0, 2, 52, 141, 50, 1000, 8000), (1, 0, 40, 212, 75, 1000, 8000), (1, 1, 56, 212, 75, 1000, 8000), (1, 2, 72, 212, 75, 1000, 8000), (2, 0, 60, 283, 100, 1000, 8000), (2, 1, 76, 283, 100, 1000, 8000), (2, 2, 92, 283, 100, 1000, 8000)"
             ") AS t(id, frame_idx, gray, rms_milli, zcr_milli, dur_ms, sample_rate)"
+        ),
+        "media_probe_meta": (
+            "SELECT CAST(id AS BIGINT) AS id, kind, format,"
+            " CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,"
+            " CAST(n_frames AS BIGINT) AS n_frames, CAST(dur_ms AS BIGINT) AS dur_ms,"
+            " CAST(sample_rate AS BIGINT) AS sample_rate FROM (VALUES"
+            " (1, 'image', 'bmp', 20, 10, NULL, NULL, NULL),"
+            " (2, 'image', 'png', 20, 10, NULL, NULL, NULL),"
+            " (3, 'image', 'jpeg', 20, 10, NULL, NULL, NULL),"
+            " (4, 'video', 'mjpeg_avi', 20, 10, 4, 2000, NULL),"
+            " (5, 'audio', 'wav_pcm16', NULL, NULL, 1000, 250, 4000),"
+            " (6, NULL, NULL, NULL, NULL, NULL, NULL, NULL)"
+            ") AS t(id, kind, format, width, height, n_frames, dur_ms, sample_rate)"
         ),
         "wire_table_int64_ingest": (
             "SELECT g AS l_returnflag, count(*) AS n_items, "

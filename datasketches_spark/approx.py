@@ -434,3 +434,12 @@ def audio_features(
     from .pipeline.multimodal import audio_features as _af
 
     return _af(df, bin_col, id_col, strict=strict)
+
+
+def media_probe(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """Decode-free media metadata (kind/format/dims/frames/fps/rate/
+    channels/duration) from container headers — the
+    stratify-before-decode pass (pipeline/multimodal.media_probe)."""
+    from .pipeline.multimodal import media_probe as _mp
+
+    return _mp(df, bin_col, id_col)

@@ -646,3 +646,54 @@ def encode_png(gray: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def probe(blob: bytes) -> dict | None:
+    """(format, width, height, bits) from container HEADERS only — no
+    pixel decode, no entropy scan, so it runs at metadata-extraction
+    speed over arbitrary corpus bytes.  BMP / PNG / JPEG (any JPEG,
+    including progressive — the SOFn markers all carry dimensions);
+    None for anything else or structurally corrupt headers."""
+    if not isinstance(blob, (bytes, bytearray)) or len(blob) < 12:
+        return None
+    blob = bytes(blob)
+    try:
+        if blob[:2] == b"BM" and len(blob) >= 30:
+            (hdr_size,) = struct.unpack_from("<I", blob, 14)
+            if hdr_size < 40:
+                return None
+            w, h = struct.unpack_from("<ii", blob, 18)
+            _, bpp = struct.unpack_from("<HH", blob, 26)
+            return {"format": "bmp", "width": int(w), "height": abs(int(h)),
+                    "bits": int(bpp)}
+        if blob[:8] == _PNG_MAGIC and len(blob) >= 29 and blob[12:16] == b"IHDR":
+            w, h = struct.unpack_from(">II", blob, 16)
+            depth = blob[24]
+            return {"format": "png", "width": int(w), "height": int(h),
+                    "bits": int(depth)}
+        if blob[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 4 <= len(blob):
+                if blob[pos] != 0xFF:
+                    return None
+                marker = blob[pos + 1]
+                if marker in (0xD8,) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+                    return None
+                (seg_len,) = struct.unpack_from(">H", blob, pos + 2)
+                if seg_len < 2:
+                    return None
+                # any SOFn (0xC0-0xCF except DHT/JPG/DAC) carries dims
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if pos + 9 > len(blob):
+                        return None
+                    prec = blob[pos + 4]
+                    h, w = struct.unpack_from(">HH", blob, pos + 5)
+                    return {"format": "jpeg", "width": int(w),
+                            "height": int(h), "bits": int(prec)}
+                pos += 2 + seg_len
+    except (struct.error, IndexError):
+        return None
+    return None

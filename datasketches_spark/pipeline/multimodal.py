@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -449,3 +450,84 @@ def audio_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(decode, schema=schema)
+
+
+def media_probe(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Decode-free media metadata from container HEADERS only:
+    ``(id, kind, format, width, height, n_frames, fps, sample_rate,
+    channels, duration_s)`` — the stratify-before-decode pass a
+    multimodal ingestion pipeline runs over everything (route by kind,
+    reject implausible dimensions/durations, size decode budgets)
+    WITHOUT paying entropy decode for a single pixel or sample.
+
+    Pure stdlib header parsers: BMP/PNG/JPEG dimensions (any JPEG,
+    progressive included — SOFn carries dims), AVI avih
+    (frames/dims/fps), WAV fmt/data (rate/channels/duration).
+    Unknown or corrupt containers yield kind ``NULL`` — never a task
+    failure.  One mapInPandas pass; no shuffle.
+    """
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("kind", StringType(), True),
+            StructField("format", StringType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("n_frames", IntegerType(), True),
+            StructField("fps", FloatType(), True),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("channels", IntegerType(), True),
+            StructField("duration_s", FloatType(), True),
+        ]
+    )
+    cols = [
+        "kind", "format", "width", "height", "n_frames", "fps",
+        "sample_rate", "channels", "duration_s",
+    ]
+
+    def probe_one(b) -> dict:
+        out = dict.fromkeys(cols)
+        if b is None:
+            return out
+        from . import _stdlib_audio as SA  # noqa: PLC0415
+        from . import _stdlib_image as SI  # noqa: PLC0415
+        from . import _stdlib_video as SV  # noqa: PLC0415
+
+        blob = bytes(b)
+        v = SV.probe(blob)
+        if v is not None:
+            out.update(
+                kind="video", format="mjpeg_avi", width=v["width"],
+                height=v["height"], n_frames=v["n_frames"], fps=v["fps"],
+                duration_s=(v["n_frames"] / v["fps"]) if v["fps"] else None,
+            )
+            return out
+        a = SA.probe(blob)
+        if a is not None:
+            out.update(
+                kind="audio", format=f"wav_{a['codec']}{a['bits']}",
+                sample_rate=a["sample_rate"], channels=a["channels"],
+                n_frames=a["n_frames"], duration_s=a["duration_s"],
+            )
+            return out
+        i = SI.probe(blob)
+        if i is not None:
+            out.update(
+                kind="image", format=i["format"], width=i["width"],
+                height=i["height"],
+            )
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [probe_one(b) for b in pdf[bin_col]]
+            data = {id_col: pdf[id_col]}
+            for c in cols:
+                data[c] = [r[c] for r in rows]
+            yield pd.DataFrame(data)
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)

@@ -575,6 +575,49 @@ class TestMultimodal:
         b = multimodal.audio_features(junk, "payload", "id").first()
         assert a == b
 
+    def test_media_probe_headers_only(self, spark):
+        """media_probe: decode-free metadata for image/video/audio,
+        NULL kind for unknowns — and it must handle a PROGRESSIVE
+        JPEG's dimensions (SOF2), which the pixel decoder refuses."""
+        from datasketches_spark.pipeline import _stdlib_audio as SA
+        from datasketches_spark.pipeline import _stdlib_image as SI
+        from datasketches_spark.pipeline import _stdlib_video as SV
+
+        img = np.zeros((10, 20), np.uint8)
+        jpeg = bytearray(SI.encode_jpeg_gray(img))
+        sof = bytes(jpeg).find(b"\xff\xc0")
+        prog = bytes(jpeg[:sof]) + b"\xff\xc2" + bytes(jpeg[sof + 2:])
+        assert SI.decode_gray(prog) is None  # progressive: no pixel decode
+        rows = [
+            Row(id=1, b=bytearray(SI.encode_bmp(img))),
+            Row(id=2, b=bytearray(prog)),
+            Row(id=3, b=bytearray(SV.encode_mjpeg_avi([img] * 4, fps=2))),
+            Row(id=4, b=bytearray(SA.encode_wav_pcm16(np.zeros(1000), 4000))),
+            Row(id=5, b=b"not media"),
+        ]
+        out = {
+            r.id: r
+            for r in multimodal.media_probe(
+                spark.createDataFrame(rows), "b", "id"
+            ).collect()
+        }
+        assert (out[1].kind, out[1].width, out[1].height) == ("image", 20, 10)
+        assert (out[2].kind, out[2].format, out[2].width) == ("image", "jpeg", 20)
+        assert (out[3].kind, out[3].n_frames, out[3].fps) == ("video", 4, 2.0)
+        assert (out[4].kind, out[4].sample_rate, out[4].duration_s) == (
+            "audio", 4000, 0.25,
+        )
+        assert out[5].kind is None
+        # header fuzz: bit-flips must yield a row or NULL kind, never raise
+        rng = np.random.default_rng(5)
+        for payload in (bytes(jpeg), rows[2].b, rows[3].b):
+            blob = bytes(payload)
+            for _ in range(100):
+                bad = bytearray(blob)
+                bad[int(rng.integers(0, len(blob)))] ^= 1 << int(rng.integers(0, 8))
+                from datasketches_spark.pipeline import _stdlib_image as SI2
+                SI2.probe(bytes(bad)); SV.probe(bytes(bad)); SA.probe(bytes(bad))
+
     def test_stdlib_wav_corruption_never_crashes(self):
         """Bit-flip + truncation fuzz over a valid WAV: features()
         yields a dict or None, never an exception."""
