@@ -227,7 +227,9 @@ lines.append(
     "sample math, corruption-fuzzed), then clearly-marked "
     "deterministic fakes.  `strict=True` forbids the fake tier: "
     "payloads no real tier decodes raise NotImplementedError, never "
-    "fabricate, never silently drop.")
+    "fabricate, never silently drop.  `media_probe` extracts "
+    "kind/dims/frames/fps/rate/duration from container HEADERS only "
+    "(no entropy decode) — the stratify-before-decode pass.")
 
 open("/root/repo/docs/FUNCTIONS.md", "w").write("\n".join(lines) + "\n")
 print(f"wrote docs/FUNCTIONS.md: {total} functions")
