@@ -281,3 +281,53 @@ def read_wire_table(
     if dtype is not None:
         meta_body["dtype"] = dtype
     return out.withMetadata(sketch_col, {_META_KEY: meta_body})
+
+
+def rollup_sketch_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    family: str,
+    period_expr: str,
+    group_cols: list[str] | None = None,
+    sketch_col: str = "sketch",
+    k: int | None = None,
+    period_col: str = "period",
+    mode: str = "overwrite",
+) -> None:
+    """Periodic rollup of a persisted sketch table: day tables ->
+    week/month tables without touching a single raw row — the
+    maintenance job a 100 TB pipeline runs constantly, and the
+    reference's core pitch (re-aggregable sketch state,
+    docs/README.md:190-192) as a one-call table operation.
+
+    Reads the DSKS table at ``src_path``, derives ``period_col`` with
+    the SQL expression ``period_expr`` (e.g. ``substr(day, 1, 7)`` for
+    day->month), merges blobs per (period, *group_cols) via the
+    two-phase blob merge (only sketch blobs cross the one shuffle),
+    and writes ``dst_path`` partitioned by the period so downstream
+    readers prune to one directory per slice.  Because sketch merge is
+    associative and order-independent, the rollup is exact with
+    respect to the source sketches at ANY scale.
+    """
+    from .aggregation import sketch_merge  # noqa: PLC0415
+
+    group_cols = list(group_cols or [])
+    df = read_sketch_table(spark, src_path, sketch_col, validate=False)
+    info = sketch_column_info(df, sketch_col)
+    if info and info.get("family") and info["family"] != family:
+        raise ValueError(
+            f"table at {src_path} is tagged family '{info['family']}', "
+            f"not '{family}'"
+        )
+    if k is None and info:
+        k = info.get("k")
+    df = df.withColumn(period_col, F.expr(period_expr))
+    merged = sketch_merge(
+        df, family, group_cols=[period_col, *group_cols], k=k,
+        sketch_col=sketch_col,
+    )
+    write_sketch_table(
+        merged, dst_path, sketch_col, family, k=k, mode=mode,
+        partition_by=[period_col],
+    )

@@ -177,3 +177,53 @@ class TestWireTables:
             dio.write_wire_table(
                 republished, str(tmp_path / "wire2"), "sketch", "theta"
             )
+
+
+class TestRollup:
+    def test_day_to_month_rollup_exact(self, spark, tmp_path):
+        """rollup_sketch_table: per-day theta sketches roll up to
+        months by blob merge only; exact mode makes the month
+        estimates equal exact distinct counts, and the output is
+        partitioned by the period (directory pruning)."""
+        import os
+
+        from datasketches_spark.aggregation import sketch_agg
+
+        # 6 days across 2 months; user ids overlap across days within
+        # a month (rollup must dedupe, not sum)
+        rows = spark.range(6000).selectExpr(
+            "concat('2026-0', cast(1 + (id % 2) as string), '-0',"
+            " cast(1 + (id % 3) as string)) AS day",
+            "id % 500 AS user_id",
+        )
+        daily = sketch_agg(rows, "user_id", "theta", group_cols=["day"], k=14)
+        src = str(tmp_path / "daily")
+        dio.write_sketch_table(daily, src, "sketch", "theta", k=14)
+        dst = str(tmp_path / "monthly")
+        dio.rollup_sketch_table(
+            spark, src, dst, "theta", "substr(day, 1, 7)"
+        )
+        back = dio.read_sketch_table(spark, dst, "sketch")
+        got = {
+            r["period"]: r["est"]
+            for r in back.selectExpr(
+                "period",
+                "CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT) est",
+            ).collect()
+        }
+        want = {
+            r["m"]: r["c"]
+            for r in rows.selectExpr("substr(day, 1, 7) AS m", "user_id")
+            .groupBy("m")
+            .agg(F.countDistinct("user_id").alias("c"))
+            .collect()
+        }
+        assert got == want
+        # partitioned layout: one directory per period
+        dirs = sorted(
+            d for d in os.listdir(dst) if d.startswith("period=")
+        )
+        assert dirs == ["period=2026-01", "period=2026-02"]
+        # family mismatch fails loudly
+        with pytest.raises(ValueError, match="tagged family"):
+            dio.rollup_sketch_table(spark, src, dst, "kll", "substr(day, 1, 7)")
