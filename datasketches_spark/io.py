@@ -159,15 +159,21 @@ _TYPED_WIRE_FAMILIES = frozenset(["kll", "quantiles", "req"])
 
 
 def _peek_dtype(df: DataFrame, sketch_col: str, family: str) -> str | None:
-    """Item dtype of one non-null DSKS blob (single-row action)."""
+    """Item dtype of one non-null DSKS blob (single-row action); also
+    cross-checks the blob's family byte against the declared family so
+    a mis-declared publish fails here, not row-by-row downstream."""
     row = df.select(sketch_col).filter(F.col(sketch_col).isNotNull()).first()
     if row is None:
         return None
     from .sketches import FAMILY_CLASSES, peek_family  # noqa: PLC0415
 
-    return FAMILY_CLASSES[peek_family(bytes(row[0]))].deserialize(
-        bytes(row[0])
-    ).dtype
+    fam_byte = peek_family(bytes(row[0]))
+    if fam_byte != _FAMILY_BYTES[family]:
+        raise ValueError(
+            f"write_wire_table(family={family!r}) but column "
+            f"'{sketch_col}' blobs carry family byte {fam_byte}"
+        )
+    return FAMILY_CLASSES[fam_byte].deserialize(bytes(row[0])).dtype
 
 
 def write_wire_table(
@@ -315,6 +321,15 @@ def rollup_sketch_table(
     group_cols = list(group_cols or [])
     df = read_sketch_table(spark, src_path, sketch_col, validate=False)
     info = sketch_column_info(df, sketch_col)
+    if info and info.get("wire"):
+        # Apache wire blobs are not DSKS frames; merging them here would
+        # fail at action time deep inside blob deserialization. Same
+        # early guard read_wire_table gives for the symmetric mistake.
+        raise ValueError(
+            f"table at {src_path} is Apache wire format (metadata "
+            "wire: True) — read_wire_table it into DSKS frames first, "
+            "then write_sketch_table, then rollup"
+        )
     if info and info.get("family") and info["family"] != family:
         raise ValueError(
             f"table at {src_path} is tagged family '{info['family']}', "

@@ -65,12 +65,16 @@ def _chunks(blob: bytes):
         while pos + 8 <= len(blob):
             cid = blob[pos : pos + 4]
             (size,) = struct.unpack_from("<I", blob, pos + 4)
-            if size > len(blob):
-                break
-            if cid == b"fmt " and size >= 16:
+            # truncated upload: a data chunk routinely declares the
+            # full recording's size while the blob holds a prefix —
+            # clamp to the remaining bytes and keep the decodable
+            # prefix (the video tier's "frames decoded so far"
+            # contract), instead of rejecting the whole file
+            avail = len(blob) - pos - 8
+            if cid == b"fmt " and min(size, avail) >= 16:
                 fmt = struct.unpack_from("<HHIIHH", blob, pos + 8)
             elif cid == b"data":
-                data = (min(size, len(blob) - pos - 8), pos + 8)
+                data = (min(size, avail), pos + 8)
                 if fmt is not None:
                     break
             pos += 8 + size + (size & 1)

@@ -39,14 +39,16 @@ def is_avi(blob: bytes) -> bool:
     )
 
 
-def iter_mjpeg_frames(blob: bytes) -> Iterator[np.ndarray]:
-    """Yield decoded grayscale frames (HxW uint8) from an MJPEG AVI.
+def iter_frame_chunks(blob: bytes) -> Iterator[bytes]:
+    """Yield RAW JPEG payloads of the ``00dc``/``00db`` video chunks in
+    container order — no pixel decode.  This is the chunk walk that
+    lets :func:`decode_frames` skip non-sampled frames BEFORE the
+    entropy decode (at ``every_nth=10``, 10x less decode work).
 
     Tolerant reader: stops (instead of raising) at the first
-    structurally corrupt chunk, yielding whatever decoded so far —
+    structurally corrupt chunk, yielding whatever it found so far —
     matching how a stream truncated mid-upload should behave in a
-    corpus pipeline.  Non-video chunks and undecodable frames are
-    skipped.
+    corpus pipeline.
     """
     if not is_avi(blob):
         return
@@ -64,10 +66,20 @@ def iter_mjpeg_frames(blob: bytes) -> Iterator[np.ndarray]:
         pos += 8 + size + (size & 1)
 
 
+def iter_mjpeg_frames(blob: bytes) -> Iterator[np.ndarray]:
+    """Yield decoded grayscale frames (HxW uint8) from an MJPEG AVI.
+    Non-video chunks and undecodable frames are skipped; corruption
+    truncates (see :func:`iter_frame_chunks`)."""
+    for payload in iter_frame_chunks(blob):
+        frame = decode_gray(payload)
+        if frame is not None:
+            yield frame
+
+
 def _walk_movi(blob: bytes, mpos: int, mend: int, depth: int):
-    """Yield decoded frames from a movi chunk run, recursing one level
-    into the AVI-1.0 ``LIST rec `` interleave sublists common muxers
-    emit for CD-ROM layouts."""
+    """Yield raw video-chunk payloads from a movi chunk run, recursing
+    one level into the AVI-1.0 ``LIST rec `` interleave sublists common
+    muxers emit for CD-ROM layouts."""
     while mpos + 8 <= mend:
         cid = blob[mpos : mpos + 4]
         (csize,) = struct.unpack_from("<I", blob, mpos + 4)
@@ -82,22 +94,25 @@ def _walk_movi(blob: bytes, mpos: int, mend: int, depth: int):
                 blob, mpos + 12, min(mend, mpos + 8 + csize), depth + 1
             )
         elif cid[2:4] in (b"dc", b"db"):
-            frame = decode_gray(blob[mpos + 8 : mpos + 8 + csize])
-            if frame is not None:
-                yield frame
+            yield blob[mpos + 8 : mpos + 8 + csize]
         mpos += 8 + csize + (csize & 1)  # chunks are word-aligned
 
 
 def decode_frames(
     blob: bytes, every_nth: int = 1, max_frames: int | None = None
 ) -> list[np.ndarray]:
-    """Every ``every_nth``-th decodable frame, up to ``max_frames``;
-    ``[]`` for anything unparseable."""
+    """Every ``every_nth``-th video chunk decoded, up to ``max_frames``
+    decoded frames; ``[]`` for anything unparseable.  Sampling happens
+    at the CHUNK walk (container position), so non-sampled frames are
+    never entropy-decoded; undecodable sampled chunks are skipped."""
     out: list[np.ndarray] = []
     step = max(int(every_nth), 1)
     try:
-        for i, frame in enumerate(iter_mjpeg_frames(blob)):
+        for i, payload in enumerate(iter_frame_chunks(blob)):
             if i % step == 0:
+                frame = decode_gray(payload)
+                if frame is None:
+                    continue
                 out.append(frame)
                 if max_frames is not None and len(out) >= max_frames:
                     break

@@ -316,9 +316,21 @@ def lsh_verified_near_duplicates(
     pair, < 1e-19 at the J >= 0.95 regimes dedup targets); at lower
     thresholds banding misses real pairs (~36% at J = 0.5) -- widen
     to e.g. ``bands=32, num_hashes=128`` before lowering the
-    threshold.  At 100 TB the cost is the signature pass + two
-    shuffles (bucket join, verify join); the verification set is
-    |candidates|, not O(n^2).
+    threshold.  On large inputs (planner stats > 64 MB) a signature
+    pre-filter additionally drops candidates whose ESTIMATED Jaccard
+    is below ``threshold - 0.25`` before the exact verify; that adds
+    a second, same-order miss term (Hoeffding,
+    P <= exp(-2*num_hashes*0.25^2) = 3.4e-4 per true pair at the
+    default 64 hashes) on top of the banding miss.  At 100 TB the
+    cost is the signature pass + two shuffles (bucket join, verify
+    join); the verification set is |candidates|, not O(n^2).
+
+    Cache lifetime: with ``persist=True`` the signature table (and on
+    the pruned path the filtered candidate set) stay cached until the
+    caller unpersists — in a long multi-query session call
+    ``spark.catalog.clearCache()`` after materializing the result, or
+    pass ``persist=False`` (recomputes the signature pass per plan
+    branch).
 
     ``engine="pandas"`` (default) computes signatures with the seeded
     splitmix64 Arrow+numpy path (:func:`minhash_signatures`);

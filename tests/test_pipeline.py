@@ -642,6 +642,57 @@ class TestMultimodal:
         out = SA.features(bytes(hacked))
         assert out is None or isinstance(out, dict)
 
+    def test_stdlib_wav_truncated_upload_keeps_prefix(self):
+        """A data chunk that declares the FULL recording while the blob
+        holds a truncated prefix (classic interrupted upload) must
+        decode the prefix — the video tier's 'decoded so far' contract
+        — for probe() and decode_mono()/features() alike."""
+        import struct as _s
+
+        from datasketches_spark.pipeline import _stdlib_audio as SA
+
+        rate = 8000
+        sine = 0.5 * np.sin(2 * np.pi * 440 * np.arange(rate) / rate)
+        full = SA.encode_wav_pcm16(sine, rate)  # 1 s, 16000 data bytes
+        cut = bytearray(full[: len(full) - 8000])  # drop the last 0.25 s
+        # the data header still declares the full 16000-byte payload
+        assert _s.unpack_from("<I", cut, bytes(full).find(b"data") + 4)[0] == 16000
+        p = SA.probe(bytes(cut))
+        assert p is not None and p["n_frames"] == 4000
+        assert p["duration_s"] == pytest.approx(0.5)
+        dec = SA.decode_mono(bytes(cut))
+        assert dec is not None and dec[0].size == 4000
+        assert np.abs(dec[0] - sine[:4000].astype(np.float32)).max() < 1e-3
+        assert SA.features(bytes(cut))["duration_s"] == pytest.approx(0.5)
+
+    def test_stdlib_avi_every_nth_skips_decode(self, monkeypatch):
+        """Frame sampling must happen at the CHUNK walk: with
+        every_nth=2 over 6 frames only the 3 sampled chunks hit the
+        JPEG decoder, and a corrupt NON-sampled chunk cannot affect
+        the output (it is never decoded)."""
+        from datasketches_spark.pipeline import _stdlib_video as SV
+
+        frames = [np.full((8, 8), 20 * i + 10, dtype=np.uint8) for i in range(6)]
+        blob = SV.encode_mjpeg_avi(frames, fps=10)
+        calls = []
+        real = SV.decode_gray
+
+        def counting(payload):
+            calls.append(len(payload))
+            return real(payload)
+
+        monkeypatch.setattr(SV, "decode_gray", counting)
+        got = SV.decode_frames(blob, every_nth=2)
+        assert [int(f[0, 0]) for f in got] == [10, 50, 90]
+        assert len(calls) == 3  # non-sampled chunks never decoded
+        # zero out frame 1's JPEG payload (non-sampled): output unchanged
+        chunks = list(SV.iter_frame_chunks(blob))
+        start = blob.find(chunks[1])
+        bad = bytearray(blob)
+        bad[start : start + len(chunks[1])] = b"\x00" * len(chunks[1])
+        got2 = SV.decode_frames(bytes(bad), every_nth=2)
+        assert [int(f[0, 0]) for f in got2] == [10, 50, 90]
+
     def test_stdlib_tier_decodes_real_pixels(self, spark):
         """The pure-stdlib tier (no PIL needed) runs REAL decode →
         grayscale → grid-resample pixel math end-to-end: a constant
