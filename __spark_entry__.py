@@ -2312,6 +2312,152 @@ def q_wire_table_publish_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gate_dir(sf_dir: str, tag: str) -> str:
+    """Fresh per-(gate, SF) scratch dir under /tmp: deleted up front so
+    repeated gate runs (driver smoke, oracle, local ci) are
+    deterministic replays, never resumes of stale state."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    base = _os.path.join(
+        _tempfile.gettempdir(),
+        f"dsks_{tag}_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
+def q_streaming_store_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming batch-equivalence gate for the SketchStore sink — the
+    reference's re-aggregable-state pitch (docs/README.md:190-192)
+    under a REAL Structured Streaming query: orders is staged as 4
+    parquet files, replayed as micro-batches (file source,
+    maxFilesPerTrigger=1, availableNow) through
+    ``incremental_sketch_sink`` into a theta SketchStore, and the
+    FINAL STORE alone answers per-status distinct customers.  Sketch
+    merge is associative and order-independent and lg_k=16 keeps every
+    blob exact through the gate SFs, so the store must hash-match the
+    one-shot COUNT(DISTINCT) oracle no matter how the engine batches
+    the files."""
+    import os as _os
+
+    from datasketches_spark.streaming import (
+        SketchStore,
+        incremental_sketch_sink,
+    )
+
+    _ensure(spark)
+    base = _gate_dir(sf_dir, "stream_store_gate")
+    src = _os.path.join(base, "src")
+    _t(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey").repartition(
+        4
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("o_orderstatus STRING, o_custkey BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = SketchStore(
+        _os.path.join(base, "store"), "theta",
+        group_cols=["o_orderstatus"], k=16,
+    )
+    q = incremental_sketch_sink(
+        stream, "o_custkey", store, checkpoint_dir=_os.path.join(base, "ckpt")
+    )
+    q.awaitTermination(300)
+    return store.read(spark).select(
+        "o_orderstatus",
+        F.expr(
+            "CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)"
+        ).alias("distinct_customers"),
+    )
+
+
+def q_streaming_stateful_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming batch-equivalence gate for the IN-ENGINE state path:
+    the same micro-batch replay driven through
+    ``stateful_sketch_stream`` (applyInPandasWithState — the sketch
+    blob IS Spark's state-store state) into a memory sink.  Update-mode
+    emissions are cumulative per-key prefixes, so theta-unioning every
+    emission per key collapses to the final state regardless of
+    arrival order; exact mode at lg_k=16 means the result must
+    hash-match COUNT(DISTINCT o_custkey) per priority."""
+    import os as _os
+    import uuid as _uuid
+
+    from datasketches_spark.aggregation import sketch_merge
+    from datasketches_spark.streaming import stateful_sketch_stream
+
+    _ensure(spark)
+    base = _gate_dir(sf_dir, "stream_state_gate")
+    src = _os.path.join(base, "src")
+    _t(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey").repartition(
+        3
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("o_orderpriority STRING, o_custkey BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_sketch_stream(
+        stream, "o_custkey", "theta", ["o_orderpriority"], k=16
+    )
+    name = "dsks_state_gate_" + _uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return sketch_merge(
+        spark.table(name).select("o_orderpriority", "sketch"),
+        "theta",
+        group_cols=["o_orderpriority"],
+        k=16,
+        finalize=lambda s: {
+            "distinct_customers": int(round(s.get_estimate()))
+        },
+        finalize_schema="distinct_customers bigint",
+    ).select("o_orderpriority", "distinct_customers")
+
+
+def q_rollup_month_from_day_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rollup_sketch_table`` as an oracle-gated query: persist a
+    per-DAY theta sketch table of order customers, roll it up to
+    months with one call (day blobs merge per month — no raw row is
+    ever rescanned), and answer per-month distinct customers from the
+    MONTH table alone.  Day→month merge stays exact at lg_k=16, so it
+    hash-matches DuckDB's COUNT(DISTINCT) per month over the raw
+    rows."""
+    import os as _os
+
+    from datasketches_spark.io import read_sketch_table, rollup_sketch_table, write_sketch_table
+
+    _ensure(spark)
+    base = _gate_dir(sf_dir, "rollup_gate")
+    day_path = _os.path.join(base, "day")
+    month_path = _os.path.join(base, "month")
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "day", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    sk = sketch_agg(orders, "o_custkey", "theta", group_cols=["day"], k=16)
+    write_sketch_table(sk, day_path, "sketch", "theta", k=16)
+    rollup_sketch_table(
+        spark, day_path, month_path, "theta",
+        period_expr="substr(day, 1, 7)", period_col="month",
+    )
+    return read_sketch_table(spark, month_path).select(
+        "month",
+        F.expr(
+            "CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)"
+        ).alias("distinct_customers"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared query inventory (SURVEY.md section 2 checklist).
 
@@ -2433,6 +2579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_dedup_one_call": q_approx_dedup_one_call,
         "approx_decontaminate_one_call": q_approx_decontaminate_one_call,
         "wire_table_publish_ingest": q_wire_table_publish_ingest,
+        "streaming_store_equivalence": q_streaming_store_equivalence,
+        "streaming_stateful_equivalence": q_streaming_stateful_equivalence,
+        "rollup_month_from_day_table": q_rollup_month_from_day_table,
     }
 
 
@@ -3228,6 +3377,21 @@ def oracle_sql() -> dict[str, str]:
         "approx_decontaminate_one_call": _decontaminate_oracle(),
         "wire_table_publish_ingest": (
             "SELECT o_orderstatus,"
+            " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
+            " FROM orders GROUP BY 1"
+        ),
+        "streaming_store_equivalence": (
+            "SELECT o_orderstatus,"
+            " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
+            " FROM orders GROUP BY 1"
+        ),
+        "streaming_stateful_equivalence": (
+            "SELECT o_orderpriority,"
+            " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
+            " FROM orders GROUP BY 1"
+        ),
+        "rollup_month_from_day_table": (
+            "SELECT strftime(o_orderdate, '%Y-%m') AS month,"
             " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
             " FROM orders GROUP BY 1"
         ),

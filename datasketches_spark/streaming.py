@@ -48,10 +48,15 @@ class SketchStore:
         self.sketch_col = sketch_col
 
     def exists(self, spark: SparkSession) -> bool:
+        # Hadoop FS probe instead of spark.read.parquet(path): works
+        # for any scheme and does not make the JVM log a spurious
+        # FileNotFoundException stack trace on the first micro-batch
         try:
-            spark.read.parquet(self.path).schema
-            return True
-        except Exception:  # noqa: BLE001 -- missing path
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(self.path)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            return bool(fs.exists(p))
+        except Exception:  # noqa: BLE001 -- unreachable filesystem
             return False
 
     def read(self, spark: SparkSession) -> DataFrame:

@@ -5,6 +5,9 @@
 # lands. Mirrors what the grading driver runs per round.
 set -e
 cd "$(dirname "$0")/.."
+# regenerate the SQL-function inventory doc first: the test suite
+# asserts docs/FUNCTIONS.md matches the live registry name-for-name
+python scripts/gen_functions_md.py
 python -m pytest tests/ -q
 python scripts/check_oracle.py
 python bench.py

@@ -175,3 +175,22 @@ def test_every_aggregate_executes(ctx):
         except Exception as exc:  # noqa: BLE001
             failures.append((name, str(exc).splitlines()[0][:160]))
     assert not failures, f"{len(failures)} aggregate(s) failed: {failures}"
+
+
+def test_functions_md_matches_live_registry(spark):
+    """docs/FUNCTIONS.md is GENERATED (scripts/gen_functions_md.py, run
+    by ci.sh) — its inventory lines must match the live registry
+    name-for-name so the documented function count can never drift
+    from what register(spark) actually installs."""
+    import re
+    from pathlib import Path
+
+    dss.register(spark)  # registries parse DDL lazily against a session
+    live = set(dss.build_aggregate_registry()) | set(dss.build_scalar_registry())
+    doc = (Path(__file__).parent.parent / "docs" / "FUNCTIONS.md").read_text()
+    doc_names = set(re.findall(r"^- `(datasketch_\w+)` \((?:AGG|SCALAR)\)", doc, re.M))
+    assert doc_names == live, (
+        f"doc-only: {sorted(doc_names - live)}; "
+        f"unregistered-in-doc: {sorted(live - doc_names)} — "
+        "re-run python scripts/gen_functions_md.py"
+    )
