@@ -1467,14 +1467,21 @@ def q_reservoir_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 5-gram overlap of each
-    training document (doc_id < 400) with the benchmark corpus
-    (doc_id >= 400).  The benchmark n-gram set is broadcast; the
-    training side never shuffles raw text (pipeline/decontam.py)."""
+    training document with the benchmark corpus.  The benchmark is the
+    FIXED 100-doc slice 400 <= doc_id < 500 and the training corpus is
+    everything else — the load-honest shape: real benchmark suites are
+    constant-size while training corpora grow, so the broadcast side
+    stays fixed and scaling measures the train scan (at the sf0.01 /
+    sf0.001 gate SFs, where doc_ids end at 499, this is byte-identical
+    to the historical doc_id<400 split).  The benchmark n-gram set is
+    broadcast; the training side never shuffles raw text
+    (pipeline/decontam.py)."""
     from datasketches_spark.pipeline import decontam as D
 
     docs = _t(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") < 400)
-    bench = docs.filter(F.col("doc_id") >= 400)
+    is_bench = (F.col("doc_id") >= 400) & (F.col("doc_id") < 500)
+    train = docs.filter(~is_bench)
+    bench = docs.filter(is_bench)
     return D.contamination(train, bench, "doc_id", "text", n=5)
 
 
@@ -2269,12 +2276,14 @@ def q_approx_dedup_one_call(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_decontaminate_one_call(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx.decontaminate — the anti-join twin of decontam_overlap:
-    training docs with ZERO benchmark 5-gram overlap survive."""
+    training docs with ZERO benchmark 5-gram overlap survive (same
+    fixed-benchmark split as decontam_overlap)."""
     from datasketches_spark import approx as A
 
     docs = _t(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") < 400)
-    bench = docs.filter(F.col("doc_id") >= 400)
+    is_bench = (F.col("doc_id") >= 400) & (F.col("doc_id") < 500)
+    train = docs.filter(~is_bench)
+    bench = docs.filter(is_bench)
     return A.decontaminate(train, bench, "doc_id", "text", n=5).select("doc_id")
 
 
@@ -3535,8 +3544,10 @@ def _decontam_oracle() -> str:
     ngs = oracle_ngrams_sql("text", 5)
     return f"""
         WITH ngr AS (SELECT doc_id, {ngs} AS ngs FROM documents),
-        bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM ngr WHERE doc_id >= 400),
-        train AS (SELECT doc_id, unnest(ngs) AS ng FROM ngr WHERE doc_id < 400)
+        bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM ngr
+                  WHERE doc_id >= 400 AND doc_id < 500),
+        train AS (SELECT doc_id, unnest(ngs) AS ng FROM ngr
+                  WHERE doc_id < 400 OR doc_id >= 500)
         SELECT t.doc_id, count(DISTINCT t.ng) AS n_contaminated
         FROM train t JOIN bench b USING (ng) GROUP BY t.doc_id
     """
@@ -3549,11 +3560,14 @@ def _decontaminate_oracle() -> str:
     ngs = oracle_ngrams_sql("text", 5)
     return f"""
         WITH ngr AS (SELECT doc_id, {ngs} AS ngs FROM documents),
-        bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM ngr WHERE doc_id >= 400),
-        train AS (SELECT doc_id, unnest(ngs) AS ng FROM ngr WHERE doc_id < 400),
+        bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM ngr
+                  WHERE doc_id >= 400 AND doc_id < 500),
+        train AS (SELECT doc_id, unnest(ngs) AS ng FROM ngr
+                  WHERE doc_id < 400 OR doc_id >= 500),
         cont AS (SELECT DISTINCT t.doc_id FROM train t JOIN bench b USING (ng))
         SELECT d.doc_id FROM documents d
-        WHERE d.doc_id < 400 AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+        WHERE (d.doc_id < 400 OR d.doc_id >= 500)
+          AND d.doc_id NOT IN (SELECT doc_id FROM cont)
     """
 
 

@@ -84,6 +84,23 @@ def _fake_features(blob: bytes, n_features: int) -> np.ndarray:
     return rng.standard_normal(n_features).astype(np.float32)
 
 
+def _pil_image_features(image_mod, blob: bytes, n_features: int) -> list | None:
+    """The PIL-tier pixel math of :func:`decode_image_features`:
+    decode → grayscale → resample to the feature grid → normalize.
+    Module-level (rather than a closure) so a PIL-less environment can
+    still exercise this branch with an injected fake module
+    (tests/test_pipeline.py); ``None`` for undecodable payloads."""
+    import io  # noqa: PLC0415
+
+    try:
+        g = int(np.ceil(np.sqrt(n_features)))
+        img = image_mod.open(io.BytesIO(blob)).convert("L").resize((g, g))
+        px = np.asarray(img, dtype=np.float32).ravel()[:n_features]
+        return (px / 255.0).tolist()
+    except Exception:  # undecodable payload
+        return None
+
+
 def decode_image_features(
     df: DataFrame,
     bin_col: str,
@@ -124,17 +141,6 @@ def decode_image_features(
         small = SI.resize_nearest(px, g, g).astype(np.float32).ravel()[:n_features]
         return (small / 255.0).tolist()
 
-    def _real_features(image_mod, blob: bytes) -> list | None:
-        import io  # noqa: PLC0415
-
-        try:
-            g = int(np.ceil(np.sqrt(n_features)))
-            img = image_mod.open(io.BytesIO(blob)).convert("L").resize((g, g))
-            px = np.asarray(img, dtype=np.float32).ravel()[:n_features]
-            return (px / 255.0).tolist()
-        except Exception:  # undecodable payload
-            return None
-
     def _stdlib_features(blob: bytes) -> list | None:
         from . import _stdlib_image as SI  # noqa: PLC0415
 
@@ -149,7 +155,7 @@ def decode_image_features(
                 return None
             blob = bytes(b)
             out = (
-                _real_features(image_mod, blob)
+                _pil_image_features(image_mod, blob, n_features)
                 if image_mod is not None
                 else _stdlib_features(blob)
             )

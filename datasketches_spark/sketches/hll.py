@@ -383,6 +383,20 @@ class HllSketch:
                     )
                     + coupons.astype("<u4").tobytes()
                 )
+            # Apache's SET mode exists only for lgConfigK >= 8 and its
+            # coupon hash set is capacity-capped at lgArr = lgK-3, so a
+            # SET blob may carry at most 3/4 * 2^(lgK-3) coupons (java
+            # CouponHashSet promotes to HLL past that and its heapify
+            # CRASHES on an over-full or under-lgK blob).  Our sparse
+            # state legally holds more (m/2, coupon-exact locally) —
+            # project any state outside Apache's SET bounds to the
+            # dense registers java itself would hold, without mutating
+            # this sketch.  Found by the round-9 differential wire fuzz.
+            if lg_k < 8 or n > ((1 << (lg_k - 3)) * 3) // 4:
+                regs = np.zeros(self._m, dtype=np.uint8)
+                idx = (self.sparse & np.uint64(self._m - 1)).astype(np.int64)
+                np.maximum.at(regs, idx, self.sparse_vals)
+                return self._wire_dense(regs)
             # SET form; lgArr sized like Apache's coupon hash set
             lg_arr = 5
             while (1 << lg_arr) * 3 // 4 < n:
@@ -395,8 +409,11 @@ class HllSketch:
                 + struct.pack("<I", n)
                 + coupons.astype("<u4").tobytes()
             )
+        return self._wire_dense(self.registers)
+
+    def _wire_dense(self, regs: np.ndarray) -> bytes:
         # dense → HLL_8 mode (40-byte preamble + m register bytes)
-        regs = self.registers
+        lg_k = self.lg_k
         kxq = np.exp2(-regs.astype(np.float64))
         kxq0 = float(kxq[regs < 32].sum())
         kxq1 = float(kxq[regs >= 32].sum())

@@ -906,11 +906,19 @@ class TestMultimodal:
         assert again == {i: r.resized for i, r in rows.items()}  # deterministic
 
     def test_real_pil_decode_and_resize(self, spark):
-        """Runs only where PIL is installed (not this container): a real
-        PNG decodes to normalized grid pixels and resizes to w*h bytes."""
+        """Dual-path, no skip: with PIL installed, a real PNG decodes to
+        normalized grid pixels and resizes to w*h bytes; without it,
+        the documented contract for a PIL-only payload (here GIF) is a
+        LOUD strict-mode failure, never a fabricated answer."""
         Image = multimodal._pil()
         if Image is None:
-            pytest.skip("PIL not installed: real decoder unavailable here")
+            gif = b"GIF89a" + bytes(24)  # only the PIL tier reads GIF
+            df = spark.createDataFrame([Row(id=1, payload=gif)])
+            with pytest.raises(Exception, match="requires PIL"):
+                multimodal.decode_image_features(
+                    df, "payload", "id", strict=True
+                ).collect()
+            return
         import io
 
         img = Image.new("L", (10, 10), color=128)
@@ -922,6 +930,53 @@ class TestMultimodal:
         assert all(abs(f - 128 / 255.0) < 1e-6 for f in feats.features)
         rz = multimodal.resize_binary(df, "payload", "id", target_w=8, target_h=4).first()
         assert len(rz.resized) == 32 and rz.width == 8 and rz.height == 4
+
+    def test_pil_branch_with_fake_module(self, monkeypatch):
+        """The PIL tier of decode_image_features is exercised even on
+        this PIL-less container: a minimal fake PIL module is injected
+        into sys.modules so `_pil()` resolves it, and the module-level
+        `_pil_image_features` helper (the exact code the executor
+        closure calls) runs the open → convert("L") → resize → normalize
+        chain against it, including the undecodable-payload None path."""
+        import sys
+        import types
+
+        calls = {}
+
+        class FakeImg:
+            def __init__(self, px):
+                self.px = px
+
+            def convert(self, mode):
+                assert mode == "L"
+                calls["convert"] = True
+                return self
+
+            def resize(self, wh):
+                calls["resize"] = wh
+                return FakeImg(
+                    np.full((wh[1], wh[0]), 128, dtype=np.uint8)
+                )
+
+            def __array__(self, dtype=None, copy=None):
+                return self.px if dtype is None else self.px.astype(dtype)
+
+        class FakeImageMod:
+            @staticmethod
+            def open(fp):
+                blob = fp.read()
+                if not blob.startswith(b"FAKEIMG"):
+                    raise ValueError("cannot identify image file")
+                return FakeImg(None)
+
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = FakeImageMod
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        assert multimodal._pil() is FakeImageMod  # probe resolves the fake
+        feats = multimodal._pil_image_features(FakeImageMod, b"FAKEIMG" + bytes(8), 9)
+        assert calls["convert"] and calls["resize"] == (3, 3)
+        assert feats == pytest.approx([128 / 255.0] * 9)
+        assert multimodal._pil_image_features(FakeImageMod, b"junk", 9) is None
 
 
 class TestIVF:

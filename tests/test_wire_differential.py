@@ -1,0 +1,367 @@
+"""Randomized differential wire fuzz vs LIVE datasketches-java.
+
+The per-family wire tests are golden + targeted; this suite sweeps the
+long tail: 100 seeded cases per family with random k, input size
+(exact AND estimation regimes), duplication profile, chunking, and
+merge order, asserting for every case
+
+  1. merge-order independence of OUR estimates (counting families —
+     quantile-family merge is legitimately order-sensitive in state),
+  2. datasketches-java answers the SAME question from OUR wire blob
+     (heapify/wrap of ``to_wire()``),
+  3. the full both-directions round trip ours → java reader → java
+     writer → our reader preserves OUR query surface exactly (the
+     grammar claim: both writers and both readers agree).
+
+The bundled datasketches-java jar in pyspark is the oracle (CLAUDE.md:
+use spark._jvm.org.apache.datasketches as a live oracle).  Reference
+wire behavior: the DuckDB extension stores exactly these Apache blobs
+(/root/reference/src/generated.cpp serialize/deserialize paths).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datasketches_spark.sketches.compactor import (
+    KllSketch,
+    QuantilesSketch,
+    ReqSketch,
+)
+from datasketches_spark.sketches.cpc import CpcSketch
+from datasketches_spark.sketches.frequent_items import FrequentItemsSketch
+from datasketches_spark.sketches.hll import HllSketch
+from datasketches_spark.sketches.tdigest import TDigestSketch
+from datasketches_spark.sketches.theta import ThetaSketch
+
+N_CASES = 100
+
+
+@pytest.fixture(scope="module")
+def jvm(spark):
+    return spark.sparkContext._jvm
+
+
+def _mem(jvm, blob: bytes):
+    return jvm.org.apache.datasketches.memory.Memory.wrap(blob)
+
+
+def _values(rng: np.random.Generator, n: int) -> np.ndarray:
+    """int64 values with a random duplication profile (distinct-heavy,
+    dup-heavy, or zipf-ish skew)."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    style = int(rng.integers(0, 3))
+    if style == 0:  # mostly distinct
+        return rng.integers(0, 1 << 40, size=n)
+    if style == 1:  # heavy duplication over a small domain
+        return rng.integers(0, max(n // 8, 2), size=n)
+    # skew: a few hot keys + a long tail
+    hot = rng.integers(0, 8, size=n)
+    tail = rng.integers(0, 1 << 30, size=n)
+    pick = rng.random(n) < 0.7
+    return np.where(pick, hot, tail)
+
+
+def _chunk_merge(make, update, values, rng):
+    """Build via 1-4 chunks merged in one random order; return
+    (merged, parts, a second merge in a different random order)."""
+    n_chunks = int(rng.integers(1, 5))
+    parts_vals = np.array_split(values, n_chunks)
+    parts = []
+    for pv in parts_vals:
+        sk = make()
+        if len(pv):
+            update(sk, pv)
+        parts.append(sk)
+    order_a = rng.permutation(n_chunks)
+    order_b = rng.permutation(n_chunks)
+    merged_a = make()
+    for i in order_a:
+        merged_a.merge(parts[i])
+    merged_b = make()
+    for i in order_b:
+        merged_b.merge(parts[i])
+    return merged_a, parts, merged_b
+
+
+# ------------------------------------------------------------------ theta
+
+
+def test_theta_differential(jvm):
+    rng = np.random.default_rng(9001)
+    Compact = jvm.org.apache.datasketches.theta.CompactSketch
+    SetOp = jvm.org.apache.datasketches.theta.SetOperation
+    for case in range(N_CASES):
+        lg_k = int(rng.integers(4, 11))
+        n = int(rng.integers(0, 3000))
+        vals = _values(rng, n)
+        merged, parts, merged2 = _chunk_merge(
+            lambda: ThetaSketch(lg_k),
+            lambda sk, v: sk.update_values(v),
+            vals, rng,
+        )
+        est = merged.get_estimate()
+        assert merged2.get_estimate() == est  # merge-order independence
+        jsk = Compact.wrap(_mem(jvm, merged.to_wire()))
+        assert jsk.getEstimate() == pytest.approx(est, rel=1e-9, abs=1e-9)
+        back = ThetaSketch.from_wire(bytes(jsk.toByteArray()))
+        assert back.get_estimate() == est
+        assert back.theta == merged.theta
+        if case % 10 == 0 and len(parts) >= 2:
+            # java unions OUR part blobs; same KMV math → same estimate
+            u = SetOp.builder().setNominalEntries(1 << lg_k).buildUnion()
+            for p in parts:
+                u.union(Compact.wrap(_mem(jvm, p.to_wire())))
+            assert u.getResult().getEstimate() == pytest.approx(
+                est, rel=1e-9, abs=1e-9
+            )
+
+
+# -------------------------------------------------------------------- hll
+
+
+def test_hll_differential(jvm):
+    rng = np.random.default_rng(9002)
+    Hll = jvm.org.apache.datasketches.hll.HllSketch
+    for case in range(N_CASES):
+        lg_k = int(rng.integers(4, 13))
+        n = int(rng.integers(0, 3000))
+        vals = _values(rng, n)
+        merged, parts, merged2 = _chunk_merge(
+            lambda: HllSketch(lg_k),
+            lambda sk, v: sk.update_values(v),
+            vals, rng,
+        )
+        est = merged.get_estimate()
+        assert merged2.get_estimate() == est
+        wire = merged.to_wire()
+        jsk = Hll.heapify(_mem(jvm, wire))
+        dense_wire = (wire[7] & 3) == 2  # curMode bits: 0 LIST 1 SET 2 HLL
+        if not dense_wire:
+            # coupon modes: both engines count coupons; java adds the
+            # coupon-collector log correction (~n^2/2^27 relative)
+            assert jsk.getEstimate() == pytest.approx(est, rel=1e-4, abs=1e-4)
+        else:
+            # dense: java's composite estimator (piecewise: low-range
+            # interpolation table, then raw-HLL) vs our Ertl estimator
+            # on the SAME registers legitimately differ by a few
+            # percent (plus a systematic ~1.15/m gap at small m).
+            # This is a SANITY band — a misparse (endianness, slot
+            # mapping, value offset) lands orders of magnitude away;
+            # exact state preservation is asserted below instead.
+            same_regs = HllSketch.from_wire(wire)
+            assert jsk.getEstimate() == pytest.approx(
+                same_regs.get_estimate(), rel=0.10 + 1.5 / (1 << lg_k)
+            )
+        back = HllSketch.from_wire(bytes(jsk.toCompactByteArray()))
+        if not dense_wire:
+            assert back.get_estimate() == pytest.approx(est, rel=1e-9, abs=1e-9)
+        else:
+            # register-state preservation both directions: our reader
+            # of java's re-export answers exactly like our reader of
+            # the original blob, and java answers IDENTICALLY from our
+            # re-export of its own blob
+            assert back.get_estimate() == HllSketch.from_wire(wire).get_estimate()
+            jsk2 = Hll.heapify(_mem(jvm, back.to_wire()))
+            assert jsk2.getEstimate() == jsk.getEstimate()
+
+
+# -------------------------------------------------------------------- cpc
+
+
+def test_cpc_differential(jvm):
+    rng = np.random.default_rng(9003)
+    Cpc = jvm.org.apache.datasketches.cpc.CpcSketch
+    CpcUnion = jvm.org.apache.datasketches.cpc.CpcUnion
+    for case in range(N_CASES):
+        lg_k = int(rng.integers(4, 12))
+        n = int(rng.integers(0, 3000))
+        vals = _values(rng, n)
+        merged, parts, merged2 = _chunk_merge(
+            lambda: CpcSketch(lg_k),
+            lambda sk, v: sk.update_values(v),
+            vals, rng,
+        )
+        est = merged.get_estimate()
+        assert merged2.get_estimate() == est
+        wire = merged.to_wire()
+        jsk = Cpc.heapify(_mem(jvm, wire))
+        # the live builder may still be coupon-exact where the wire
+        # state is ICON-estimated; compare java against OUR reader of
+        # the same blob (measured parity ~2e-4 worst case)
+        wire_est = CpcSketch.from_wire(wire).get_estimate()
+        assert jsk.getEstimate() == pytest.approx(wire_est, rel=1e-3, abs=1e-3)
+        back = CpcSketch.from_wire(bytes(jsk.toByteArray()))
+        assert back.get_estimate() == pytest.approx(wire_est, rel=1e-9, abs=1e-9)
+        if case % 10 == 0 and len(parts) >= 2:
+            # java unions OUR part blobs; same coupon-set merge → same
+            # ICON answer as java's read of our merged blob
+            u = CpcUnion(lg_k)
+            for p in parts:
+                u.update(Cpc.heapify(_mem(jvm, p.to_wire())))
+            assert u.getResult().getEstimate() == pytest.approx(
+                jsk.getEstimate(), rel=1e-6, abs=1e-6
+            )
+
+
+# --------------------------------------------------- quantile families
+
+
+def _rank_probes(vals: np.ndarray, rng) -> np.ndarray:
+    qs = np.quantile(vals.astype(np.float64), [0.1, 0.3, 0.5, 0.7, 0.9])
+    return np.unique(qs)
+
+
+def _quantile_family_case(
+    jvm, rng, make, jheapify, jget_rank, n_max=2000, cast=np.float64
+):
+    n = int(rng.integers(1, n_max))
+    vals = _values(rng, n).astype(cast)
+    merged, _parts, _m2 = _chunk_merge(
+        make, lambda sk, v: sk.update(v), vals, rng
+    )
+    wire = merged.to_wire()
+    # compare against OUR reader of the same blob: the wire projection
+    # may legally compact an over-capacity state into Apache's exact
+    # capacity envelope (KLL writer), so the blob can be a coarser —
+    # still valid — summary than the live builder
+    wire_view = type(merged).from_wire(wire)
+    assert wire_view.n == merged.n
+    assert wire_view.min_item == merged.min_item
+    assert wire_view.max_item == merged.max_item
+    jsk = jheapify(wire)
+    tol = 3.0 / n + 1e-12
+    for v in _rank_probes(vals, rng):
+        # java's sorted view docks unretained min/max at weight 1, so
+        # ranks can shift by ~1/n vs a raw-state reader (CLAUDE.md)
+        assert jget_rank(jsk, float(v)) == pytest.approx(
+            wire_view.get_rank(float(v)), abs=tol
+        )
+    back = type(merged).from_wire(bytes(jsk.toByteArray()))
+    assert back.n == merged.n
+    assert back.min_item == merged.min_item
+    assert back.max_item == merged.max_item
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        assert back.get_quantile(q) == wire_view.get_quantile(q)
+    for v in _rank_probes(vals, rng):
+        assert back.get_rank(float(v)) == wire_view.get_rank(float(v))
+
+
+def test_kll_differential(jvm):
+    rng = np.random.default_rng(9004)
+    Kll = jvm.org.apache.datasketches.kll.KllDoublesSketch
+
+    for _case in range(N_CASES):
+        k = int(rng.integers(8, 201))
+        _quantile_family_case(
+            jvm, rng,
+            lambda: KllSketch(k),
+            lambda blob: Kll.heapify(_mem(jvm, blob)),
+            lambda jsk, v: jsk.getRank(v),
+        )
+
+
+def test_quantiles_differential(jvm):
+    rng = np.random.default_rng(9005)
+    Doubles = jvm.org.apache.datasketches.quantiles.DoublesSketch
+
+    for _case in range(N_CASES):
+        k = int(2 ** rng.integers(1, 8))  # classic k: power of two
+        _quantile_family_case(
+            jvm, rng,
+            lambda: QuantilesSketch(k),
+            lambda blob: Doubles.heapify(_mem(jvm, blob)),
+            lambda jsk, v: jsk.getRank(v),
+        )
+
+
+def test_req_differential(jvm):
+    rng = np.random.default_rng(9006)
+    Req = jvm.org.apache.datasketches.req.ReqSketch
+
+    for _case in range(N_CASES):
+        k = int(2 * rng.integers(2, 33))  # REQ k: even, 4..64 here
+        # float32: datasketches-java's ReqSketch is FLOAT-ONLY — a
+        # float64 REQ blob is the C++ double layout (the reference's
+        # sketch_req width) and java cannot read it at any k
+        _quantile_family_case(
+            jvm, rng,
+            lambda: ReqSketch(k, "float32"),
+            lambda blob: Req.heapify(_mem(jvm, blob)),
+            lambda jsk, v: jsk.getRank(v),
+            cast=np.float32,
+        )
+
+
+# ---------------------------------------------------------------- tdigest
+
+
+def test_tdigest_differential(jvm):
+    rng = np.random.default_rng(9007)
+    Td = jvm.org.apache.datasketches.tdigest.TDigestDouble
+    for _case in range(N_CASES):
+        k = int(rng.integers(10, 201))
+        n = int(rng.integers(1, 2000))
+        vals = _values(rng, n).astype(np.float64)
+        merged, _parts, _m2 = _chunk_merge(
+            lambda: TDigestSketch(k),
+            lambda sk, v: sk.update(v),
+            vals, rng,
+        )
+        jtd = Td.heapify(_mem(jvm, merged.to_wire()))
+        assert jtd.getTotalWeight() == merged.total_weight() == n
+        assert jtd.getMinValue() == merged.min_item
+        assert jtd.getMaxValue() == merged.max_item
+        for v in _rank_probes(vals, rng):
+            # same centroid state; engines differ only in rank
+            # convention AT a centroid (java midpoint vs our
+            # inclusive): the gap is half the probe value's weight
+            mult = float(np.count_nonzero(vals == v)) / n
+            assert jtd.getRank(float(v)) == pytest.approx(
+                merged.get_rank(float(v)), abs=0.03 + 0.5 * mult
+            )
+        back = TDigestSketch.from_wire(bytes(jtd.toByteArray()))
+        assert back.total_weight() == n
+        assert back.min_item == merged.min_item
+        assert back.max_item == merged.max_item
+        for q in (0.1, 0.5, 0.9):
+            assert back.get_quantile(q) == pytest.approx(
+                merged.get_quantile(q), rel=1e-9, abs=1e-9
+            )
+
+
+# ----------------------------------------------------- frequent items
+
+
+def test_frequent_items_differential(jvm):
+    rng = np.random.default_rng(9008)
+    Items = jvm.org.apache.datasketches.frequencies.ItemsSketch
+    serde = jvm.org.apache.datasketches.common.ArrayOfStringsSerDe()
+    pool = np.array([f"item_{i}" for i in range(64)], dtype=object)
+    for _case in range(N_CASES):
+        lg_max_k = int(rng.integers(3, 9))
+        n = int(rng.integers(0, 1500))
+        # zipf-ish item stream over a small pool
+        idx = np.minimum(
+            rng.geometric(0.15, size=n) - 1, len(pool) - 1
+        )
+        items = pool[idx]
+        merged, _parts, _m2 = _chunk_merge(
+            lambda: FrequentItemsSketch(lg_max_k),
+            lambda sk, v: sk.update_counts(
+                v, np.ones(len(v), dtype=np.int64)
+            ),
+            items, rng,
+        )
+        jsk = Items.getInstance(_mem(jvm, merged.to_wire()), serde)
+        assert jsk.getStreamLength() == merged.total_weight() == n
+        for item, cnt in list(merged.counts.items())[:8]:
+            # stored counts are lower bounds in BOTH engines; the blob
+            # carries them verbatim, so estimates map across exactly
+            assert jsk.getEstimate(item) == merged.get_estimate(item)
+        back = FrequentItemsSketch.from_wire(bytes(jsk.toByteArray(serde)))
+        assert back.counts == merged.counts
+        assert back.offset == merged.offset
+        assert back.total_weight() == merged.total_weight()
