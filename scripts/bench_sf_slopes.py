@@ -8,10 +8,11 @@ slope table: slope = t(big) / t(small) on per-query best times.  With
 setup, stage scheduling, collect) dominates at small SF and amortizes
 with data — the 100 TB claim measured instead of argued.
 
-Caveats printed with the table: decontam_overlap's train filter
-(doc_id < 400) is a FIXED slice, so its slope is not a scaling signal;
-scalar_over_2k_stored times a constant-size stored-blob scalar
-(slope ~1 expected, that's the point of the row).
+Caveat printed with the table: scalar_over_2k_stored times a
+constant-size stored-blob scalar (slope ~1 expected, that's the point
+of the row).  decontam_overlap is load-honest since round 9 (the
+benchmark side is a FIXED 100-doc slice; the train side scales), so
+its slope measures the train scan.
 
 Usage: python scripts/bench_sf_slopes.py [small_dir] [big_dir] [pairs]
        (defaults: /root/testdata/sf0.1 /tmp/sf1 2)
@@ -28,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bench_pairing import _run  # noqa: E402  (shared JSON-line runner)
 
-FIXED_ROWS = {"decontam_overlap", "scalar_over_2k_stored"}
+FIXED_ROWS = {"scalar_over_2k_stored"}
 
 
 def _run_bench(sf_dir: str) -> dict:
