@@ -144,6 +144,16 @@ def main():
         # fewer, larger Arrow batches through the Python sketch path:
         # per-batch pandas/numpy setup is the overhead, not the bytes
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # CRITICAL (round 9): any finite maxBytesPerBatch makes Spark
+        # call ArrowWriter.sizeInBytes() PER ROW while filling each
+        # python-input batch (BatchedPythonArrowInput.writeSizedBatch);
+        # after the first grouped-map stage pollutes the JIT profile at
+        # that call site it degrades ~6x and stays degraded for the JVM
+        # lifetime (measured: a 60M-row mapInPandas pass 1.4s -> 8.2s,
+        # 24 -> 237 CPU-sec, fully reversed by this setting).  The
+        # sentinel Int.MaxValue short-circuits the per-row check; batch
+        # memory stays bounded by maxRecordsPerBatch above.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "2147483647b")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
