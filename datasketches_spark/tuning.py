@@ -1,0 +1,99 @@
+"""Measured session-conf recommendations for sketch-heavy pipelines.
+
+Everything here was established empirically on this engine's bench
+harness (local[32], pyspark 4.1) and is annotated with where it does
+and does not transfer to a real cluster.  Apply at session build time:
+
+    from datasketches_spark.tuning import recommended_confs
+    b = SparkSession.builder
+    for k, v in recommended_confs().items():
+        b = b.config(k, v)
+
+The one setting that matters on ANY deployment
+----------------------------------------------
+
+``spark.sql.execution.arrow.maxBytesPerBatch = 2147483647b``
+
+With any FINITE byte limit (the default is 64 MB), Spark's
+``BatchedPythonArrowInput.writeSizedBatch`` calls
+``ArrowWriter.sizeInBytes()`` once per ROW while filling every Arrow
+batch bound for a Python worker (``underBatchSizeLimit`` in
+PythonArrowInput.scala short-circuits only on the Int.MaxValue
+sentinel).  ``sizeInBytes`` walks the struct vector's children per
+call; once JIT-compiled and inlined it is survivable, but the FIRST
+grouped-map (``applyInPandas``) stage the executor runs adds new
+receiver types at that call site, the inline cache goes megamorphic,
+and the per-row check degrades ~6x AND STAYS DEGRADED for the JVM's
+lifetime.  Measured on a 60M-row ``mapInPandas`` pass (local[32]):
+1.4 s -> 8.2 s wall, 24 -> 237 CPU-seconds, with identical results,
+flipping reproducibly with this one conf.  Long-lived executors that
+mix ``applyInPandas`` and ``mapInPandas`` stages — i.e. every
+two-phase sketch aggregation in this package — hit this.
+
+Setting the sentinel disables the per-row size check entirely; batch
+memory then has to be bounded the other way, by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.  At the default
+10k records that is ~80 KB per numeric column per batch; for
+wide-text pipelines (multi-KB documents) size records-per-batch so
+rows x max-row-bytes stays inside your executor's headroom — e.g.
+8192 rows of 32 KB documents is 256 MB of Arrow buffer per in-flight
+batch.
+
+Everything else is local-harness tuning
+---------------------------------------
+
+The remaining entries reproduce this repo's bench session and are
+marked local-only where the 100 TB answer differs; see
+docs/BASELINE_LOCAL.md for the measurements behind each.
+"""
+
+from __future__ import annotations
+
+# Spark's Int.MaxValue sentinel: the only value for which
+# BatchedPythonArrowInput skips the per-row ArrowWriter.sizeInBytes().
+ARROW_BYTE_LIMIT_OFF = "2147483647b"
+
+
+def recommended_confs(local: bool = False) -> dict[str, str]:
+    """Session confs for sketch-heavy python-stage pipelines.
+
+    ``local=False`` (default) returns only the settings that transfer
+    to a real multi-executor cluster.  ``local=True`` adds the
+    local[32] harness settings (small shuffle fan-out, small scan
+    splits, AQE off) that are WRONG on a real cluster — they exist so
+    the bench session is reproducible from one call.
+    """
+    confs = {
+        # See module docstring: disables the per-row Arrow batch byte
+        # check whose JIT profile decays after the first grouped-map
+        # stage.  Pair with an explicit records-per-batch bound.
+        "spark.sql.execution.arrow.maxBytesPerBatch": ARROW_BYTE_LIMIT_OFF,
+        # Larger Arrow batches through the python sketch path:
+        # per-batch pandas/numpy setup is the overhead, not the bytes
+        # (measured: 10k/65k/256k identical transfer floor, fewer
+        # batches = fewer per-batch python setups).  This is also the
+        # byte-bound substitute for the disabled size check above.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        # Python-worker daemon that memoizes per-task spark-files
+        # setup (~0.13 s saved per python stage; see fastworker.py).
+        # Workers must be able to import this package (--py-files or
+        # image on a cluster).
+        "spark.python.daemon.module": "datasketches_spark.fastworker",
+    }
+    if local:
+        confs.update({
+            # Blob-only shuffles carry KBs; 2 reduce partitions beat
+            # 4/8/32 at local[32].  On a real cluster size this to the
+            # cluster, not to 2.
+            "spark.sql.shuffle.partitions": "2",
+            # Split the single-file sf0.1 tables across cores.  On a
+            # real cluster files outnumber cores; keep the 128m
+            # default there.
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "65536",
+            # AQE costs ~0.1-0.15 s/query re-planning toy shuffle
+            # sizes; keep it ON for real clusters (skew joins, big
+            # shuffles need it).
+            "spark.sql.adaptive.enabled": "false",
+        })
+    return confs
