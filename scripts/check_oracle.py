@@ -103,6 +103,12 @@ def main():
         .appName("oracle-check")
         .config("spark.python.daemon.module", "datasketches_spark.fastworker")
         .config("spark.sql.shuffle.partitions", "8")
+        # same Arrow byte-limit sentinel as bench.py/tuning.py: without
+        # it the per-row ArrowWriter.sizeInBytes check JIT-degrades ~6x
+        # after the first applyInPandas stage, slowing the 110-pair
+        # sweep (semantics unaffected -- batch boundaries don't change
+        # per-partition sketch accumulation)
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "2147483647b")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "6g")
