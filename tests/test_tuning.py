@@ -19,11 +19,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from datasketches_spark import tuning
 
 
-def _bench_session_confs() -> dict[str, str]:
-    """Extract the .config(k, v) pairs from bench.py's builder chain
-    without importing (bench.py at import time is fine, but parsing
-    keeps this test independent of bench's own import side effects)."""
-    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+def _session_confs(relpath: str) -> dict[str, str]:
+    """Extract the .config(k, v) pairs from a script's builder chain
+    without importing (parsing keeps this test independent of the
+    script's own import side effects)."""
+    path = os.path.join(os.path.dirname(__file__), "..", relpath)
     tree = ast.parse(open(path).read())
     confs = {}
     for node in ast.walk(tree):
@@ -61,9 +61,19 @@ def test_cluster_confs_are_a_subset_of_local():
 
 
 def test_bench_session_matches_recommendations():
-    bench_confs = _bench_session_confs()
+    bench_confs = _session_confs("bench.py")
     for k, v in tuning.recommended_confs(local=True).items():
         assert bench_confs.get(k) == v, (
             f"bench.py sets {k}={bench_confs.get(k)!r}, "
             f"tuning.py recommends {v!r} — keep them in sync"
         )
+
+
+def test_oracle_gate_session_sets_the_sentinel():
+    # the 110-pair gate mixes applyInPandas and mapInPandas stages all
+    # session long — exactly the degradation shape; keep it protected
+    confs = _session_confs("scripts/check_oracle.py")
+    assert (
+        confs.get("spark.sql.execution.arrow.maxBytesPerBatch")
+        == tuning.ARROW_BYTE_LIMIT_OFF
+    )
