@@ -70,6 +70,7 @@ def _bench_hll_native(spark, sf_dir):
 
 def _bench_scalar_over_stored(spark, sf_dir):
     """Scalar query throughput over >=1k stored sketches (BASELINE.md)."""
+    entrymod._ensure(spark)  # registry: don't rely on a prior head's side effect
     orders = entrymod._t(spark, sf_dir, "orders")
     stored = sketch_agg(
         orders.withColumn("g", F.col("o_custkey") % 2048),
@@ -159,7 +160,15 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     q = entrymod.queries()
-    heads = HEADS
+    # optional comma-separated head filter for debugging session-order
+    # effects (e.g. SPARK_GRAFT_HEADS=decontam_overlap isolates one
+    # query under otherwise-identical bench conditions)
+    head_filter = os.environ.get("SPARK_GRAFT_HEADS")
+    heads = (
+        [h for h in HEADS if h in set(head_filter.split(","))]
+        if head_filter
+        else HEADS
+    )
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     # fault isolation: one broken query must never zero the whole bench

