@@ -1224,6 +1224,45 @@ class TestDecontam:
         plan = D.contamination(train, bench, "doc_id", "text", n=3)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
 
+    def test_fan_out_gate_sees_through_hollow_splits(self, spark, tmp_path):
+        """Parquet byte-range splits can be HOLLOW (one row group per
+        file -> only the split holding the row-group start carries
+        rows).  Round-9 regression: a count-only gate saw 32 reported
+        partitions, skipped the fan-out, and the n-gram explode ran on
+        8 productive cores (47 s vs 17 s at 10x replica scale).  The
+        bytes gate must repartition whenever the input is smaller than
+        one full split per core, even when the reported partition
+        count looks wide."""
+        from datasketches_spark.pipeline import decontam as D
+
+        par = spark.sparkContext.defaultParallelism
+        path = str(tmp_path / "narrow.parquet")
+        spark.range(2000).selectExpr(
+            "id AS doc_id", "repeat('word ', 50) AS text"
+        ).coalesce(1).write.parquet(path)
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            # tiny splits: one row group, many hollow byte ranges
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+            df = spark.read.parquet(path)
+            reported = df.rdd.getNumPartitions()
+            fanned = D._fan_out_if_narrow(df)
+            plan = fanned._jdf.queryExecution().executedPlan().toString()
+            if reported >= par:
+                # the regression shape: wide-looking but hollow — the
+                # bytes gate must still round-robin it
+                assert "RoundRobinPartitioning" in plan, (
+                    f"{reported} reported partitions (par={par}) but "
+                    "no fan-out — the hollow-split gate regressed"
+                )
+            # productive balance: no partition holds more than half
+            counts = fanned.rdd.mapPartitions(
+                lambda it: [sum(1 for _ in it)]
+            ).collect()
+            assert max(counts) < 2000 / 2
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
 
 class TestRepetitionSignals:
     def test_values(self, spark):
