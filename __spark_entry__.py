@@ -2374,7 +2374,9 @@ def q_streaming_store_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
     q = incremental_sketch_sink(
         stream, "o_custkey", store, checkpoint_dir=_os.path.join(base, "ckpt")
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming gate timed out after 300s")
     return store.read(spark).select(
         "o_orderstatus",
         F.expr(
@@ -2421,7 +2423,9 @@ def q_streaming_stateful_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming gate timed out after 300s")
     return sketch_merge(
         spark.table(name).select("o_orderpriority", "sketch"),
         "theta",

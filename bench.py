@@ -164,11 +164,19 @@ def main():
     # effects (e.g. SPARK_GRAFT_HEADS=decontam_overlap isolates one
     # query under otherwise-identical bench conditions)
     head_filter = os.environ.get("SPARK_GRAFT_HEADS")
-    heads = (
-        [h for h in HEADS if h in set(head_filter.split(","))]
-        if head_filter
-        else HEADS
-    )
+    if head_filter:
+        wanted = [h for h in head_filter.split(",") if h]
+        unknown = sorted(set(wanted) - set(HEADS))
+        if unknown:
+            # a typo'd head would silently shrink (or empty) the bench
+            # and read as a huge speedup — fail loudly instead
+            raise SystemExit(
+                f"SPARK_GRAFT_HEADS names not in HEADS: {unknown}; "
+                f"known: {sorted(HEADS)}"
+            )
+        heads = [h for h in HEADS if h in set(wanted)]
+    else:
+        heads = HEADS
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     # fault isolation: one broken query must never zero the whole bench

@@ -62,14 +62,22 @@ def benchmark_ngrams(bench: DataFrame, text_col: str, n: int) -> DataFrame:
     )
 
 
+# Absolute ceiling on how much raw training text _fan_out_if_narrow
+# will ever shuffle.  par * maxPartitionBytes alone scales with the
+# cluster (1000 cores x 128 MB default = ~128 GB), which would silently
+# break the module contract that training text never shuffles where it
+# matters; 4 GiB is "a few seconds of network on any real cluster".
+_FAN_OUT_BYTE_CAP = 4 << 30
+
+
 def _fan_out_if_narrow(df: DataFrame) -> DataFrame:
     """Round-robin repartition a scan too small to spread the n-gram
     explode across the cluster's cores.  At 100 TB the scan has
-    thousands of splits and this is a NO-OP (both checks read plan
+    thousands of splits and this is a NO-OP (the check reads plan
     state, no job runs), so the 'training text never shuffles'
     contract holds exactly where it matters.
 
-    The gate reads plan BYTES, not just partition count: parquet
+    The gate reads plan BYTES, never partition count: parquet
     byte-range splits can be HOLLOW (a file with one row group yields
     maxPartitionBytes-sized splits of which only the one containing
     the row-group start carries rows).  Measured on a 10x replica
@@ -77,18 +85,19 @@ def _fan_out_if_narrow(df: DataFrame) -> DataFrame:
     so a count-only gate skipped the fan-out, the explode ran on 8
     productive cores, and the query took 47 s instead of 17 s.  Bytes
     below one full split per core means round-robin balance is worth
-    the (by construction tiny) shuffle."""
+    the shuffle — up to ``_FAN_OUT_BYTE_CAP``, above which the scan is
+    large enough that file splits spread the work on their own and a
+    raw-text shuffle would be the real cost (cluster-scale behavior:
+    with 1000 cores the per-core threshold alone would admit ~128 GB)."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
     max_split = int(
         str(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
     )
     plan_bytes = int(
         str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     )
-    if plan_bytes < par * max_split:
+    if plan_bytes < min(par * max_split, _FAN_OUT_BYTE_CAP):
         return df.repartition(par)
     return df
 

@@ -51,6 +51,11 @@ from __future__ import annotations
 
 # Spark's Int.MaxValue sentinel: the only value for which
 # BatchedPythonArrowInput skips the per-row ArrowWriter.sizeInBytes().
+# Spark-upgrade canary: tests/test_arrow_sentinel_canary.py asserts the
+# sentinel survives into a live session AND disassembles the installed
+# spark-sql jar's underBatchSizeLimit to verify the Int.MaxValue
+# short-circuit still precedes the sizeInBytes call — an upstream
+# change fails the suite loudly instead of silently costing 6x.
 ARROW_BYTE_LIMIT_OFF = "2147483647b"
 
 

@@ -106,8 +106,13 @@ def _decade_report(small: str, big: str, bs: dict, bb: dict,
 
 def main() -> None:
     args = sys.argv[1:]
-    dirs = [a for a in args if not a.isdigit()] or ["/root/testdata/sf0.1", "/tmp/sf1"]
-    pairs = int(args[-1]) if args and args[-1].isdigit() else 2
+    # only the FINAL arg may be the pairs count, and only when it is
+    # not itself an existing directory (an SF dir literally named "10"
+    # must not be silently dropped and misread as pairs)
+    pairs = 2
+    if args and args[-1].isdigit() and not os.path.isdir(args[-1]):
+        pairs = int(args.pop())
+    dirs = args or ["/root/testdata/sf0.1", "/tmp/sf1"]
     if len(dirs) not in (2, 3):
         sys.exit("expected 2 (decade) or 3 (two-decade) SF dirs")
     bests, totals = _measure(dirs, pairs)

@@ -1263,6 +1263,23 @@ class TestDecontam:
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
+    def test_fan_out_gate_absolute_byte_cap(self, spark, monkeypatch):
+        """The per-core threshold alone scales with the cluster (1000
+        cores x 128 MB = ~128 GB), which would shuffle huge raw-text
+        corpora.  Above the absolute cap the gate must be a no-op even
+        when plan bytes < par * maxPartitionBytes."""
+        from datasketches_spark.pipeline import decontam as D
+
+        df = spark.range(10_000).selectExpr(
+            "id AS doc_id", "repeat('word ', 20) AS text"
+        )
+        monkeypatch.setattr(D, "_FAN_OUT_BYTE_CAP", 1)
+        plan = (
+            D._fan_out_if_narrow(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "RoundRobinPartitioning" not in plan
+
 
 class TestRepetitionSignals:
     def test_values(self, spark):
