@@ -2438,6 +2438,111 @@ def q_streaming_stateful_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
     ).select("o_orderpriority", "distinct_customers")
 
 
+def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data gate for ``stateful_sketch_stream``'s event-time
+    watermark: a deterministic 3-file availableNow replay where the
+    THIRD file is a deliberately late cohort (event time a full day
+    below the watermark established by files 1-2).  Spark's stateful
+    exec drops rows older than the late-events watermark (armed only
+    under EventTimeTimeout — see streaming.py), and that watermark
+    lags one batch, which is why the late file must arrive two batches
+    after the on-time maximum.  Exact theta at lg_k=16 means the
+    result must hash-match COUNT(DISTINCT o_custkey) per priority over
+    the ON-TIME subset only (o_orderkey % 10 != 7); if late rows ever
+    leak into state, the late cohort's custkeys inflate the counts and
+    the hash breaks."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from datasketches_spark.aggregation import sketch_merge
+    from datasketches_spark.streaming import stateful_sketch_stream
+
+    _ensure(spark)
+    base = _gate_dir(sf_dir, "stream_late_gate")
+    src = _os.path.join(base, "src")
+    _os.makedirs(src)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+
+    def _stage(df, name: str, age_s: int) -> None:
+        # one flat file per micro-batch, mtime-ordered (the file source
+        # replays in modification-time order)
+        tmp = _os.path.join(base, "tmp_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        dst = _os.path.join(src, name + ".parquet")
+        _shutil.copy(part, dst)
+        import time as _time
+
+        t = _time.time() - age_s
+        _os.utime(dst, (t, t))
+        _shutil.rmtree(tmp)
+
+    ontime = orders.filter("o_orderkey % 10 != 7").selectExpr(
+        "TIMESTAMP'2024-01-02 08:00:00' AS ts", "o_orderpriority", "o_custkey"
+    )
+    # batch 1: a single on-time row (min orderkey of the on-time set —
+    # theta dedups, so re-sending an already-counted custkey is free);
+    # its only job is to let batch 0's watermark become batch 2's
+    # late-events filter
+    advance = (
+        orders.filter("o_orderkey % 10 != 7")
+        .orderBy("o_orderkey")
+        .limit(1)
+        .selectExpr(
+            "TIMESTAMP'2024-01-02 08:30:00' AS ts", "o_orderpriority", "o_custkey"
+        )
+    )
+    late = orders.filter("o_orderkey % 10 = 7").selectExpr(
+        "TIMESTAMP'2024-01-01 00:00:00' AS ts", "o_orderpriority", "o_custkey"
+    )
+    _stage(ontime, "a_ontime", 200)
+    _stage(advance, "b_advance", 100)
+    _stage(late, "c_late", 0)
+
+    stream = (
+        spark.readStream.schema(
+            "ts TIMESTAMP, o_orderpriority STRING, o_custkey BIGINT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_sketch_stream(
+        stream,
+        "o_custkey",
+        "theta",
+        ["o_orderpriority"],
+        k=16,
+        ts_col="ts",
+        watermark="1 hour",
+    )
+    name = "dsks_late_gate_" + _uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming gate timed out after 300s")
+    return sketch_merge(
+        spark.table(name).select("o_orderpriority", "sketch"),
+        "theta",
+        group_cols=["o_orderpriority"],
+        k=16,
+        finalize=lambda s: {
+            "distinct_customers": int(round(s.get_estimate()))
+        },
+        finalize_schema="distinct_customers bigint",
+    ).select("o_orderpriority", "distinct_customers")
+
+
 def q_rollup_month_from_day_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rollup_sketch_table`` as an oracle-gated query: persist a
     per-DAY theta sketch table of order customers, roll it up to
@@ -2594,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wire_table_publish_ingest": q_wire_table_publish_ingest,
         "streaming_store_equivalence": q_streaming_store_equivalence,
         "streaming_stateful_equivalence": q_streaming_stateful_equivalence,
+        "streaming_late_data_watermark": q_streaming_late_data_watermark,
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
     }
 
@@ -3402,6 +3508,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority,"
             " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
             " FROM orders GROUP BY 1"
+        ),
+        "streaming_late_data_watermark": (
+            "SELECT o_orderpriority,"
+            " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
+            " FROM orders WHERE o_orderkey % 10 != 7 GROUP BY 1"
         ),
         "rollup_month_from_day_table": (
             "SELECT strftime(o_orderdate, '%Y-%m') AS month,"

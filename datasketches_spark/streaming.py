@@ -245,6 +245,8 @@ def stateful_sketch_stream(
     k: int | None = None,
     output_mode: str = "update",
     idle_timeout_ms: int | None = None,
+    ts_col: str | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Per-key incremental sketches INSIDE the streaming engine.
 
@@ -269,6 +271,17 @@ def stateful_sketch_stream(
     state disappears.  Use a continuous trigger with TTL; under
     ``availableNow`` the trailing timeout batch can race shutdown
     (harmless task retry, but no eviction rows are guaranteed).
+
+    ``ts_col`` + ``watermark`` (e.g. ``("event_ts", "1 hour")``): set an
+    event-time watermark so rows arriving later than the watermark are
+    DROPPED before they reach the stateful operator — the standard
+    bounded-lateness contract.  The event-time column is carried through
+    the pre-groupBy projection (the watermark predicate is applied by
+    the stateful exec node against that column); without these, every
+    row folds in regardless of arrival order.  Oracle-gated in
+    ``q_streaming_late_data_watermark`` (late file replayed after the
+    watermark advanced ⇒ result == COUNT(DISTINCT) over the on-time
+    subset only).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
@@ -289,13 +302,32 @@ def stateful_sketch_stream(
     state_schema = StructType([StructField("sketch", BinaryType(), True)])
 
     fn = _make_stateful_fn(family, input_col, group_cols, k, idle_timeout_ms)
-    timeout_conf = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if idle_timeout_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
+    if (ts_col is None) != (watermark is None):
+        raise ValueError("pass ts_col and watermark together (or neither)")
+    if ts_col is not None and idle_timeout_ms is not None:
+        raise ValueError(
+            "ts_col/watermark and idle_timeout_ms are mutually exclusive: "
+            "Spark allows one GroupStateTimeout per stateful operator"
+        )
+    if ts_col is not None:
+        # Spark's FlatMapGroupsWithStateExec applies the late-event
+        # watermark predicate ONLY under EventTimeTimeout (verified in
+        # the installed 4.1.2 bytecode and empirically: under NoTimeout
+        # late rows flow straight into the stateful fn).  No per-key
+        # timeout timestamps are ever set, so hasTimedOut never fires;
+        # the conf exists purely to arm the late-row filter.
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    elif idle_timeout_ms is not None:
+        timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout_conf = GroupStateTimeout.NoTimeout
+    df = stream_df
+    cols = [*group_cols, input_col]
+    if ts_col is not None:
+        df = df.withWatermark(ts_col, watermark)
+        cols.append(ts_col)
     return (
-        stream_df.select(*group_cols, input_col)
+        df.select(*cols)
         .groupBy(*group_cols)
         .applyInPandasWithState(
             fn, out_schema, state_schema, output_mode, timeout_conf

@@ -499,3 +499,119 @@ def test_stateful_stream_stats_family(spark, tmpdir):
     assert sum(sk.get_n() for sk in best.values()) == 300
     assert min(sk.get_min() for sk in best.values()) == 0.0
     assert max(sk.get_max() for sk in best.values()) == 299.0
+
+
+def test_stateful_watermark_validation(spark, tmpdir):
+    from datasketches_spark.streaming import stateful_sketch_stream
+
+    src = f"{tmpdir}/vsrc"
+    spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1, 1)], "ts_s STRING, g BIGINT, v BIGINT"
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) ts", "g", "v").write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, g BIGINT, v BIGINT")
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="together"):
+        stateful_sketch_stream(stream, "v", "theta", ["g"], ts_col="ts")
+    with pytest.raises(ValueError, match="together"):
+        stateful_sketch_stream(stream, "v", "theta", ["g"], watermark="1 hour")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        stateful_sketch_stream(
+            stream, "v", "theta", ["g"],
+            ts_col="ts", watermark="1 hour", idle_timeout_ms=1000,
+        )
+
+
+def test_stateful_watermark_drops_late_rows(spark, tmpdir):
+    """Event-time watermark contract: rows arriving below the
+    late-events watermark must never reach the stateful fn.  The
+    late-events watermark LAGS one batch (batch N filters with batch
+    N-1's watermark), so the late file arrives two batches after the
+    on-time maximum; it is also only armed under EventTimeTimeout
+    (streaming.py sets that whenever ts_col/watermark are passed —
+    verified against the installed 4.1.2 FlatMapGroupsWithStateExecBase
+    bytecode)."""
+    import glob
+    import os
+    import time
+
+    from datasketches_spark.aggregation import sketch_merge
+    from datasketches_spark.streaming import stateful_sketch_stream
+
+    dss.register(spark)
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+
+    def stage(df, name, age_s):
+        tmp = f"{tmpdir}/tmp_{name}"
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src}/{name}.parquet"
+        shutil.copy(part, dst)
+        t = time.time() - age_s
+        os.utime(dst, (t, t))
+        shutil.rmtree(tmp)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "ts_s STRING, user BIGINT, g STRING"
+        ).selectExpr("CAST(ts_s AS TIMESTAMP) ts", "user", "g")
+
+    # batch 0: users 0..49, day-2 morning -> watermark 10:00 after it
+    stage(
+        mk([
+            (f"2024-01-02 {h % 12:02d}:00:00", i, f"g{i % 2}")
+            for h, i in enumerate(range(50))
+        ]),
+        "a", 200,
+    )
+    # batch 1: one on-time row; lets batch 0's watermark arm batch 2
+    stage(mk([("2024-01-02 10:30:00", 60, "g0")]), "b", 100)
+    # batch 2: 20 LATE rows (a day below the watermark) + 10 on-time
+    stage(
+        mk(
+            [("2024-01-01 00:00:00", 1000 + i, f"g{i % 2}") for i in range(20)]
+            + [("2024-01-02 12:30:00", 50 + i, f"g{i % 2}") for i in range(10)]
+        ),
+        "c", 0,
+    )
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, user BIGINT, g STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_sketch_stream(
+        stream, "user", "theta", ["g"], k=14, ts_col="ts", watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_state")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_wm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "watermark stream timed out"
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped == 20
+    got = {
+        r.g: r.d
+        for r in sketch_merge(
+            spark.table("wm_state").select("g", "sketch"),
+            "theta", group_cols=["g"], k=14,
+        )
+        .selectExpr(
+            "g",
+            "CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT) d",
+        )
+        .collect()
+    }
+    # on-time only: g0 = 25 evens(0..49) + user 60 + 5 evens(50..59),
+    # g1 = 25 + 5; the late users 1000..1019 must be absent
+    assert got == {"g0": 31, "g1": 30}
