@@ -1465,6 +1465,37 @@ def q_reservoir_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_reservoir_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache reservoir wire through the io table route: per-region
+    uniform samples of nation keys published as a ReservoirLongsSketch
+    wire table (readable by datasketches-java with zero knowledge of
+    this engine — differentially fuzzed in tests/test_reservoir_wire.py),
+    re-ingested, and queried.  Exact mode (k=50 >= 5 nations/region)
+    means the sample IS the group, so the exploded items hash-match the
+    raw table."""
+    import os
+    import tempfile
+
+    from datasketches_spark import io as dio
+
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "nation"), "n_nationkey", "reservoir",
+        group_cols=["n_regionkey"], k=50,
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dsks_reswire_gate_{os.path.basename(sf_dir.rstrip('/'))}",
+        "t",
+    )
+    dio.write_wire_table(sk, path, "sketch", "reservoir", k=50)
+    back = dio.read_wire_table(spark, path)
+    return back.select(
+        F.col("n_regionkey").cast("long").alias("regionkey"),
+        F.explode(F.expr("datasketch_reservoir_items(sketch)")).alias("__it"),
+    ).select("regionkey", F.col("__it").cast("long").alias("item"))
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 5-gram overlap of each
     training document with the benchmark corpus.  The benchmark is the
@@ -2604,6 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_priorities": q_frequent_priorities,
         "cms_priority_counts": q_cms_priority_counts,
         "reservoir_nations_by_region": q_reservoir_nations_by_region,
+        "reservoir_wire_roundtrip": q_reservoir_wire_roundtrip,
         "bloom_contains_customers": q_bloom_contains_customers,
         "salted_theta_skew": q_salted_theta_skew,
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
@@ -3023,6 +3055,10 @@ def oracle_sql() -> dict[str, str]:
         "reservoir_nations_by_region": (
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name AS item"
             " FROM nation"
+        ),
+        "reservoir_wire_roundtrip": (
+            "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"
+            " CAST(n_nationkey AS BIGINT) AS item FROM nation"
         ),
         "cms_priority_counts": (
             "SELECT o_orderpriority AS item, count(*) AS cnt"

@@ -547,6 +547,10 @@ def build_scalar_registry() -> dict[str, object]:
     reg[p + "is_exact"] = _unary(R, lambda sk: bool(sk.is_exact), "boolean")
     reg[p + "is_empty"] = _unary(R, lambda sk: bool(sk.is_empty), "boolean")
     reg[p + "describe"] = _unary(R, lambda sk: sk.describe(), "string")
+    # Apache ReservoirLongsSketch wire (round 10; longs-only — see
+    # sketches/reservoir.py to_wire/from_wire for the interop contract)
+    reg[p + "to_wire"] = _unary(R, lambda sk: sk.to_wire(), "binary")
+    reg[p + "from_wire"] = _unary(R, lambda sk: sk.serialize(), "binary")
 
     # ---- exact summary stats (beyond-reference; sketches/stats.py) ----
     p = "datasketch_stats_"

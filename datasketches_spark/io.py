@@ -148,7 +148,7 @@ def merge_bucketed_sketch_tables(
 
 _WIRE_FAMILIES = frozenset(
     ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest",
-     "frequent_items"]
+     "frequent_items", "reservoir"]
 )
 
 

@@ -44,8 +44,18 @@ FAMILY_RESERVOIR = 10
 FAMILY_CMS = 11
 FAMILY_STATS = 12
 
+# Reservoir v2 (round 10): payload gains a `weighted` flag byte so the
+# Apache wire exporter can refuse weighted (non-uniform) samples —
+# java's ReservoirLongsSketch is uniform-only.
 _FAMILY_VERSIONS.update(
-    {FAMILY_THETA: 2, FAMILY_CPC: 2, FAMILY_HLL: 2, FAMILY_QUANTILES: 2, FAMILY_REQ: 2}
+    {
+        FAMILY_THETA: 2,
+        FAMILY_CPC: 2,
+        FAMILY_HLL: 2,
+        FAMILY_QUANTILES: 2,
+        FAMILY_REQ: 2,
+        FAMILY_RESERVOIR: 2,
+    }
 )
 
 FAMILY_NAMES = {
