@@ -144,8 +144,13 @@ class TDigestSketch:
         boundaries = np.flatnonzero(np.diff(buckets)) + 1
         starts = np.concatenate([[0], boundaries])
         wsum = np.add.reduceat(weights, starts)
-        msum = np.add.reduceat(weights * means, starts)
-        self.means = msum / wsum
+        # group means as Σ (w_i / W_g) · m_i, never Σ w_i·m_i / W_g:
+        # the unnormalized products overflow to ±inf for means near
+        # ±1.7e308 (found by the round-10 ±inf/denormal wire fuzz),
+        # while the normalized terms are bounded by max|m| per group
+        counts = np.diff(np.append(starts, weights.size))
+        w_norm = weights / np.repeat(wsum, counts)
+        self.means = np.add.reduceat(w_norm * means, starts)
         self.weights = wsum
 
     # -- queries --------------------------------------------------------
@@ -176,17 +181,56 @@ class TDigestSketch:
             return None
         q = min(max(q, 0.0), 1.0)
         xs, vs = self._support()
-        return float(np.interp(q * self.total, xs, vs))
+        # manual divide-first interpolation instead of np.interp: the
+        # round-10 ±inf/denormal wire fuzz showed np.interp's slope
+        # (v1−v0)/(x1−x0) overflowing to ±inf for centroid spans near
+        # the float64 limit, and going inf/nan outright when observed
+        # infinities become centroid means (as in datasketches-java).
+        # xs is strictly increasing; interpolation strictly between a
+        # finite point and an infinite one IS the infinite value.
+        x = q * self.total
+        j = int(np.searchsorted(xs, x, side="right"))
+        j = min(max(j, 1), xs.size - 1)
+        v0, v1 = float(vs[j - 1]), float(vs[j])
+        x0, x1 = float(xs[j - 1]), float(xs[j])
+        if x <= x0:
+            return v0
+        if x >= x1:
+            return v1
+        if not (np.isfinite(v0) and np.isfinite(v1)):
+            return v0 if not np.isfinite(v0) else v1
+        frac = (x - x0) / (x1 - x0)
+        # v0 + (v1-v0)*frac can overflow when v0,v1 straddle ±~1e308;
+        # the convex form is bounded by [v0, v1]
+        return v0 * (1.0 - frac) + v1 * frac
 
     def get_rank(self, item: float) -> float:
         if self.is_empty:
             return float("nan")
         xs, vs = self._support()
         if item <= vs[0]:
-            return 0.0 if item < vs[0] else float(np.interp(vs[0] + 0.0, vs, xs) / self.total)
+            return 0.0 if item < vs[0] else float(xs[0] / self.total)
         if item >= vs[-1]:
             return 1.0
-        return float(np.interp(item, vs, xs) / self.total)
+        # manual divide-first interpolation (see get_quantile): ±inf
+        # centroids make vs non-strictly-increasing with inf/nan
+        # np.interp slopes, and even finite near-1e308 centroid spans
+        # overflow the naive (x1−x0)·(item−v0) product (round-10
+        # wire-fuzz finding).  vs is NONDECREASING, so resolve the
+        # probe's segment by hand; a segment touching an infinity
+        # carries its interior mass at the infinite end, so finite
+        # probes inside it take the finite endpoint's position.
+        j = int(np.searchsorted(vs, item, side="right"))
+        v0, v1 = float(vs[j - 1]), float(vs[j])
+        x0, x1 = float(xs[j - 1]), float(xs[j])
+        if v1 == v0 or not (np.isfinite(v0) and np.isfinite(v1)):
+            x = x0 if np.isfinite(v0) else x1
+        else:
+            # halved differences: item−v0 and v1−v0 can themselves
+            # overflow when the segment straddles ±~1e308
+            frac = (item * 0.5 - v0 * 0.5) / (v1 * 0.5 - v0 * 0.5)
+            x = x0 + (x1 - x0) * frac
+        return float(x / self.total)
 
     def get_cdf(self, split_points) -> list[float]:
         if self.is_empty:

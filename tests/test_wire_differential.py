@@ -365,3 +365,133 @@ def test_frequent_items_differential(jvm):
         assert back.counts == merged.counts
         assert back.offset == merged.offset
         assert back.total_weight() == merged.total_weight()
+
+
+# --------------------------------------------- dtype matrix (round 10)
+# The rows above fuzz int64 item streams (plus REQ float32 and plain
+# ASCII FI strings).  These rows cover the remaining item dtypes the
+# wire surface claims: KLL float32 (java KllFloatsSketch), FI strings
+# across the UTF-8 long tail, and tdigest float64 edge profiles
+# (±inf, denormals, extreme magnitudes).
+
+
+def test_kll_float32_differential(jvm):
+    rng = np.random.default_rng(9104)
+    KllF = jvm.org.apache.datasketches.kll.KllFloatsSketch
+
+    for _case in range(N_CASES // 2):
+        k = int(rng.integers(8, 201))
+        _quantile_family_case(
+            jvm, rng,
+            lambda: KllSketch(k, "float32"),
+            lambda blob: KllF.heapify(_mem(jvm, blob)),
+            lambda jsk, v: jsk.getRank(float(v)),
+            cast=np.float32,
+        )
+
+
+def _edge_strings(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Item stream over the UTF-8 long tail: empty, 1-byte, multi-KB,
+    2/3/4-byte code points, combining marks, whitespace/control-ish."""
+    pool = np.array(
+        [
+            "",
+            " ",
+            "\t",
+            "a",
+            "é",            # 2-byte
+            "中文",  # 3-byte CJK
+            "\U0001f600",    # 4-byte emoji
+            "é",       # combining acute
+            "line\nbreak",
+            "null\x00byte" if False else "nul-free",  # serde is len-prefixed but keep printable
+            "x" * 2000,
+            "ßæø" * 7,
+        ],
+        dtype=object,
+    )
+    idx = np.minimum(rng.geometric(0.3, size=n) - 1, len(pool) - 1)
+    return pool[idx]
+
+
+def test_frequent_items_unicode_differential(jvm):
+    rng = np.random.default_rng(9108)
+    Items = jvm.org.apache.datasketches.frequencies.ItemsSketch
+    serde = jvm.org.apache.datasketches.common.ArrayOfStringsSerDe()
+    for _case in range(N_CASES // 2):
+        lg_max_k = int(rng.integers(3, 8))
+        n = int(rng.integers(0, 600))
+        items = _edge_strings(rng, n)
+        merged, _parts, _m2 = _chunk_merge(
+            lambda: FrequentItemsSketch(lg_max_k),
+            lambda sk, v: sk.update_counts(v, np.ones(len(v), dtype=np.int64)),
+            items, rng,
+        )
+        jsk = Items.getInstance(_mem(jvm, merged.to_wire()), serde)
+        assert jsk.getStreamLength() == merged.total_weight() == n
+        for item, cnt in list(merged.counts.items()):
+            assert jsk.getEstimate(item) == merged.get_estimate(item), repr(item)
+        back = FrequentItemsSketch.from_wire(bytes(jsk.toByteArray(serde)))
+        assert back.counts == merged.counts
+        assert back.total_weight() == merged.total_weight()
+
+
+def _edge_doubles(rng: np.random.Generator, n: int) -> np.ndarray:
+    """float64 stream stressing the serialized-item long tail: ±inf,
+    ±0.0, denormals, and extreme-magnitude normals mixed with a bulk of
+    ordinary values."""
+    pool = np.array(
+        [
+            np.inf, -np.inf, 0.0, -0.0,
+            5e-324, -5e-324, 1e-308, -1e-308,   # denormal territory
+            1.7e308, -1.7e308, 1e-300, 1.0, -1.0,
+        ],
+        dtype=np.float64,
+    )
+    bulk = rng.normal(0.0, 1e3, size=n)
+    take_edge = rng.random(n) < 0.3
+    edges = pool[rng.integers(0, len(pool), size=n)]
+    return np.where(take_edge, edges, bulk)
+
+
+def test_tdigest_edge_profile_differential(jvm):
+    rng = np.random.default_rng(9107)
+    Td = jvm.org.apache.datasketches.tdigest.TDigestDouble
+    for _case in range(N_CASES // 2):
+        k = int(rng.integers(10, 201))
+        n = int(rng.integers(1, 1200))
+        vals = _edge_doubles(rng, n)
+        merged, _parts, _m2 = _chunk_merge(
+            lambda: TDigestSketch(k),
+            lambda sk, v: sk.update(v),
+            vals, rng,
+        )
+        jtd = Td.heapify(_mem(jvm, merged.to_wire()))
+        assert jtd.getTotalWeight() == merged.total_weight() == n
+        assert jtd.getMinValue() == merged.min_item
+        assert jtd.getMaxValue() == merged.max_item
+        back = TDigestSketch.from_wire(bytes(jtd.toByteArray()))
+        assert back.total_weight() == n
+        assert back.min_item == merged.min_item
+        assert back.max_item == merged.max_item
+        # finite probes only: rank AT ±inf is convention-defined
+        finite = vals[np.isfinite(vals)]
+        if finite.size:
+            for v in np.unique(
+                np.quantile(finite, [0.1, 0.5, 0.9])
+            ):
+                mult = float(np.count_nonzero(vals == v)) / n
+                jrank = jtd.getRank(float(v))
+                ours = merged.get_rank(float(v))
+                assert 0.0 <= ours <= 1.0  # ours is always defined
+                if not np.isfinite(jrank):
+                    # java's rank interpolation does raw arithmetic
+                    # across infinite centroid means and yields NaN
+                    # there; our reader defines those segments as
+                    # steps (tdigest.py get_rank) — nothing to compare
+                    continue
+                assert jrank == pytest.approx(ours, abs=0.03 + 0.5 * mult)
+        for q in (0.1, 0.5, 0.9):
+            assert back.get_quantile(q) == pytest.approx(
+                merged.get_quantile(q), rel=1e-9, abs=1e-12
+            )
