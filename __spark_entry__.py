@@ -2469,6 +2469,29 @@ def q_streaming_stateful_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
     ).select("o_orderpriority", "distinct_customers")
 
 
+def q_sql_scale_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-surface scale path: ``datasketch_partials`` (Python
+    UDTF over an unpartitioned table argument = map-side combine with
+    no exchange) + the family merge AGG — the two-phase blob-only
+    shuffle plan from a pure ``spark.sql()`` entry
+    (functions/sql_scale.py; plan-tested in tests/test_sql_scale.py).
+    Exact theta at lg_k=16 hash-matches COUNT(DISTINCT) per status."""
+    _ensure(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("dsks_sqlscale_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(round(datasketch_theta_estimate(
+                    datasketch_theta(sketch))) AS BIGINT)
+                 AS distinct_customers
+        FROM datasketch_partials(
+               TABLE(SELECT o_orderstatus, o_custkey
+                     FROM dsks_sqlscale_orders), 'theta', 16)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
 def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data gate for ``stateful_sketch_stream``'s event-time
     watermark: a deterministic 3-file availableNow replay where the
@@ -2732,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_store_equivalence": q_streaming_store_equivalence,
         "streaming_stateful_equivalence": q_streaming_stateful_equivalence,
         "streaming_late_data_watermark": q_streaming_late_data_watermark,
+        "sql_scale_two_phase": q_sql_scale_two_phase,
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
     }
 
@@ -3549,6 +3573,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority,"
             " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
             " FROM orders WHERE o_orderkey % 10 != 7 GROUP BY 1"
+        ),
+        "sql_scale_two_phase": (
+            "SELECT o_orderstatus,"
+            " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
+            " FROM orders GROUP BY 1"
         ),
         "rollup_month_from_day_table": (
             "SELECT strftime(o_orderdate, '%Y-%m') AS month,"

@@ -40,6 +40,9 @@ def register(spark: SparkSession) -> list[str]:
     for name, udf in {**build_aggregate_registry(), **build_scalar_registry()}.items():
         spark.udf.register(name, udf)
         names.append(name)
+    from .functions.sql_scale import register_sql_scale
+
+    names.extend(register_sql_scale(spark))
     return names
 
 

@@ -166,6 +166,31 @@ lines.append("Native JVM fast path (not in the SQL registry; Column API only):")
 lines.append("`hll_native.hll_build` / `hll_merge` / `hll_estimate` wrap Spark's")
 lines.append("built-in Apache DataSketches HLL (wire-compatible blobs).")
 lines.append("")
+lines.append("## SQL-surface scale path (UDTF)")
+lines.append("")
+lines.append(
+    "- `datasketch_partials` (UDTF) — the two-phase BLOB-ONLY shuffle "
+    "plan from pure `spark.sql()`.  The plain AGG registrations above "
+    "shuffle raw rows (Spark runs grouped-agg pandas UDFs without "
+    "partial aggregation); this UDTF over an UNPARTITIONED table "
+    "argument evaluates once per existing input partition with no "
+    "exchange, emitting one sketch blob per (partition × group) — the "
+    "map-side combine.  Contract: every table column except the LAST "
+    "is a group key, the last is the value; do not write PARTITION BY. "
+    "Recipe (plan-tested in tests/test_sql_scale.py):")
+lines.append("")
+lines.append("```sql")
+lines.append("SELECT g, datasketch_theta(sketch) AS sketch")
+lines.append("FROM datasketch_partials(TABLE(SELECT g, x FROM t), 'theta', 14)")
+lines.append("GROUP BY g")
+lines.append("```")
+lines.append("")
+lines.append(
+    "Every `datasketch_<family>` AGG merges when fed blobs, so the "
+    "outer GROUP BY completes the two-phase plan.  From Python prefer "
+    "`datasketches_spark.aggregation.sketch_agg` (same plan, "
+    "Arrow-batched map phase; functions/sql_scale.py).")
+lines.append("")
 lines.append("## `*_describe` text: parity and divergence")
 lines.append("")
 lines.append(

@@ -1,0 +1,106 @@
+"""SQL-surface scale path: `datasketch_partials` (Python UDTF) +
+family merge AGG must reproduce the two-phase blob-only plan of
+aggregation.sketch_agg from a pure spark.sql() entry — answers exact
+in exact mode, and the physical plan must show the UDTF BELOW the only
+exchange (raw rows never shuffle)."""
+
+import re
+
+import pytest
+
+import datasketches_spark as dss
+
+
+@pytest.fixture(autouse=True)
+def _reg(spark):
+    dss.register(spark)
+    spark.range(0, 8000, 1, 8).selectExpr(
+        "id % 5 AS g", "id % 997 AS x"
+    ).createOrReplaceTempView("sql_scale_t")
+
+
+def test_theta_two_phase_sql_exact(spark):
+    got = {
+        r.g: r.d
+        for r in spark.sql(
+            """
+            SELECT g, CAST(round(datasketch_theta_estimate(
+                       datasketch_theta(sketch))) AS BIGINT) AS d
+            FROM datasketch_partials(
+                   TABLE(SELECT g, x FROM sql_scale_t), 'theta', 14)
+            GROUP BY g
+            """
+        ).collect()
+    }
+    exact = {
+        r.g: r.d
+        for r in spark.sql(
+            "SELECT g, count(DISTINCT x) AS d FROM sql_scale_t GROUP BY g"
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_kll_two_phase_sql_exact(spark):
+    got = {
+        r.g: r.m
+        for r in spark.sql(
+            """
+            SELECT g, datasketch_kll_quantile(
+                       datasketch_kll(4000, sketch), 0.5) AS m
+            FROM datasketch_partials(
+                   TABLE(SELECT g, x FROM sql_scale_t), 'kll', 4000)
+            GROUP BY g
+            """
+        ).collect()
+    }
+    # k=4000 > rows/group: the sketch is exact; median == SQL median
+    exact = {
+        r.g: r.m
+        for r in spark.sql(
+            "SELECT g, median(x) AS m FROM sql_scale_t GROUP BY g"
+        ).collect()
+    }
+    for g in exact:
+        assert got[g] == pytest.approx(exact[g], abs=1.0)
+
+
+def test_plan_udtf_below_the_only_exchange(spark):
+    """THE scale claim: the UDTF (phase 1) evaluates on the scan side
+    of the one hash exchange, so the shuffle carries only
+    (group, blob) rows.  A PARTITION BY (or a plain UDAF) would put an
+    exchange below the python eval — raw text/rows on the wire."""
+    df = spark.sql(
+        """
+        SELECT g, datasketch_theta(sketch) AS sk
+        FROM datasketch_partials(
+               TABLE(SELECT g, x FROM sql_scale_t), 'theta', 14)
+        GROUP BY g
+        """
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m_udtf = re.search(r"PythonUDTF", plan)
+    m_ex = re.search(r"Exchange hashpartitioning", plan)
+    assert m_udtf and m_ex, plan
+    # children print below parents: exchange (parent) must appear
+    # BEFORE the UDTF in the plan string
+    assert m_ex.start() < m_udtf.start(), plan
+    # and nothing below the UDTF shuffles — phase 1 runs on raw scan
+    # partitions as-is
+    assert "Exchange" not in plan[m_udtf.start():], plan
+    # the exchange's output carries the blob column, not the value col
+    rows = {r.g: r.sk for r in df.collect()}
+    assert len(rows) == 5 and all(v is not None for v in rows.values())
+
+
+def test_partials_skips_nulls_and_validates_family(spark):
+    spark.sql(
+        "SELECT CAST(NULL AS BIGINT) AS g, CAST(NULL AS BIGINT) AS x"
+    ).createOrReplaceTempView("sql_scale_nulls")
+    out = spark.sql(
+        """
+        SELECT * FROM datasketch_partials(
+            TABLE(SELECT g, x FROM sql_scale_nulls), 'theta', 14)
+        """
+    ).collect()
+    assert out == []  # all-null values contribute no partial
