@@ -14,21 +14,23 @@ of the row).  decontam_overlap is load-honest since round 9 (the
 benchmark side is a FIXED 100-doc slice; the train side scales), so
 its slope measures the train scan.
 
-Usage: python scripts/bench_sf_slopes.py [small_dir] [big_dir] [pairs]
-       (defaults: /root/testdata/sf0.1 /tmp/sf1 2)
+Usage: python scripts/bench_sf_slopes.py [dir ...] [pairs]
+       (defaults: /root/testdata/sf0.1 /tmp/sf1 2; 2-4 dirs accepted)
 
-Three-dir mode adds the honest superlinearity test (round-9 analysis):
-
-       python scripts/bench_sf_slopes.py sf0.1_dir sf1_dir sf10_dir [pairs]
-
-Per-query decade slopes RISE toward 10 as the fixed job floor
-amortizes — that is expected, not a regression.  The failure signature
-is t(sf100x) above the LINEAR EXTRAPOLATION of the (1x, 10x) fit
-(t = floor + b*s), so three-dir mode prints ratio =
-t(100x) / (floor + 100b) per query: <= 1 is at-or-below linear; > 1.4
-at non-trivial absolute time and a real decade-1 growth signal
-(b meaningfully > 0) deserves a root-cause.  Round 9's CPC ratio of
-1.41 found the Arrow per-row sizeInBytes degradation this way.
+With 3+ dirs the honest superlinearity test runs per CONSECUTIVE
+TRIPLE (round-9 analysis, generalized in round 10): per-query decade
+slopes RISE toward the data ratio as the fixed job floor amortizes —
+that is expected, not a regression.  The failure signature is
+t(big) above the LINEAR EXTRAPOLATION of the two smaller points
+(t = floor + b*s, with s the TRUE data scale read from each dir's
+lineitem row count — no name parsing), so each triple prints
+ratio = t(s3) / (floor + b*s3): <= 1 is at-or-below linear; > 1.4 at
+non-trivial absolute time and a real growth signal (b meaningfully
+> 0) deserves a root-cause.  Round 9's CPC ratio of 1.41 found the
+Arrow per-row sizeInBytes degradation this way.  The reason for 4-dir
+mode: queries that are FLAT across the first decade (floor-dominated)
+make the (sf0.1, sf1) fit meaningless — the (sf1, sf3, sf10) triple
+re-fits them on points past the floor.
 """
 
 from __future__ import annotations
@@ -50,21 +52,44 @@ def _run_bench(sf_dir: str) -> dict:
     return _run([sys.executable, "bench.py"], env=env, timeout=1800)
 
 
+def data_scale(sf_dir: str) -> float:
+    """TRUE data scale of a dir: its lineitem parquet row count (read
+    from footer metadata, no Spark job).  Scales are then ratios of
+    these — no directory-name parsing."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.isdir(path):
+        return float(
+            sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        )
+    return float(pq.ParquetFile(path).metadata.num_rows)
+
+
 def linear_check(
-    t1: dict[str, float], t10: dict[str, float], t100: dict[str, float]
+    t1: dict[str, float],
+    t2: dict[str, float],
+    t3: dict[str, float],
+    s1: float,
+    s2: float,
+    s3: float,
 ) -> dict[str, float | None]:
-    """ratio = t(100x) / linear extrapolation of the (1x, 10x) fit.
+    """ratio = t(s3) / linear extrapolation of the (s1, s2) fit.
 
     None when the fitted data slope b is non-positive (a flat or
-    noise-inverted first decade makes the extrapolation meaningless).
+    noise-inverted first interval makes the extrapolation meaningless).
     """
     out: dict[str, float | None] = {}
     for q in t1:
-        if q not in t10 or q not in t100:
+        if q not in t2 or q not in t3:
             continue
-        b = (t10[q] - t1[q]) / 9.0
-        pred = (t1[q] - b) + 100.0 * b
-        out[q] = round(t100[q] / pred, 2) if b > 0 and pred > 0 else None
+        b = (t2[q] - t1[q]) / (s2 - s1)
+        pred = t1[q] + b * (s3 - s1)
+        out[q] = round(t3[q] / pred, 2) if b > 0 and pred > 0 else None
     return out
 
 
@@ -113,17 +138,28 @@ def main() -> None:
     if args and args[-1].isdigit() and not os.path.isdir(args[-1]):
         pairs = int(args.pop())
     dirs = args or ["/root/testdata/sf0.1", "/tmp/sf1"]
-    if len(dirs) not in (2, 3):
-        sys.exit("expected 2 (decade) or 3 (two-decade) SF dirs")
+    if not 2 <= len(dirs) <= 4:
+        sys.exit("expected 2-4 SF dirs")
+    scales = [data_scale(d) for d in dirs]
+    rel = [round(s / scales[0], 3) for s in scales]
+    print(json.dumps({"dirs": dirs, "lineitem_rows": scales, "rel_scale": rel}))
     bests, totals = _measure(dirs, pairs)
     for j in range(len(dirs) - 1):
         _decade_report(dirs[j], dirs[j + 1], bests[j], bests[j + 1],
                        totals[j], totals[j + 1])
-    if len(dirs) == 3:
-        ratios = linear_check(bests[0], bests[1], bests[2])
-        print(json.dumps({"linear_check_t100_over_pred": ratios}))
-        print("\n| query | t(100x)/linear_pred |  (<=1 at-or-below linear; "
-              "None = flat decade 1) |")
+    for j in range(len(dirs) - 2):
+        ratios = linear_check(
+            bests[j], bests[j + 1], bests[j + 2],
+            scales[j], scales[j + 1], scales[j + 2],
+        )
+        print(json.dumps({
+            "linear_check_fit": [dirs[j], dirs[j + 1]],
+            "extrapolated_to": dirs[j + 2],
+            "t_over_pred": ratios,
+        }))
+        print(f"\n| query | t({dirs[j + 2]})/linear_pred of "
+              f"({dirs[j]},{dirs[j + 1]}) |  (<=1 at-or-below linear; "
+              "None = flat fit interval) |")
         print("|---|---:|---|")
         for q, r in sorted(ratios.items(), key=lambda kv: -(kv[1] or 0)):
             note = "fixed-size row" if q in FIXED_ROWS else ""
