@@ -142,6 +142,18 @@ class TDigestSketch:
         kvals = (self.delta / (2.0 * np.pi)) * np.arcsin(np.clip(2.0 * q_mid - 1.0, -1, 1))
         buckets = np.floor(kvals).astype(np.int64)
         boundaries = np.flatnonzero(np.diff(buckets)) + 1
+        if np.isinf(means[0]) or np.isinf(means[-1]):
+            # never merge an infinity with anything else: a ±inf mean
+            # swallowing finite items misplaces their mass, and a
+            # -inf/+inf pair in one k1 bucket averages to NaN (means
+            # are sorted, so infinities only sit at the ends — force
+            # group splits at every boundary touching a different
+            # value when either side is infinite)
+            infb = np.flatnonzero(
+                (np.isinf(means[:-1]) | np.isinf(means[1:]))
+                & (means[:-1] != means[1:])
+            ) + 1
+            boundaries = np.union1d(boundaries, infb)
         starts = np.concatenate([[0], boundaries])
         wsum = np.add.reduceat(weights, starts)
         # group means as Σ (w_i / W_g) · m_i, never Σ w_i·m_i / W_g:
@@ -224,7 +236,18 @@ class TDigestSketch:
         v0, v1 = float(vs[j - 1]), float(vs[j])
         x0, x1 = float(xs[j - 1]), float(xs[j])
         if v1 == v0 or not (np.isfinite(v0) and np.isfinite(v1)):
-            x = x0 if np.isfinite(v0) else x1
+            # a segment touching an infinity (infinities never share a
+            # centroid with anything else — _compress isolates them):
+            # all of v0's mass lies below the probe and all of v1's
+            # above, so the rank is the CUMULATIVE-WEIGHT boundary
+            # between the two support points, not either one's
+            # midpoint position.  vs[i] for 1 <= i <= m is centroid
+            # i-1; vs[0] is the zero-weight min endpoint.  Also covers
+            # the defensive duplicate-value case the same way.
+            if j - 1 == 0:
+                x = 0.0
+            else:
+                x = float(np.cumsum(self.weights)[j - 2])
         else:
             # halved differences: item−v0 and v1−v0 can themselves
             # overflow when the segment straddles ±~1e308

@@ -161,6 +161,49 @@ class TestKllSpecific:
 
 
 class TestTDigest:
+    def test_infinities_isolated_and_ranked_exactly(self):
+        """Round-10 semantics (found by the ±inf wire fuzz): observed
+        infinities become centroids but never merge with anything else
+        (a ±inf pair in one k1 bucket would average to NaN; an inf
+        mean swallowing finite items misplaces their mass), and a
+        probe in a segment touching an infinity ranks at the exact
+        cumulative-weight boundary between the support points.
+        java's getRank is NaN in these states; ours is exact."""
+        sk = TDigestSketch(10)
+        sk.update(np.array([-np.inf] * 250 + [np.inf] * 750))
+        assert sk.get_rank(0.0) == 0.25
+        assert sk.get_quantile(0.1) == float("-inf")
+        assert sk.get_quantile(0.9) == float("inf")
+
+        sk = TDigestSketch(10)
+        sk.update(
+            np.concatenate(
+                [np.full(100, -np.inf), np.linspace(0, 1, 800), np.full(100, np.inf)]
+            )
+        )
+        assert sk.get_rank(-1.0) == 0.1
+        assert sk.get_rank(2.0) == 0.9
+        assert sk.get_rank(0.5) == pytest.approx(0.5, abs=0.01)
+        assert not np.isnan(sk.means).any()
+
+        a = TDigestSketch(20)
+        a.update(np.full(300, np.inf))
+        b = TDigestSketch(20)
+        b.update(np.linspace(0, 1, 700))
+        a.merge(b)
+        assert a.get_rank(2.0) == 0.7
+
+    def test_huge_magnitude_means_do_not_overflow(self):
+        """Round-10: group means are Σ(w/W)·m, never Σ(w·m)/W — the
+        unnormalized products overflow to ±inf near ±1.7e308, and
+        rank interpolation over a near-1e308 span must not overflow
+        either (divide-first segment arithmetic)."""
+        sk = TDigestSketch(50)
+        sk.update(np.array([1.7e308] * 100 + [-1.7e308] * 100 + [0.0] * 100))
+        assert np.isfinite(sk.means).all()
+        r = sk.get_rank(1.0)
+        assert 0.0 <= r <= 1.0
+
     def test_exact_small(self):
         sk = TDigestSketch(100)
         sk.update(np.arange(1.0, 11.0))
