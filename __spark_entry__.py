@@ -2597,6 +2597,63 @@ def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     ).select("o_orderpriority", "distinct_customers")
 
 
+def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate pattern end-to-end:
+    ``windowed_sketch_partials`` buckets a stream into event-time
+    tumbling windows (pure column exprs — streaming-safe), and a
+    ``PartitionedSketchStore`` keyed by the window bucket absorbs each
+    micro-batch by rewriting ONLY the touched bucket partitions (a
+    year-long hourly table absorbs late data by rewriting hours, never
+    the year).  Deterministic 4-file availableNow replay of events;
+    sketch merge is order-independent, so the final per-day store must
+    hash-match COUNT(DISTINCT user_id) per day (exact theta, lg_k=16).
+    The window bucket is exported as timezone-free BIGINT micros
+    (timestampdiff vs epoch_us — the TIMESTAMP_NTZ convention from
+    sources.read_table)."""
+    import os as _os
+
+    from datasketches_spark.streaming import (
+        PartitionedSketchStore,
+        incremental_sketch_sink,
+        windowed_sketch_partials,
+    )
+
+    _ensure(spark)
+    base = _gate_dir(sf_dir, "stream_window_gate")
+    src = _os.path.join(base, "src")
+    _t(spark, sf_dir, "events").select("ts", "user_id").repartition(4).write.parquet(
+        src
+    )
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP_NTZ, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    windowed = windowed_sketch_partials(
+        stream, "ts", "user_id", "theta", "1 day", k=16
+    ).withColumn(
+        "day_us",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01', window_start)"
+        ),
+    )
+    store = PartitionedSketchStore(
+        _os.path.join(base, "store"), "theta", bucket_col="day_us", k=16
+    )
+    q = incremental_sketch_sink(
+        windowed, "user_id", store, checkpoint_dir=_os.path.join(base, "ckpt")
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming gate timed out after 300s")
+    return store.read(spark).select(
+        F.col("day_us").cast("long").alias("day_us"),
+        F.expr(
+            "CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)"
+        ).alias("distinct_users"),
+    )
+
+
 def q_rollup_month_from_day_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rollup_sketch_table`` as an oracle-gated query: persist a
     per-DAY theta sketch table of order customers, roll it up to
@@ -2756,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_equivalence": q_streaming_stateful_equivalence,
         "streaming_late_data_watermark": q_streaming_late_data_watermark,
         "sql_scale_two_phase": q_sql_scale_two_phase,
+        "streaming_windowed_rollup": q_streaming_windowed_rollup,
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
     }
 
@@ -3578,6 +3636,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus,"
             " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
             " FROM orders GROUP BY 1"
+        ),
+        "streaming_windowed_rollup": (
+            "SELECT epoch_us(date_trunc('day', ts)) AS day_us,"
+            " count(DISTINCT user_id)::BIGINT AS distinct_users"
+            " FROM events GROUP BY 1"
         ),
         "rollup_month_from_day_table": (
             "SELECT strftime(o_orderdate, '%Y-%m') AS month,"
