@@ -51,6 +51,19 @@ _ARITY = {
 
 
 _SPECIAL = {
+    "datasketch_reservoir_to_wire": (
+        "exports the Apache ReservoirLongsSketch format (serVer 2; "
+        "differentially fuzzed vs live datasketches-java both "
+        "directions — tests/test_reservoir_wire.py). Longs-only and "
+        "uniform-only: non-integer items, weighted samples, and k<2 "
+        "refuse with clear errors"
+    ),
+    "datasketch_reservoir_from_wire": (
+        "imports an Apache ReservoirLongsSketch blob (k/n/sample set "
+        "cross exactly; A-ES merge tags are re-synthesized as "
+        "exponential order statistics so imported states keep merging "
+        "uniformly); every reservoir reader also sniffs wire blobs"
+    ),
     "datasketch_cpc_lower_bound": (
         "kappa 1..3 bands from the ICON estimator constant "
         "0.7213/sqrt(k) (sketches/cpc.py; Apache's tighter 0.589 is the "

@@ -93,6 +93,19 @@ def test_plan_udtf_below_the_only_exchange(spark):
     assert len(rows) == 5 and all(v is not None for v in rows.values())
 
 
+def test_partials_default_k_arity(spark):
+    # k omitted: families with a default (theta) build at it
+    got = spark.sql(
+        """
+        SELECT CAST(round(datasketch_theta_estimate(
+                 datasketch_theta(sketch))) AS BIGINT) AS d
+        FROM datasketch_partials(
+               TABLE(SELECT g, x FROM sql_scale_t), 'theta')
+        """
+    ).collect()
+    assert got[0].d == 997
+
+
 def test_partials_skips_nulls_and_validates_family(spark):
     spark.sql(
         "SELECT CAST(NULL AS BIGINT) AS g, CAST(NULL AS BIGINT) AS x"

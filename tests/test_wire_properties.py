@@ -314,3 +314,70 @@ def test_bitflip_corruption_never_escapes(family, n, corrupt_seed):
         pass  # expected rejection
     except Exception as exc:  # noqa: BLE001
         pytest.fail(f"{family} byte-flip at {pos} leaked {type(exc).__name__}: {exc}")
+
+
+def test_reservoir_garbage_never_parses_silently():
+    """Round 10: the reservoir wire parser joins the contract — random
+    bytes raise the deserialize error, never leak numpy/struct
+    internals."""
+    from datasketches_spark.sketches.reservoir import ReservoirSampleSketch
+
+    rng = np.random.default_rng(0xE5E)
+    for size in (0, 1, 4, 8, 15, 16, 17, 64):
+        for _ in range(20):
+            blob = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
+            try:
+                ReservoirSampleSketch.from_wire(blob)
+            except SketchDeserializeError:
+                pass
+            except Exception as exc:  # noqa: BLE001
+                pytest.fail(
+                    f"Reservoir from_wire({size}B) raised "
+                    f"{type(exc).__name__}: {exc}"
+                )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.sampled_from(
+        ["theta", "kll", "quantiles", "req", "tdigest", "hll", "cpc",
+         "frequent_items", "bloom", "reservoir", "cms", "stats"]
+    ),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_dsks_frame_bitflip_never_escapes(family, seed):
+    """Round 10: one flipped byte in a VALID DSKS frame (ALL 12
+    families, including the beyond-reference ones the Apache-wire
+    fuzz can't reach) must either raise the reference's deserialize
+    error or parse as a differently-valid sketch — never leak
+    IndexError/OverflowError/UnicodeDecodeError/MemoryError from
+    parser internals."""
+    import pandas as pd
+
+    from datasketches_spark.families import (
+        build_params,
+        create_sketch,
+        update_sketch,
+    )
+    from datasketches_spark.sketches import FAMILY_CLASSES, peek_family
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(0, 200))
+    s = pd.Series(rng.integers(0, 1 << 30, size=n))
+    sk = create_sketch(family, build_params(family, None, s))
+    if n:
+        update_sketch(family, sk, s)
+    blob = bytearray(sk.serialize())
+    cls = type(sk)
+    pos = int(rng.integers(0, len(blob)))
+    orig = blob[pos]
+    blob[pos] = (orig ^ int(rng.integers(1, 256))) & 0xFF
+    try:
+        cls.deserialize(bytes(blob))
+    except SketchDeserializeError:
+        pass
+    except Exception as exc:  # noqa: BLE001
+        pytest.fail(
+            f"{family} byte-flip at {pos} leaked "
+            f"{type(exc).__name__}: {exc}"
+        )
