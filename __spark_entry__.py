@@ -2654,6 +2654,70 @@ def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming_drift_monitor`` end-to-end: freeze an exact KLL of
+    the reference population (event_type='click' values), replay
+    events as micro-batches through the per-key stateful stream, and
+    read each key's FINAL cumulative KS against the frozen blob.  At
+    k=8192 every sketch stays in exact mode (~2k rows/type at sf0.01),
+    so ``ks_distance`` equals the classical two-sample KS — computed
+    in DuckDB via windowed ECDFs over the stacked samples (RANGE frame
+    so ties share the right-inclusive cumulative count).  Both sides
+    reduce to |k1/n1 - k2/n2| on integer counts, so the doubles
+    hash-match exactly (same convention as the kll_rank pair)."""
+    import os as _os
+    import uuid as _uuid
+
+    from datasketches_spark.aggregation import sketch_agg
+    from datasketches_spark.streaming import streaming_drift_monitor
+
+    _ensure(spark)
+    base = _gate_dir(sf_dir, "stream_drift_gate")
+    src = _os.path.join(base, "src")
+    events = _t(spark, sf_dir, "events").select("event_type", "value")
+    ref_blob = bytes(
+        sketch_agg(
+            events.filter("event_type = 'click'"), "value", "kll", k=8192
+        ).first()["sketch"]
+    )
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_drift_monitor(
+        stream, "value", ref_blob, group_cols=["event_type"], family="kll",
+        k=8192,
+    )
+    name = "dsks_drift_gate_" + _uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming gate timed out after 300s")
+    # update-mode emissions are cumulative per-key prefixes; the final
+    # state is the one with the largest n (monotone per key)
+    return spark.sql(
+        f"""
+        SELECT event_type, ks
+        FROM (
+          SELECT event_type, ks,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY datasketch_kll_n(sketch) DESC) AS rn
+          FROM {name}
+        ) WHERE rn = 1
+        """
+    )
+
+
 def q_rollup_month_from_day_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rollup_sketch_table`` as an oracle-gated query: persist a
     per-DAY theta sketch table of order customers, roll it up to
@@ -2814,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_data_watermark": q_streaming_late_data_watermark,
         "sql_scale_two_phase": q_sql_scale_two_phase,
         "streaming_windowed_rollup": q_streaming_windowed_rollup,
+        "streaming_drift_ks": q_streaming_drift_ks,
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
     }
 
@@ -3641,6 +3706,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch_us(date_trunc('day', ts)) AS day_us,"
             " count(DISTINCT user_id)::BIGINT AS distinct_users"
             " FROM events GROUP BY 1"
+        ),
+        "streaming_drift_ks": (
+            # exact two-sample KS per event_type vs the 'click'
+            # reference: stack each group's sample with the reference,
+            # windowed right-inclusive ECDFs (RANGE frame shares ties),
+            # max |F_g - F_ref| over all sample points
+            "WITH ref AS (SELECT value AS x FROM events"
+            "  WHERE event_type = 'click'),"
+            " stacked AS ("
+            "  SELECT event_type AS g, value AS x, 0 AS is_ref FROM events"
+            "  UNION ALL"
+            "  SELECT gs.g, r.x, 1 FROM ref r CROSS JOIN"
+            "   (SELECT DISTINCT event_type AS g FROM events) gs),"
+            " cum AS ("
+            "  SELECT g, x, is_ref,"
+            "   sum(1 - is_ref) OVER (PARTITION BY g ORDER BY x"
+            "     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,"
+            "   sum(is_ref) OVER (PARTITION BY g ORDER BY x"
+            "     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb"
+            "  FROM stacked),"
+            " tot AS (SELECT g, count(*) FILTER (is_ref = 0) AS na,"
+            "   count(*) FILTER (is_ref = 1) AS nb FROM stacked GROUP BY g)"
+            " SELECT c.g AS event_type,"
+            "  max(abs(c.ca::DOUBLE / t.na - c.cb::DOUBLE / t.nb)) AS ks"
+            " FROM cum c JOIN tot t ON c.g = t.g GROUP BY c.g"
         ),
         "rollup_month_from_day_table": (
             "SELECT strftime(o_orderdate, '%Y-%m') AS month,"

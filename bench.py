@@ -166,6 +166,16 @@ def main():
     mpb = os.environ.get("SPARK_GRAFT_MPB")
     if mpb:
         spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+    # SPARK_GRAFT_CLUSTER_CONFS=1: replace the sf0.1-tuned local knobs
+    # with what tuning.recommended_confs prescribes for real clusters
+    # (AQE on, shuffles sized to cores, default scan splits) — used for
+    # the BENCH_SLOPES_*'s "engine under size-appropriate confs" row,
+    # where the fixed harness confs are the wrong ones at sf10+
+    if os.environ.get("SPARK_GRAFT_CLUSTER_CONFS"):
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb or "128m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
 
     q = entrymod.queries()
     # optional comma-separated head filter for debugging session-order

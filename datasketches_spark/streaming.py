@@ -247,6 +247,7 @@ def stateful_sketch_stream(
     idle_timeout_ms: int | None = None,
     ts_col: str | None = None,
     watermark: str | None = None,
+    metric=None,
 ) -> DataFrame:
     """Per-key incremental sketches INSIDE the streaming engine.
 
@@ -272,6 +273,17 @@ def stateful_sketch_stream(
     ``availableNow`` the trailing timeout batch can race shutdown
     (harmless task retry, but no eviction rows are guaranteed).
 
+    ``metric`` (``(name, fn)`` with ``fn(sketch_obj) -> float``): emit
+    an extra per-key DOUBLE column computed from the cumulative sketch
+    INSIDE the stateful function.  This is deliberately not a
+    downstream ``withColumn`` + pandas UDF: Spark's EvalPython buffers
+    its input rows as UnsafeRow, but ``applyInPandasWithState``
+    produces GenericInternalRow, and a scalar pandas UDF placed
+    directly over the stateful output crashes with a
+    ClassCastException (observed on 4.1.2; plan-shape dependent).
+    Computing the metric where the sketch already lives also avoids a
+    per-batch deserialize round trip.
+
     ``ts_col`` + ``watermark`` (e.g. ``("event_ts", "1 hour")``): set an
     event-time watermark so rows arriving later than the watermark are
     DROPPED before they reach the stateful operator — the standard
@@ -292,16 +304,20 @@ def stateful_sketch_stream(
     )
 
     group_fields = [stream_df.schema[c] for c in group_cols]
-    out_schema = StructType(
-        list(group_fields)
-        + [
-            StructField("sketch", BinaryType(), True),
-            StructField("rows_in_batch", LongType(), True),
-        ]
-    )
+    out_fields = list(group_fields) + [
+        StructField("sketch", BinaryType(), True),
+        StructField("rows_in_batch", LongType(), True),
+    ]
+    if metric is not None:
+        from pyspark.sql.types import DoubleType
+
+        out_fields.append(StructField(metric[0], DoubleType(), True))
+    out_schema = StructType(out_fields)
     state_schema = StructType([StructField("sketch", BinaryType(), True)])
 
-    fn = _make_stateful_fn(family, input_col, group_cols, k, idle_timeout_ms)
+    fn = _make_stateful_fn(
+        family, input_col, group_cols, k, idle_timeout_ms, metric
+    )
     if (ts_col is None) != (watermark is None):
         raise ValueError("pass ts_col and watermark together (or neither)")
     if ts_col is not None and idle_timeout_ms is not None:
@@ -341,15 +357,27 @@ def _make_stateful_fn(
     group_cols: list[str],
     k: int | None,
     idle_timeout_ms: int | None,
+    metric=None,
 ):
     """The applyInPandasWithState callback, factored out so the
-    timeout-eviction branch is unit-testable with a fake GroupState."""
+    timeout-eviction branch is unit-testable with a fake GroupState.
+    ``metric``: optional ``(name, fn)`` — fn(cumulative sketch) -> a
+    float emitted as a trailing column (see stateful_sketch_stream)."""
     import pandas as pd
 
     from .families import FAMILY_CLASSES as _BY_NAME
     from .families import build_params, create_sketch, update_sketch
 
     cls = _BY_NAME[family]
+    cols = group_cols + ["sketch", "rows_in_batch"]
+    if metric is not None:
+        cols = cols + [metric[0]]
+
+    def _row(key, blob, nrows, sk):
+        row = list(key) + [blob, nrows]
+        if metric is not None:
+            row.append(float(metric[1](sk)))
+        return row
 
     def fn(key, pdfs, state):
         sk = None
@@ -362,8 +390,7 @@ def _make_stateful_fn(
             state.remove()
             if sk is not None:
                 yield pd.DataFrame(
-                    [list(key) + [sk.serialize(), -1]],
-                    columns=group_cols + ["sketch", "rows_in_batch"],
+                    [_row(key, sk.serialize(), -1, sk)], columns=cols
                 )
             return
         nrows = 0
@@ -379,10 +406,7 @@ def _make_stateful_fn(
         state.update((blob,))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
-        yield pd.DataFrame(
-            [list(key) + [blob, nrows]],
-            columns=group_cols + ["sketch", "rows_in_batch"],
-        )
+        yield pd.DataFrame([_row(key, blob, nrows, sk)], columns=cols)
 
     return fn
 
@@ -408,30 +432,43 @@ def streaming_drift_monitor(
     rows_in_batch, <metric_col>)``.  Alert on ``metric_col`` crossing
     a threshold downstream.
 
-    The reference blob rides along as a constant binary literal —
-    broadcast with the plan, never shuffled.  Cumulative-so-far drift
-    by default; for per-window drift include an event-time bucket
-    (e.g. ``sources.read_table``'s ``hour_bucket``) in ``group_cols``.
-    Requires ``register(spark)`` (the KS scalar runs through the SQL
-    registry).
+    The reference blob ships inside the stateful function's closure —
+    broadcast with the task binary, never shuffled — and the KS is
+    computed IN the stateful function against the key's cumulative
+    sketch (a pandas UDF over applyInPandasWithState output crashes
+    with a plan-shape-dependent ClassCastException on 4.1.2 — see
+    ``stateful_sketch_stream``'s ``metric`` note; found by the grouped
+    oracle gate, round 10).  Cumulative-so-far drift by default; for
+    per-window drift include an event-time bucket (e.g.
+    ``sources.read_table``'s ``hour_bucket``) in ``group_cols``.
     """
     if family not in ("quantiles", "kll", "req"):
         raise ValueError(
             f"family ({family!r}) must be a KS-capable quantile family: "
             "'quantiles', 'kll', or 'req'"
         )
+    from .families import FAMILY_CLASSES
+
+    cls = FAMILY_CLASSES[family]
+    ref_bytes = bytes(reference_blob)
+    ref_cache: list = []  # deserialize once per worker, not per batch
+
+    def _ks(sk) -> float:
+        if not ref_cache:
+            ref_cache.append(cls.deserialize(ref_bytes))
+        return float(sk.ks_distance(ref_cache[0]))
+
     group_cols = list(group_cols or [])
     gcols = group_cols or ["__all"]
     src = stream_df if group_cols else stream_df.withColumn("__all", F.lit(1))
-    sketches = stateful_sketch_stream(
-        src, input_col, family, gcols, k=k, output_mode=output_mode
-    )
-    out = (
-        sketches.withColumn("__ref", F.lit(bytes(reference_blob)))
-        .withColumn(
-            metric_col, F.expr(f"datasketch_{family}_ks(sketch, __ref)")
-        )
-        .drop("__ref")
+    out = stateful_sketch_stream(
+        src,
+        input_col,
+        family,
+        gcols,
+        k=k,
+        output_mode=output_mode,
+        metric=(metric_col, _ks),
     )
     return out if group_cols else out.drop("__all")
 
