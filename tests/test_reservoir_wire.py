@@ -170,3 +170,36 @@ def test_differential_fuzz_vs_java(jvm):
         assert local.n == n + 50
         assert local.num_retained == min(local.n, k)
         assert np.all(np.diff(local.tags) >= 0)
+
+
+def test_imported_state_merges_uniformly(jvm):
+    """The tag-synthesis claim behind from_wire: a java-imported
+    reservoir (k of n) merged with a locally built one must behave as
+    ONE uniform sample over the concatenated population — imported
+    items must appear in the union sample at the same rate as local
+    ones.  The synthesized tags are the bottom-k order statistics of
+    n unit exponentials, randomly assigned, which is exactly the tag
+    state of an A-ES sketch those k items won; any bias here (e.g.
+    forgetting the (n - k) unseen mass, or sorted-not-permuted
+    assignment) skews this rate measurably."""
+    k, n_java, n_local = 20, 1000, 1000
+    trials = 200
+    hits_java_side = 0
+    jsk = _jres(jvm, k)
+    for v in range(n_java):
+        jsk.update(v)
+    blob = bytes(jsk.toByteArray())  # one java sample, re-imported per trial
+    for _ in range(trials):
+        imported = ReservoirSampleSketch.from_wire(blob)
+        local = _build_ours(
+            np.arange(n_java, n_java + n_local, dtype=np.int64), k
+        )
+        local.merge(imported)
+        assert local.n == n_java + n_local and local.num_retained == k
+        hits_java_side += sum(
+            1 for it in local.get_items() if int(it) < n_java
+        )
+    frac = hits_java_side / (trials * k)
+    # equal halves -> expected 0.5; sd of the mean over 4000 draws
+    # ~0.008, band is ~6 sigma
+    assert 0.45 < frac < 0.55, frac
