@@ -27,6 +27,13 @@ group key; the LAST column is the value being sketched.  Do NOT write
 shuffle this exists to avoid (a single-partition spec likewise
 serializes the scan).
 
+Map-phase memory is BOUNDED: eval() flushes each group's value buffer
+into its (mergeable) sketch every ``FLUSH_ROWS`` values, so peak state
+per task is O(groups-in-partition × (FLUSH_ROWS + sketch size)) — the
+same bounded-state contract the reference's Combine machinery has
+(reference codegen/generated.cpp.j2:305-341), never the whole decoded
+partition as boxed Python objects.
+
 Scale note vs sketch_agg: the plan (and therefore the shuffle volume,
 the thing that breaks at 100 TB) is identical, but UDTF evaluation is
 row-at-a-time into a buffer while mapInPandas is Arrow-batched — the
@@ -38,66 +45,103 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-_FAMILIES_WITH_DEFAULT_K = frozenset(["theta", "frequent_items", "stats"])
+# Values buffered per group before they are folded into the group's
+# sketch.  64k doubles ≈ 512 KB raw (a few MB as a Python list) —
+# large enough to amortize the pandas/update call, small enough that a
+# fat partition cannot blow out executor memory.
+FLUSH_ROWS = 65536
+
+
+class DatasketchPartials:
+    """Map-side combine: eval() accumulates values per group key and
+    folds them into a per-group sketch every FLUSH_ROWS values;
+    terminate() flushes the remainder and emits one blob per group.
+
+    ``max_buffered`` records the high-water mark of values held across
+    all group buffers — tests assert it never exceeds
+    FLUSH_ROWS × live groups (bounded-memory contract).
+    """
+
+    def __init__(self):
+        self._buffers: dict[tuple, list] = {}
+        self._sketches: dict[tuple, object] = {}
+        self._family: str | None = None
+        self._k = None
+        self._buffered = 0
+        self.max_buffered = 0
+
+    @staticmethod
+    def analyze(table, family, k=None):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import BinaryType, StructType
+
+        if not isinstance(table.dataType, StructType):
+            raise ValueError("first argument must be TABLE(...)")
+        if len(table.dataType.fields) < 1:
+            raise ValueError(
+                "TABLE argument needs at least a value column"
+            )
+        fam = family.value
+        if fam is None:
+            raise ValueError(
+                "family must be a constant string, e.g. 'theta'"
+            )
+        out = StructType()
+        for f in table.dataType.fields[:-1]:
+            out = out.add(f.name, f.dataType)
+        out = out.add("sketch", BinaryType())
+        return AnalyzeResult(schema=out)
+
+    def _flush(self, key) -> None:
+        vals = self._buffers[key]
+        if not vals:
+            return
+        import pandas as pd
+
+        from ..families import build_params, create_sketch, update_sketch
+
+        s = pd.Series(vals)
+        sk = self._sketches.get(key)
+        if sk is None:
+            sk = create_sketch(
+                self._family, build_params(self._family, self._k, s)
+            )
+            self._sketches[key] = sk
+        update_sketch(self._family, sk, s)
+        self._buffered -= len(vals)
+        self._buffers[key] = []
+
+    def eval(self, row, family: str, k=None):
+        if self._family is None:
+            self._family = family
+            self._k = k
+        vals = list(row)
+        key, v = tuple(vals[:-1]), vals[-1]
+        if v is None:
+            # NULLs are skipped and never register the group (parity
+            # with the r10 behavior and the UDAF NULL-skipping idiom)
+            return
+        buf = self._buffers.setdefault(key, [])
+        buf.append(v)
+        self._buffered += 1
+        if self._buffered > self.max_buffered:
+            self.max_buffered = self._buffered
+        if len(buf) >= FLUSH_ROWS:
+            self._flush(key)
+
+    def terminate(self):
+        if self._family is None:
+            return
+        for key in self._buffers:
+            self._flush(key)
+            yield (*key, self._sketches[key].serialize())
 
 
 def _make_partials_udtf():
-    # built lazily inside register_sql_scale: pyspark parses UDTF return
-    # schemas against the active session, same as the scalar registry
-    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
-    from pyspark.sql.types import BinaryType, StructType
-
-    class DatasketchPartials:
-        """eval() buffers (group_key -> values); terminate() builds one
-        sketch per group seen in this partition and emits its blob."""
-
-        def __init__(self):
-            self._groups: dict[tuple, list] = {}
-            self._family: str | None = None
-            self._k = None
-
-        @staticmethod
-        def analyze(table: AnalyzeArgument, family: AnalyzeArgument, k=None):
-            if not isinstance(table.dataType, StructType):
-                raise ValueError("first argument must be TABLE(...)")
-            if len(table.dataType.fields) < 1:
-                raise ValueError(
-                    "TABLE argument needs at least a value column"
-                )
-            fam = family.value
-            if fam is None:
-                raise ValueError(
-                    "family must be a constant string, e.g. 'theta'"
-                )
-            out = StructType()
-            for f in table.dataType.fields[:-1]:
-                out = out.add(f.name, f.dataType)
-            out = out.add("sketch", BinaryType())
-            return AnalyzeResult(schema=out)
-
-        def eval(self, row, family: str, k=None):
-            if self._family is None:
-                self._family = family
-                self._k = k
-            vals = list(row)
-            key, v = tuple(vals[:-1]), vals[-1]
-            if v is not None:
-                self._groups.setdefault(key, []).append(v)
-
-        def terminate(self):
-            if self._family is None:
-                return
-            import pandas as pd
-
-            from ..families import build_params, create_sketch, update_sketch
-
-            for key, vals in self._groups.items():
-                s = pd.Series(vals)
-                sk = create_sketch(
-                    self._family, build_params(self._family, self._k, s)
-                )
-                update_sketch(self._family, sk, s)
-                yield (*key, sk.serialize())
+    # wrapped lazily inside register_sql_scale: pyspark parses UDTF
+    # return schemas against the active session, same as the scalar
+    # registry
+    from pyspark.sql.functions import udtf
 
     return udtf(DatasketchPartials)
 

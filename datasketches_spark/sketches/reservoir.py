@@ -254,7 +254,16 @@ class ReservoirSampleSketch:
             raise SketchDeserializeError(
                 f"Failed to deserialize {cls.NAME} sketch"
             )
-        sk = cls(k)
+        try:
+            sk = cls(k)
+        except ValueError as exc:
+            # a structurally valid java blob may carry k up to
+            # Int.MaxValue; we cap at K_MAX — refuse loudly, but under
+            # the corrupt-blob contract, not a bare ValueError
+            raise SketchDeserializeError(
+                f"Failed to deserialize {cls.NAME} sketch: "
+                f"k={k} outside supported [{cls.K_MIN}, {cls.K_MAX}]"
+            ) from exc
         if flags & cls._WIRE_EMPTY_FLAG:
             return sk
         try:

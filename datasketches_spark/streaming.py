@@ -341,7 +341,11 @@ def stateful_sketch_stream(
     cols = [*group_cols, input_col]
     if ts_col is not None:
         df = df.withWatermark(ts_col, watermark)
-        cols.append(ts_col)
+        # ts_col may coincide with a group col or the value col; a
+        # duplicate name in select() would make pdf[input_col] return a
+        # 2-column frame inside the stateful fn (ADVICE r10)
+        if ts_col not in cols:
+            cols.append(ts_col)
     return (
         df.select(*cols)
         .groupBy(*group_cols)

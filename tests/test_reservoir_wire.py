@@ -135,6 +135,28 @@ def test_corrupt_wire_blob_raises():
         ReservoirSampleSketch.from_wire(b"\xc2\x02\x0c\x00" + b"\x00" * 12)
 
 
+def test_out_of_range_k_wire_blob_raises():
+    """Valid family/serVer header but k outside [K_MIN, K_MAX] (k=0 is
+    corrupt; a huge k is a legitimate java blob we cap) must honour the
+    corrupt-blob contract — SketchDeserializeError, never a bare
+    ValueError (ADVICE r10)."""
+    import struct
+
+    for bad_k in (0, ReservoirSampleSketch.K_MAX + 1, (1 << 31) - 1):
+        hdr = struct.pack(
+            "<BBBBI",
+            2,
+            ReservoirSampleSketch._WIRE_SERVER,
+            ReservoirSampleSketch._WIRE_FAMILY_ID,
+            0,
+            bad_k,
+        )
+        with pytest.raises(
+            SketchDeserializeError, match="Failed to deserialize"
+        ):
+            ReservoirSampleSketch.from_wire(hdr + b"\x00" * 8)
+
+
 # ------------------------------------------------------------- fuzz
 
 def test_differential_fuzz_vs_java(jvm):

@@ -117,3 +117,28 @@ def test_partials_skips_nulls_and_validates_family(spark):
         """
     ).collect()
     assert out == []  # all-null values contribute no partial
+
+
+def test_partials_eval_memory_bounded(spark, monkeypatch):
+    """The map phase must never hold a whole partition's raw values:
+    eval() folds each group's buffer into its sketch every FLUSH_ROWS
+    values (r10 verdict item #1 — the bounded-state contract of the
+    reference's Combine machinery, codegen/generated.cpp.j2:305-341)."""
+    from datasketches_spark.functions import sql_scale
+
+    monkeypatch.setattr(sql_scale, "FLUSH_ROWS", 100)
+    u = sql_scale.DatasketchPartials()
+    n_groups = 3
+    for i in range(30_000):
+        u.eval((i % n_groups, i % 997), "theta", 14)
+    # high-water mark: at most one nearly-full buffer per group
+    assert u.max_buffered <= 100 * n_groups
+    out = {row[0]: row[1] for row in u.terminate()}
+    assert set(out) == {0, 1, 2}
+    # incremental flushing must not change the answer (exact mode)
+    from datasketches_spark.sketches.theta import ThetaSketch
+
+    for g in range(n_groups):
+        est = ThetaSketch.deserialize(out[g]).get_estimate()
+        exact = len({i % 997 for i in range(30_000) if i % n_groups == g})
+        assert round(est) == exact
