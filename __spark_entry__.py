@@ -1496,6 +1496,54 @@ def q_reservoir_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("regionkey", F.col("__it").cast("long").alias("item"))
 
 
+def q_varopt_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample published as an Apache
+    VarOptItemsSketch wire table (round 11 — the ecosystem's WEIGHTED
+    sampling wire family, differentially fuzzed vs live
+    datasketches-java in tests/test_varopt_wire.py), re-ingested, and
+    read back item-by-item.  Exact mode (k=50 >= 5 nations/region)
+    means inclusion probability 1, so every (item, weight) pair
+    crosses the wire exactly — deterministic."""
+    import os
+    import tempfile
+
+    from datasketches_spark import io as dio
+
+    _ensure(spark)
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__varopt_nation")
+    sk = spark.sql(
+        """
+        SELECT n_regionkey,
+               datasketch_reservoir_weighted(
+                   50, n_nationkey, CAST(n_nationkey + 1 AS DOUBLE)
+               ) AS sketch
+        FROM __varopt_nation GROUP BY n_regionkey
+        """
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dsks_varopt_gate_{os.path.basename(sf_dir.rstrip('/'))}",
+        "t",
+    )
+    dio.write_wire_table(sk, path, "sketch", "varopt", k=50)
+    back = dio.read_wire_table(spark, path)
+    return back.select(
+        F.col("n_regionkey").cast("long").alias("regionkey"),
+        F.explode(
+            F.arrays_zip(
+                F.expr("datasketch_reservoir_items(sketch)").alias("item"),
+                F.expr(
+                    "datasketch_reservoir_sample_weights(sketch)"
+                ).alias("weight"),
+            )
+        ).alias("z"),
+    ).select(
+        "regionkey",
+        F.col("z.item").alias("item"),
+        F.col("z.weight").alias("weight"),
+    )
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 5-gram overlap of each
     training document with the benchmark corpus.  The benchmark is the
@@ -2780,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_priority_counts": q_cms_priority_counts,
         "reservoir_nations_by_region": q_reservoir_nations_by_region,
         "reservoir_wire_roundtrip": q_reservoir_wire_roundtrip,
+        "varopt_weighted_sample": q_varopt_weighted_sample,
         "bloom_contains_customers": q_bloom_contains_customers,
         "salted_theta_skew": q_salted_theta_skew,
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
@@ -3206,6 +3255,11 @@ def oracle_sql() -> dict[str, str]:
         "reservoir_wire_roundtrip": (
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"
             " CAST(n_nationkey AS BIGINT) AS item FROM nation"
+        ),
+        "varopt_weighted_sample": (
+            "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"
+            " CAST(n_nationkey AS VARCHAR) AS item,"
+            " CAST(n_nationkey + 1 AS DOUBLE) AS weight FROM nation"
         ),
         "cms_priority_counts": (
             "SELECT o_orderpriority AS item, count(*) AS cnt"

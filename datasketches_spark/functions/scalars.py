@@ -551,6 +551,29 @@ def build_scalar_registry() -> dict[str, object]:
     # sketches/reservoir.py to_wire/from_wire for the interop contract)
     reg[p + "to_wire"] = _unary(R, lambda sk: sk.to_wire(), "binary")
     reg[p + "from_wire"] = _unary(R, lambda sk: sk.serialize(), "binary")
+    # weighted-sample estimation surface (round 11): HT weight per
+    # sampled item and the total-stream-weight estimator they sum to
+    reg[p + "sample_weights"] = _unary(
+        R, lambda sk: [float(x) for x in sk.get_sample_weights()],
+        "array<double>",
+    )
+    reg[p + "total_weight_estimate"] = _unary(
+        R, lambda sk: float(sk.total_weight_estimate()), "double"
+    )
+    # Apache VarOptItemsSketch wire (round 11) — the ecosystem's
+    # WEIGHTED sampling family; uniform states export too (a uniform
+    # estimation-mode sample is a pure R region).  The wire carries no
+    # serde marker, so longs vs strings is the caller's contract (same
+    # story as the typed quantile families).
+    reg["datasketch_varopt_to_wire"] = _unary(
+        R, lambda sk: sk.to_varopt_wire(), "binary"
+    )
+    reg["datasketch_varopt_to_wire_strings"] = _unary(
+        R, lambda sk: sk.to_varopt_wire(serde="strings"), "binary"
+    )
+    reg["datasketch_varopt_from_wire"] = _unary(
+        R, lambda sk: sk.serialize(), "binary"
+    )
 
     # ---- exact summary stats (beyond-reference; sketches/stats.py) ----
     p = "datasketch_stats_"

@@ -21,6 +21,10 @@ _FAMILY_BYTES = {
     "theta": 1, "kll": 2, "quantiles": 3, "req": 4,
     "tdigest": 5, "hll": 6, "cpc": 7, "frequent_items": 8,
     "bloom": 9, "reservoir": 10, "cms": 11,
+    # "varopt" is a WIRE DIALECT of the reservoir family (weighted
+    # samples publish as Apache VarOptItemsSketch blobs) — the engine
+    # frames are reservoir frames
+    "varopt": 10,
 }
 _META_KEY = "datasketches_spark"
 
@@ -148,7 +152,7 @@ def merge_bucketed_sketch_tables(
 
 _WIRE_FAMILIES = frozenset(
     ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest",
-     "frequent_items", "reservoir"]
+     "frequent_items", "reservoir", "varopt"]
 )
 
 
@@ -220,8 +224,13 @@ def write_wire_table(
         )
     if family in _TYPED_WIRE_FAMILIES and dtype is None:
         dtype = _peek_dtype(df, sketch_col, family)
+    to_wire_fn = f"datasketch_{family}_to_wire"
+    if family == "varopt" and dtype == "string":
+        # the VarOpt wire carries no serde marker: string items use
+        # ArrayOfStringsSerDe framing and the dtype metadata records it
+        to_wire_fn = "datasketch_varopt_to_wire_strings"
     out = df.withColumn(
-        sketch_col, F.expr(f"datasketch_{family}_to_wire({sketch_col})")
+        sketch_col, F.expr(f"{to_wire_fn}({sketch_col})")
     )
     meta_body = {"family": family, "k": k, "format_version": 1, "wire": True}
     if dtype is not None:

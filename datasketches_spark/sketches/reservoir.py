@@ -49,13 +49,20 @@ from .base import (
 )
 from .frequent_items import canonicalize_series
 
+# Apache Family.VAROPT (datasketches-java Family enum: id 13, min
+# preamble 1 long, max 4)
+_VAROPT_WIRE_FAMILY_ID = 13
+_VAROPT_WIRE_SERVER = 2
+_VAROPT_WIRE_EMPTY_FLAG = 4
+_VAROPT_WIRE_GADGET_FLAG = 128
+
 
 class ReservoirSampleSketch:
     FAMILY = FAMILY_RESERVOIR
     NAME = "Reservoir Sample"
     K_MIN, K_MAX = 1, 1 << 22
 
-    __slots__ = ("k", "n", "tags", "items", "weighted", "_rng")
+    __slots__ = ("k", "n", "tags", "items", "weights", "weighted", "_rng")
 
     def __init__(self, k: int = 1024):
         if not (self.K_MIN <= k <= self.K_MAX):
@@ -70,30 +77,53 @@ class ReservoirSampleSketch:
         # True once any weighted update touched this state (directly or
         # via merge): the sample is then inclusion-∝-weight, not
         # uniform, and must not be exported as an Apache uniform
-        # reservoir (to_wire refuses)
+        # reservoir (to_wire refuses; to_varopt_wire is the weighted
+        # wire).  Weighted states retain per-item RAW weights plus ONE
+        # extra (tag, item, weight) triple: the (k+1)-th smallest tag
+        # is the PPSWOR threshold τ that makes bottom-k subset-sum
+        # estimation possible (Cohen & Kaplan, "Summarizing data using
+        # bottom-k sketches") — and bottom-(k+1) sets merge exactly, so
+        # τ survives the two-phase plan.
+        self.weights: np.ndarray | None = None
         self.weighted = False
         self._rng = np.random.default_rng()
 
     # -- building -------------------------------------------------------
-    def _keep_bottom_k(self, tags: np.ndarray, items: list[str]) -> None:
-        if tags.size > self.k:
-            idx = np.argpartition(tags, self.k - 1)[: self.k]
+    def _cap(self) -> int:
+        """Retention cap: weighted states keep one extra triple so the
+        (k+1)-th smallest tag (the estimation threshold) is mergeable."""
+        return self.k + 1 if self.weighted else self.k
+
+    def _keep_bottom(
+        self,
+        tags: np.ndarray,
+        items: list[str],
+        weights: np.ndarray | None,
+    ) -> None:
+        cap = self._cap()
+        if tags.size > cap:
+            idx = np.argpartition(tags, cap - 1)[:cap]
             # sort for deterministic serialized layout given the same tags
             idx = idx[np.argsort(tags[idx], kind="stable")]
         else:
             idx = np.argsort(tags, kind="stable")
         self.tags = tags[idx]
         self.items = [items[i] for i in idx]
+        self.weights = None if weights is None else weights[idx]
 
     def update_series(self, s: pd.Series, weights: pd.Series | None = None) -> None:
         if weights is not None:
+            first_weighted = not self.weighted
             self.weighted = True
             mask = s.notna() & weights.notna() & (weights > 0)
             s = s[mask]
             w = weights[mask].to_numpy(dtype=np.float64)
+            if first_weighted and self.weights is None:
+                # a uniform prefix joins the weighted state at w=1
+                self.weights = np.ones(len(self.items), dtype=np.float64)
         else:
             s = s.dropna()
-            w = None
+            w = np.ones(len(s)) if self.weighted else None
         if s.empty:
             return
         # Exp(w) keys: -ln(U)/w; numpy's exponential(scale) draws
@@ -102,12 +132,13 @@ class ReservoirSampleSketch:
         new_tags = self._rng.exponential(scale, size=len(s))
         self.n += len(s)
         # select survivors on tags alone, then canonicalize only the
-        # <= k incoming winners: stringifying every candidate row was
+        # <= cap incoming winners: stringifying every candidate row was
         # the dominant cost of the whole update
+        cap = self._cap()
         n_old = self.tags.size
         tags = np.concatenate([self.tags, new_tags])
-        if tags.size > self.k:
-            idx = np.argpartition(tags, self.k - 1)[: self.k]
+        if tags.size > cap:
+            idx = np.argpartition(tags, cap - 1)[:cap]
             idx = idx[np.argsort(tags[idx], kind="stable")]
         else:
             idx = np.argsort(tags, kind="stable")
@@ -119,6 +150,8 @@ class ReservoirSampleSketch:
         self.items = [
             self.items[i] if i < n_old else new_items[i - n_old] for i in idx
         ]
+        if self.weights is not None:
+            self.weights = np.concatenate([self.weights, w])[idx]
         self.tags = tags[idx]
 
     def merge(self, other: "ReservoirSampleSketch") -> None:
@@ -128,9 +161,28 @@ class ReservoirSampleSketch:
             # convention as the HLL family)
             self.k = other.k
         self.n += other.n
+        was_weighted = (self.weighted, other.weighted)
         self.weighted = self.weighted or other.weighted
-        self._keep_bottom_k(
-            np.concatenate([self.tags, other.tags]), self.items + other.items
+        if self.weighted:
+            # per-side weights: a uniform side contributes w=1 items; a
+            # LEGACY weighted side (pre-r11 blob, weights lost) poisons
+            # the merged weights to None — queries that need them refuse
+            sides = []
+            for sk, w_flag in ((self, was_weighted[0]), (other, was_weighted[1])):
+                if sk.weights is not None:
+                    sides.append(sk.weights)
+                elif not w_flag:
+                    sides.append(np.ones(len(sk.items), dtype=np.float64))
+                else:
+                    sides = None
+                    break
+            weights = None if sides is None else np.concatenate(sides)
+        else:
+            weights = None
+        self._keep_bottom(
+            np.concatenate([self.tags, other.tags]),
+            self.items + other.items,
+            weights,
         )
 
     # -- queries --------------------------------------------------------
@@ -139,16 +191,64 @@ class ReservoirSampleSketch:
         return self.n == 0
 
     @property
+    def sample_size(self) -> int:
+        """Items in the SAMPLE — excludes the internal (k+1)-th
+        threshold triple a weighted estimation-mode state retains."""
+        return min(self.k, len(self.items))
+
+    @property
     def num_retained(self) -> int:
-        return len(self.items)
+        return self.sample_size
 
     @property
     def is_exact(self) -> bool:
         """True iff the sample IS the full input multiset."""
         return self.n <= self.k
 
+    @property
+    def threshold_tag(self) -> float | None:
+        """The (k+1)-th smallest A-ES tag (PPSWOR threshold τ), present
+        only on weighted states that overflowed k since round 11."""
+        return float(self.tags[self.k]) if len(self.items) > self.k else None
+
     def get_items(self) -> list[str]:
-        return list(self.items)
+        return list(self.items[: self.sample_size])
+
+    def get_sample_weights(self) -> np.ndarray:
+        """Estimation (Horvitz–Thompson) weight per sampled item,
+        parallel to :meth:`get_items` — each item's unbiased share of
+        the total stream weight:
+
+        - uniform exact: 1 each; uniform estimation: n / k each;
+        - weighted exact: the raw weights (inclusion prob 1);
+        - weighted estimation with threshold τ: w / (1 − e^{−wτ})
+          (conditional inclusion prob of an Exp(w) tag beating τ);
+        - imported VarOpt states carry ALREADY-adjusted weights and no
+          τ — returned as stored (the sample-of-sample composition).
+        """
+        m = self.sample_size
+        if not self.weighted:
+            per = 1.0 if self.is_exact else self.n / m
+            return np.full(m, per, dtype=np.float64)
+        if self.weights is None:
+            raise ValueError(
+                "legacy weighted Reservoir blob carries no per-item "
+                "weights (pre-r11 state) — rebuild the sketch to use "
+                "weight estimation or VarOpt export"
+            )
+        w = self.weights[:m]
+        tau = self.threshold_tag
+        if tau is None:
+            return w.copy()
+        # -expm1(-w*tau) = 1 - exp(-w*tau), accurate for tiny w*tau
+        return w / -np.expm1(-w * tau)
+
+    def total_weight_estimate(self) -> float:
+        """Unbiased estimate of the total stream weight (= n when
+        uniform)."""
+        if not self.weighted:
+            return float(self.n)
+        return float(self.get_sample_weights().sum())
 
     def describe(self) -> str:
         lines = [
@@ -282,12 +382,20 @@ class ReservoirSampleSketch:
         return sk
 
     # -- serialization --------------------------------------------------
+    # DSKS payload flag byte: 0 = uniform; 1 = legacy weighted (pre-r11,
+    # no per-item weights — read-only support); 2 = weighted with a
+    # float64 weights array between the tags and the item lengths.
     def serialize(self) -> bytes:
         enc = [s.encode("utf-8") for s in self.items]
         lens = np.array([len(e) for e in enc], dtype=np.int32)
+        if not self.weighted:
+            flag = 0
+        else:
+            flag = 1 if self.weights is None else 2
         payload = (
-            struct.pack("<IQIB", self.k, self.n, len(enc), int(self.weighted))
+            struct.pack("<IQIB", self.k, self.n, len(enc), flag)
             + self.tags.tobytes()
+            + (self.weights.tobytes() if flag == 2 else b"")
             + lens.tobytes()
             + b"".join(enc)
         )
@@ -296,18 +404,31 @@ class ReservoirSampleSketch:
     @classmethod
     def deserialize(cls, blob: bytes) -> "ReservoirSampleSketch":
         if not is_framed(blob):
-            # Apache ReservoirLongsSketch blob: implicit ingest, same
-            # sniff convention as the theta/quantile families
-            return cls.from_wire(bytes(blob))
+            # Apache blob: implicit ingest, same sniff convention as
+            # the theta/quantile families — family byte 11 is a
+            # ReservoirLongsSketch, 13 a VarOptItemsSketch
+            raw = bytes(blob)
+            if len(raw) > 2 and raw[2] == _VAROPT_WIRE_FAMILY_ID:
+                return cls.from_varopt_wire(raw)
+            return cls.from_wire(raw)
         payload = unframe(blob, cls.FAMILY)
         try:
-            k, n, cnt, weighted = struct.unpack_from("<IQIB", payload, 0)
+            k, n, cnt, flag = struct.unpack_from("<IQIB", payload, 0)
+            if flag not in (0, 1, 2):
+                raise ValueError("bad weighted flag")
             sk = cls(k)
             sk.n = n
-            sk.weighted = bool(weighted)
+            sk.weighted = flag != 0
             off = 17
             sk.tags = np.frombuffer(payload, dtype=np.float64, count=cnt, offset=off).copy()
             off += 8 * cnt
+            if flag == 2:
+                sk.weights = np.frombuffer(
+                    payload, dtype=np.float64, count=cnt, offset=off
+                ).copy()
+                if sk.weights.size and not (sk.weights > 0).all():
+                    raise ValueError("non-positive weight")
+                off += 8 * cnt
             lens = np.frombuffer(payload, dtype=np.int32, count=cnt, offset=off)
             off += 4 * cnt
             items = []
@@ -322,3 +443,205 @@ class ReservoirSampleSketch:
             raise SketchDeserializeError(
                 f"Failed to deserialize {cls.NAME} sketch"
             ) from exc
+
+    # -- Apache VarOpt wire interop ---------------------------------------
+    # VarOptItemsSketch serVer-2 layout, recovered from the live
+    # datasketches-java 6.2.0 bundled in pyspark (sampling/PreambleUtil
+    # insert* offsets; differentially tested in tests/test_varopt_wire.py):
+    #   byte 0: (lgResizeFactor << 6) | preLongs   (pre 1 empty; 3 if
+    #           the R region is empty; 4 otherwise)
+    #   byte 1: serVer = 2;  byte 2: family id = 13 (VAROPT)
+    #   byte 3: flags (4 = EMPTY, 128 = GADGET/marks present)
+    #   bytes 4-7: k (LE u32)
+    #   non-empty: n u64 @8, hCount u32 @16, rCount u32 @20,
+    #              totalWtR f64 @24 (only when rCount > 0, preLongs=4);
+    #   then hCount f64 weights, then (GADGET only) ceil(h/8) mark
+    #   bytes, then the h+r items via the serde — raw LE int64s for
+    #   ArrayOfLongsSerDe, (LE u32 length + UTF-8) per item for
+    #   ArrayOfStringsSerDe.  java's heapify requires k >= 1 and every
+    #   H weight > 0.
+    def to_varopt_wire(self, serde: str = "longs") -> bytes:
+        """Serialize as an Apache ``VarOptItemsSketch`` blob — the
+        DataSketches ecosystem's weighted-sampling wire family (the
+        uniform :meth:`to_wire` counterpart; reference pitch
+        docs/README.md:9, sketch state that crosses systems).
+
+        Region mapping (subset-sum estimates are preserved exactly):
+
+        - uniform exact / weighted states: every sampled item goes to
+          the H region carrying its Horvitz–Thompson estimation weight
+          (:meth:`get_sample_weights`), R empty.  java accepts,
+          estimates, and unions such all-H states (n > k with r = 0 is
+          a valid heapify image, verified against the live jar).
+        - uniform estimation mode: the k items ARE an equal-weight
+          light region — exported as R with totalWtR = n, h = 0,
+          exactly the state java's own VarOpt reaches on a unit-weight
+          stream.
+
+        ``serde``: ``"longs"`` (ArrayOfLongsSerDe; every item must be
+        an int64-canonical string) or ``"strings"``
+        (ArrayOfStringsSerDe; any items).  The Apache wire carries no
+        serde marker — the reader must be told, same contract as the
+        typed quantile families.
+        """
+        if serde not in ("longs", "strings"):
+            raise ValueError(f"unknown VarOpt serde {serde!r}")
+        if self.weighted and self.weights is None and not self.is_empty:
+            raise ValueError(
+                "legacy weighted Reservoir blob carries no per-item "
+                "weights (pre-r11 state) and cannot be exported as a "
+                "VarOptItemsSketch"
+            )
+        if self.is_empty:
+            return struct.pack(
+                "<BBBBI",
+                0xC0 | 1,
+                _VAROPT_WIRE_SERVER,
+                _VAROPT_WIRE_FAMILY_ID,
+                _VAROPT_WIRE_EMPTY_FLAG,
+                self.k,
+            )
+        m = self.sample_size
+        items = self.items[:m]
+        if serde == "longs":
+            try:
+                enc = np.array([int(s) for s in items], dtype=np.int64).tobytes()
+            except (ValueError, OverflowError) as exc:
+                raise ValueError(
+                    "VarOpt longs serde requires every retained item "
+                    "to be an int64 string (got a non-integer item); "
+                    "use serde='strings'"
+                ) from exc
+        else:
+            parts = []
+            for s in items:
+                b = s.encode("utf-8")
+                parts.append(struct.pack("<I", len(b)) + b)
+            enc = b"".join(parts)
+        if not self.weighted and not self.is_exact:
+            # uniform estimation: k equal-weight items = a pure R region
+            pre = struct.pack(
+                "<BBBBI",
+                0xC0 | 4,
+                _VAROPT_WIRE_SERVER,
+                _VAROPT_WIRE_FAMILY_ID,
+                0,
+                self.k,
+            )
+            pre += struct.pack("<QII", self.n, 0, m)
+            pre += struct.pack("<d", float(self.n))
+            return pre + enc
+        hw = self.get_sample_weights()
+        pre = struct.pack(
+            "<BBBBI",
+            0xC0 | 3,
+            _VAROPT_WIRE_SERVER,
+            _VAROPT_WIRE_FAMILY_ID,
+            0,
+            self.k,
+        )
+        pre += struct.pack("<QII", self.n, m, 0)
+        return pre + hw.astype("<f8").tobytes() + enc
+
+    @classmethod
+    def from_varopt_wire(
+        cls, blob: bytes, serde: str | None = None
+    ) -> "ReservoirSampleSketch":
+        """Ingest an Apache ``VarOptItemsSketch`` blob as a WEIGHTED
+        reservoir state.
+
+        H-region items keep their exact weights; each R-region item
+        carries the implied weight τ = totalWtR / r.  A-ES tags are
+        synthesized as fresh Exp(1)/w draws over those weights — the
+        standard sample-of-sample composition: the imported summary is
+        re-sampled as a weighted stream of its own (adjusted) weights,
+        so later merges keep subset-sum estimates unbiased.  No
+        threshold triple exists for imported states (the wire carries
+        none), so re-export passes the stored weights through
+        unchanged.
+
+        ``serde``: ``"longs"``, ``"strings"``, or None to auto-detect
+        (the items region is exactly 8·(h+r) bytes iff longs).
+        """
+        try:
+            pre_rf, ser, fam, flags, k = struct.unpack_from("<BBBBI", blob, 0)
+            pre = pre_rf & 0x3F
+        except struct.error as exc:
+            raise SketchDeserializeError(
+                f"Failed to deserialize {cls.NAME} sketch"
+            ) from exc
+        if (
+            fam != _VAROPT_WIRE_FAMILY_ID
+            or ser != _VAROPT_WIRE_SERVER
+            or pre not in (1, 3, 4)
+        ):
+            raise SketchDeserializeError(
+                f"Failed to deserialize {cls.NAME} sketch"
+            )
+        try:
+            sk = cls(k)
+        except ValueError as exc:
+            raise SketchDeserializeError(
+                f"Failed to deserialize {cls.NAME} sketch: "
+                f"k={k} outside supported [{cls.K_MIN}, {cls.K_MAX}]"
+            ) from exc
+        if flags & _VAROPT_WIRE_EMPTY_FLAG:
+            return sk
+        try:
+            n, h, r = struct.unpack_from("<QII", blob, 8)
+            if pre == 4:
+                if r <= 0:
+                    raise ValueError("preLongs=4 but empty R region")
+                (wt_r,) = struct.unpack_from("<d", blob, 24)
+                tau = wt_r / r
+                if not (tau > 0) or not np.isfinite(tau):
+                    raise ValueError("non-positive R weight")
+            else:
+                if r != 0:
+                    raise ValueError("R items but preLongs != 4")
+                tau = 0.0
+            off = pre * 8
+            hw = np.frombuffer(blob, dtype="<f8", count=h, offset=off)
+            if hw.size and (not np.isfinite(hw).all() or not (hw > 0).all()):
+                raise ValueError("non-positive H weight")
+            off += 8 * h
+            if flags & _VAROPT_WIRE_GADGET_FLAG:
+                off += (h + 7) // 8  # union-gadget mark bytes: skip
+            cnt = h + r
+            rest = blob[off:]
+            if serde is None:
+                serde = "longs" if len(rest) == 8 * cnt else "strings"
+            if serde == "longs":
+                if len(rest) < 8 * cnt:
+                    raise ValueError("truncated items")
+                vals = np.frombuffer(rest, dtype="<i8", count=cnt)
+                items = [str(int(v)) for v in vals]
+            elif serde == "strings":
+                items = []
+                p = 0
+                for _ in range(cnt):
+                    (ln,) = struct.unpack_from("<I", rest, p)
+                    p += 4
+                    if p + ln > len(rest):
+                        raise ValueError("truncated items")
+                    items.append(rest[p : p + ln].decode("utf-8"))
+                    p += ln
+            else:
+                raise SketchDeserializeError(
+                    f"unknown VarOpt serde {serde!r}"
+                )
+        except (struct.error, ValueError, UnicodeDecodeError) as exc:
+            raise SketchDeserializeError(
+                f"Failed to deserialize {cls.NAME} sketch"
+            ) from exc
+        weights = np.concatenate(
+            [hw.astype(np.float64), np.full(r, tau, dtype=np.float64)]
+        )
+        sk.n = int(n)
+        sk.weighted = True
+        tags = sk._rng.exponential(size=cnt) / weights
+        order = np.argsort(tags, kind="stable")
+        sk.tags = tags[order]
+        sk.weights = weights[order]
+        sk.items = [items[i] for i in order]
+        return sk

@@ -126,6 +126,36 @@ _SPECIAL = {
         "HLL_8) into the engine frame; every HLL reader also sniffs "
         "wire blobs"
     ),
+    "datasketch_varopt_to_wire": (
+        "exports a reservoir state as an Apache VarOptItemsSketch blob "
+        "(longs serde) — the ecosystem's WEIGHTED sampling wire family. "
+        "Every sampled item crosses with its Horvitz–Thompson "
+        "estimation weight (exact weights in exact mode; τ-adjusted in "
+        "estimation mode; uniform estimation states export as a pure "
+        "equal-weight R region). Differentially fuzzed vs live "
+        "datasketches-java — tests/test_varopt_wire.py"
+    ),
+    "datasketch_varopt_to_wire_strings": (
+        "VarOpt export with the ArrayOfStringsSerDe item framing (any "
+        "items; the wire carries no serde marker, the reader is told — "
+        "same contract as the typed quantile readers)"
+    ),
+    "datasketch_varopt_from_wire": (
+        "imports an Apache VarOptItemsSketch blob as a WEIGHTED "
+        "reservoir state: H weights exact, R items at τ = totalWtR/r, "
+        "A-ES tags re-synthesized (sample-of-sample composition keeps "
+        "subset-sum estimates unbiased under later merges); serde "
+        "auto-detected; every reservoir reader also sniffs VarOpt blobs"
+    ),
+    "datasketch_reservoir_sample_weights": (
+        "Horvitz–Thompson estimation weight per sampled item (parallel "
+        "to _items): each item's unbiased share of the total stream "
+        "weight — 1 / n/k uniform; raw / τ-adjusted weighted"
+    ),
+    "datasketch_reservoir_total_weight_estimate": (
+        "unbiased estimate of the TOTAL stream weight (= n when "
+        "uniform): the sum of the sample weights"
+    ),
     "datasketch_hll_estimate": (
         "dense mode uses Ertl's improved raw estimator "
         "(arXiv:1702.01284) — unbiased across the range, no "
@@ -164,7 +194,7 @@ def _note(name: str) -> str:
 
 
 total = 0
-for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "reservoir", "cms", "stats"]:
+for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "reservoir", "varopt", "cms", "stats"]:
     fns = groups.get(fam, [])
     total += len(fns)
     lines.append(f"## {fam} ({len(fns)} functions)")

@@ -41,6 +41,16 @@ def ctx(spark):
 def _args_for(name: str) -> str | None:
     """SQL argument list for each scalar, keyed by name suffix."""
     fam = None
+    # the varopt wire fns operate on reservoir blobs (wire dialect)
+    varopt_table = {
+        "datasketch_varopt_to_wire": "sk_reservoir",
+        "datasketch_varopt_to_wire_strings": "sk_reservoir",
+        "datasketch_varopt_from_wire": (
+            "datasketch_varopt_to_wire(sk_reservoir)"
+        ),
+    }
+    if name in varopt_table:
+        return varopt_table[name]
     for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloom", "reservoir", "cms", "stats"):
         if name.startswith(f"datasketch_{f}_"):
             fam = f
@@ -108,6 +118,8 @@ def _args_for(name: str) -> str | None:
         "a_not_b": f"{sk}, {sk}",
         "jaccard": f"{sk}, {sk}",
         "ks": f"{sk}, {sk}",
+        "sample_weights": f"{sk}",
+        "total_weight_estimate": f"{sk}",
         "psi": f"{sk}, {sk}, array(50.0D, 150.0D)",
     }
     return table.get(suffix)
