@@ -166,16 +166,24 @@ def main():
     mpb = os.environ.get("SPARK_GRAFT_MPB")
     if mpb:
         spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
-    # SPARK_GRAFT_CLUSTER_CONFS=1: replace the sf0.1-tuned local knobs
-    # with what tuning.recommended_confs prescribes for real clusters
-    # (AQE on, shuffles sized to cores, default scan splits) — used for
-    # the BENCH_SLOPES_*'s "engine under size-appropriate confs" row,
-    # where the fixed harness confs are the wrong ones at sf10+
-    if os.environ.get("SPARK_GRAFT_CLUSTER_CONFS"):
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.shuffle.partitions", cpus)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb or "128m")
-        spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+    # SIZE-DERIVED confs (round 11, replacing the SPARK_GRAFT_CLUSTER_CONFS
+    # env toggle): tuning.scale_confs derives shuffle fan-out / AQE /
+    # scan-split sizing from the data directory's byte size with one
+    # continuous rule.  At sf0.1 it reproduces the committed harness
+    # knobs above EXACTLY (asserted in tests/test_tuning_scale.py), so
+    # the pairing gate is untouched; at sf10+ it sizes the shuffles the
+    # way the r10 slope analysis showed they must be (skew_join 28.9 s
+    # -> 5.9 s at 32 partitions).  SPARK_GRAFT_FIXED_CONFS=1 pins the
+    # sf0.1 knobs regardless — the knob the saturation diagnosis used.
+    if not os.environ.get("SPARK_GRAFT_FIXED_CONFS"):
+        from datasketches_spark import tuning as _tuning
+
+        for _k, _v in _tuning.scale_confs(
+            _tuning.dir_bytes(sf_dir), cores=int(cpus)
+        ).items():
+            if _k == "spark.sql.files.maxPartitionBytes" and mpb:
+                continue  # explicit SPARK_GRAFT_MPB wins
+            spark.conf.set(_k, _v)
 
     q = entrymod.queries()
     # optional comma-separated head filter for debugging session-order

@@ -59,6 +59,87 @@ from __future__ import annotations
 ARROW_BYTE_LIMIT_OFF = "2147483647b"
 
 
+def dir_bytes(path: str) -> int:
+    """Total on-disk bytes under a data directory — the cheap,
+    Spark-free input to :func:`scale_confs` for whole-directory
+    workloads (the bench harness uses it)."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def plan_bytes(df) -> int:
+    """Catalyst's size estimate for a DataFrame's optimized plan —
+    the per-query input to :func:`scale_confs` (same statistic the
+    engine's broadcast/fan-out gates key on; see
+    pipeline/decontam.py's plan-bytes gate for why row/partition
+    counts lie and bytes don't)."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def scale_confs(
+    data_bytes: int | None = None,
+    cores: int | None = None,
+    df=None,
+) -> dict[str, str]:
+    """SIZE-DERIVED session confs: one continuous rule instead of the
+    sf0.1-tuned constants on one end and a "cluster mode" toggle on
+    the other (round-10 verdict item: fixed harness confs measured
+    saturating at 180 M rows — skew_join slope 1.70 under
+    shuffle.partitions=2 — while size-appropriate confs scale the same
+    queries sub-linear).
+
+    Pass ``data_bytes`` (e.g. :func:`dir_bytes` of the dataset) or
+    ``df`` (bytes read from the optimized plan via :func:`plan_bytes`).
+    Anchors, all measured on this harness (docs/BASELINE_LOCAL.md):
+
+    - shuffle partitions ≈ bytes / 64 MB, floored at 2 (the measured
+      local[32] sweet spot for KB-scale blob shuffles at sf0.1 — 4/8/32
+      lose ~0.1 s/query) and capped at 4×cores (waves bound per-task
+      memory; at 1.8 GB this lands on ~32 = the measured sf10 fix for
+      the row-heavy skew_join shuffle, 28.9 s -> 5.9 s).
+    - AQE off below 512 MB (re-planning toy shuffles costs
+      ~0.1-0.15 s/query), on above (skew joins and real shuffle sizes
+      need it; AQE+32 confirmed the sf10 skew_join fix at 7.3 s).
+    - scan splits ≈ bytes / (3·cores) clamped to [8 MB, 128 MB] —
+      8 MB is the measured sf0.1 optimum (beats 16 MB by ~0.65 s
+      across the 20 heads; 4 MB loses it back to task overhead),
+      128 MB is the cluster default for file-rich inputs.
+    - openCostInBytes follows the split size regime (65536 small —
+      keeps tiny dimension files from merging into one split — 4 MB
+      large, where phantom-split accounting matters more; the r9
+      hollow-split diagnosis showed this term flips split counts).
+    """
+    import os
+
+    if df is not None:
+        data_bytes = plan_bytes(df)
+    if data_bytes is None:
+        raise ValueError("pass data_bytes (or df) — see dir_bytes()")
+    if cores is None:
+        cores = os.cpu_count() or 8
+    parts = max(2, min(data_bytes // (64 << 20), 4 * cores))
+    small = data_bytes < (512 << 20)
+    split = max(8 << 20, min(data_bytes // (3 * cores), 128 << 20))
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.adaptive.enabled": "false" if small else "true",
+        "spark.sql.files.maxPartitionBytes": str(split),
+        "spark.sql.files.openCostInBytes": (
+            "65536" if small else str(4 << 20)
+        ),
+    }
+
+
 def recommended_confs(local: bool = False) -> dict[str, str]:
     """Session confs for sketch-heavy python-stage pipelines.
 
