@@ -247,6 +247,7 @@ def stateful_sketch_stream(
     idle_timeout_ms: int | None = None,
     ts_col: str | None = None,
     watermark: str | None = None,
+    event_ttl_ms: int | None = None,
     metric=None,
 ) -> DataFrame:
     """Per-key incremental sketches INSIDE the streaming engine.
@@ -294,6 +295,22 @@ def stateful_sketch_stream(
     ``q_streaming_late_data_watermark`` (late file replayed after the
     watermark advanced ⇒ result == COUNT(DISTINCT) over the on-time
     subset only).
+
+    ``event_ttl_ms`` (requires ts_col/watermark): WATERMARK-DRIVEN
+    per-key state eviction — the round-10 gap closed in ONE operator.
+    Spark allows a single GroupStateTimeout per stateful operator, so
+    processing-time ``idle_timeout_ms`` cannot coexist with the
+    late-row filter (which arms only under EventTimeTimeout); but
+    EventTimeTimeout ALSO supports per-key timeout timestamps, giving
+    late-data protection and TTL together.  Each batch re-arms the
+    key's timeout at (max event time seen in the batch + event_ttl_ms);
+    once the watermark passes it, the key's FINAL cumulative sketch is
+    emitted with ``rows_in_batch = -1`` and the state row is removed —
+    a downstream SketchStore can absorb the final blob, and a key that
+    reappears later starts a fresh sketch.  The re-armed timestamp is
+    always valid: rows below the watermark were already dropped, so the
+    batch max event time is at or above it.  Deterministically tested
+    (state actually shrinks) in tests/test_streaming.py.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
@@ -315,23 +332,32 @@ def stateful_sketch_stream(
     out_schema = StructType(out_fields)
     state_schema = StructType([StructField("sketch", BinaryType(), True)])
 
-    fn = _make_stateful_fn(
-        family, input_col, group_cols, k, idle_timeout_ms, metric
-    )
     if (ts_col is None) != (watermark is None):
         raise ValueError("pass ts_col and watermark together (or neither)")
     if ts_col is not None and idle_timeout_ms is not None:
         raise ValueError(
             "ts_col/watermark and idle_timeout_ms are mutually exclusive: "
-            "Spark allows one GroupStateTimeout per stateful operator"
+            "Spark allows one GroupStateTimeout per stateful operator — "
+            "use event_ttl_ms for TTL alongside the watermark"
         )
+    if event_ttl_ms is not None and ts_col is None:
+        raise ValueError(
+            "event_ttl_ms requires ts_col/watermark (it is a "
+            "watermark-driven timeout)"
+        )
+    fn = _make_stateful_fn(
+        family, input_col, group_cols, k, idle_timeout_ms, metric,
+        ts_col=ts_col if event_ttl_ms is not None else None,
+        event_ttl_ms=event_ttl_ms,
+    )
     if ts_col is not None:
         # Spark's FlatMapGroupsWithStateExec applies the late-event
         # watermark predicate ONLY under EventTimeTimeout (verified in
         # the installed 4.1.2 bytecode and empirically: under NoTimeout
-        # late rows flow straight into the stateful fn).  No per-key
-        # timeout timestamps are ever set, so hasTimedOut never fires;
-        # the conf exists purely to arm the late-row filter.
+        # late rows flow straight into the stateful fn).  Without
+        # event_ttl_ms no per-key timeout timestamps are ever set, so
+        # hasTimedOut never fires; the conf then exists purely to arm
+        # the late-row filter.
         timeout_conf = GroupStateTimeout.EventTimeTimeout
     elif idle_timeout_ms is not None:
         timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
@@ -362,6 +388,8 @@ def _make_stateful_fn(
     k: int | None,
     idle_timeout_ms: int | None,
     metric=None,
+    ts_col: str | None = None,
+    event_ttl_ms: int | None = None,
 ):
     """The applyInPandasWithState callback, factored out so the
     timeout-eviction branch is unit-testable with a fake GroupState.
@@ -398,18 +426,30 @@ def _make_stateful_fn(
                 )
             return
         nrows = 0
+        max_ts_ms = None
         for pdf in pdfs:
             series = pdf[input_col]
             if sk is None:
                 sk = create_sketch(family, build_params(family, k, series))
             update_sketch(family, sk, series)
             nrows += len(pdf)
+            if ts_col is not None and len(pdf):
+                m = pdf[ts_col].max()
+                if pd.notna(m):
+                    ms = int(pd.Timestamp(m).value // 1_000_000)
+                    max_ts_ms = ms if max_ts_ms is None else max(max_ts_ms, ms)
         if sk is None:
             return
         blob = sk.serialize()
         state.update((blob,))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
+        elif event_ttl_ms is not None and max_ts_ms is not None:
+            # watermark-driven TTL: evict once the watermark passes the
+            # key's last event time + TTL.  max_ts_ms >= watermark is
+            # guaranteed (below-watermark rows were dropped upstream),
+            # so the re-armed timestamp is always legal.
+            state.setTimeoutTimestamp(max_ts_ms + event_ttl_ms)
         yield pd.DataFrame([_row(key, blob, nrows, sk)], columns=cols)
 
     return fn

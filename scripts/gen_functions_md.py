@@ -234,6 +234,31 @@ lines.append(
     "`datasketches_spark.aggregation.sketch_agg` (same plan, "
     "Arrow-batched map phase; functions/sql_scale.py).")
 lines.append("")
+lines.append("## Streaming state (Python API)")
+lines.append("")
+lines.append(
+    "`datasketches_spark.streaming.stateful_sketch_stream` keeps one "
+    "bounded sketch blob per key in Spark's state store "
+    "(`applyInPandasWithState`).  Lateness and state lifetime compose "
+    "as follows (one GroupStateTimeout per operator — these are the "
+    "legal combinations):")
+lines.append("")
+lines.append(
+    "- `ts_col` + `watermark`: rows below the event-time watermark are "
+    "dropped before the stateful fn (the filter arms only under "
+    "EventTimeTimeout; the watermark lags one batch).")
+lines.append(
+    "- `ts_col` + `watermark` + `event_ttl_ms`: ADDITIONALLY evicts a "
+    "key once the watermark passes its last event time + TTL — the "
+    "final cumulative sketch is emitted with `rows_in_batch = -1` "
+    "(absorb it into a SketchStore downstream), the state row is "
+    "removed, and a reappearing key starts fresh.  Late-data "
+    "protection and TTL in ONE operator.")
+lines.append(
+    "- `idle_timeout_ms` (no watermark): processing-time TTL for "
+    "unbounded key spaces when event time is unavailable.  Mutually "
+    "exclusive with the watermark pair.")
+lines.append("")
 lines.append("## `*_describe` text: parity and divergence")
 lines.append("")
 lines.append(

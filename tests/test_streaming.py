@@ -615,3 +615,108 @@ def test_stateful_watermark_drops_late_rows(spark, tmpdir):
     # on-time only: g0 = 25 evens(0..49) + user 60 + 5 evens(50..59),
     # g1 = 25 + 5; the late users 1000..1019 must be absent
     assert got == {"g0": 31, "g1": 30}
+
+
+def test_event_ttl_evicts_state_under_watermark(spark, tmpdir):
+    """Watermark-driven per-key TTL (round 11): EventTimeTimeout arms
+    BOTH the late-row filter and per-key timeout timestamps, so
+    late-data protection and state eviction coexist in one operator.
+    A key idle past event_ttl_ms of EVENT time must (a) emit its final
+    cumulative sketch with rows_in_batch = -1, (b) have its state row
+    REMOVED (asserted via stateOperators metrics AND via a fresh
+    sketch when the key reappears)."""
+    import glob
+    import os
+    import time
+
+    from datasketches_spark.streaming import stateful_sketch_stream
+
+    dss.register(spark)
+    src = f"{tmpdir}/ttl_src"
+    os.makedirs(src)
+
+    def stage(rows, name, age_s):
+        df = spark.createDataFrame(
+            rows, "ts_s STRING, user BIGINT, g STRING"
+        ).selectExpr("CAST(ts_s AS TIMESTAMP) ts", "user", "g")
+        tmp = f"{tmpdir}/ttl_tmp_{name}"
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src}/{name}.parquet"
+        shutil.copy(part, dst)
+        t = time.time() - age_s
+        os.utime(dst, (t, t))
+        shutil.rmtree(tmp)
+
+    # batch 0: g0 and g1 active around 01:00; g1 = users 100..104.
+    # g1's timeout arms at 01:00 + 2h = 03:00 event time.
+    stage(
+        [("2024-01-01 01:00:00", i, "g0") for i in range(10)]
+        + [("2024-01-01 01:00:00", 100 + i, "g1") for i in range(5)],
+        "a", 300,
+    )
+    # batch 1: g0 jumps to 12:00 -> watermark advances to 11:00 > 03:00
+    stage([("2024-01-01 12:00:00", 10, "g0")], "b", 200)
+    # batch 2: g0 at 20:00; processed with batch 1's watermark (11:00),
+    # which is past g1's 03:00 timeout -> g1 EVICTS here
+    stage([("2024-01-01 20:00:00", 11, "g0")], "c", 100)
+    # batch 3: g1 REAPPEARS (users 200..202) -> must start a FRESH
+    # sketch, proving the state row was actually removed
+    stage([("2024-01-01 21:00:00", 200 + i, "g1") for i in range(3)], "d", 0)
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, user BIGINT, g STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_sketch_stream(
+        stream, "user", "theta", ["g"], k=14,
+        ts_col="ts", watermark="1 hour", event_ttl_ms=2 * 3600 * 1000,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_state")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_ttl")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "ttl stream timed out"
+    rows = spark.sql(
+        "SELECT g, rows_in_batch,"
+        " CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT) AS d"
+        " FROM ttl_state"
+    ).collect()
+    evictions = [r for r in rows if r.rows_in_batch == -1]
+    assert len(evictions) == 1 and evictions[0].g == "g1"
+    assert evictions[0].d == 5  # the final cumulative sketch (100..104)
+    # the reappearing g1 built a FRESH sketch: 3 new users, not 5+3
+    reborn = [r for r in rows if r.g == "g1" and r.rows_in_batch == 3]
+    assert len(reborn) == 1 and reborn[0].d == 3
+    # and Spark's state store itself reported the removal
+    removed = sum(
+        so.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    assert removed >= 1
+
+
+def test_event_ttl_validation(spark, tmpdir):
+    import os
+
+    from datasketches_spark.streaming import stateful_sketch_stream
+
+    src = f"{tmpdir}/ttlv"
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1, 1)], "ts_s STRING, g BIGINT, v BIGINT"
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) ts", "g", "v").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, g BIGINT, v BIGINT")
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="event_ttl_ms requires"):
+        stateful_sketch_stream(stream, "v", "theta", ["g"], event_ttl_ms=1000)
