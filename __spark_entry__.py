@@ -2464,6 +2464,77 @@ def q_streaming_store_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_streaming_resume_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-restart DURABILITY gate (round 11): the replay is
+    killed mid-stream by a DETERMINISTIC injected failure (the
+    foreachBatch fn raises before absorbing its third micro-batch —
+    exactly the crash-before-commit shape), then a second query
+    RESUMES from the same checkpoint and store.  Structured Streaming
+    re-delivers the failed epoch, the SketchStore epoch guard makes
+    the retry idempotent, and the final store must hash-match the
+    one-shot COUNT(DISTINCT) oracle — the reference's re-aggregable
+    stored-state pitch (docs/README.md:190-192) surviving a restart."""
+    import os as _os
+
+    from datasketches_spark.streaming import (
+        SketchStore,
+        incremental_sketch_sink,
+    )
+
+    _ensure(spark)
+    base = _gate_dir(sf_dir, "stream_resume_gate")
+    src = _os.path.join(base, "src")
+    _t(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey").repartition(
+        6
+    ).write.parquet(src)
+
+    def _stream():
+        return (
+            spark.readStream.schema("o_orderstatus STRING, o_custkey BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    store = SketchStore(
+        _os.path.join(base, "store"), "theta",
+        group_cols=["o_orderstatus"], k=16,
+    )
+    ckpt = _os.path.join(base, "ckpt")
+    inner = store.foreach_batch("o_custkey")
+    absorbed = {"n": 0}
+
+    def _bomb(batch_df, epoch_id):
+        if absorbed["n"] >= 2:
+            raise RuntimeError("injected mid-replay failure (resume gate)")
+        inner(batch_df, epoch_id)
+        absorbed["n"] += 1
+
+    q1 = (
+        _stream().writeStream.foreachBatch(_bomb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q1.awaitTermination(300)
+    except Exception:  # noqa: BLE001 — the injected failure, expected
+        pass
+    if q1.isActive:
+        q1.stop()
+        raise RuntimeError("resume gate: injected failure never fired")
+    # resume from the SAME checkpoint: the failed epoch is re-delivered
+    q2 = incremental_sketch_sink(_stream(), "o_custkey", store, checkpoint_dir=ckpt)
+    if not q2.awaitTermination(300):
+        q2.stop()
+        raise RuntimeError("resume gate: resumed query timed out")
+    return store.read(spark).select(
+        "o_orderstatus",
+        F.expr(
+            "CAST(round(datasketch_theta_estimate(sketch)) AS BIGINT)"
+        ).alias("distinct_customers"),
+    )
+
+
 def q_streaming_stateful_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming batch-equivalence gate for the IN-ENGINE state path:
     the same micro-batch replay driven through
@@ -2923,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_decontaminate_one_call": q_approx_decontaminate_one_call,
         "wire_table_publish_ingest": q_wire_table_publish_ingest,
         "streaming_store_equivalence": q_streaming_store_equivalence,
+        "streaming_resume_equivalence": q_streaming_resume_equivalence,
         "streaming_stateful_equivalence": q_streaming_stateful_equivalence,
         "streaming_late_data_watermark": q_streaming_late_data_watermark,
         "sql_scale_two_phase": q_sql_scale_two_phase,
@@ -3737,6 +3809,11 @@ def oracle_sql() -> dict[str, str]:
             " FROM orders GROUP BY 1"
         ),
         "streaming_store_equivalence": (
+            "SELECT o_orderstatus,"
+            " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
+            " FROM orders GROUP BY 1"
+        ),
+        "streaming_resume_equivalence": (
             "SELECT o_orderstatus,"
             " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
             " FROM orders GROUP BY 1"

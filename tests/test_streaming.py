@@ -720,3 +720,86 @@ def test_event_ttl_validation(spark, tmpdir):
     )
     with pytest.raises(ValueError, match="event_ttl_ms requires"):
         stateful_sketch_stream(stream, "v", "theta", ["g"], event_ttl_ms=1000)
+
+
+def test_stateful_checkpoint_restart_restores_state(spark, tmpdir):
+    """Durability of the in-engine state path: stop a
+    stateful_sketch_stream query, add more source files, restart from
+    the SAME checkpoint — the restored per-key state must carry the
+    pre-restart contribution (the resumed query's cumulative sketch
+    covers BOTH runs' rows, hash-equal to a one-shot build)."""
+    import glob
+    import os
+
+    from datasketches_spark.streaming import stateful_sketch_stream
+
+    dss.register(spark)
+    src = f"{tmpdir}/rs_src"
+    os.makedirs(src)
+
+    def stage(users, name):
+        df = spark.createDataFrame(
+            [(u, f"g{u % 2}") for u in users], "user BIGINT, g STRING"
+        )
+        tmp = f"{tmpdir}/rs_tmp_{name}"
+        df.coalesce(1).write.parquet(tmp)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}.parquet"
+        )
+        shutil.rmtree(tmp)
+
+    sink_dir = f"{tmpdir}/rs_sink"
+
+    def _emit(batch_df, epoch_id):
+        # the memory sink refuses checkpoint recovery; an epoch-tagged
+        # parquet append IS recoverable and lets the assertion pick the
+        # LAST emission per key
+        if not batch_df.isEmpty():
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(sink_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema("user BIGINT, g STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stateful_sketch_stream(stream, "user", "theta", ["g"], k=14)
+        q = (
+            out.writeStream.foreachBatch(_emit)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/rs_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "restart gate timed out"
+
+    stage(range(0, 40), "a")
+    stage(range(40, 60), "b")
+    run()
+    # new data arrives while the query is DOWN; restart from checkpoint
+    stage(range(60, 90), "c")
+    run()
+
+    # the LAST emission per key (max epoch — run 2 continues run 1's
+    # batch numbering from the checkpoint) must cover ALL rows: the
+    # restored state carried files a+b, the resumed run folded c in.
+    # Union-of-all-emissions would pass even without state restore;
+    # the last-emission check would not.
+    emissions = spark.read.parquet(sink_dir)
+    emissions.createOrReplaceTempView("rs_emissions")
+    got = {
+        r.g: r.d
+        for r in spark.sql(
+            """
+            SELECT g, CAST(round(datasketch_theta_estimate(sketch)) AS
+                   BIGINT) AS d
+            FROM (SELECT g, sketch, ROW_NUMBER() OVER
+                    (PARTITION BY g ORDER BY epoch DESC) AS rn
+                  FROM rs_emissions)
+            WHERE rn = 1
+            """
+        ).collect()
+    }
+    assert got == {"g0": 45, "g1": 45}
