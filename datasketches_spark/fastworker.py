@@ -32,6 +32,44 @@ This module is otherwise a transparent pass-through to
 with worker reuse, memory limits, and faulthandler settings.  On a
 real cluster ship the package (``--py-files`` / image) and set the
 same conf; the per-task win is identical because the zip layout is.
+
+Production deployment notes
+---------------------------
+
+``spark.python.daemon.module`` is resolved by EACH EXECUTOR's Python
+at daemon start, so the module must be importable there:
+
+- **Images (K8s / EMR / Dataproc custom image)**: install the package
+  into the image's Python; nothing else needed.  This is the
+  recommended path.
+- **``--py-files`` / ``spark.submit.pyFiles``**: works because Spark
+  prepends submitted archives to the worker ``sys.path`` BEFORE the
+  daemon module import.  Ship the same archive the job code uses.
+- **YARN without either**: executors fall back loudly — the daemon
+  fails to import and the executor retries with a clear
+  ``ModuleNotFoundError`` in its stderr.  Drop the conf rather than
+  shipping a partial package.
+
+Safety properties, all regression-tested (tests/test_fastworker.py):
+
+- **Python version skew**: the daemon runs under
+  ``spark.pyspark.python`` exactly like the stock one; this module is
+  pure stdlib + pyspark imports, any CPython pyspark supports works.
+  Driver/executor Python minor-version skew has the same (un)supported
+  status as stock pyspark — this module does not change it.
+- **pyspark upgrades**: `_install()` patches two documented-stable
+  names (``pyspark.worker.setup_spark_files`` and the ``worker_util``
+  twin) inside try/except — if a future pyspark moves them, workers
+  silently run STOCK behavior (slower, never wrong).  The conf absent
+  entirely = stock daemon, zero interaction
+  (test_no_daemon_conf_still_correct).
+- **Semantics**: the memo re-runs ``importlib.invalidate_caches()``
+  whenever the (files dir, includes) state changes, so
+  ``sc.addPyFile`` mid-session behaves exactly as stock (covered in
+  the subprocess test).
+- **Cluster managers**: fork-server wire protocol is untouched, so
+  YARN/K8s worker-reuse, ``spark.python.worker.memory``, and
+  faulthandler confs compose unchanged.
 """
 
 from __future__ import annotations
