@@ -1544,6 +1544,38 @@ def q_varopt_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_reservoir_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir on THE scale plan (round 11): sketch_agg's
+    weight_col builds the inclusion-∝-weight sample with the blob-only
+    shuffle (the datasketch_reservoir_weighted UDAF shuffles raw rows;
+    this shuffles one bounded blob per partition × group).  Exact mode
+    (k=50 >= 5 nations/region) ⇒ every (item, HT weight) pair is the
+    raw pair — deterministic."""
+    _ensure(spark)
+    nation = _t(spark, sf_dir, "nation").selectExpr(
+        "n_regionkey", "n_nationkey", "CAST(n_nationkey + 1 AS DOUBLE) AS w"
+    )
+    sk = sketch_agg(
+        nation, "n_nationkey", "reservoir",
+        group_cols=["n_regionkey"], k=50, weight_col="w",
+    )
+    return sk.select(
+        F.col("n_regionkey").cast("long").alias("regionkey"),
+        F.explode(
+            F.arrays_zip(
+                F.expr("datasketch_reservoir_items(sketch)").alias("item"),
+                F.expr(
+                    "datasketch_reservoir_sample_weights(sketch)"
+                ).alias("weight"),
+            )
+        ).alias("z"),
+    ).select(
+        "regionkey",
+        F.col("z.item").alias("item"),
+        F.col("z.weight").alias("weight"),
+    )
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 5-gram overlap of each
     training document with the benchmark corpus.  The benchmark is the
@@ -2900,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_nations_by_region": q_reservoir_nations_by_region,
         "reservoir_wire_roundtrip": q_reservoir_wire_roundtrip,
         "varopt_weighted_sample": q_varopt_weighted_sample,
+        "weighted_reservoir_two_phase": q_weighted_reservoir_two_phase,
         "bloom_contains_customers": q_bloom_contains_customers,
         "salted_theta_skew": q_salted_theta_skew,
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
@@ -3329,6 +3362,11 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_nationkey AS BIGINT) AS item FROM nation"
         ),
         "varopt_weighted_sample": (
+            "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"
+            " CAST(n_nationkey AS VARCHAR) AS item,"
+            " CAST(n_nationkey + 1 AS DOUBLE) AS weight FROM nation"
+        ),
+        "weighted_reservoir_two_phase": (
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"
             " CAST(n_nationkey AS VARCHAR) AS item,"
             " CAST(n_nationkey + 1 AS DOUBLE) AS weight FROM nation"

@@ -51,11 +51,31 @@ def sketch_partial(
     group_cols: list[str] | None = None,
     k: int | None = None,
     output_col: str = "sketch",
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Phase 1: one partition-local sketch blob per (partition, group)."""
+    """Phase 1: one partition-local sketch blob per (partition, group).
+
+    ``weight_col`` (reservoir only): per-row weights for the
+    inclusion-∝-weight sample — the weighted family on the SAME
+    blob-only shuffle plan (the ``datasketch_reservoir_weighted`` UDAF
+    shuffles raw rows; this shuffles one bounded blob per partition ×
+    group, and bottom-(k+1) retention makes the estimation threshold
+    merge-exact, sketches/reservoir.py)."""
     group_cols = list(group_cols or [])
+    if weight_col is not None and family != "reservoir":
+        raise ValueError(
+            "weight_col is only supported by the reservoir family"
+        )
     schema = _out_schema(df, group_cols, output_col)
     cols = group_cols + [input_col]
+    if weight_col is not None:
+        cols.append(weight_col)
+
+    def _update(sk, sub) -> None:
+        if weight_col is not None:
+            sk.update_series(sub[input_col], weights=sub[weight_col])
+        else:
+            update_sketch(family, sk, sub[input_col])
 
     # accumulate Arrow batches into larger chunks before grouping so the
     # pandas groupby + sketch-update cost is amortized (an Arrow batch is
@@ -83,13 +103,13 @@ def sketch_partial(
                         sk = acc[key] = create_sketch(
                             family, build_params(family, k, series)
                         )
-                    update_sketch(family, sk, series)
+                    _update(sk, sub)
             else:
                 series = pdf[input_col]
                 sk = acc.get(())
                 if sk is None:
                     sk = acc[()] = create_sketch(family, build_params(family, k, series))
-                update_sketch(family, sk, series)
+                _update(sk, pdf)
 
         for pdf in batches:
             buf.append(pdf)
@@ -165,6 +185,7 @@ def sketch_agg(
     output_col: str = "sketch",
     finalize=None,
     finalize_schema: str | StructType | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build sketches over raw values (or merge blobs) with map-side combine.
 
@@ -172,8 +193,12 @@ def sketch_agg(
     ``SELECT g, datasketch_<family>(k, x) FROM t GROUP BY g`` at scale.
     With ``finalize``/``finalize_schema`` the merged sketch is answered
     in-place (see :func:`sketch_merge`) and the blob is never emitted.
+    ``weight_col`` (reservoir only): weighted sampling on the same
+    blob-only shuffle plan — see :func:`sketch_partial`.
     """
-    partial = sketch_partial(df, input_col, family, group_cols, k, output_col)
+    partial = sketch_partial(
+        df, input_col, family, group_cols, k, output_col, weight_col
+    )
     return sketch_merge(
         partial, family, group_cols, k, output_col, finalize, finalize_schema
     )

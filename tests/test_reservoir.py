@@ -186,3 +186,39 @@ def test_sql_weighted_aggregate(spark):
         " FROM wres_in"
     ).collect()[0]
     assert row["n"] == 50 and row["ex"]
+
+
+def test_two_phase_weighted_reservoir(spark):
+    """weight_col on sketch_agg (round 11): the weighted family on the
+    blob-only shuffle plan.  Exact mode: every (item, weight) pair
+    survives the partial->merge crossing; estimation mode: the merged
+    state retains the k+1 threshold triple and the total-weight
+    estimate lands near the true total."""
+    from datasketches_spark.aggregation import sketch_agg
+    from datasketches_spark.sketches.reservoir import ReservoirSampleSketch
+
+    # exact mode, multi-partition: the sample IS the input
+    df = spark.range(0, 40, 1, 8).selectExpr(
+        "id % 4 AS g", "id AS v", "CAST(id + 1 AS DOUBLE) AS w"
+    )
+    out = sketch_agg(df, "v", "reservoir", group_cols=["g"], k=50, weight_col="w")
+    rows = {r.g: ReservoirSampleSketch.deserialize(bytes(r.sketch)) for r in out.collect()}
+    for g, sk in rows.items():
+        want = {(str(i), float(i + 1)) for i in range(40) if i % 4 == g}
+        got = set(zip(sk.get_items(), sk.get_sample_weights().tolist()))
+        assert got == want and sk.weighted and sk.n == 10
+
+    # estimation mode: threshold survives the two-phase merge
+    big = spark.range(0, 5000, 1, 8).selectExpr(
+        "id AS v", "CAST(1 + id % 7 AS DOUBLE) AS w"
+    )
+    sk = ReservoirSampleSketch.deserialize(
+        bytes(sketch_agg(big, "v", "reservoir", k=64, weight_col="w").first().sketch)
+    )
+    assert sk.n == 5000 and len(sk.items) == 65 and sk.threshold_tag is not None
+    true_total = sum(1 + i % 7 for i in range(5000))
+    assert abs(sk.total_weight_estimate() / true_total - 1.0) < 0.5
+
+    # weight_col is reservoir-only
+    with pytest.raises(ValueError, match="reservoir"):
+        sketch_agg(df, "v", "theta", k=12, weight_col="w")
