@@ -2643,6 +2643,33 @@ def q_sql_scale_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_scale_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface WEIGHTED sampling on the blob-only plan (round 11):
+    family 'reservoir_weighted' in the ``datasketch_partials`` UDTF
+    takes the last two table columns as (value, weight) — the SQL twin
+    of ``sketch_agg(weight_col=)``.  Exact mode (k=50 >= 5
+    nations/region) keeps every (item, raw weight) pair, so the
+    total-weight estimate per region is SUM(weight) exactly."""
+    _ensure(spark)
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("dsks_sqlscale_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey AS regionkey,
+               datasketch_reservoir_total_weight_estimate(
+                   datasketch_reservoir(50, sketch)) AS total_w,
+               CAST(datasketch_reservoir_num_retained(
+                   datasketch_reservoir(50, sketch)) AS BIGINT) AS item_cnt
+        FROM datasketch_partials(
+               TABLE(SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                            n_nationkey,
+                            CAST(n_nationkey + 1 AS DOUBLE) AS w
+                     FROM dsks_sqlscale_nation),
+               'reservoir_weighted', 50)
+        GROUP BY n_regionkey
+        """
+    )
+
+
 def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data gate for ``stateful_sketch_stream``'s event-time
     watermark: a deterministic 3-file availableNow replay where the
@@ -3031,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_equivalence": q_streaming_stateful_equivalence,
         "streaming_late_data_watermark": q_streaming_late_data_watermark,
         "sql_scale_two_phase": q_sql_scale_two_phase,
+        "sql_scale_weighted": q_sql_scale_weighted,
         "streaming_windowed_rollup": q_streaming_windowed_rollup,
         "streaming_drift_ks": q_streaming_drift_ks,
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
@@ -3870,6 +3898,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus,"
             " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
             " FROM orders GROUP BY 1"
+        ),
+        "sql_scale_weighted": (
+            "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"
+            " CAST(SUM(n_nationkey + 1) AS DOUBLE) AS total_w,"
+            " count(*)::BIGINT AS item_cnt"
+            " FROM nation GROUP BY 1"
         ),
         "streaming_windowed_rollup": (
             "SELECT epoch_us(date_trunc('day', ts)) AS day_us,"

@@ -22,10 +22,12 @@ exactly ``sketch_agg``'s plan: scan → per-partition partials →
 blob-only exchange → merge.
 
 Contract of the table argument: every column EXCEPT THE LAST is a
-group key; the LAST column is the value being sketched.  Do NOT write
-``PARTITION BY`` in the call — that would re-introduce the raw-row
-shuffle this exists to avoid (a single-partition spec likewise
-serializes the scan).
+group key; the LAST column is the value being sketched.  Family
+``'reservoir_weighted'`` takes the last TWO columns as (value,
+weight) — the weighted sample on the same blob-only plan (mirrors
+``sketch_agg(weight_col=)``).  Do NOT write ``PARTITION BY`` in the
+call — that would re-introduce the raw-row shuffle this exists to
+avoid (a single-partition spec likewise serializes the scan).
 
 Map-phase memory is BOUNDED: eval() flushes each group's value buffer
 into its (mergeable) sketch every ``FLUSH_ROWS`` values, so peak state
@@ -77,17 +79,19 @@ class DatasketchPartials:
 
         if not isinstance(table.dataType, StructType):
             raise ValueError("first argument must be TABLE(...)")
-        if len(table.dataType.fields) < 1:
-            raise ValueError(
-                "TABLE argument needs at least a value column"
-            )
         fam = family.value
         if fam is None:
             raise ValueError(
                 "family must be a constant string, e.g. 'theta'"
             )
+        n_val = 2 if fam == "reservoir_weighted" else 1
+        if len(table.dataType.fields) < n_val:
+            raise ValueError(
+                "TABLE argument needs a value column"
+                + (" and a weight column" if n_val == 2 else "")
+            )
         out = StructType()
-        for f in table.dataType.fields[:-1]:
+        for f in table.dataType.fields[:-n_val]:
             out = out.add(f.name, f.dataType)
         out = out.add("sketch", BinaryType())
         return AnalyzeResult(schema=out)
@@ -100,14 +104,21 @@ class DatasketchPartials:
 
         from ..families import build_params, create_sketch, update_sketch
 
-        s = pd.Series(vals)
+        weighted = self._family == "reservoir_weighted"
+        fam = "reservoir" if weighted else self._family
+        if weighted:
+            s = pd.Series([v for v, _ in vals])
+            w = pd.Series([wt for _, wt in vals], dtype="float64")
+        else:
+            s = pd.Series(vals)
         sk = self._sketches.get(key)
         if sk is None:
-            sk = create_sketch(
-                self._family, build_params(self._family, self._k, s)
-            )
+            sk = create_sketch(fam, build_params(fam, self._k, s))
             self._sketches[key] = sk
-        update_sketch(self._family, sk, s)
+        if weighted:
+            sk.update_series(s, weights=w)
+        else:
+            update_sketch(fam, sk, s)
         self._buffered -= len(vals)
         self._buffers[key] = []
 
@@ -116,11 +127,16 @@ class DatasketchPartials:
             self._family = family
             self._k = k
         vals = list(row)
-        key, v = tuple(vals[:-1]), vals[-1]
-        if v is None:
-            # NULLs are skipped and never register the group (parity
-            # with the r10 behavior and the UDAF NULL-skipping idiom)
-            return
+        if family == "reservoir_weighted":
+            key, v = tuple(vals[:-2]), (vals[-2], vals[-1])
+            if v[0] is None or v[1] is None:
+                return  # NULL value or weight: skipped like the UDAF
+        else:
+            key, v = tuple(vals[:-1]), vals[-1]
+            if v is None:
+                # NULLs are skipped and never register the group (parity
+                # with the r10 behavior and the UDAF NULL-skipping idiom)
+                return
         buf = self._buffers.setdefault(key, [])
         buf.append(v)
         self._buffered += 1

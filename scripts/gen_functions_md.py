@@ -219,8 +219,12 @@ lines.append(
     "argument evaluates once per existing input partition with no "
     "exchange, emitting one sketch blob per (partition × group) — the "
     "map-side combine.  Contract: every table column except the LAST "
-    "is a group key, the last is the value; do not write PARTITION BY. "
-    "Recipe (plan-tested in tests/test_sql_scale.py):")
+    "is a group key, the last is the value — family "
+    "'reservoir_weighted' takes the last TWO columns as (value, "
+    "weight), the SQL twin of sketch_agg(weight_col=).  Do not write "
+    "PARTITION BY.  Map-phase memory is bounded (per-group buffers "
+    "flush into the mergeable sketch every 64k values).  Recipe "
+    "(plan-tested in tests/test_sql_scale.py):")
 lines.append("")
 lines.append("```sql")
 lines.append("SELECT g, datasketch_theta(sketch) AS sketch")

@@ -142,3 +142,33 @@ def test_partials_eval_memory_bounded(spark, monkeypatch):
         est = ThetaSketch.deserialize(out[g]).get_estimate()
         exact = len({i % 997 for i in range(30_000) if i % n_groups == g})
         assert round(est) == exact
+
+
+def test_weighted_reservoir_two_phase_sql(spark):
+    """SQL-surface weighted sampling on the blob-only plan (round 11):
+    family 'reservoir_weighted' takes the last TWO table columns as
+    (value, weight).  Exact mode (k >= rows/group) keeps every item
+    with its raw weight, so the merged sample and total-weight
+    estimate are deterministic."""
+    spark.range(0, 40, 1, 8).selectExpr(
+        "id % 4 AS g", "id AS v", "CAST(id + 1 AS DOUBLE) AS w"
+    ).createOrReplaceTempView("sql_scale_wt")
+    rows = spark.sql(
+        """
+        SELECT g,
+               datasketch_reservoir_total_weight_estimate(
+                   datasketch_reservoir(50, sketch)) AS tot,
+               datasketch_reservoir_n(
+                   datasketch_reservoir(50, sketch)) AS n
+        FROM datasketch_partials(
+               TABLE(SELECT g, v, w FROM sql_scale_wt),
+               'reservoir_weighted', 50)
+        GROUP BY g
+        """
+    ).collect()
+    got = {r.g: (r.tot, r.n) for r in rows}
+    want = {
+        g: (float(sum(i + 1 for i in range(40) if i % 4 == g)), 10)
+        for g in range(4)
+    }
+    assert got == want
