@@ -320,3 +320,42 @@ def test_merged_import_stays_unbiased(jvm):
     mean = np.mean(ratios)
     se = np.std(ratios) / np.sqrt(len(ratios))
     assert abs(mean - 1.0) < 3 * se + 0.02
+
+
+def test_union_gadget_blob_with_marks_ingests(jvm):
+    """java's VarOptItemsUnion serializes its internal gadget WITH the
+    GADGET flag (128) and ceil(h/8) mark bytes between the H weights
+    and the items (ArrayOfBooleansSerDe.computeBytesNeeded).  Our
+    ingest must skip the marks and still read the exact estimation
+    state: the total-weight estimate of the embedded gadget AND of the
+    union's result must equal the true stream total exactly."""
+    LongCls = jvm.java.lang.Class.forName("java.lang.Long")
+    serde = jvm.org.apache.datasketches.common.ArrayOfLongsSerDe()
+    u = jvm.org.apache.datasketches.sampling.VarOptItemsUnion.newInstance(16)
+    a = _jvaropt(jvm, 16)
+    b = _jvaropt(jvm, 16)
+    true_total = 0.0
+    for i in range(100):
+        w = float(1 + (i % 5))
+        a.update(BIG + i, w)
+        true_total += w
+    for i in range(80):
+        w = float(2 + (i % 3))
+        b.update(BIG + 1000 + i, w)
+        true_total += w
+    u.update(a)
+    u.update(b)
+    ub = bytes(u.toByteArray(serde, LongCls))
+    # the union wire (family 14) embeds the gadget (family 13) at an
+    # 8-byte-aligned offset; find and ingest it
+    off = next(
+        o for o in range(0, 64, 8)
+        if len(ub) > o + 3 and ub[o + 1] == 2 and ub[o + 2] == 13
+    )
+    assert ub[off + 3] & 128  # GADGET flag: marks present
+    gadget = ReservoirSampleSketch.from_varopt_wire(ub[off:])
+    assert gadget.total_weight_estimate() == pytest.approx(true_total)
+    result = ReservoirSampleSketch.from_varopt_wire(
+        bytes(u.getResult().toByteArray(serde, LongCls))
+    )
+    assert result.total_weight_estimate() == pytest.approx(true_total)
