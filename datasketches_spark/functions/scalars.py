@@ -550,6 +550,10 @@ def build_scalar_registry() -> dict[str, object]:
     # Apache ReservoirLongsSketch wire (round 10; longs-only — see
     # sketches/reservoir.py to_wire/from_wire for the interop contract)
     reg[p + "to_wire"] = _unary(R, lambda sk: sk.to_wire(), "binary")
+    # generic ReservoirItemsSketch image (strings serde): any items
+    reg[p + "to_wire_strings"] = _unary(
+        R, lambda sk: sk.to_wire(serde="strings"), "binary"
+    )
     reg[p + "from_wire"] = _unary(R, lambda sk: sk.serialize(), "binary")
     # weighted-sample estimation surface (round 11): HT weight per
     # sampled item and the total-stream-weight estimator they sum to

@@ -225,10 +225,10 @@ def write_wire_table(
     if family in _TYPED_WIRE_FAMILIES and dtype is None:
         dtype = _peek_dtype(df, sketch_col, family)
     to_wire_fn = f"datasketch_{family}_to_wire"
-    if family == "varopt" and dtype == "string":
-        # the VarOpt wire carries no serde marker: string items use
+    if family in ("varopt", "reservoir") and dtype == "string":
+        # the sampling wires carry no serde marker: string items use
         # ArrayOfStringsSerDe framing and the dtype metadata records it
-        to_wire_fn = "datasketch_varopt_to_wire_strings"
+        to_wire_fn = f"datasketch_{family}_to_wire_strings"
     out = df.withColumn(
         sketch_col, F.expr(f"{to_wire_fn}({sketch_col})")
     )

@@ -276,18 +276,25 @@ class ReservoirSampleSketch:
     _WIRE_SERVER = 2
     _WIRE_EMPTY_FLAG = 4
 
-    def to_wire(self) -> bytes:
-        """Serialize as an Apache ``ReservoirLongsSketch`` blob.
+    def to_wire(self, serde: str = "longs") -> bytes:
+        """Serialize as an Apache reservoir blob.
 
-        The Apache reservoir wire is LONGS-ONLY (same story as java's
-        ReqSketch being float-only), so every retained item must be an
-        int64-canonical string; anything else raises.  The sample set,
-        n and k cross exactly; the A-ES tags do not (java's reservoir
-        carries no tags — they are re-synthesized on ingest, see
-        :meth:`from_wire`).  Weighted samples are NOT representable:
-        java's reservoir is uniform, so exporting a weighted sketch
-        would silently misdeclare its distribution — refused.
+        ``serde="longs"`` (default) emits a ``ReservoirLongsSketch``
+        image — every retained item must be an int64-canonical string,
+        anything else raises.  ``serde="strings"`` emits the generic
+        ``ReservoirItemsSketch`` image with the ArrayOfStringsSerDe
+        item framing (u32 length + UTF-8 per item; same preamble, no
+        item restriction) — java reads it via
+        ``ReservoirItemsSketch.heapify(mem, new ArrayOfStringsSerDe())``.
+        The sample set, n and k cross exactly; the A-ES tags do not
+        (java's reservoir carries no tags — they are re-synthesized on
+        ingest, see :meth:`from_wire`).  Weighted samples are NOT
+        representable: java's reservoir is uniform, so exporting a
+        weighted sketch would silently misdeclare its distribution —
+        refused (use :meth:`to_varopt_wire`).
         """
+        if serde not in ("longs", "strings"):
+            raise ValueError(f"unknown reservoir serde {serde!r}")
         if self.weighted:
             raise ValueError(
                 "Apache reservoir wire is uniform-only: this sketch "
@@ -299,13 +306,23 @@ class ReservoirSampleSketch:
                 "Apache reservoir wire requires k >= 2 (java's "
                 "ReservoirLongsSketch refuses smaller reservoirs)"
             )
-        try:
-            vals = np.array([int(s) for s in self.items], dtype=np.int64)
-        except (ValueError, OverflowError) as exc:
-            raise ValueError(
-                "Apache reservoir wire is longs-only: every retained "
-                "item must be an int64 string (got a non-integer item)"
-            ) from exc
+        if serde == "longs":
+            try:
+                enc = np.array(
+                    [int(s) for s in self.items], dtype=np.int64
+                ).tobytes()
+            except (ValueError, OverflowError) as exc:
+                raise ValueError(
+                    "Apache reservoir longs wire requires every "
+                    "retained item to be an int64 string (got a "
+                    "non-integer item); use serde='strings'"
+                ) from exc
+        else:
+            parts = []
+            for s in self.items:
+                b = s.encode("utf-8")
+                parts.append(struct.pack("<I", len(b)) + b)
+            enc = b"".join(parts)
         if self.is_empty:
             return struct.pack(
                 "<BBBBI",
@@ -325,11 +342,13 @@ class ReservoirSampleSketch:
                 self.k,
             )
             + struct.pack("<Q", self.n)
-            + vals.tobytes()
+            + enc
         )
 
     @classmethod
-    def from_wire(cls, blob: bytes) -> "ReservoirSampleSketch":
+    def from_wire(
+        cls, blob: bytes, serde: str | None = None
+    ) -> "ReservoirSampleSketch":
         """Ingest an Apache ``ReservoirLongsSketch`` blob.
 
         The sample set, n and k are read exactly.  Apache's reservoir
@@ -369,8 +388,29 @@ class ReservoirSampleSketch:
         try:
             (n,) = struct.unpack_from("<Q", blob, 8)
             m = int(min(n, k))
-            vals = np.frombuffer(blob, dtype="<i8", count=m, offset=16)
-        except (struct.error, ValueError) as exc:
+            rest = blob[16:]
+            if serde is None:
+                # a ReservoirLongsSketch items region is exactly 8·m
+                # bytes; anything else is the generic strings image
+                serde = "longs" if len(rest) == 8 * m else "strings"
+            if serde == "longs":
+                if len(rest) < 8 * m:
+                    raise ValueError("truncated items")
+                vals = np.frombuffer(rest, dtype="<i8", count=m)
+                items = [str(int(v)) for v in vals]
+            elif serde == "strings":
+                items = []
+                p = 0
+                for _ in range(m):
+                    (ln,) = struct.unpack_from("<I", rest, p)
+                    p += 4
+                    if p + ln > len(rest):
+                        raise ValueError("truncated items")
+                    items.append(rest[p : p + ln].decode("utf-8"))
+                    p += ln
+            else:
+                raise ValueError(f"unknown reservoir serde {serde!r}")
+        except (struct.error, ValueError, UnicodeDecodeError) as exc:
             raise SketchDeserializeError(
                 f"Failed to deserialize {cls.NAME} sketch"
             ) from exc
@@ -378,7 +418,7 @@ class ReservoirSampleSketch:
         gaps = sk._rng.exponential(size=m) / (n - np.arange(m, dtype=np.float64))
         sk.tags = np.cumsum(gaps)
         perm = sk._rng.permutation(m)
-        sk.items = [str(int(v)) for v in vals[perm]]
+        sk.items = [items[i] for i in perm]
         return sk
 
     # -- serialization --------------------------------------------------

@@ -58,6 +58,13 @@ _SPECIAL = {
         "uniform-only: non-integer items, weighted samples, and k<2 "
         "refuse with clear errors"
     ),
+    "datasketch_reservoir_to_wire_strings": (
+        "exports the GENERIC Apache ReservoirItemsSketch image with "
+        "the ArrayOfStringsSerDe item framing — any items, no int64 "
+        "restriction; java reads it via ReservoirItemsSketch.heapify "
+        "with new ArrayOfStringsSerDe() (differential tests in "
+        "tests/test_reservoir_wire.py)"
+    ),
     "datasketch_reservoir_from_wire": (
         "imports an Apache ReservoirLongsSketch blob (k/n/sample set "
         "cross exactly; A-ES merge tags are re-synthesized as "

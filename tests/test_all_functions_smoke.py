@@ -120,6 +120,7 @@ def _args_for(name: str) -> str | None:
         "ks": f"{sk}, {sk}",
         "sample_weights": f"{sk}",
         "total_weight_estimate": f"{sk}",
+        "to_wire_strings": f"{sk}",
         "psi": f"{sk}, {sk}, array(50.0D, 150.0D)",
     }
     return table.get(suffix)

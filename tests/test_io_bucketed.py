@@ -227,3 +227,45 @@ class TestRollup:
         # family mismatch fails loudly
         with pytest.raises(ValueError, match="tagged family"):
             dio.rollup_sketch_table(spark, src, dst, "kll", "substr(day, 1, 7)")
+
+
+def test_string_sampling_wire_tables_roundtrip(spark, tmp_path):
+    """dtype='string' on the sampling families routes publish through
+    the ArrayOfStringsSerDe image (reservoir: generic
+    ReservoirItemsSketch; varopt: string-serde VarOptItemsSketch) and
+    read_wire_table's ingest auto-detects the framing."""
+    import datasketches_spark as dss
+    from datasketches_spark import io as dio
+    from datasketches_spark.aggregation import sketch_agg
+
+    dss.register(spark)
+    df = spark.createDataFrame(
+        [(i % 3, f"doc-{i}") for i in range(30)], "g INT, d STRING"
+    )
+    sk = sketch_agg(df, "d", "reservoir", group_cols=["g"], k=50)
+    p1 = str(tmp_path / "res_str")
+    dio.write_wire_table(sk, p1, "sketch", "reservoir", k=50, dtype="string")
+    rows = (
+        dio.read_wire_table(spark, p1)
+        .selectExpr("g", "sort_array(datasketch_reservoir_items(sketch)) AS it")
+        .collect()
+    )
+    for r in rows:
+        assert sorted(r.it) == sorted(
+            f"doc-{i}" for i in range(30) if i % 3 == r.g
+        )
+
+    wdf = spark.createDataFrame(
+        [(f"doc-{i}", float(i + 1)) for i in range(10)], "d STRING, w DOUBLE"
+    )
+    wsk = sketch_agg(wdf, "d", "reservoir", k=50, weight_col="w")
+    p2 = str(tmp_path / "vo_str")
+    dio.write_wire_table(wsk, p2, "sketch", "varopt", k=50, dtype="string")
+    got = (
+        dio.read_wire_table(spark, p2)
+        .selectExpr(
+            "datasketch_reservoir_total_weight_estimate(sketch) AS tot"
+        )
+        .first()
+    )
+    assert got.tot == sum(range(1, 11))

@@ -116,8 +116,10 @@ def test_weighted_sample_refuses_export():
 def test_non_integer_items_refuse_export():
     sk = ReservoirSampleSketch(8)
     sk.update_series(pd.Series(["alpha", "beta"]))
-    with pytest.raises(ValueError, match="longs-only"):
+    with pytest.raises(ValueError, match="longs wire"):
         sk.to_wire()
+    # ...and the error names the escape hatch
+    sk.to_wire(serde="strings")
 
 
 def test_k1_refuses_export():
@@ -225,3 +227,58 @@ def test_imported_state_merges_uniformly(jvm):
     # equal halves -> expected 0.5; sd of the mean over 4000 draws
     # ~0.008, band is ~6 sigma
     assert 0.45 < frac < 0.55, frac
+
+
+# ------------------------------------------- generic items (strings) serde
+
+
+def test_strings_image_crosses_to_java(jvm):
+    """serde='strings' emits the GENERIC ReservoirItemsSketch image —
+    same preamble as the longs wire, ArrayOfStringsSerDe item framing;
+    java must heapify it with identical n/k/sample set."""
+    sk = ReservoirSampleSketch(8)
+    sk.update_series(pd.Series(["alpha", "beta", "gamma"]))
+    blob = sk.to_wire(serde="strings")
+    serde = jvm.org.apache.datasketches.common.ArrayOfStringsSerDe()
+    got = jvm.org.apache.datasketches.sampling.ReservoirItemsSketch.heapify(
+        _mem(jvm, blob), serde
+    )
+    assert got.getN() == 3 and got.getK() == 8
+    jitems = sorted(str(x) for x in got.getSamples())
+    assert jitems == ["alpha", "beta", "gamma"]
+
+
+def test_java_items_blob_ingests(jvm):
+    """Reverse direction: a java ReservoirItemsSketch<String> blob
+    auto-detects as the strings image (the items region is not 8·m
+    bytes) and ingests with the exact sample set."""
+    jsk = jvm.org.apache.datasketches.sampling.ReservoirItemsSketch.newInstance(8)
+    for i in range(30):
+        jsk.update(f"doc-{i:03d}")
+    serde = jvm.org.apache.datasketches.common.ArrayOfStringsSerDe()
+    StrCls = jvm.java.lang.Class.forName("java.lang.String")
+    blob = bytes(jsk.toByteArray(serde, StrCls))
+    ours = ReservoirSampleSketch.from_wire(blob)
+    assert ours.n == 30 and ours.k == 8 and ours.num_retained == 8
+    jitems = sorted(str(x) for x in jsk.getSamples())
+    assert sorted(ours.get_items()) == jitems
+    # and the DSKS sniff route accepts it too
+    assert sorted(
+        ReservoirSampleSketch.deserialize(blob).get_items()
+    ) == jitems
+
+
+def test_strings_image_roundtrip_both_ways(jvm):
+    """ours -> java -> bytes -> ours: the sample set survives, and the
+    re-synthesized tags keep the uniform-merge invariants (sorted,
+    one per item)."""
+    sk = ReservoirSampleSketch(16)
+    sk.update_series(pd.Series([f"item{i}" for i in range(100)]))
+    serde = jvm.org.apache.datasketches.common.ArrayOfStringsSerDe()
+    StrCls = jvm.java.lang.Class.forName("java.lang.String")
+    j = jvm.org.apache.datasketches.sampling.ReservoirItemsSketch.heapify(
+        _mem(jvm, sk.to_wire(serde="strings")), serde
+    )
+    back = ReservoirSampleSketch.from_wire(bytes(j.toByteArray(serde, StrCls)))
+    assert sorted(back.get_items()) == sorted(sk.get_items())
+    assert back.n == 100 and np.all(np.diff(back.tags) >= 0)
