@@ -1576,6 +1576,32 @@ def q_weighted_reservoir_two_phase(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_ebpps_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EBPPS exact-PPS sampling (round 11 — the third Apache sampling
+    family, sketches/ebpps.py, differentially tested vs live
+    datasketches-java in tests/test_ebpps.py) on the two-phase plan.
+    Equal weights with n <= k keep every theta at 1, so the sample is
+    the FULL group and C == n — deterministic.  The blob also makes a
+    round trip through the Apache EbppsItemsSketch wire inside the
+    query (to_wire -> from_wire), gating the serVer-1 codec."""
+    _ensure(spark)
+    nation = _t(spark, sf_dir, "nation")
+    sk = sketch_agg(
+        nation, "n_nationkey", "ebpps", group_cols=["n_regionkey"], k=50
+    )
+    rt = sk.select(
+        F.col("n_regionkey").cast("long").alias("regionkey"),
+        F.expr(
+            "datasketch_ebpps_from_wire(datasketch_ebpps_to_wire(sketch))"
+        ).alias("sk"),
+    )
+    return rt.select(
+        "regionkey",
+        F.expr("datasketch_ebpps_c(sk)").alias("c"),
+        F.explode(F.expr("datasketch_ebpps_items(sk)")).alias("item"),
+    )
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 5-gram overlap of each
     training document with the benchmark corpus.  The benchmark is the
@@ -2960,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_wire_roundtrip": q_reservoir_wire_roundtrip,
         "varopt_weighted_sample": q_varopt_weighted_sample,
         "weighted_reservoir_two_phase": q_weighted_reservoir_two_phase,
+        "ebpps_exact_sample": q_ebpps_exact_sample,
         "bloom_contains_customers": q_bloom_contains_customers,
         "salted_theta_skew": q_salted_theta_skew,
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
@@ -3398,6 +3425,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"
             " CAST(n_nationkey AS VARCHAR) AS item,"
             " CAST(n_nationkey + 1 AS DOUBLE) AS weight FROM nation"
+        ),
+        "ebpps_exact_sample": (
+            "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"
+            " CAST(5 AS DOUBLE) AS c,"
+            " CAST(n_nationkey AS VARCHAR) AS item FROM nation"
         ),
         "cms_priority_counts": (
             "SELECT o_orderpriority AS item, count(*) AS cnt"

@@ -62,9 +62,10 @@ def sketch_partial(
     group, and bottom-(k+1) retention makes the estimation threshold
     merge-exact, sketches/reservoir.py)."""
     group_cols = list(group_cols or [])
-    if weight_col is not None and family != "reservoir":
+    if weight_col is not None and family not in ("reservoir", "ebpps"):
         raise ValueError(
-            "weight_col is only supported by the reservoir family"
+            "weight_col is only supported by the sampling families "
+            "(reservoir, ebpps)"
         )
     schema = _out_schema(df, group_cols, output_col)
     cols = group_cols + [input_col]

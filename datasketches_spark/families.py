@@ -18,6 +18,7 @@ from .sketches import (
     BloomFilterSketch,
     CountMinSketch,
     CpcSketch,
+    EbppsSketch,
     FrequentItemsSketch,
     HllSketch,
     KllSketch,
@@ -44,6 +45,7 @@ FAMILY_CLASSES = {
     "reservoir": ReservoirSampleSketch,
     "cms": CountMinSketch,
     "stats": StatsSketch,
+    "ebpps": EbppsSketch,
 }
 
 
@@ -78,6 +80,8 @@ def create_sketch(family: str, params: dict):
         )
     if family == "reservoir":
         return ReservoirSampleSketch(int(params.get("k", 1024)))
+    if family == "ebpps":
+        return EbppsSketch(int(params.get("k", 1024)))
     if family == "cms":
         return CountMinSketch(
             int(params.get("lg_w", 16)), int(params.get("depth", 5))
@@ -159,7 +163,7 @@ def update_sketch(family: str, sk, series: pd.Series, merge: bool = False) -> No
                 "You might need to add explicit type casts."
             )
         sk.update(s.to_numpy())
-    elif family in ("frequent_items", "reservoir", "cms"):
+    elif family in ("frequent_items", "reservoir", "cms", "ebpps"):
         sk.update_series(s)
     else:  # pragma: no cover
         raise ValueError(f"unknown sketch family: {family}")
@@ -181,7 +185,7 @@ def build_params(family: str, k: int | None, series: pd.Series | None) -> dict:
     elif family == "bloom":
         if k is not None:
             params["lg_m"] = k
-    elif family == "reservoir":
+    elif family in ("reservoir", "ebpps"):
         if k is not None:
             params["k"] = k
     elif family == "cms":

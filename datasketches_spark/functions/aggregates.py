@@ -94,6 +94,20 @@ def build_aggregate_registry() -> dict[str, object]:
         return None if sk.is_empty else sk.serialize()
 
     reg["datasketch_reservoir_weighted"] = reservoir_weighted
+    # beyond-reference EBPPS: exact-PPS bounded sample (Apache's third
+    # sampling family; sketches/ebpps.py). K is the max sample size.
+    reg["datasketch_ebpps"] = _agg_with_k("ebpps")
+    reg["datasketch_ebpps_union_agg"] = _agg_with_k("ebpps")
+
+    @pandas_udf("binary")
+    def ebpps_weighted(k: pd.Series, v: pd.Series, w: pd.Series) -> bytes:
+        kk = k.dropna()
+        kval = int(kk.iloc[0]) if kk.size else None
+        sk = create_sketch("ebpps", build_params("ebpps", kval, v))
+        sk.update_series(v, weights=w)
+        return None if sk.is_empty else sk.serialize()
+
+    reg["datasketch_ebpps_weighted"] = ebpps_weighted
     # beyond-reference Count-Min: K argument is lg(width)
     reg["datasketch_cms"] = _agg_with_k("cms")
     reg["datasketch_cms_union_agg"] = _agg_with_k("cms")

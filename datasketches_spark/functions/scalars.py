@@ -39,6 +39,7 @@ from ..sketches import (
     KllSketch,
     QuantilesSketch,
     ReqSketch,
+    EbppsSketch,
     ReservoirSampleSketch,
     StatsSketch,
     TDigestSketch,
@@ -578,6 +579,28 @@ def build_scalar_registry() -> dict[str, object]:
     reg["datasketch_varopt_from_wire"] = _unary(
         R, lambda sk: sk.serialize(), "binary"
     )
+
+    # ---- EBPPS exact-PPS sample (beyond-reference; sketches/ebpps.py) --
+    p = "datasketch_ebpps_"
+    E = EbppsSketch
+    reg[p + "items"] = _unary(E, lambda sk: sk.get_full_items(), "array<string>")
+    reg[p + "n"] = _unary(E, lambda sk: int(sk.n), "long")
+    reg[p + "k"] = _unary(E, lambda sk: int(sk.k), "int")
+    reg[p + "c"] = _unary(E, lambda sk: float(sk.c), "double")
+    reg[p + "cumulative_weight"] = _unary(
+        E, lambda sk: float(sk.cumulative_wt), "double"
+    )
+    reg[p + "num_retained"] = _unary(E, lambda sk: int(sk.num_retained), "long")
+    reg[p + "has_partial"] = _unary(E, lambda sk: bool(sk.has_partial), "boolean")
+    reg[p + "is_empty"] = _unary(E, lambda sk: bool(sk.is_empty), "boolean")
+    reg[p + "describe"] = _unary(E, lambda sk: sk.describe(), "string")
+    # Apache EbppsItemsSketch wire (serVer 1, family 19; differential
+    # tests vs live datasketches-java in tests/test_ebpps.py)
+    reg[p + "to_wire"] = _unary(E, lambda sk: sk.to_wire(), "binary")
+    reg[p + "to_wire_strings"] = _unary(
+        E, lambda sk: sk.to_wire(serde="strings"), "binary"
+    )
+    reg[p + "from_wire"] = _unary(E, lambda sk: sk.serialize(), "binary")
 
     # ---- exact summary stats (beyond-reference; sketches/stats.py) ----
     p = "datasketch_stats_"

@@ -25,6 +25,7 @@ _FAMILY_BYTES = {
     # samples publish as Apache VarOptItemsSketch blobs) — the engine
     # frames are reservoir frames
     "varopt": 10,
+    "ebpps": 13,
 }
 _META_KEY = "datasketches_spark"
 
@@ -152,7 +153,7 @@ def merge_bucketed_sketch_tables(
 
 _WIRE_FAMILIES = frozenset(
     ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest",
-     "frequent_items", "reservoir", "varopt"]
+     "frequent_items", "reservoir", "varopt", "ebpps"]
 )
 
 
@@ -225,7 +226,7 @@ def write_wire_table(
     if family in _TYPED_WIRE_FAMILIES and dtype is None:
         dtype = _peek_dtype(df, sketch_col, family)
     to_wire_fn = f"datasketch_{family}_to_wire"
-    if family in ("varopt", "reservoir") and dtype == "string":
+    if family in ("varopt", "reservoir", "ebpps") and dtype == "string":
         # the sampling wires carry no serde marker: string items use
         # ArrayOfStringsSerDe framing and the dtype metadata records it
         to_wire_fn = f"datasketch_{family}_to_wire_strings"

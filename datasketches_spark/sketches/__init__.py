@@ -8,6 +8,7 @@ to a framed BLOB (base.py), and NULL-skipping at the update layer.
 from .base import (
     FAMILY_BLOOM,
     FAMILY_CMS,
+    FAMILY_EBPPS,
     FAMILY_CPC,
     FAMILY_FREQUENT_ITEMS,
     FAMILY_RESERVOIR,
@@ -24,6 +25,7 @@ from .base import (
 from .bloom import BloomFilterSketch, bloom_intersect, bloom_union
 from .cms import CountMinSketch
 from .compactor import KllSketch, QuantilesSketch, ReqSketch
+from .ebpps import EbppsSketch
 from .reservoir import ReservoirSampleSketch
 from .stats import StatsSketch
 from .frequent_items import FrequentItemsSketch
@@ -45,6 +47,7 @@ FAMILY_CLASSES = {
     FAMILY_RESERVOIR: ReservoirSampleSketch,
     FAMILY_CMS: CountMinSketch,
     FAMILY_STATS: StatsSketch,
+    FAMILY_EBPPS: EbppsSketch,
 }
 
 
@@ -71,6 +74,7 @@ __all__ = [
     "bloom_union",
     "bloom_intersect",
     "ReservoirSampleSketch",
+    "EbppsSketch",
     "CountMinSketch",
     "StatsSketch",
     "deserialize_any",

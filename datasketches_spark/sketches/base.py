@@ -43,6 +43,7 @@ FAMILY_BLOOM = 9
 FAMILY_RESERVOIR = 10
 FAMILY_CMS = 11
 FAMILY_STATS = 12
+FAMILY_EBPPS = 13
 
 # Reservoir v2 (round 10): payload gains a `weighted` flag byte so the
 # Apache wire exporter can refuse weighted (non-uniform) samples —
@@ -71,6 +72,7 @@ FAMILY_NAMES = {
     FAMILY_RESERVOIR: "Reservoir Sample",
     FAMILY_CMS: "Count-Min",
     FAMILY_STATS: "Stats",
+    FAMILY_EBPPS: "EBPPS Sample",
 }
 
 # dtype codes for typed quantile sketches (sketch_kll_double etc.)

@@ -163,6 +163,29 @@ _SPECIAL = {
         "unbiased estimate of the TOTAL stream weight (= n when "
         "uniform): the sum of the sample weights"
     ),
+    "datasketch_ebpps": (
+        "EBPPS — exact-and-bounded probability-proportional-to-size "
+        "sampling (Apache's third sampling family): each item is in "
+        "the sample with probability EXACTLY min(1, k*w/W), never more "
+        "than ceil(C) <= k items retained.  Use datasketch_ebpps_weighted "
+        "for per-row weights; statistics (C, cumulative weight) are "
+        "deterministic and bit-match live datasketches-java "
+        "(tests/test_ebpps.py)"
+    ),
+    "datasketch_ebpps_to_wire": (
+        "exports the Apache EbppsItemsSketch format (serVer 1, longs "
+        "serde; _strings variant for any items) — heapify-verified "
+        "against the live jar both directions"
+    ),
+    "datasketch_ebpps_from_wire": (
+        "imports an Apache EbppsItemsSketch blob (serde auto-detected); "
+        "every ebpps reader also sniffs wire blobs"
+    ),
+    "datasketch_ebpps_c": (
+        "the EXPECTED sample size C (deterministic given the weight "
+        "stream; the realized sample has floor(C) full items plus one "
+        "partial item carried with probability C%1)"
+    ),
     "datasketch_hll_estimate": (
         "dense mode uses Ertl's improved raw estimator "
         "(arXiv:1702.01284) — unbiased across the range, no "
@@ -201,7 +224,7 @@ def _note(name: str) -> str:
 
 
 total = 0
-for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "reservoir", "varopt", "cms", "stats"]:
+for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "reservoir", "varopt", "ebpps", "cms", "stats"]:
     fns = groups.get(fam, [])
     total += len(fns)
     lines.append(f"## {fam} ({len(fns)} functions)")

@@ -31,6 +31,7 @@ def ctx(spark):
           datasketch_bloom(12, xi)           AS sk_bloom,
           datasketch_reservoir(64, xs)       AS sk_reservoir,
           datasketch_cms(12, xs)             AS sk_cms,
+          datasketch_ebpps(64, xs)           AS sk_ebpps,
           datasketch_stats(xd)               AS sk_stats
         FROM smoke_t
         """
@@ -51,7 +52,7 @@ def _args_for(name: str) -> str | None:
     }
     if name in varopt_table:
         return varopt_table[name]
-    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloom", "reservoir", "cms", "stats"):
+    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloom", "reservoir", "cms", "ebpps", "stats"):
         if name.startswith(f"datasketch_{f}_"):
             fam = f
             suffix = name[len(f"datasketch_{f}_") :]
@@ -96,7 +97,7 @@ def _args_for(name: str) -> str | None:
         else f"{sk}, array(50.0D, 150.0D), true",
         "describe": f"{sk}, true"
         if fam == "tdigest"
-        else (f"{sk}" if fam in ("theta", "bloom", "reservoir", "cms", "stats") else f"{sk}, true, false"),
+        else (f"{sk}" if fam in ("theta", "bloom", "reservoir", "cms", "ebpps", "stats") else f"{sk}, true, false"),
         "normalized_rank_error": f"{sk}, true",
         "total_weight": f"{sk}",
         "get_theta": f"{sk}",
@@ -121,6 +122,9 @@ def _args_for(name: str) -> str | None:
         "sample_weights": f"{sk}",
         "total_weight_estimate": f"{sk}",
         "to_wire_strings": f"{sk}",
+        "c": f"{sk}",
+        "cumulative_weight": f"{sk}",
+        "has_partial": f"{sk}",
         "psi": f"{sk}, {sk}, array(50.0D, 150.0D)",
     }
     return table.get(suffix)
@@ -158,6 +162,7 @@ def test_every_aggregate_executes(ctx):
         "datasketch_bloom": 12,
         "datasketch_reservoir": 64,
         "datasketch_cms": 12,
+        "datasketch_ebpps": 64,
     }
     failures = []
     for name in names:
@@ -168,13 +173,14 @@ def test_every_aggregate_executes(ctx):
                 "datasketch_bloom_union_agg",
                 "datasketch_reservoir_union_agg",
                 "datasketch_cms_union_agg",
+                "datasketch_ebpps_union_agg",
             ):
                 fam = name.replace("datasketch_", "").replace("_union_agg", "").replace("_union", "")
-                kk = 64 if fam == "reservoir" else 12
+                kk = 64 if fam in ("reservoir", "ebpps") else 12
                 sql = f"SELECT {name}({kk}, sk_{fam}) FROM smoke_sketches"
             elif name == "datasketch_stats_union_agg":
                 sql = f"SELECT {name}(sk_stats) FROM smoke_sketches"
-            elif name == "datasketch_reservoir_weighted":
+            elif name in ("datasketch_reservoir_weighted", "datasketch_ebpps_weighted"):
                 sql = f"SELECT {name}(64, xs, xd) FROM smoke_t"
             elif name in two_arg_k:
                 col = "xs" if "frequent" in name else "xd" if name in (

@@ -341,12 +341,12 @@ def test_reservoir_garbage_never_parses_silently():
 @given(
     st.sampled_from(
         ["theta", "kll", "quantiles", "req", "tdigest", "hll", "cpc",
-         "frequent_items", "bloom", "reservoir", "cms", "stats"]
+         "frequent_items", "bloom", "reservoir", "cms", "stats", "ebpps"]
     ),
     st.integers(min_value=0, max_value=2**31),
 )
 def test_dsks_frame_bitflip_never_escapes(family, seed):
-    """Round 10: one flipped byte in a VALID DSKS frame (ALL 12
+    """Round 10: one flipped byte in a VALID DSKS frame (ALL 13
     families, including the beyond-reference ones the Apache-wire
     fuzz can't reach) must either raise the reference's deserialize
     error or parse as a differently-valid sketch — never leak
