@@ -6,6 +6,7 @@ to a framed BLOB (base.py), and NULL-skipping at the update layer.
 """
 
 from .base import (
+    FAMILY_AOD,
     FAMILY_BLOOM,
     FAMILY_CMS,
     FAMILY_EBPPS,
@@ -33,8 +34,10 @@ from .cpc import CpcSketch
 from .hll import HllSketch
 from .tdigest import TDigestSketch
 from .theta import ThetaSketch, theta_a_not_b, theta_intersect, theta_union
+from .tuple_aod import AodSketch, aod_a_not_b, aod_intersect, aod_union
 
 FAMILY_CLASSES = {
+    FAMILY_AOD: AodSketch,
     FAMILY_THETA: ThetaSketch,
     FAMILY_KLL: KllSketch,
     FAMILY_QUANTILES: QuantilesSketch,
@@ -70,6 +73,10 @@ __all__ = [
     "theta_union",
     "theta_intersect",
     "theta_a_not_b",
+    "AodSketch",
+    "aod_union",
+    "aod_intersect",
+    "aod_a_not_b",
     "BloomFilterSketch",
     "bloom_union",
     "bloom_intersect",

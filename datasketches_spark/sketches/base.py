@@ -44,6 +44,7 @@ FAMILY_RESERVOIR = 10
 FAMILY_CMS = 11
 FAMILY_STATS = 12
 FAMILY_EBPPS = 13
+FAMILY_AOD = 14
 
 # Reservoir v2 (round 10): payload gains a `weighted` flag byte so the
 # Apache wire exporter can refuse weighted (non-uniform) samples —
@@ -73,6 +74,7 @@ FAMILY_NAMES = {
     FAMILY_CMS: "Count-Min",
     FAMILY_STATS: "Stats",
     FAMILY_EBPPS: "EBPPS Sample",
+    FAMILY_AOD: "Tuple",
 }
 
 # dtype codes for typed quantile sketches (sketch_kll_double etc.)

@@ -1,0 +1,329 @@
+"""ArrayOfDoubles tuple sketch: core behavior, DSKS framing, and
+Apache wire interop differential vs LIVE datasketches-java
+(org.apache.datasketches.tuple.arrayofdoubles.* in the bundled jar).
+
+The tuple family rides the theta hash space, so EXACT-mode states are
+fully deterministic: java-built and python-built sketches over the
+same keys retain the SAME hash set and the SAME summed summaries, and
+cross-heapified states answer identically.  Estimation-mode states
+differ only in the retention policy (our bottom-k KMV vs java's
+quick-select rebuild), so cross-reads assert state equality (same
+blob -> same answers), not estimator identity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datasketches_spark.sketches.base import SketchDeserializeError
+from datasketches_spark.sketches.tuple_aod import (
+    AodSketch,
+    aod_a_not_b,
+    aod_intersect,
+    aod_union,
+)
+
+BIG = 1 << 32  # py4j sends ints >= 2^31 as java Long (update(long, ...) overload)
+
+
+@pytest.fixture(scope="module")
+def jvm(spark):
+    return spark.sparkContext._jvm
+
+
+def _mem(jvm, blob: bytes):
+    return jvm.org.apache.datasketches.memory.Memory.wrap(blob)
+
+
+def _builder(jvm, lg_k: int, num_values: int):
+    b = jvm.org.apache.datasketches.tuple.arrayofdoubles.ArrayOfDoublesUpdatableSketchBuilder()
+    return b.setNominalEntries(1 << lg_k).setNumberOfValues(num_values).build()
+
+
+def _jarr(spark, vals):
+    gw = spark.sparkContext._gateway
+    arr = gw.new_array(gw.jvm.double, len(vals))
+    for i, v in enumerate(vals):
+        arr[i] = float(v)
+    return arr
+
+
+def _heapify(jvm, blob: bytes):
+    return jvm.org.apache.datasketches.tuple.arrayofdoubles.ArrayOfDoublesSketches.heapifySketch(
+        _mem(jvm, blob)
+    )
+
+
+def _jsums(jsk, num_values: int) -> list[float]:
+    out = [0.0] * num_values
+    for row in jsk.getValues():
+        for j in range(num_values):
+            out[j] += row[j]
+    return out
+
+
+# ------------------------------------------------------------- core
+
+
+def test_exact_mode_sums_and_estimate():
+    sk = AodSketch(12, 2)
+    sk.update_batch(
+        pd.Series([1, 2, 3, 2, 1, None, 4]),
+        np.array([[1.0, 10], [2, 20], [3, 30], [4, 40], [5, 50], [6, 60], [7, 70]]),
+    )
+    assert sk.get_estimate() == 4.0 and sk.num_retained == 4
+    assert sk.column_sums() == [22.0, 220.0]
+    assert sk.column_sums_retained() == [22.0, 220.0]
+    assert sk.column_means() == [5.5, 55.0]
+    assert not sk.is_estimation_mode and not sk.is_empty
+
+
+def test_empty_and_null_only():
+    sk = AodSketch(12, 1)
+    assert sk.is_empty and sk.get_estimate() == 0.0
+    sk.update_batch(pd.Series([None, None]), np.ones((2, 1)))
+    assert sk.is_empty
+    sk.update_batch(pd.Series(["", ""]), np.ones((2, 1)))  # Apache skips empties
+    assert sk.is_empty
+
+
+def test_merge_equals_one_shot_build():
+    keys = pd.Series(np.arange(100_000, dtype=np.int64))
+    vals = np.arange(100_000, dtype=np.float64).reshape(-1, 1)
+    a, b, one = AodSketch(10, 1), AodSketch(10, 1), AodSketch(10, 1)
+    a.update_batch(keys[:60_000], vals[:60_000])
+    b.update_batch(keys[60_000:], vals[60_000:])
+    one.update_batch(keys, vals)
+    u = aod_union(a, b)
+    one._consolidate()
+    assert u.theta == one.theta
+    assert np.array_equal(u.keys, one.keys)
+    assert np.array_equal(u.values, one.values)
+    est = u.get_estimate()
+    assert abs(est - 100_000) / 100_000 < 4 / np.sqrt(1 << 10)
+
+
+def test_duplicate_keys_sum_across_merge():
+    a, b = AodSketch(12, 1), AodSketch(12, 1)
+    a.update_batch(pd.Series([1, 2]), np.array([[10.0], [20.0]]))
+    b.update_batch(pd.Series([2, 3]), np.array([[5.0], [7.0]]))
+    u = aod_union(a, b)
+    assert u.get_estimate() == 3.0
+    assert u.column_sums() == [42.0]
+
+
+def test_set_ops_exact():
+    x, y = AodSketch(12, 1), AodSketch(12, 1)
+    x.update_batch(pd.Series([1, 2, 3, 4]), np.array([[1.0], [2], [3], [4]]))
+    y.update_batch(pd.Series([3, 4, 5]), np.array([[30.0], [40], [50]]))
+    inter = aod_intersect(x, y)
+    assert inter.get_estimate() == 2.0
+    assert inter.column_sums() == [77.0]  # (3+30) + (4+40)
+    diff = aod_a_not_b(x, y)
+    assert diff.get_estimate() == 2.0
+    assert diff.column_sums() == [3.0]  # keys 1,2 keep A's values
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        AodSketch(3, 1)
+    with pytest.raises(ValueError):
+        AodSketch(12, 0)
+    a, b = AodSketch(12, 1), AodSketch(12, 2)
+    with pytest.raises(ValueError):
+        a.merge(b)
+
+
+def test_dsks_roundtrip_and_corrupt():
+    sk = AodSketch(8, 3)
+    keys = pd.Series(np.arange(5000, dtype=np.int64))
+    sk.update_batch(keys, np.tile(np.array([1.0, 2.0, 3.0]), (5000, 1)))
+    blob = sk.serialize()
+    rt = AodSketch.deserialize(blob)
+    assert rt.theta == sk.theta and rt.num_values == 3
+    assert np.array_equal(rt.keys, sk.keys) and np.array_equal(rt.values, sk.values)
+    with pytest.raises(SketchDeserializeError):
+        AodSketch.deserialize(blob[:20])
+    # flip a retained-count byte -> loud failure, never a skewed estimate
+    bad = bytearray(blob)
+    bad[6 + 11] ^= 0xFF
+    with pytest.raises(SketchDeserializeError):
+        AodSketch.deserialize(bytes(bad))
+
+
+# ------------------------------------------------- wire, self-consistency
+
+
+def test_wire_self_roundtrip_exact_and_estimation():
+    for lg_k, n in ((12, 1000), (6, 50_000)):
+        sk = AodSketch(lg_k, 2)
+        sk.update_batch(
+            pd.Series(np.arange(n, dtype=np.int64)),
+            np.column_stack([np.ones(n), np.arange(n, dtype=np.float64)]),
+        )
+        rt = AodSketch.from_wire(sk.to_wire(), lg_k=lg_k)
+        assert rt.theta == sk.theta
+        assert np.array_equal(rt.keys, sk.keys)
+        assert np.array_equal(rt.values, sk.values)
+
+
+def test_wire_empty_roundtrip():
+    sk = AodSketch(12, 4)
+    w = sk.to_wire()
+    assert len(w) == 16
+    rt = AodSketch.from_wire(w)
+    assert rt.is_empty and rt.num_values == 4
+
+
+# ------------------------------------------------- differential vs java
+
+
+def test_java_reads_our_exact_wire(spark, jvm):
+    sk = AodSketch(12, 2)
+    keys = pd.Series([BIG + i for i in range(500)])
+    vals = np.column_stack(
+        [np.full(500, 2.0), np.arange(500, dtype=np.float64)]
+    )
+    sk.update_batch(keys, vals)
+    jsk = _heapify(jvm, sk.to_wire())
+    assert jsk.getEstimate() == 500.0
+    assert jsk.getRetainedEntries() == 500
+    assert not jsk.isEstimationMode()
+    assert _jsums(jsk, 2) == sk.column_sums_retained()
+
+
+def test_we_read_java_exact_wire(spark, jvm):
+    jsk = _builder(jvm, 12, 2)
+    expect0 = expect1 = 0.0
+    for i in range(300):
+        jsk.update(BIG + i, _jarr(spark, [1.5, float(i)]))
+        expect0 += 1.5
+        expect1 += float(i)
+    # repeated key: java SUMS summaries element-wise
+    jsk.update(BIG, _jarr(spark, [1.5, 100.0]))
+    expect0 += 1.5
+    expect1 += 100.0
+    blob = bytes(jsk.compact().toByteArray())
+    sk = AodSketch.from_wire(blob)
+    assert sk.get_estimate() == 300.0 and sk.num_retained == 300
+    assert sk.column_sums() == pytest.approx([expect0, expect1])
+
+
+def test_hash_parity_long_and_string_keys(spark, jvm):
+    """java-built and python-built EXACT states retain identical hash
+    sets — the murmur/key-canonicalization parity that makes wire
+    blobs genuinely mergeable across systems."""
+    jsk = _builder(jvm, 12, 1)
+    ours = AodSketch(12, 1)
+    longs = [BIG + 7 * i for i in range(100)]
+    strs = [f"user-{i}" for i in range(100)]
+    for v in longs:
+        jsk.update(v, _jarr(spark, [1.0]))
+    for s in strs:
+        jsk.update(s, _jarr(spark, [1.0]))
+    ours.update_batch(pd.Series(longs, dtype=np.int64), np.ones((100, 1)))
+    ours.update_batch(pd.Series(strs), np.ones((100, 1)))
+    theirs = AodSketch.from_wire(bytes(jsk.compact().toByteArray()))
+    ours._consolidate()
+    assert np.array_equal(ours.keys, theirs.keys)
+    assert np.array_equal(ours.values, theirs.values)
+
+
+def test_java_reads_our_estimation_wire_state_exact(spark, jvm):
+    n = 200_000
+    sk = AodSketch(8, 1)
+    sk.update_batch(
+        pd.Series(np.arange(n, dtype=np.int64)), np.ones((n, 1), dtype=np.float64)
+    )
+    assert sk.is_estimation_mode
+    jsk = _heapify(jvm, sk.to_wire())
+    # same serialized state -> identical answers from java
+    assert jsk.isEstimationMode()
+    assert jsk.getRetainedEntries() == sk.num_retained
+    assert jsk.getEstimate() == pytest.approx(sk.get_estimate(), rel=1e-12)
+    assert jsk.getEstimate() == pytest.approx(n, rel=4 / np.sqrt(1 << 8))
+
+
+def test_we_read_java_estimation_wire(spark, jvm):
+    jsk = _builder(jvm, 8, 1)
+    # 4k keys >> 256 nominal, so java rebuilds and lowers theta
+    for i in range(4096):
+        jsk.update(BIG + i, _jarr(spark, [1.0]))
+    comp = jsk.compact()
+    blob = bytes(comp.toByteArray())
+    sk = AodSketch.from_wire(blob)
+    assert sk.is_estimation_mode
+    assert sk.num_retained == comp.getRetainedEntries()
+    assert sk.get_estimate() == pytest.approx(comp.getEstimate(), rel=1e-12)
+    assert sk.column_sums_retained()[0] == pytest.approx(
+        _jsums(comp, 1)[0], rel=1e-12
+    )
+
+
+def test_we_read_java_updatable_qs_image(spark, jvm):
+    """The updatable (QuickSelect, type 2) image with its full hash
+    table also heapifies — both in exact and rebuilt states."""
+    for n in (100, 2000):  # nominal 256: exact, then rebuilt
+        jsk = _builder(jvm, 8, 2)
+        for i in range(n):
+            jsk.update(BIG + i, _jarr(spark, [1.0, 2.0]))
+        blob = bytes(jsk.toByteArray())
+        assert blob[3] == 2  # SketchType.ArrayOfDoublesQuickSelectSketch
+        sk = AodSketch.from_wire(blob)
+        assert sk.num_retained == jsk.getRetainedEntries()
+        assert sk.get_estimate() == pytest.approx(jsk.getEstimate(), rel=1e-12)
+        assert sk.column_sums_retained() == pytest.approx(_jsums(jsk, 2), rel=1e-12)
+
+
+def test_java_unions_our_wire_with_java_sketch(spark, jvm):
+    ours = AodSketch(12, 1)
+    ours.update_batch(
+        pd.Series([BIG + i for i in range(100)], dtype=np.int64), np.ones((100, 1))
+    )
+    jsk = _builder(jvm, 12, 1)
+    for i in range(50, 150):  # 50-key overlap
+        jsk.update(BIG + i, _jarr(spark, [1.0]))
+    u = (
+        jvm.org.apache.datasketches.tuple.arrayofdoubles.ArrayOfDoublesSetOperationBuilder()
+        .setNominalEntries(1 << 12)
+        .buildUnion()
+    )
+    u.union(_heapify(jvm, ours.to_wire()))
+    u.union(jsk.compact())
+    res = u.getResult()
+    assert res.getEstimate() == 150.0
+    # overlap keys carry summed summaries through the java union
+    assert _jsums(res, 1)[0] == pytest.approx(200.0)
+    # and we can ingest the union result right back
+    back = AodSketch.from_wire(bytes(res.toByteArray()))
+    assert back.get_estimate() == 150.0
+    assert back.column_sums() == pytest.approx([200.0])
+
+
+def test_empty_wire_cross_reads(spark, jvm):
+    jsk = _builder(jvm, 12, 3)
+    ours = AodSketch.from_wire(bytes(jsk.compact().toByteArray()))
+    assert ours.is_empty and ours.num_values == 3
+    jempty = _heapify(jvm, AodSketch(12, 3).to_wire())
+    assert jempty.isEmpty() and jempty.getNumValues() == 3
+
+
+def test_wire_rejects_corruption(spark, jvm):
+    sk = AodSketch(12, 1)
+    sk.update_batch(pd.Series([1, 2, 3]), np.ones((3, 1)))
+    w = bytearray(sk.to_wire())
+    for mut in (
+        lambda b: struct.pack_into("<B", b, 1, 9),  # serVer
+        lambda b: struct.pack_into("<B", b, 2, 3),  # family
+        lambda b: struct.pack_into("<H", b, 6, 0x1234),  # seed hash
+        lambda b: struct.pack_into("<q", b, 8, -5),  # negative theta
+        lambda b: struct.pack_into("<i", b, 16, 10_000),  # count > len
+    ):
+        bad = bytearray(w)
+        mut(bad)
+        with pytest.raises(SketchDeserializeError):
+            AodSketch.from_wire(bytes(bad))
