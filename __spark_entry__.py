@@ -1602,6 +1602,94 @@ def q_ebpps_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aod_custsales_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayOfDoubles tuple sketch (round 11 — the 11th Apache wire
+    family, sketches/tuple_aod.py, differentially tested vs live
+    datasketches-java in tests/test_tuple_aod_wire.py) on the
+    two-phase blob-only shuffle plan (aggregation.tuple_sketch_agg).
+
+    One bounded blob per o_orderpriority answers BOTH
+    COUNT(DISTINCT o_custkey) and SUM(o_totalprice): repeated keys SUM
+    their summaries, so the retained column total equals the plain
+    column sum.  lg_k=16 (65536 nominal) keeps every group exact at
+    the gate SFs.  The blob also makes a round trip through the
+    Apache ArrayOfDoublesCompactSketch wire inside the query
+    (to_wire -> from_wire), gating the serVer-1 codec."""
+    _ensure(spark)
+    from datasketches_spark.aggregation import tuple_sketch_agg
+
+    orders = _t(spark, sf_dir, "orders")
+    sk = tuple_sketch_agg(
+        orders,
+        "o_custkey",
+        ["o_totalprice"],
+        group_cols=["o_orderpriority"],
+        lg_k=16,
+    )
+    rt = sk.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("datasketch_aod_from_wire(datasketch_aod_to_wire(sketch))").alias(
+            "sk"
+        ),
+    )
+    return rt.select(
+        "priority",
+        F.expr("CAST(round(datasketch_aod_estimate(sk)) AS BIGINT)").alias(
+            "distinct_customers"
+        ),
+        F.expr("round(datasketch_aod_column_sums(sk)[0], 2)").alias(
+            "total_price"
+        ),
+        F.expr("datasketch_aod_num_values(sk)").alias("num_values"),
+        F.expr("datasketch_aod_is_estimation_mode(sk)").alias("is_est"),
+    ).orderBy("priority")
+
+
+def q_aod_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuple-sketch set algebra with summaries carried through, on
+    exact-mode states: customers with F orders vs O orders.  The
+    intersection SUMS both sides' summaries for overlapping keys (the
+    canonical ArrayOfDoubles combiner), so intersect total_price ==
+    SUM over customers in both states of (their F total + O total);
+    a_not_b keeps A's summaries — all SQL-expressible."""
+    _ensure(spark)
+    from datasketches_spark.aggregation import tuple_sketch_agg
+
+    orders = _t(spark, sf_dir, "orders")
+    a = tuple_sketch_agg(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        "o_custkey",
+        ["o_totalprice"],
+        lg_k=16,
+    ).select(F.col("sketch").alias("a"))
+    b = tuple_sketch_agg(
+        orders.filter(F.col("o_orderstatus") == "O"),
+        "o_custkey",
+        ["o_totalprice"],
+        lg_k=16,
+    ).select(F.col("sketch").alias("b"))
+    return a.crossJoin(b).select(
+        F.expr(
+            "CAST(round(datasketch_aod_estimate(datasketch_aod_union(a, b))) AS BIGINT)"
+        ).alias("union_cnt"),
+        F.expr(
+            "CAST(round(datasketch_aod_estimate(datasketch_aod_intersect(a, b))) AS BIGINT)"
+        ).alias("intersect_cnt"),
+        F.expr(
+            "CAST(round(datasketch_aod_estimate(datasketch_aod_a_not_b(a, b))) AS BIGINT)"
+        ).alias("anotb_cnt"),
+        F.expr(
+            "round(datasketch_aod_column_sums(datasketch_aod_union(a, b))[0], 2)"
+        ).alias("union_price"),
+        F.expr(
+            "round(datasketch_aod_column_sums(datasketch_aod_intersect(a, b))[0], 2)"
+        ).alias("intersect_price"),
+        F.expr(
+            "round(datasketch_aod_column_sums(datasketch_aod_a_not_b(a, b))[0], 2)"
+        ).alias("anotb_price"),
+    )
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 5-gram overlap of each
     training document with the benchmark corpus.  The benchmark is the
@@ -2987,6 +3075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "varopt_weighted_sample": q_varopt_weighted_sample,
         "weighted_reservoir_two_phase": q_weighted_reservoir_two_phase,
         "ebpps_exact_sample": q_ebpps_exact_sample,
+        "aod_custsales_by_priority": q_aod_custsales_by_priority,
+        "aod_set_ops": q_aod_set_ops,
         "bloom_contains_customers": q_bloom_contains_customers,
         "salted_theta_skew": q_salted_theta_skew,
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
@@ -3431,6 +3521,40 @@ def oracle_sql() -> dict[str, str]:
             " CAST(5 AS DOUBLE) AS c,"
             " CAST(n_nationkey AS VARCHAR) AS item FROM nation"
         ),
+        "aod_custsales_by_priority": (
+            "SELECT o_orderpriority AS priority,"
+            " CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,"
+            " round(sum(o_totalprice), 2) AS total_price,"
+            " CAST(1 AS INTEGER) AS num_values,"
+            " FALSE AS is_est"
+            " FROM orders GROUP BY o_orderpriority ORDER BY priority"
+        ),
+        "aod_set_ops": """
+            WITH fa AS (
+              SELECT o_custkey, sum(o_totalprice) AS s FROM orders
+              WHERE o_orderstatus = 'F' GROUP BY o_custkey
+            ), ob AS (
+              SELECT o_custkey, sum(o_totalprice) AS s FROM orders
+              WHERE o_orderstatus = 'O' GROUP BY o_custkey
+            )
+            SELECT
+              CAST((SELECT count(*) FROM (
+                SELECT o_custkey FROM fa UNION SELECT o_custkey FROM ob
+              )) AS BIGINT) AS union_cnt,
+              CAST((SELECT count(*) FROM fa JOIN ob USING (o_custkey))
+                AS BIGINT) AS intersect_cnt,
+              CAST((SELECT count(*) FROM fa
+                WHERE o_custkey NOT IN (SELECT o_custkey FROM ob))
+                AS BIGINT) AS anotb_cnt,
+              round((SELECT sum(s) FROM (
+                SELECT s FROM fa UNION ALL SELECT s FROM ob
+              )), 2) AS union_price,
+              round((SELECT sum(fa.s + ob.s) FROM fa
+                JOIN ob USING (o_custkey)), 2) AS intersect_price,
+              round((SELECT sum(s) FROM fa
+                WHERE o_custkey NOT IN (SELECT o_custkey FROM ob)),
+                2) AS anotb_price
+        """,
         "cms_priority_counts": (
             "SELECT o_orderpriority AS item, count(*) AS cnt"
             " FROM orders GROUP BY o_orderpriority"

@@ -316,6 +316,91 @@ def sketch_agg_multi(
     return partial.groupBy().applyInPandas(merge, schema=merge_schema)
 
 
+def tuple_sketch_partial(
+    df: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+    group_cols: list[str] | None = None,
+    lg_k: int | None = None,
+    output_col: str = "sketch",
+) -> DataFrame:
+    """Phase 1 for the ArrayOfDoubles tuple family: one partition-local
+    tuple sketch per (partition, group) over ``(key, values...)`` rows.
+
+    Same blob-only shuffle contract as :func:`sketch_partial`; the
+    summary matrix rides inside the bounded blob (a lg_k=12,
+    num_values=2 blob tops out at ~96 KB), so at 100 TB the shuffle
+    still carries groups x partitions blobs, never raw rows."""
+    from .sketches.tuple_aod import AodSketch, DEFAULT_LG_K
+
+    group_cols = list(group_cols or [])
+    value_cols = list(value_cols)
+    schema = _out_schema(df, group_cols, output_col)
+    cols = group_cols + [key_col] + value_cols
+    lgk = lg_k if lg_k is not None else DEFAULT_LG_K
+    m = len(value_cols)
+    chunk_rows = 1 << 19
+
+    def build(batches) -> "Iterator[pd.DataFrame]":
+        acc: dict[tuple, AodSketch] = {}
+        buf: list[pd.DataFrame] = []
+        nbuf = 0
+
+        def upd(key: tuple, sub: pd.DataFrame) -> None:
+            sk = acc.get(key)
+            if sk is None:
+                sk = acc[key] = AodSketch(lgk, m)
+            sk.update_batch(
+                sub[key_col], sub[value_cols].to_numpy(dtype="float64", na_value=0.0)
+            )
+
+        def flush() -> None:
+            nonlocal buf, nbuf
+            if not buf:
+                return
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            buf, nbuf = [], 0
+            if group_cols:
+                for key, sub in pdf.groupby(group_cols, dropna=False, sort=False):
+                    upd(key if isinstance(key, tuple) else (key,), sub)
+            else:
+                upd((), pdf)
+
+        for pdf in batches:
+            buf.append(pdf)
+            nbuf += len(pdf)
+            if nbuf >= chunk_rows:
+                flush()
+        flush()
+        if acc:
+            rows = [list(key) + [sk.serialize()] for key, sk in acc.items()]
+            yield pd.DataFrame(rows, columns=group_cols + [output_col])
+
+    return df.select(*cols).mapInPandas(build, schema=schema)
+
+
+def tuple_sketch_agg(
+    df: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+    group_cols: list[str] | None = None,
+    lg_k: int | None = None,
+    output_col: str = "sketch",
+    finalize=None,
+    finalize_schema: str | StructType | None = None,
+) -> DataFrame:
+    """Two-phase ArrayOfDoubles tuple aggregation: distinct ``key_col``
+    estimation with element-wise-summed ``double`` summaries, one blob
+    per group.  ``SELECT g, datasketch_aod(lg_k, key, array(v...))``
+    at the blob-only-shuffle scale path (sketches/tuple_aod.py)."""
+    partial = tuple_sketch_partial(
+        df, key_col, value_cols, group_cols, lg_k, output_col
+    )
+    return sketch_merge(
+        partial, "aod", group_cols, lg_k, output_col, finalize, finalize_schema
+    )
+
+
 def salted_sketch_agg(
     df: DataFrame,
     input_col: str,

@@ -15,6 +15,7 @@ import pandas as pd
 
 from .sketches.base import is_framed
 from .sketches import (
+    AodSketch,
     BloomFilterSketch,
     CountMinSketch,
     CpcSketch,
@@ -46,6 +47,7 @@ FAMILY_CLASSES = {
     "cms": CountMinSketch,
     "stats": StatsSketch,
     "ebpps": EbppsSketch,
+    "aod": AodSketch,
 }
 
 
@@ -82,6 +84,10 @@ def create_sketch(family: str, params: dict):
         return ReservoirSampleSketch(int(params.get("k", 1024)))
     if family == "ebpps":
         return EbppsSketch(int(params.get("k", 1024)))
+    if family == "aod":
+        return AodSketch(
+            int(params.get("lg_k", 12)), int(params.get("num_values", 1))
+        )
     if family == "cms":
         return CountMinSketch(
             int(params.get("lg_w", 16)), int(params.get("depth", 5))
@@ -165,6 +171,12 @@ def update_sketch(family: str, sk, series: pd.Series, merge: bool = False) -> No
         sk.update(s.to_numpy())
     elif family in ("frequent_items", "reservoir", "cms", "ebpps"):
         sk.update_series(s)
+    elif family == "aod":
+        raise ValueError(
+            "datasketch_aod builds from (key, values) pairs — use "
+            "aggregation.tuple_sketch_agg or the datasketch_aod SQL "
+            "aggregate; this path only merges tuple sketch blobs"
+        )
     else:  # pragma: no cover
         raise ValueError(f"unknown sketch family: {family}")
 
@@ -173,7 +185,7 @@ def build_params(family: str, k: int | None, series: pd.Series | None) -> dict:
     """Resolve constructor params from a constant-K argument plus the
     batch dtype (typed quantile sketches, SURVEY.md §1.2)."""
     params: dict = {}
-    if family == "theta":
+    if family in ("theta", "aod"):
         if k is not None:
             params["lg_k"] = k
     elif family in ("hll", "cpc"):

@@ -125,4 +125,44 @@ def build_aggregate_registry() -> dict[str, object]:
         return _finalize("stats", sk)
 
     reg["datasketch_stats_union_agg"] = stats_union
+
+    # beyond-reference ArrayOfDoubles tuple family (Apache tuple wire,
+    # sketches/tuple_aod.py): distinct keys + element-wise-summed
+    # double summaries.  SQL shape:
+    #   datasketch_aod(lg_k, key, array(v1, v2, ...))
+    # NULL keys skip the row; a NULL summary array contributes zeros
+    # (the additive identity) so the key still counts as seen.
+    @pandas_udf("binary")
+    def aod_agg(k: pd.Series, key: pd.Series, vals: pd.Series) -> bytes:
+        import numpy as np
+
+        from ..sketches.tuple_aod import AodSketch, DEFAULT_LG_K
+
+        kk = k.dropna()
+        lgk = int(kk.iloc[0]) if kk.size else DEFAULT_LG_K
+        first = next((v for v in vals if v is not None), None)
+        m = len(first) if first is not None else 1
+        sk = AodSketch(lgk, m)
+        mat = np.zeros((len(vals), m), dtype=np.float64)
+        for i, v in enumerate(vals):
+            if v is not None:
+                row = np.asarray(v, dtype=np.float64)
+                if row.size != m:
+                    raise ValueError(
+                        "datasketch_aod: summary arrays must have a "
+                        f"constant length (got {row.size}, expected {m})"
+                    )
+                mat[i] = row
+        sk.update_batch(key, mat)
+        return None if sk.is_empty else sk.serialize()
+
+    reg["datasketch_aod"] = aod_agg
+
+    @pandas_udf("binary")
+    def aod_union_agg(v: pd.Series) -> bytes:
+        sk = create_sketch("aod", {})
+        update_sketch("aod", sk, v, merge=True)
+        return None if sk.is_empty else sk.serialize()
+
+    reg["datasketch_aod_union_agg"] = aod_union_agg
     return reg

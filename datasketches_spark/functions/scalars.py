@@ -31,6 +31,10 @@ from pyspark.sql.functions import pandas_udf
 
 from ..murmur import DEFAULT_SEED_HASH
 from ..sketches import (
+    AodSketch,
+    aod_a_not_b,
+    aod_intersect,
+    aod_union,
     BloomFilterSketch,
     CountMinSketch,
     CpcSketch,
@@ -601,6 +605,37 @@ def build_scalar_registry() -> dict[str, object]:
         E, lambda sk: sk.to_wire(serde="strings"), "binary"
     )
     reg[p + "from_wire"] = _unary(E, lambda sk: sk.serialize(), "binary")
+
+    # ---- ArrayOfDoubles tuple family (beyond-reference; Apache tuple
+    # wire serVer 1 family 9 — sketches/tuple_aod.py, differential
+    # tests vs live datasketches-java in tests/test_tuple_aod_wire.py)
+    p = "datasketch_aod_"
+    A = AodSketch
+    reg[p + "estimate"] = _unary(A, lambda sk: float(sk.get_estimate()), "double")
+    reg[p + "lower_bound"] = _with_args(
+        A, lambda sk, n: float(sk.get_bound(int(n), upper=False)), "double", 1, (2,)
+    )
+    reg[p + "upper_bound"] = _with_args(
+        A, lambda sk, n: float(sk.get_bound(int(n), upper=True)), "double", 1, (2,)
+    )
+    reg[p + "is_empty"] = _unary(A, lambda sk: bool(sk.is_empty), "boolean")
+    reg[p + "is_estimation_mode"] = _unary(
+        A, lambda sk: bool(sk.is_estimation_mode), "boolean"
+    )
+    reg[p + "num_retained"] = _unary(A, lambda sk: int(sk.num_retained), "long")
+    reg[p + "theta"] = _unary(A, lambda sk: float(sk.get_theta()), "double")
+    reg[p + "num_values"] = _unary(A, lambda sk: int(sk.num_values), "int")
+    reg[p + "column_sums"] = _unary(A, lambda sk: sk.column_sums(), "array<double>")
+    reg[p + "column_sums_retained"] = _unary(
+        A, lambda sk: sk.column_sums_retained(), "array<double>"
+    )
+    reg[p + "column_means"] = _unary(A, lambda sk: sk.column_means(), "array<double>")
+    reg[p + "union"] = _sketch_pair(A, lambda a, b: aod_union(a, b))
+    reg[p + "intersect"] = _sketch_pair(A, aod_intersect)
+    reg[p + "a_not_b"] = _sketch_pair(A, aod_a_not_b)
+    reg[p + "to_wire"] = _unary(A, lambda sk: sk.to_wire(), "binary")
+    reg[p + "from_wire"] = _unary(A, lambda sk: sk.serialize(), "binary")
+    reg[p + "describe"] = _unary(A, lambda sk: sk.describe(), "string")
 
     # ---- exact summary stats (beyond-reference; sketches/stats.py) ----
     p = "datasketch_stats_"

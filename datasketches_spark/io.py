@@ -26,6 +26,7 @@ _FAMILY_BYTES = {
     # frames are reservoir frames
     "varopt": 10,
     "ebpps": 13,
+    "aod": 14,
 }
 _META_KEY = "datasketches_spark"
 
@@ -153,7 +154,7 @@ def merge_bucketed_sketch_tables(
 
 _WIRE_FAMILIES = frozenset(
     ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest",
-     "frequent_items", "reservoir", "varopt", "ebpps"]
+     "frequent_items", "reservoir", "varopt", "ebpps", "aod"]
 )
 
 

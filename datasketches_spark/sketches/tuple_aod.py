@@ -191,10 +191,17 @@ class AodSketch:
 
     def merge(self, other: "AodSketch") -> None:
         if other.num_values != self.num_values:
-            raise ValueError(
-                "Cannot merge tuple sketches with different num_values: "
-                f"{self.num_values} vs {other.num_values}"
-            )
+            if self.is_empty and not self._pk:
+                # a fresh accumulator adopts the first input's width
+                # (the generic merge path can't know num_values before
+                # it sees a blob)
+                self.num_values = other.num_values
+                self.values = np.empty((0, other.num_values), dtype=np.float64)
+            else:
+                raise ValueError(
+                    "Cannot merge tuple sketches with different num_values: "
+                    f"{self.num_values} vs {other.num_values}"
+                )
         self._consolidate()
         other._consolidate()
         self.theta = min(self.theta, other.theta)

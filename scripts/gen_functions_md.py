@@ -133,6 +133,39 @@ _SPECIAL = {
         "HLL_8) into the engine frame; every HLL reader also sniffs "
         "wire blobs"
     ),
+    "datasketch_aod": (
+        "ArrayOfDoubles tuple sketch AGG — datasketch_aod(lg_k, key, "
+        "array(v1, ...)): distinct-key estimation with an element-wise-"
+        "SUMMED double summary per retained key, so one bounded blob "
+        "answers COUNT(DISTINCT key) AND SUM(v) over the distinct keys. "
+        "Apache tuple wire (serVer 1, family 9); differentially tested "
+        "vs live datasketches-java — tests/test_tuple_aod_wire.py. "
+        "Scale path: aggregation.tuple_sketch_agg (blob-only shuffle)"
+    ),
+    "datasketch_aod_union_agg": (
+        "merges tuple sketch blobs (overlapping keys sum their "
+        "summaries — the canonical ArrayOfDoubles combiner)"
+    ),
+    "datasketch_aod_column_sums": (
+        "estimated per-column SUM over ALL distinct keys (retained "
+        "sums / theta; exact in exact mode)"
+    ),
+    "datasketch_aod_column_sums_retained": (
+        "raw per-column sums over the retained entries only"
+    ),
+    "datasketch_aod_column_means": (
+        "per-distinct-key mean of each summary column (theta cancels)"
+    ),
+    "datasketch_aod_to_wire": (
+        "exports Apache ArrayOfDoublesCompactSketch bytes — heapify-"
+        "and union-able by datasketches-java and every Apache tuple "
+        "reader"
+    ),
+    "datasketch_aod_from_wire": (
+        "imports an Apache ArrayOfDoubles blob — compact OR the "
+        "updatable QuickSelect table image; every aod reader also "
+        "sniffs wire blobs"
+    ),
     "datasketch_varopt_to_wire": (
         "exports a reservoir state as an Apache VarOptItemsSketch blob "
         "(longs serde) — the ecosystem's WEIGHTED sampling wire family. "
@@ -224,7 +257,7 @@ def _note(name: str) -> str:
 
 
 total = 0
-for fam in ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "reservoir", "varopt", "ebpps", "cms", "stats"]:
+for fam in ["theta", "aod", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "reservoir", "varopt", "ebpps", "cms", "stats"]:
     fns = groups.get(fam, [])
     total += len(fns)
     lines.append(f"## {fam} ({len(fns)} functions)")

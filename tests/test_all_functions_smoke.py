@@ -32,7 +32,8 @@ def ctx(spark):
           datasketch_reservoir(64, xs)       AS sk_reservoir,
           datasketch_cms(12, xs)             AS sk_cms,
           datasketch_ebpps(64, xs)           AS sk_ebpps,
-          datasketch_stats(xd)               AS sk_stats
+          datasketch_stats(xd)               AS sk_stats,
+          datasketch_aod(12, xi, array(xd, xd * 2)) AS sk_aod
         FROM smoke_t
         """
     ).createOrReplaceTempView("smoke_sketches")
@@ -52,7 +53,7 @@ def _args_for(name: str) -> str | None:
     }
     if name in varopt_table:
         return varopt_table[name]
-    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloom", "reservoir", "cms", "ebpps", "stats"):
+    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloom", "reservoir", "cms", "ebpps", "stats", "aod"):
         if name.startswith(f"datasketch_{f}_"):
             fam = f
             suffix = name[len(f"datasketch_{f}_") :]
@@ -97,7 +98,7 @@ def _args_for(name: str) -> str | None:
         else f"{sk}, array(50.0D, 150.0D), true",
         "describe": f"{sk}, true"
         if fam == "tdigest"
-        else (f"{sk}" if fam in ("theta", "bloom", "reservoir", "cms", "ebpps", "stats") else f"{sk}, true, false"),
+        else (f"{sk}" if fam in ("theta", "bloom", "reservoir", "cms", "ebpps", "stats", "aod") else f"{sk}, true, false"),
         "normalized_rank_error": f"{sk}, true",
         "total_weight": f"{sk}",
         "get_theta": f"{sk}",
@@ -126,6 +127,11 @@ def _args_for(name: str) -> str | None:
         "cumulative_weight": f"{sk}",
         "has_partial": f"{sk}",
         "psi": f"{sk}, {sk}, array(50.0D, 150.0D)",
+        "theta": f"{sk}",
+        "num_values": f"{sk}",
+        "column_sums": f"{sk}",
+        "column_sums_retained": f"{sk}",
+        "column_means": f"{sk}",
     }
     return table.get(suffix)
 
@@ -182,6 +188,10 @@ def test_every_aggregate_executes(ctx):
                 sql = f"SELECT {name}(sk_stats) FROM smoke_sketches"
             elif name in ("datasketch_reservoir_weighted", "datasketch_ebpps_weighted"):
                 sql = f"SELECT {name}(64, xs, xd) FROM smoke_t"
+            elif name == "datasketch_aod":
+                sql = f"SELECT {name}(12, xi, array(xd, xd * 2)) FROM smoke_t"
+            elif name == "datasketch_aod_union_agg":
+                sql = f"SELECT {name}(sk_aod) FROM smoke_sketches"
             elif name in two_arg_k:
                 col = "xs" if "frequent" in name else "xd" if name in (
                     "datasketch_kll", "datasketch_quantiles", "datasketch_req",

@@ -134,8 +134,15 @@ def test_validation():
     with pytest.raises(ValueError):
         AodSketch(12, 0)
     a, b = AodSketch(12, 1), AodSketch(12, 2)
+    a.update_batch(pd.Series([1]), np.ones((1, 1)))
+    b.update_batch(pd.Series([2]), np.ones((1, 2)))
     with pytest.raises(ValueError):
         a.merge(b)
+    # but a FRESH accumulator adopts the first input's width (the
+    # generic blob-merge path can't know num_values up front)
+    fresh = AodSketch(12, 1)
+    fresh.merge(b)
+    assert fresh.num_values == 2 and fresh.get_estimate() == 1.0
 
 
 def test_dsks_roundtrip_and_corrupt():

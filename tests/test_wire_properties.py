@@ -341,12 +341,13 @@ def test_reservoir_garbage_never_parses_silently():
 @given(
     st.sampled_from(
         ["theta", "kll", "quantiles", "req", "tdigest", "hll", "cpc",
-         "frequent_items", "bloom", "reservoir", "cms", "stats", "ebpps"]
+         "frequent_items", "bloom", "reservoir", "cms", "stats", "ebpps",
+         "aod"]
     ),
     st.integers(min_value=0, max_value=2**31),
 )
 def test_dsks_frame_bitflip_never_escapes(family, seed):
-    """Round 10: one flipped byte in a VALID DSKS frame (ALL 13
+    """Round 10: one flipped byte in a VALID DSKS frame (ALL 14
     families, including the beyond-reference ones the Apache-wire
     fuzz can't reach) must either raise the reference's deserialize
     error or parse as a differently-valid sketch — never leak
@@ -364,9 +365,17 @@ def test_dsks_frame_bitflip_never_escapes(family, seed):
     rng = np.random.default_rng(seed)
     n = int(rng.integers(0, 200))
     s = pd.Series(rng.integers(0, 1 << 30, size=n))
-    sk = create_sketch(family, build_params(family, None, s))
-    if n:
-        update_sketch(family, sk, s)
+    if family == "aod":
+        # tuple family builds from (key, values) pairs
+        from datasketches_spark.sketches import AodSketch
+
+        sk = AodSketch(8, 2)
+        if n:
+            sk.update_batch(s, rng.random((n, 2)))
+    else:
+        sk = create_sketch(family, build_params(family, None, s))
+        if n:
+            update_sketch(family, sk, s)
     blob = bytearray(sk.serialize())
     cls = type(sk)
     pos = int(rng.integers(0, len(blob)))
