@@ -1690,6 +1690,45 @@ def q_aod_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloomfilter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache BloomFilter (round 11 — the 12th wire family,
+    sketches/bloom_apache.py; XXH64 bits byte-identical to
+    datasketches-java, tests/test_bloomfilter_wire.py) on the
+    two-phase plan: one filter per market segment over c_custkey,
+    broadcast back and probed by every member key.  Bloom filters
+    have NO false negatives, so hits == members deterministically;
+    num_bits/num_hashes pin the wire geometry the blob carries."""
+    _ensure(spark)
+    cust = _t(spark, sf_dir, "customer")
+    flt = sketch_agg(
+        cust, "c_custkey", "bloomfilter", group_cols=["c_mktsegment"], k=16
+    )
+    probed = cust.select("c_mktsegment", "c_custkey").join(
+        F.broadcast(flt), "c_mktsegment"
+    )
+    return (
+        probed.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("members"),
+            F.sum(
+                F.expr(
+                    "CAST(datasketch_bloomfilter_might_contain(sketch, c_custkey)"
+                    " AS INT)"
+                )
+            )
+            .cast("long")
+            .alias("hits"),
+            F.first(F.expr("datasketch_bloomfilter_num_bits(sketch)")).alias(
+                "num_bits"
+            ),
+            F.first(F.expr("datasketch_bloomfilter_num_hashes(sketch)")).alias(
+                "num_hashes"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 5-gram overlap of each
     training document with the benchmark corpus.  The benchmark is the
@@ -3077,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ebpps_exact_sample": q_ebpps_exact_sample,
         "aod_custsales_by_priority": q_aod_custsales_by_priority,
         "aod_set_ops": q_aod_set_ops,
+        "bloomfilter_members": q_bloomfilter_members,
         "bloom_contains_customers": q_bloom_contains_customers,
         "salted_theta_skew": q_salted_theta_skew,
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
@@ -3520,6 +3560,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"
             " CAST(5 AS DOUBLE) AS c,"
             " CAST(n_nationkey AS VARCHAR) AS item FROM nation"
+        ),
+        "bloomfilter_members": (
+            "SELECT c_mktsegment,"
+            " CAST(count(*) AS BIGINT) AS members,"
+            " CAST(count(*) AS BIGINT) AS hits,"
+            " CAST(65536 AS BIGINT) AS num_bits,"
+            " CAST(6 AS INTEGER) AS num_hashes"
+            " FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
         "aod_custsales_by_priority": (
             "SELECT o_orderpriority AS priority,"

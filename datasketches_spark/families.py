@@ -16,6 +16,7 @@ import pandas as pd
 from .sketches.base import is_framed
 from .sketches import (
     AodSketch,
+    ApacheBloomFilter,
     BloomFilterSketch,
     CountMinSketch,
     CpcSketch,
@@ -48,6 +49,7 @@ FAMILY_CLASSES = {
     "stats": StatsSketch,
     "ebpps": EbppsSketch,
     "aod": AodSketch,
+    "bloomfilter": ApacheBloomFilter,
 }
 
 
@@ -87,6 +89,12 @@ def create_sketch(family: str, params: dict):
     if family == "aod":
         return AodSketch(
             int(params.get("lg_k", 12)), int(params.get("num_values", 1))
+        )
+    if family == "bloomfilter":
+        return ApacheBloomFilter(
+            1 << int(params.get("lg_m", 20)),
+            int(params.get("num_hashes", 6)),
+            int(params.get("seed", 9001)),
         )
     if family == "cms":
         return CountMinSketch(
@@ -155,6 +163,8 @@ def update_sketch(family: str, sk, series: pd.Series, merge: bool = False) -> No
         return
     if family in ("theta", "hll", "cpc", "bloom"):
         sk.update_values(s)
+    elif family == "bloomfilter":
+        sk.update_series(s)
     elif family in QUANTILE_FAMILIES or family == "tdigest":
         if s.dtype == object and isinstance(
             next((v for v in s if v is not None), None), str
@@ -194,7 +204,7 @@ def build_params(family: str, k: int | None, series: pd.Series | None) -> dict:
     elif family == "frequent_items":
         if k is not None:
             params["lg_max_k"] = k
-    elif family == "bloom":
+    elif family in ("bloom", "bloomfilter"):
         if k is not None:
             params["lg_m"] = k
     elif family in ("reservoir", "ebpps"):

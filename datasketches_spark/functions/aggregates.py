@@ -79,6 +79,13 @@ def build_aggregate_registry() -> dict[str, object]:
     # beyond-reference Bloom filter family: K argument is lg(num_bits)
     reg["datasketch_bloom"] = _agg_with_k("bloom")
     reg["datasketch_bloom_union_agg"] = _agg_with_k("bloom")
+    # beyond-reference APACHE BloomFilter (filters.bloomfilter wire,
+    # XXH64 bits byte-identical to datasketches-java —
+    # sketches/bloom_apache.py): same K convention; fixed 6 hashes,
+    # seed 9001 (java's builder draws a random seed; a pinned one is
+    # what makes filters reproducible and cross-system mergeable)
+    reg["datasketch_bloomfilter"] = _agg_with_k("bloomfilter")
+    reg["datasketch_bloomfilter_union_agg"] = _agg_with_k("bloomfilter")
     # beyond-reference reservoir sample: K is the sample size
     reg["datasketch_reservoir"] = _agg_with_k("reservoir")
     reg["datasketch_reservoir_union_agg"] = _agg_with_k("reservoir")

@@ -35,6 +35,9 @@ from ..sketches import (
     aod_a_not_b,
     aod_intersect,
     aod_union,
+    ApacheBloomFilter,
+    bloomfilter_intersect,
+    bloomfilter_union,
     BloomFilterSketch,
     CountMinSketch,
     CpcSketch,
@@ -605,6 +608,46 @@ def build_scalar_registry() -> dict[str, object]:
         E, lambda sk: sk.to_wire(serde="strings"), "binary"
     )
     reg[p + "from_wire"] = _unary(E, lambda sk: sk.serialize(), "binary")
+
+    # ---- Apache BloomFilter (filters.bloomfilter wire; XXH64 bits
+    # byte-identical to datasketches-java — sketches/bloom_apache.py,
+    # tests/test_bloomfilter_wire.py).  Distinct from datasketch_bloom_*
+    # (Spark-parity bits): this family's state crosses systems.
+    p = "datasketch_bloomfilter_"
+    AB = ApacheBloomFilter
+
+    @pandas_udf("boolean")
+    def _abf_might_contain(s: pd.Series, items: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(s), dtype=object)
+        if not len(s):
+            return out
+        frame_df = pd.DataFrame({"b": s, "i": range(len(s))})
+        for blob, sub in frame_df.dropna(subset=["b"]).groupby("b", sort=False):
+            sk = AB.deserialize(bytes(blob))
+            vals = items.iloc[sub["i"].to_numpy()]
+            ok = vals.notna().to_numpy()
+            res = np.full(len(vals), None, dtype=object)
+            if ok.any():
+                res[ok] = sk.query_series(vals[ok]).tolist()
+            out.iloc[sub["i"].to_numpy()] = res
+        return out
+
+    reg[p + "might_contain"] = _abf_might_contain
+    reg[p + "union"] = _sketch_pair(AB, bloomfilter_union)
+    reg[p + "intersect"] = _sketch_pair(AB, bloomfilter_intersect)
+    reg[p + "is_empty"] = _unary(AB, lambda sk: bool(sk.is_empty), "boolean")
+    reg[p + "num_bits"] = _unary(AB, lambda sk: int(sk.capacity), "long")
+    reg[p + "num_hashes"] = _unary(AB, lambda sk: int(sk.num_hashes), "int")
+    reg[p + "seed"] = _unary(AB, lambda sk: int(sk.seed), "long")
+    reg[p + "bits_set"] = _unary(AB, lambda sk: int(sk.num_bits_set), "long")
+    reg[p + "fill_percentage"] = _unary(
+        AB, lambda sk: float(sk.fill_percentage()), "double"
+    )
+    reg[p + "describe"] = _unary(AB, lambda sk: sk.describe(), "string")
+    # the blob IS the Apache wire (fully self-describing); the pair
+    # exists for API uniformity with the other wire families
+    reg[p + "to_wire"] = _unary(AB, lambda sk: sk.to_wire(), "binary")
+    reg[p + "from_wire"] = _unary(AB, lambda sk: sk.serialize(), "binary")
 
     # ---- ArrayOfDoubles tuple family (beyond-reference; Apache tuple
     # wire serVer 1 family 9 — sketches/tuple_aod.py, differential

@@ -24,6 +24,11 @@ from .base import (
     peek_family,
 )
 from .bloom import BloomFilterSketch, bloom_intersect, bloom_union
+from .bloom_apache import (
+    ApacheBloomFilter,
+    bloomfilter_intersect,
+    bloomfilter_union,
+)
 from .cms import CountMinSketch
 from .compactor import KllSketch, QuantilesSketch, ReqSketch
 from .ebpps import EbppsSketch
@@ -80,6 +85,9 @@ __all__ = [
     "BloomFilterSketch",
     "bloom_union",
     "bloom_intersect",
+    "ApacheBloomFilter",
+    "bloomfilter_union",
+    "bloomfilter_intersect",
     "ReservoirSampleSketch",
     "EbppsSketch",
     "CountMinSketch",

@@ -166,6 +166,23 @@ _SPECIAL = {
         "updatable QuickSelect table image; every aod reader also "
         "sniffs wire blobs"
     ),
+    "datasketch_bloomfilter": (
+        "Apache BloomFilter AGG (filters.bloomfilter) — XXH64-hashed "
+        "bits BYTE-IDENTICAL to datasketches-java for the same items/"
+        "geometry/seed, so filter state crosses systems (fixed 6 "
+        "hashes, seed 9001 for reproducibility; K = lg(num_bits)). "
+        "Distinct from datasketch_bloom (Spark-parity bits; the two "
+        "hash schemes cannot convert). The blob IS the Apache wire. "
+        "Differential: tests/test_bloomfilter_wire.py"
+    ),
+    "datasketch_bloomfilter_union_agg": (
+        "merges Apache BloomFilter blobs (bitwise OR; geometry and "
+        "seed must match, java parity)"
+    ),
+    "datasketch_bloomfilter_might_contain": (
+        "membership probe — per-distinct-blob vectorized numpy pass, "
+        "bit-parity with java query()"
+    ),
     "datasketch_varopt_to_wire": (
         "exports a reservoir state as an Apache VarOptItemsSketch blob "
         "(longs serde) — the ecosystem's WEIGHTED sampling wire family. "
@@ -257,7 +274,7 @@ def _note(name: str) -> str:
 
 
 total = 0
-for fam in ["theta", "aod", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "reservoir", "varopt", "ebpps", "cms", "stats"]:
+for fam in ["theta", "aod", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "bloomfilter", "reservoir", "varopt", "ebpps", "cms", "stats"]:
     fns = groups.get(fam, [])
     total += len(fns)
     lines.append(f"## {fam} ({len(fns)} functions)")

@@ -29,6 +29,7 @@ def ctx(spark):
           datasketch_cpc(12, xi)             AS sk_cpc,
           datasketch_frequent_items(xs)      AS sk_frequent_items,
           datasketch_bloom(12, xi)           AS sk_bloom,
+          datasketch_bloomfilter(12, xi)     AS sk_bloomfilter,
           datasketch_reservoir(64, xs)       AS sk_reservoir,
           datasketch_cms(12, xs)             AS sk_cms,
           datasketch_ebpps(64, xs)           AS sk_ebpps,
@@ -53,7 +54,7 @@ def _args_for(name: str) -> str | None:
     }
     if name in varopt_table:
         return varopt_table[name]
-    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloom", "reservoir", "cms", "ebpps", "stats", "aod"):
+    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloomfilter", "bloom", "reservoir", "cms", "ebpps", "stats", "aod"):
         if name.startswith(f"datasketch_{f}_"):
             fam = f
             suffix = name[len(f"datasketch_{f}_") :]
@@ -98,7 +99,7 @@ def _args_for(name: str) -> str | None:
         else f"{sk}, array(50.0D, 150.0D), true",
         "describe": f"{sk}, true"
         if fam == "tdigest"
-        else (f"{sk}" if fam in ("theta", "bloom", "reservoir", "cms", "ebpps", "stats", "aod") else f"{sk}, true, false"),
+        else (f"{sk}" if fam in ("theta", "bloom", "bloomfilter", "reservoir", "cms", "ebpps", "stats", "aod") else f"{sk}, true, false"),
         "normalized_rank_error": f"{sk}, true",
         "total_weight": f"{sk}",
         "get_theta": f"{sk}",
@@ -128,6 +129,8 @@ def _args_for(name: str) -> str | None:
         "has_partial": f"{sk}",
         "psi": f"{sk}, {sk}, array(50.0D, 150.0D)",
         "theta": f"{sk}",
+        "seed": f"{sk}",
+        "fill_percentage": f"{sk}",
         "num_values": f"{sk}",
         "column_sums": f"{sk}",
         "column_sums_retained": f"{sk}",
@@ -166,6 +169,7 @@ def test_every_aggregate_executes(ctx):
         "datasketch_theta_lgk": 12,
         "datasketch_frequent_items_lgk": 10,
         "datasketch_bloom": 12,
+        "datasketch_bloomfilter": 12,
         "datasketch_reservoir": 64,
         "datasketch_cms": 12,
         "datasketch_ebpps": 64,
@@ -177,6 +181,7 @@ def test_every_aggregate_executes(ctx):
                 "datasketch_hll_union",
                 "datasketch_cpc_union",
                 "datasketch_bloom_union_agg",
+                "datasketch_bloomfilter_union_agg",
                 "datasketch_reservoir_union_agg",
                 "datasketch_cms_union_agg",
                 "datasketch_ebpps_union_agg",

@@ -1,0 +1,251 @@
+"""Apache BloomFilter (filters.bloomfilter) differential suite vs the
+LIVE bundled datasketches-java, plus the XXH64 core it rides on.
+
+Unlike the estimation families, a bloom filter's entire state is a
+deterministic function of the input set — so the differential bar
+here is BYTE-IDENTITY of the serialized filter (same items, same
+geometry, same seed), not statistical agreement."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datasketches_spark.sketches.base import SketchDeserializeError
+from datasketches_spark.sketches.bloom_apache import (
+    ApacheBloomFilter,
+    bloomfilter_intersect,
+    bloomfilter_union,
+    suggest_num_filter_bits,
+    suggest_num_hashes,
+)
+from datasketches_spark.xxhash import xxh64_bytes, xxh64_long, xxh64_one
+
+BIG = 1 << 32  # py4j sends ints >= 2^31 as java Long
+
+
+@pytest.fixture(scope="module")
+def jvm(spark):
+    return spark.sparkContext._jvm
+
+
+def _builder(jvm):
+    return jvm.org.apache.datasketches.filters.bloomfilter.BloomFilterBuilder
+
+
+def _heapify(jvm, blob: bytes):
+    return jvm.org.apache.datasketches.filters.bloomfilter.BloomFilter.heapify(
+        jvm.org.apache.datasketches.memory.Memory.wrap(blob)
+    )
+
+
+# ------------------------------------------------------------- xxhash
+
+
+def test_xxh64_long_matches_java(spark, jvm):
+    xx = jvm.org.apache.datasketches.memory.XxHash
+    rng = random.Random(11)
+    vals = [0, 1, -1, 2**63 - 1, -(2**63)] + [
+        rng.getrandbits(64) - (1 << 63) for _ in range(20)
+    ]
+    seeds = [0, 9001, (1 << 63) + 5]
+    for s in seeds:
+        ours = xxh64_long(
+            np.array(vals, dtype=np.int64).view(np.uint64), s
+        )
+        sj = s - (1 << 64) if s >= (1 << 63) else s  # java long is signed
+        theirs = [xx.hashLong(v, sj) & ((1 << 64) - 1) for v in vals]
+        assert list(ours) == theirs
+
+
+def test_xxh64_bytes_matches_java_full_length_matrix(spark, jvm):
+    xx = jvm.org.apache.datasketches.memory.XxHash
+    rng = random.Random(12)
+    lengths = [0, 1, 2, 3, 4, 5, 7, 8, 9, 12, 15, 16, 17, 23, 24, 31, 32,
+               33, 39, 40, 47, 48, 63, 64, 65, 100, 255, 1024]
+    rows = [bytes(rng.getrandbits(8) for _ in range(n)) for n in lengths]
+    flat = np.frombuffer(b"".join(rows), dtype=np.uint8)
+    offs = np.cumsum([0] + [len(r) for r in rows])
+    for seed in (0, 9001):
+        ours = xxh64_bytes(flat, offs, seed)
+        theirs = [
+            xx.hashByteArr(bytearray(r), 0, len(r), seed) & ((1 << 64) - 1)
+            for r in rows
+        ]
+        assert list(ours) == theirs
+        # scalar reference agrees too
+        assert [xxh64_one(r, seed) for r in rows] == theirs
+
+
+def test_xxh64_per_row_seed_chain():
+    """The bloom h1 = xxh64(item, seed=h0) chain uses ARRAY seeds."""
+    rng = random.Random(13)
+    rows = [bytes(rng.getrandbits(8) for _ in range(n)) for n in (3, 8, 40)]
+    flat = np.frombuffer(b"".join(rows), dtype=np.uint8)
+    offs = np.cumsum([0] + [len(r) for r in rows])
+    h0 = xxh64_bytes(flat, offs, 9001)
+    h1 = xxh64_bytes(flat, offs, h0)
+    for i, r in enumerate(rows):
+        assert int(h1[i]) == xxh64_one(r, int(h0[i]))
+    v = np.array([5, 6, 7], dtype=np.uint64)
+    g0 = xxh64_long(v, 1)
+    g1 = xxh64_long(v, g0)
+    for i in range(3):
+        assert int(g1[i]) == xxh64_one(int(v[i]).to_bytes(8, "little"), int(g0[i]))
+
+
+# ------------------------------------------------- filter parity
+
+
+def _fill_both(spark, jvm, num_bits=4096, num_hashes=6, seed=9001):
+    jf = _builder(jvm).createBySize(num_bits, num_hashes, seed)
+    ours = ApacheBloomFilter(num_bits, num_hashes, seed)
+    longs = [BIG + 7 * i for i in range(200)]
+    strs = [f"item-{i}" for i in range(200)]
+    dbls = [i * 1.5 for i in range(50)] + [-0.0, 0.0]
+    for v in longs:
+        jf.update(v)
+    for s in strs:
+        jf.update(s)
+    for d in dbls:
+        jf.update(d)
+    ours.update_series(pd.Series(longs, dtype=np.int64))
+    ours.update_series(pd.Series(strs))
+    ours.update_series(pd.Series(dbls))
+    return jf, ours, longs, strs
+
+
+def test_wire_byte_identical(spark, jvm):
+    """Same items + geometry + seed -> the SAME bits.  A live-built
+    java heap filter always serializes numBitsSet as the -1 dirty
+    marker, so byte-identity is asserted (a) on everything but that
+    field vs the live filter, and (b) in FULL against java's
+    round-trip of our own blob (heapified filters carry the real
+    count, as we do)."""
+    jf, ours, _, _ = _fill_both(spark, jvm)
+    jb, ob = bytes(jf.toByteArray()), ours.to_wire()
+    assert len(jb) == len(ob)
+    assert jb[:24] == ob[:24] and jb[32:] == ob[32:]
+    assert struct.unpack_from("<q", jb, 24)[0] == -1  # dirty marker
+    assert struct.unpack_from("<q", ob, 24)[0] == ours.num_bits_set
+    jrt = _heapify(jvm, ob)
+    assert bytes(jrt.toByteArray()) == ob
+
+
+def test_dirty_count_marker_accepted(spark, jvm):
+    jf, ours, _, _ = _fill_both(spark, jvm)
+    jb = bytes(jf.toByteArray())  # numBitsSet == -1 (dirty)
+    assert struct.unpack_from("<q", jb, 24)[0] == -1
+    rt = ApacheBloomFilter.from_wire(jb)
+    assert rt.num_bits_set == ours.num_bits_set
+    assert np.array_equal(rt.data, ours.data)
+
+
+def test_query_parity_and_cross_reads(spark, jvm):
+    jf, ours, longs, strs = _fill_both(spark, jvm)
+    probes_l = longs[:5] + [999_999_999, BIG + 3]
+    probes_s = strs[:5] + ["absent", "also-absent"]
+    jq = [jf.query(v) for v in probes_l] + [jf.query(s) for s in probes_s]
+    oq = list(ours.query_series(pd.Series(probes_l, dtype=np.int64))) + list(
+        ours.query_series(pd.Series(probes_s))
+    )
+    assert jq == [bool(x) for x in oq]
+    # java reads ours and answers identically
+    jf2 = _heapify(jvm, ours.to_wire())
+    assert [jf2.query(v) for v in probes_l] == jq[: len(probes_l)]
+    # we read java's and answer identically
+    rt = ApacheBloomFilter.from_wire(bytes(jf.toByteArray()))
+    assert list(rt.query_series(pd.Series(probes_s))) == [
+        bool(x) for x in oq[len(probes_l):]
+    ]
+
+
+def test_zero_signs_probe_differently():
+    """-0.0 keeps its sign bit (doubleToLongBits canonicalizes only
+    NaN) — unlike the theta families' -0.0 -> 0.0 folding."""
+    sk = ApacheBloomFilter(4096, 6, 9001)
+    sk.update_series(pd.Series(np.array([0.0], dtype=np.float64)))
+    assert bool(sk.query_series(pd.Series(np.array([0.0])))[0])
+    assert not bool(sk.query_series(pd.Series(np.array([-0.0])))[0])
+
+
+def test_java_unions_ours(spark, jvm):
+    a = ApacheBloomFilter(2048, 4, 7)
+    b = ApacheBloomFilter(2048, 4, 7)
+    a.update_series(pd.Series(range(100), dtype=np.int64))
+    b.update_series(pd.Series(range(50, 150), dtype=np.int64))
+    ju = _heapify(jvm, a.to_wire())
+    ju.union(_heapify(jvm, b.to_wire()))
+    ju.getBitsUsed()
+    ours = bloomfilter_union(a, b)
+    assert bytes(ju.toByteArray()) == ours.to_wire()
+    ji = _heapify(jvm, a.to_wire())
+    ji.intersect(_heapify(jvm, b.to_wire()))
+    ji.getBitsUsed()
+    assert bytes(ji.toByteArray()) == bloomfilter_intersect(a, b).to_wire()
+
+
+def test_incompatible_merge_raises():
+    a = ApacheBloomFilter(2048, 4, 7)
+    a.update_series(pd.Series([1], dtype=np.int64))
+    for bad_geom in ((2048, 4, 8), (2048, 5, 7), (4096, 4, 7)):
+        bad = ApacheBloomFilter(*bad_geom[:1], *bad_geom[1:])
+        bad.update_series(pd.Series([2], dtype=np.int64))
+        with pytest.raises(ValueError):
+            a.union(bad)
+        with pytest.raises(ValueError):
+            a.intersect(bad)
+    # but a FRESH accumulator adopts the first input's geometry (the
+    # generic blob-merge path can't know it up front)
+    fresh = ApacheBloomFilter(64, 1, 0)
+    donor = ApacheBloomFilter(2048, 4, 7)
+    donor.update_series(pd.Series([5], dtype=np.int64))
+    fresh.union(donor)
+    assert fresh.capacity == 2048 and fresh.num_hashes == 4 and fresh.seed == 7
+    assert bool(fresh.query_series(pd.Series([5], dtype=np.int64))[0])
+
+
+def test_empty_wire_parity(spark, jvm):
+    je = _builder(jvm).createBySize(256, 3, 42)
+    oe = ApacheBloomFilter(256, 3, 42)
+    assert bytes(je.toByteArray()) == oe.to_wire()
+    assert len(oe.to_wire()) == 24
+    assert _heapify(jvm, oe.to_wire()).isEmpty()
+    rt = ApacheBloomFilter.from_wire(bytes(je.toByteArray()))
+    assert rt.is_empty and rt.capacity == 256 and rt.num_hashes == 3
+
+
+def test_builder_suggestions_match_java(spark, jvm):
+    b = _builder(jvm)
+    for n, bits in ((100, 1024), (10_000, 1 << 16), (7, 64)):
+        assert suggest_num_hashes(n, bits) == b.suggestNumHashes(n, bits)
+    for n, fpp in ((1000, 0.01), (10_000, 0.001), (5, 0.5)):
+        assert suggest_num_filter_bits(n, fpp) == b.suggestNumFilterBits(n, fpp)
+
+
+def test_corruption_rejected():
+    sk = ApacheBloomFilter(1024, 4, 9001)
+    sk.update_series(pd.Series(range(10), dtype=np.int64))
+    w = bytearray(sk.to_wire())
+    for mut in (
+        lambda b: struct.pack_into("<B", b, 1, 7),  # serVer
+        lambda b: struct.pack_into("<B", b, 2, 3),  # family
+        lambda b: struct.pack_into("<i", b, 16, 1 << 29),  # numLongs > len
+        lambda b: struct.pack_into("<q", b, 24, 5),  # wrong bits-set count
+    ):
+        bad = bytearray(w)
+        mut(bad)
+        with pytest.raises(SketchDeserializeError):
+            ApacheBloomFilter.from_wire(bytes(bad))
+    with pytest.raises(SketchDeserializeError):
+        ApacheBloomFilter.from_wire(b"short")
+
+
+def test_nan_skip_documented_deviation():
+    sk = ApacheBloomFilter(1024, 4, 9001)
+    sk.update_series(pd.Series([float("nan")]))
+    assert sk.is_empty  # NULL/NaN conflation in the Arrow float path
