@@ -154,7 +154,10 @@ def merge_bucketed_sketch_tables(
 
 _WIRE_FAMILIES = frozenset(
     ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest",
-     "frequent_items", "reservoir", "varopt", "ebpps", "aod"]
+     "frequent_items", "reservoir", "varopt", "ebpps", "aod",
+     # bloomfilter blobs ARE the Apache wire (self-describing); the
+     # to/from_wire projections are identities, kept for uniformity
+     "bloomfilter"]
 )
 
 

@@ -114,6 +114,69 @@ def bloom_prune_with(
     return fact.where(probe(key))
 
 
+def bloomfilter_blob(
+    df: DataFrame,
+    key_col: str,
+    lg_m: int = 22,
+    num_hashes: int = 6,
+    seed: int = 9001,
+    driver_merge: bool | None = None,
+) -> bytes:
+    """Apache-wire BloomFilter bytes of ``df[key_col]``, built
+    distributed (sketches/bloom_apache.py — XXH64 bits byte-identical
+    to datasketches-java, so the returned blob is directly loadable by
+    ANY DataSketches system: the cross-system runtime-filter hand-off).
+
+    Same merge-strategy gate as :func:`bloom_filter_blob`: driver
+    OR-merge of phase-1 partials while partitions x filter bytes stay
+    bounded, the blob-only shuffle otherwise."""
+    from .aggregation import sketch_agg, sketch_partial  # noqa: PLC0415
+    from .sketches import ApacheBloomFilter  # noqa: PLC0415
+
+    if driver_merge is None:
+        parts = df.rdd.getNumPartitions()
+        driver_merge = parts * (1 << lg_m) // 8 <= (64 << 20)
+    if not driver_merge:
+        return sketch_agg(df, key_col, "bloomfilter", k=lg_m).collect()[0][
+            "sketch"
+        ]
+    rows = sketch_partial(df, key_col, "bloomfilter", k=lg_m).collect()
+    if not rows:
+        return ApacheBloomFilter(1 << lg_m, num_hashes, seed).to_wire()
+    out = ApacheBloomFilter.from_wire(bytes(rows[0]["sketch"]))
+    for r in rows[1:]:
+        out.union(ApacheBloomFilter.from_wire(bytes(r["sketch"])))
+    return out.to_wire()
+
+
+def bloomfilter_prune_with(
+    fact: DataFrame, fact_key, blob: bytes, invert: bool = False
+) -> DataFrame:
+    """:func:`bloom_prune_with`, Apache-wire edition: the broadcast
+    blob may come from THIS engine or from any other DataSketches
+    system (java/cpp/py BloomFilter.toByteArray()) — probe semantics
+    are bit-identical either way."""
+    from .sketches import ApacheBloomFilter  # noqa: PLC0415
+
+    key = fact_key if isinstance(fact_key, Column) else F.col(fact_key)
+    bc = fact.sparkSession.sparkContext.broadcast(bytes(blob))
+    holder: list = []
+
+    @pandas_udf("boolean")
+    def probe(keys: pd.Series) -> pd.Series:
+        if not holder:
+            holder.append(ApacheBloomFilter.from_wire(bc.value))
+        sk = holder[0]
+        out = pd.Series(False, index=keys.index)
+        ok = keys.notna()
+        if ok.any():
+            hits = sk.query_series(keys[ok])
+            out[ok] = ~hits if invert else hits
+        return out
+
+    return fact.where(probe(key))
+
+
 # ------------------------- JVM-native fast path (Spark built-in bloom)
 #
 # Spark ships a BloomFilter (util.sketch.BloomFilterImpl -- the same
@@ -282,12 +345,19 @@ def bloom_prune(
     billions of keys; only the portable path yields a storable,
     mergeable sketch column.
     """
-    if engine not in ("auto", "jvm", "python"):
-        raise ValueError(f"engine ({engine!r}) must be auto/jvm/python")
+    if engine not in ("auto", "jvm", "python", "apache"):
+        raise ValueError(f"engine ({engine!r}) must be auto/jvm/python/apache")
     if engine == "auto":
         dim_type = dim.schema[dim_key].dataType
         engine = "jvm" if isinstance(dim_type, _INTEGRAL) else "python"
     if engine == "jvm":
         blob = jvm_bloom_filter_bytes(dim, dim_key, lg_m=lg_m)
         return jvm_bloom_prune_with(fact, fact_key, blob)
+    if engine == "apache":
+        # Apache-wire filter (bloomfilter_blob): same plan shape as the
+        # python path, but the blob is loadable by any DataSketches
+        # system — pick this when the filter itself must cross systems
+        return bloomfilter_prune_with(
+            fact, fact_key, bloomfilter_blob(dim, dim_key, lg_m=lg_m)
+        )
     return bloom_prune_with(fact, fact_key, bloom_filter_blob(dim, dim_key, lg_m=lg_m))

@@ -249,3 +249,51 @@ def test_nan_skip_documented_deviation():
     sk = ApacheBloomFilter(1024, 4, 9001)
     sk.update_series(pd.Series([float("nan")]))
     assert sk.is_empty  # NULL/NaN conflation in the Arrow float path
+
+
+# ------------------------------------------------- Spark integration
+
+
+def test_bloom_prune_apache_engine(spark):
+    from datasketches_spark.runtime_filter import bloom_prune
+
+    dim = spark.range(0, 500).withColumnRenamed("id", "k")
+    fact = spark.range(0, 5000).withColumnRenamed("id", "k")
+    got = bloom_prune(fact, "k", dim, "k", lg_m=16, engine="apache")
+    keys = {r.k for r in got.collect()}
+    # no false negatives: every true match survives
+    assert set(range(500)) <= keys
+    # FPP at 500 keys / 65536 bits is tiny — the pruned set stays close
+    assert len(keys) < 600
+
+
+def test_bloomfilter_blob_cross_merge_paths(spark):
+    """Driver-merge and two-phase builds produce the SAME wire bytes
+    (deterministic bits; OR-merge is order-free)."""
+    from datasketches_spark.runtime_filter import bloomfilter_blob
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k").repartition(4)
+    a = bloomfilter_blob(df, "k", lg_m=14, driver_merge=True)
+    b = bloomfilter_blob(df, "k", lg_m=14, driver_merge=False)
+    assert bytes(a) == bytes(b)
+
+
+def test_wire_table_roundtrip_bloomfilter(spark, tmp_path):
+    import datasketches_spark as dss
+    from datasketches_spark import io as dio
+    from datasketches_spark.aggregation import sketch_agg
+
+    dss.register(spark)
+    df = spark.range(0, 300).selectExpr("id % 3 AS g", "id AS k")
+    flt = sketch_agg(df, "k", "bloomfilter", group_cols=["g"], k=12)
+    path = str(tmp_path / "bf_wire")
+    dio.write_wire_table(flt, path, "sketch", "bloomfilter", k=12)
+    back = dio.read_wire_table(spark, path)
+    rows = back.selectExpr(
+        "g",
+        "datasketch_bloomfilter_bits_set(sketch) AS bits",
+        "datasketch_bloomfilter_might_contain(sketch, CAST(g AS BIGINT)) AS has_g",
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.bits > 0 and r.has_g  # g in 0..2 is a member of its group
