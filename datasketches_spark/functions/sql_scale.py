@@ -84,11 +84,17 @@ class DatasketchPartials:
             raise ValueError(
                 "family must be a constant string, e.g. 'theta'"
             )
-        n_val = 2 if fam == "reservoir_weighted" else 1
+        n_val = 2 if fam in ("reservoir_weighted", "aod") else 1
         if len(table.dataType.fields) < n_val:
             raise ValueError(
                 "TABLE argument needs a value column"
-                + (" and a weight column" if n_val == 2 else "")
+                + (
+                    " and a weight column"
+                    if fam == "reservoir_weighted"
+                    else " (key) and a summary array column"
+                    if fam == "aod"
+                    else ""
+                )
             )
         out = StructType()
         for f in table.dataType.fields[:-n_val]:
@@ -105,6 +111,27 @@ class DatasketchPartials:
         from ..families import build_params, create_sketch, update_sketch
 
         weighted = self._family == "reservoir_weighted"
+        if self._family == "aod":
+            # (key, summary-array) pairs -> ArrayOfDoubles tuple sketch
+            import numpy as np
+
+            from ..sketches.tuple_aod import AodSketch
+
+            sk = self._sketches.get(key)
+            if sk is None:
+                first = next((a for _, a in vals if a is not None), None)
+                m = len(first) if first is not None else 1
+                sk = self._sketches[key] = AodSketch(
+                    int(self._k) if self._k is not None else 12, m
+                )
+            mat = np.zeros((len(vals), sk.num_values), dtype=np.float64)
+            for i, (_, a) in enumerate(vals):
+                if a is not None:
+                    mat[i] = np.asarray(a, dtype=np.float64)
+            sk.update_batch(pd.Series([kv for kv, _ in vals]), mat)
+            self._buffered -= len(vals)
+            self._buffers[key] = []
+            return
         fam = "reservoir" if weighted else self._family
         if weighted:
             s = pd.Series([v for v, _ in vals])
@@ -131,6 +158,11 @@ class DatasketchPartials:
             key, v = tuple(vals[:-2]), (vals[-2], vals[-1])
             if v[0] is None or v[1] is None:
                 return  # NULL value or weight: skipped like the UDAF
+        elif family == "aod":
+            key, v = tuple(vals[:-2]), (vals[-2], vals[-1])
+            if v[0] is None:
+                return  # NULL tuple key skips the row (UDAF parity);
+                # a NULL summary array still counts the key (zeros)
         else:
             key, v = tuple(vals[:-1]), vals[-1]
             if v is None:

@@ -238,3 +238,52 @@ class TestFrequentItemsBands:
         sk = FrequentItemsSketch(10)
         sk.update_series(pd.Series(["a", "b", "c"]))
         assert sk.epsilon == pytest.approx(0.00341796875, rel=0.5)
+
+
+class TestTupleAodAccuracy:
+    """Estimation-mode bands for the ArrayOfDoubles tuple family: the
+    key estimator is the theta/KMV estimator (same RSE ~ 1/sqrt(k));
+    the summary estimator sum(retained)/theta must track the true
+    column totals within the same relative band."""
+
+    def _build(self, lg_k, n, seed=0):
+        import pandas as pd
+
+        from datasketches_spark.sketches.tuple_aod import AodSketch
+
+        rng = np.random.default_rng(seed)
+        sk = AodSketch(lg_k, 1)
+        keys = pd.Series(np.arange(n, dtype=np.int64))
+        vals = rng.uniform(0.5, 1.5, size=n)
+        sk.update_batch(keys, vals)
+        return sk, float(vals.sum())
+
+    def test_estimate_within_band_lgk12(self):
+        sk, _ = self._build(12, 500_000)
+        assert abs(sk.get_estimate() - 500_000) / 500_000 < 4 / np.sqrt(1 << 12)
+
+    def test_column_sum_estimator_within_band(self):
+        sk, true_sum = self._build(12, 500_000)
+        est = sk.column_sums()[0]
+        # per-key values are iid in [0.5, 1.5]: the summary estimator's
+        # relative error is dominated by the key-sampling error
+        assert abs(est - true_sum) / true_sum < 5 / np.sqrt(1 << 12)
+
+    def test_bounds_cover_truth(self):
+        sk, _ = self._build(10, 200_000)
+        assert sk.get_bound(2, upper=False) <= 200_000 <= sk.get_bound(2, upper=True)
+
+    def test_merge_same_band_as_one_shot(self):
+        import pandas as pd
+
+        from datasketches_spark.sketches.tuple_aod import AodSketch, aod_union
+
+        n = 300_000
+        rng = np.random.default_rng(3)
+        vals = rng.uniform(0.5, 1.5, size=n)
+        a, b = AodSketch(11, 1), AodSketch(11, 1)
+        a.update_batch(pd.Series(np.arange(0, n // 2, dtype=np.int64)), vals[: n // 2])
+        b.update_batch(pd.Series(np.arange(n // 2, n, dtype=np.int64)), vals[n // 2:])
+        u = aod_union(a, b)
+        assert abs(u.get_estimate() - n) / n < 4 / np.sqrt(1 << 11)
+        assert abs(u.column_sums()[0] - vals.sum()) / vals.sum() < 5 / np.sqrt(1 << 11)

@@ -172,3 +172,44 @@ def test_weighted_reservoir_two_phase_sql(spark):
         for g in range(4)
     }
     assert got == want
+
+
+def test_partials_aod_and_bloomfilter(spark):
+    """Round-11 families ride the same SQL-only two-phase plan: aod
+    takes (key, summary-array) as the trailing TWO columns;
+    bloomfilter is a plain single-value family."""
+    spark.range(0, 3000).selectExpr(
+        "id % 3 AS g", "id % 100 AS key", "array(CAST(id AS DOUBLE)) AS vals"
+    ).createOrReplaceTempView("sql_scale_aod_t")
+    rows = spark.sql(
+        """
+        SELECT g,
+               round(datasketch_aod_estimate(datasketch_aod_union_agg(sketch))) AS d,
+               round(datasketch_aod_column_sums(datasketch_aod_union_agg(sketch))[0], 3) AS s
+        FROM datasketch_partials(
+               TABLE(SELECT g, key, vals FROM sql_scale_aod_t), 'aod', 14)
+        GROUP BY g
+        """
+    ).collect()
+    want = {
+        r.g: (float(r.d), r.s)
+        for r in spark.sql(
+            "SELECT g, count(DISTINCT key) AS d, round(sum(CAST(id AS DOUBLE)), 3) AS s"
+            " FROM (SELECT id % 3 AS g, id % 100 AS key, id FROM range(0, 3000))"
+            " GROUP BY g"
+        ).collect()
+    }
+    assert {r.g: (r.d, r.s) for r in rows} == want
+
+    got = spark.sql(
+        """
+        SELECT count(*) AS n FROM (
+          SELECT g, datasketch_bloomfilter_bits_set(
+                   datasketch_bloomfilter_union_agg(12, sketch)) AS bits
+          FROM datasketch_partials(
+                 TABLE(SELECT g, key FROM sql_scale_aod_t), 'bloomfilter', 12)
+          GROUP BY g
+        ) WHERE bits > 0
+        """
+    ).first()
+    assert got.n == 3
