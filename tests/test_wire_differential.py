@@ -495,3 +495,97 @@ def test_tdigest_edge_profile_differential(jvm):
             assert back.get_quantile(q) == pytest.approx(
                 merged.get_quantile(q), rel=1e-9, abs=1e-12
             )
+
+
+# ------------------------------------------------------- tuple (AoD)
+
+
+def test_tuple_aod_differential(jvm):
+    """ArrayOfDoubles sweep: random lg_k / num_values / size /
+    duplication / chunking; merge-order independence of the FULL state
+    (keys AND summed summaries), java answers from our wire, and the
+    both-directions round trip."""
+    import pandas as pd
+
+    from datasketches_spark.sketches.tuple_aod import AodSketch
+
+    AODS = jvm.org.apache.datasketches.tuple.arrayofdoubles.ArrayOfDoublesSketches
+    rng = np.random.default_rng(777)
+    for case in range(N_CASES):
+        lg_k = int(rng.integers(4, 10))
+        m = int(rng.integers(1, 4))
+        n = int(rng.integers(0, 3000))
+        keys = _values(rng, n)
+        vals = rng.normal(size=(n, m))
+        # chunked build in two different orders
+        bounds = sorted(rng.integers(0, n + 1, size=2)) if n else [0, 0]
+        chunks = [
+            (keys[: bounds[0]], vals[: bounds[0]]),
+            (keys[bounds[0]: bounds[1]], vals[bounds[0]: bounds[1]]),
+            (keys[bounds[1]:], vals[bounds[1]:]),
+        ]
+        def build(order):
+            parts = []
+            for ck, cv in chunks:
+                p = AodSketch(lg_k, m)
+                p.update_batch(pd.Series(ck), cv)
+                parts.append(p)
+            out = AodSketch(lg_k, m)
+            for i in order:
+                out.merge(parts[i])
+            return out
+        a = build([0, 1, 2])
+        b = build([2, 0, 1])
+        a._consolidate(); b._consolidate()
+        assert np.array_equal(a.keys, b.keys)
+        assert np.allclose(a.values, b.values, rtol=1e-12, atol=0)
+        assert a.theta == b.theta
+        # java reads our wire and answers identically
+        jsk = AODS.heapifySketch(_mem(jvm, a.to_wire()))
+        assert jsk.getRetainedEntries() == a.num_retained
+        assert jsk.getEstimate() == pytest.approx(
+            a.get_estimate(), rel=1e-12, abs=1e-12
+        )
+        if a.num_retained and case % 5 == 0:
+            jsums = [0.0] * m
+            for row in jsk.getValues():
+                for j in range(m):
+                    jsums[j] += row[j]
+            assert jsums == pytest.approx(
+                a.column_sums_retained(), rel=1e-9, abs=1e-9
+            )
+        # both-directions round trip preserves the full state
+        back = AodSketch.from_wire(bytes(jsk.compact().toByteArray()))
+        assert back.theta == a.theta
+        assert np.array_equal(back.keys, a.keys)
+        assert np.allclose(back.values, a.values, rtol=1e-12, atol=0)
+
+
+# ------------------------------------------------------- bloomfilter
+
+
+def test_bloomfilter_differential(jvm):
+    """Geometry sweep for the Apache BloomFilter: random num_bits /
+    num_hashes / seed / input; java must round-trip our wire
+    BYTE-IDENTICALLY (deterministic bits) and answer the same
+    membership probes."""
+    import pandas as pd
+
+    from datasketches_spark.sketches.bloom_apache import ApacheBloomFilter
+
+    BF = jvm.org.apache.datasketches.filters.bloomfilter.BloomFilter
+    rng = np.random.default_rng(778)
+    for case in range(N_CASES // 2):
+        num_bits = int(rng.integers(64, 1 << 14))
+        num_hashes = int(rng.integers(1, 10))
+        seed = int(rng.integers(0, 1 << 62))
+        n = int(rng.integers(0, 600))
+        keys = _values(rng, n)
+        sk = ApacheBloomFilter(num_bits, num_hashes, seed)
+        sk.update_series(pd.Series(keys))
+        jf = BF.heapify(_mem(jvm, sk.to_wire()))
+        assert bytes(jf.toByteArray()) == sk.to_wire()
+        probes = list(keys[:3]) + [int(rng.integers(1 << 41, 1 << 42)) for _ in range(3)]
+        jq = [jf.query(int(p)) for p in probes]
+        oq = sk.query_series(pd.Series(probes, dtype=np.int64))
+        assert jq == [bool(x) for x in oq]
