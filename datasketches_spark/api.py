@@ -92,6 +92,26 @@ def reservoir_union_agg(k: int, col) -> Column:
     return F.call_udf("datasketch_reservoir_union_agg", F.lit(k), _c(col))
 
 
+def aod(lg_k: int, key, values) -> Column:
+    """ArrayOfDoubles tuple AGG: ``values`` is an array<double> column
+    (``F.array(...)``); repeated keys SUM their summaries."""
+    return F.call_udf("datasketch_aod", F.lit(lg_k), _c(key), _c(values))
+
+
+def aod_union_agg(col) -> Column:
+    return F.call_udf("datasketch_aod_union_agg", _c(col))
+
+
+def bloomfilter(lg_m: int, col) -> Column:
+    """Apache-wire BloomFilter AGG (cross-system bits; 6 hashes,
+    seed 9001)."""
+    return F.call_udf("datasketch_bloomfilter", F.lit(lg_m), _c(col))
+
+
+def bloomfilter_union_agg(lg_m: int, col) -> Column:
+    return F.call_udf("datasketch_bloomfilter_union_agg", F.lit(lg_m), _c(col))
+
+
 def cms(lg_w: int, col) -> Column:
     return F.call_udf("datasketch_cms", F.lit(lg_w), _c(col))
 

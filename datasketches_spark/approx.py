@@ -52,6 +52,38 @@ def distinct(
     )
 
 
+def distinct_sum(
+    df: DataFrame,
+    key: str,
+    value_cols: list[str],
+    by: list[str] | None = None,
+    lg_k: int = 16,
+) -> DataFrame:
+    """Approximate ``COUNT(DISTINCT key)`` AND ``SUM(v)`` per group
+    from ONE bounded blob — the ArrayOfDoubles tuple sketch
+    (sketches/tuple_aod.py): repeated keys sum their summaries, so
+    the summary estimator answers the column totals exactly when
+    exact-mode and within the theta band otherwise.  Output columns:
+    ``approx_distinct`` + ``sum_<col>`` per value column, answered in
+    the merge round (fused finalize — no extra Python pass)."""
+    by = list(by or [])
+    from .aggregation import tuple_sketch_agg
+
+    names = [f"sum_{c}" for c in value_cols]
+
+    def _fin(sk):
+        sums = sk.column_sums()
+        out = {"approx_distinct": int(round(sk.get_estimate()))}
+        out.update({n: float(s) for n, s in zip(names, sums)})
+        return out
+
+    schema = "approx_distinct long, " + ", ".join(f"{n} double" for n in names)
+    return tuple_sketch_agg(
+        df, key, value_cols, group_cols=by, lg_k=lg_k,
+        finalize=_fin, finalize_schema=schema,
+    )
+
+
 def quantiles(
     df: DataFrame,
     col: str,

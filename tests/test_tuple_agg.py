@@ -182,3 +182,46 @@ def test_null_handling(spark):
     # NULL key skips the row; NULL summary contributes 0 but counts the key
     assert row.d == 2.0
     assert row.s == 5.0
+
+
+def test_approx_distinct_sum_one_call(spark, tdf):
+    from datasketches_spark import approx
+
+    got = {
+        r.g: r
+        for r in approx.distinct_sum(
+            tdf, "key", ["v1", "v2"], by=["g"], lg_k=14
+        ).collect()
+    }
+    want = {
+        r.g: r
+        for r in tdf.groupBy("g")
+        .agg(
+            F.countDistinct("key").alias("d"),
+            F.sum("v1").alias("s1"),
+            F.sum("v2").alias("s2"),
+        )
+        .collect()
+    }
+    for g in want:
+        assert got[g].approx_distinct == want[g].d
+        assert got[g].sum_v1 == pytest.approx(want[g].s1, rel=1e-12)
+        assert got[g].sum_v2 == pytest.approx(want[g].s2, rel=1e-12)
+
+
+def test_api_column_helpers(spark, tdf):
+    from datasketches_spark import api
+
+    tdf.createOrReplaceTempView("tuple_api_t")
+    row = (
+        tdf.groupBy("g")
+        .agg(api.aod(14, "key", F.array("v1")).alias("sk"))
+        .select(api.aod_estimate(F.col("sk")).alias("d"))
+        .orderBy("d")
+        .first()
+    )
+    assert row.d > 0
+    row2 = tdf.agg(api.bloomfilter(12, "key").alias("sk")).select(
+        api.bloomfilter_bits_set(F.col("sk")).alias("bits")
+    ).first()
+    assert row2.bits > 0
