@@ -34,6 +34,7 @@ from ..sketches import (
     AodSketch,
     aod_a_not_b,
     aod_intersect,
+    aod_to_theta,
     aod_union,
     ApacheBloomFilter,
     bloomfilter_intersect,
@@ -679,6 +680,11 @@ def build_scalar_registry() -> dict[str, object]:
     reg[p + "to_wire"] = _unary(A, lambda sk: sk.to_wire(), "binary")
     reg[p + "from_wire"] = _unary(A, lambda sk: sk.serialize(), "binary")
     reg[p + "describe"] = _unary(A, lambda sk: sk.describe(), "string")
+    # key-set projection: tuple keys ARE theta hashes, so the result
+    # composes with every theta scalar / set-op / wire path
+    reg[p + "to_theta"] = _unary(
+        A, lambda sk: aod_to_theta(sk).serialize(), "binary"
+    )
 
     # ---- exact summary stats (beyond-reference; sketches/stats.py) ----
     p = "datasketch_stats_"

@@ -39,7 +39,13 @@ from .cpc import CpcSketch
 from .hll import HllSketch
 from .tdigest import TDigestSketch
 from .theta import ThetaSketch, theta_a_not_b, theta_intersect, theta_union
-from .tuple_aod import AodSketch, aod_a_not_b, aod_intersect, aod_union
+from .tuple_aod import (
+    AodSketch,
+    aod_a_not_b,
+    aod_intersect,
+    aod_to_theta,
+    aod_union,
+)
 
 FAMILY_CLASSES = {
     FAMILY_AOD: AodSketch,
@@ -82,6 +88,7 @@ __all__ = [
     "aod_union",
     "aod_intersect",
     "aod_a_not_b",
+    "aod_to_theta",
     "BloomFilterSketch",
     "bloom_union",
     "bloom_intersect",

@@ -451,6 +451,21 @@ class AodSketch:
         return sk
 
 
+def aod_to_theta(sk: AodSketch):
+    """Project the key set to a plain theta sketch — the tuple
+    family's hash space IS theta's, so the projection is lossless
+    (same theta, same retained hashes) and composes with every theta
+    scalar/set-op/wire path (mirrors java's
+    ArrayOfDoublesSketch.compact() ancestry in the tuple hierarchy)."""
+    from .theta import ThetaSketch
+
+    sk._consolidate()
+    out = ThetaSketch(sk.lg_k)
+    out.theta = sk.theta
+    out.hashes = sk.keys.copy()
+    return out
+
+
 # ---- scalar set algebra (summaries carried through) ----
 
 def aod_union(a: AodSketch, b: AodSketch, lg_k: int | None = None) -> AodSketch:

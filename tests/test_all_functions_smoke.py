@@ -129,6 +129,7 @@ def _args_for(name: str) -> str | None:
         "has_partial": f"{sk}",
         "psi": f"{sk}, {sk}, array(50.0D, 150.0D)",
         "theta": f"{sk}",
+        "to_theta": f"{sk}",
         "seed": f"{sk}",
         "fill_percentage": f"{sk}",
         "num_values": f"{sk}",

@@ -334,3 +334,25 @@ def test_wire_rejects_corruption(spark, jvm):
         mut(bad)
         with pytest.raises(SketchDeserializeError):
             AodSketch.from_wire(bytes(bad))
+
+
+def test_aod_to_theta_projection():
+    """The key-set projection is lossless: same theta, same hashes,
+    and it composes with plain theta built over the same keys."""
+    import pandas as pd
+
+    from datasketches_spark.sketches.theta import ThetaSketch, theta_intersect
+    from datasketches_spark.sketches.tuple_aod import AodSketch, aod_to_theta
+
+    keys = pd.Series(np.arange(50_000, dtype=np.int64))
+    aod = AodSketch(8, 2)
+    aod.update_batch(keys, np.ones((50_000, 2)))
+    th = ThetaSketch(8)
+    th.update_values(keys)
+    proj = aod_to_theta(aod)
+    th._consolidate()
+    assert proj.theta == th.theta
+    assert np.array_equal(proj.hashes, th.hashes)
+    # composes with theta set algebra: self-intersection is identity
+    inter = theta_intersect(proj, th)
+    assert inter.get_estimate() == proj.get_estimate()
