@@ -392,7 +392,12 @@ def tuple_sketch_agg(
     """Two-phase ArrayOfDoubles tuple aggregation: distinct ``key_col``
     estimation with element-wise-summed ``double`` summaries, one blob
     per group.  ``SELECT g, datasketch_aod(lg_k, key, array(v...))``
-    at the blob-only-shuffle scale path (sketches/tuple_aod.py)."""
+    at the blob-only-shuffle scale path (sketches/tuple_aod.py).
+
+    NULL summary values contribute 0.0 (SQL SUM semantics — the same
+    rule as the ``datasketch_aod`` UDAF and the UDTF path); the Arrow
+    float transfer conflates NaN with NULL, so NaN summaries also
+    become 0.0 on this path."""
     partial = tuple_sketch_partial(
         df, key_col, value_cols, group_cols, lg_k, output_col
     )

@@ -137,8 +137,12 @@ def build_aggregate_registry() -> dict[str, object]:
     # sketches/tuple_aod.py): distinct keys + element-wise-summed
     # double summaries.  SQL shape:
     #   datasketch_aod(lg_k, key, array(v1, v2, ...))
-    # NULL keys skip the row; a NULL summary array contributes zeros
-    # (the additive identity) so the key still counts as seen.
+    # NULL keys skip the row; NULL summary arrays and NULL/NaN
+    # elements contribute zeros (SQL SUM semantics — the additive
+    # identity; Arrow delivers NULL array elements as NaN, so the two
+    # are indistinguishable here) and the key still counts as seen.
+    # The same rule holds on every Spark entry point
+    # (tuple_sketch_agg, the UDTF) — paths agree by construction.
     @pandas_udf("binary")
     def aod_agg(k: pd.Series, key: pd.Series, vals: pd.Series) -> bytes:
         import numpy as np
@@ -153,13 +157,15 @@ def build_aggregate_registry() -> dict[str, object]:
         mat = np.zeros((len(vals), m), dtype=np.float64)
         for i, v in enumerate(vals):
             if v is not None:
-                row = np.asarray(v, dtype=np.float64)
-                if row.size != m:
+                if len(v) != m:
                     raise ValueError(
                         "datasketch_aod: summary arrays must have a "
-                        f"constant length (got {row.size}, expected {m})"
+                        f"constant length (got {len(v)}, expected {m})"
                     )
-                mat[i] = row
+                mat[i] = np.nan_to_num(
+                    np.asarray(v, dtype=np.float64),
+                    nan=0.0, posinf=np.inf, neginf=-np.inf,
+                )
         sk.update_batch(key, mat)
         return None if sk.is_empty else sk.serialize()
 
@@ -167,9 +173,18 @@ def build_aggregate_registry() -> dict[str, object]:
 
     @pandas_udf("binary")
     def aod_union_agg(v: pd.Series) -> bytes:
-        sk = create_sketch("aod", {})
-        update_sketch("aod", sk, v, merge=True)
-        return None if sk.is_empty else sk.serialize()
+        from ..sketches.tuple_aod import AodSketch
+
+        # accumulate at the MINIMUM input lg_k (Apache mixed-K union
+        # degradation) rather than a fixed default — same-k blobs
+        # union LOSSLESSLY regardless of how large their k is
+        sks = [AodSketch.deserialize(bytes(b)) for b in v.dropna()]
+        if not sks:
+            return None
+        out = AodSketch(min(s.lg_k for s in sks), sks[0].num_values)
+        for s in sks:
+            out.merge(s)
+        return None if out.is_empty else out.serialize()
 
     reg["datasketch_aod_union_agg"] = aod_union_agg
     return reg

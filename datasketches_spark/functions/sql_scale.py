@@ -117,17 +117,30 @@ class DatasketchPartials:
 
             from ..sketches.tuple_aod import AodSketch
 
+            first = next((a for _, a in vals if a is not None), None)
+            m = len(first) if first is not None else 1
             sk = self._sketches.get(key)
             if sk is None:
-                first = next((a for _, a in vals if a is not None), None)
-                m = len(first) if first is not None else 1
                 sk = self._sketches[key] = AodSketch(
                     int(self._k) if self._k is not None else 12, m
                 )
+            elif m > sk.num_values:
+                # an earlier flush saw only NULL arrays (zero
+                # summaries) — widen it now that the width is known
+                sk._widen_to(m)
             mat = np.zeros((len(vals), sk.num_values), dtype=np.float64)
             for i, (_, a) in enumerate(vals):
                 if a is not None:
-                    mat[i] = np.asarray(a, dtype=np.float64)
+                    if len(a) != sk.num_values:
+                        raise ValueError(
+                            "datasketch_partials('aod'): summary arrays "
+                            f"must have a constant length (got {len(a)}, "
+                            f"expected {sk.num_values})"
+                        )
+                    mat[i] = np.nan_to_num(
+                        np.asarray(a, dtype=np.float64),
+                        nan=0.0, posinf=np.inf, neginf=-np.inf,
+                    )
             sk.update_batch(pd.Series([kv for kv, _ in vals]), mat)
             self._buffered -= len(vals)
             self._buffers[key] = []

@@ -285,28 +285,32 @@ def murmur3_values(
         return murmur3_u64(canonical_u64(num.to_numpy()), seed)
     typ = pa.large_binary() if isinstance(first, (bytes, bytearray)) else pa.large_utf8()
     pa_arr = pa.array(ser, type=typ, from_pandas=True)
-
-    def _buffers(a):
-        o = np.frombuffer(a.buffers()[1], dtype=np.int64)[
-            a.offset : a.offset + len(a) + 1
-        ]
-        b = a.buffers()[2]
-        d = (
-            np.frombuffer(b, dtype=np.uint8)
-            if b is not None
-            else np.empty(0, dtype=np.uint8)
-        )
-        return d, o
-
-    data, off = _buffers(pa_arr)
+    data, off = arrow_byte_buffers(pa_arr)
     lens = np.diff(off)
     if (lens == 0).any():  # Apache skips empty strings/bytes
         keep = np.flatnonzero(lens > 0)
         if keep.size == 0:
             empty = np.empty(0, dtype=np.uint64)
             return empty, empty
-        data, off = _buffers(pa_arr.take(pa.array(keep)))
+        data, off = arrow_byte_buffers(pa_arr.take(pa.array(keep)))
     return murmur3_bytes(data, off, seed)
+
+
+def arrow_byte_buffers(pa_arr) -> tuple[np.ndarray, np.ndarray]:
+    """Flat (data, offsets) view of a pyarrow large_utf8/large_binary
+    array — the ragged-row form the vectorized hashers consume.
+    Shared by the murmur3 (theta/HLL/CPC) and XXH64 (Apache
+    BloomFilter) string paths."""
+    o = np.frombuffer(pa_arr.buffers()[1], dtype=np.int64)[
+        pa_arr.offset : pa_arr.offset + len(pa_arr) + 1
+    ]
+    b = pa_arr.buffers()[2]
+    d = (
+        np.frombuffer(b, dtype=np.uint8)
+        if b is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return d, o
 
 
 def _screen(h1: np.ndarray) -> np.ndarray:

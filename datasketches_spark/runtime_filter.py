@@ -129,20 +129,35 @@ def bloomfilter_blob(
 
     Same merge-strategy gate as :func:`bloom_filter_blob`: driver
     OR-merge of phase-1 partials while partitions x filter bytes stay
-    bounded, the blob-only shuffle otherwise."""
-    from .aggregation import sketch_agg, sketch_partial  # noqa: PLC0415
+    bounded, the blob-only shuffle otherwise.  ``num_hashes`` and
+    ``seed`` flow into BOTH build paths (a filter meant to union with
+    an existing java-side filter must match its full geometry)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from .aggregation import sketch_merge  # noqa: PLC0415
     from .sketches import ApacheBloomFilter  # noqa: PLC0415
 
+    num_bits = 1 << lg_m
+
+    def build(batches):
+        sk = ApacheBloomFilter(num_bits, num_hashes, seed)
+        for pdf in batches:
+            sk.update_series(pdf[key_col])
+        yield pd.DataFrame({"sketch": [sk.to_wire()]})
+
+    partial = df.select(key_col).mapInPandas(build, "sketch binary")
     if driver_merge is None:
         parts = df.rdd.getNumPartitions()
-        driver_merge = parts * (1 << lg_m) // 8 <= (64 << 20)
+        driver_merge = parts * num_bits // 8 <= (64 << 20)
     if not driver_merge:
-        return sketch_agg(df, key_col, "bloomfilter", k=lg_m).collect()[0][
+        # blob-only shuffle merge; the empty accumulator adopts the
+        # partials' geometry on the first union
+        return sketch_merge(partial, "bloomfilter", k=lg_m).collect()[0][
             "sketch"
         ]
-    rows = sketch_partial(df, key_col, "bloomfilter", k=lg_m).collect()
+    rows = partial.collect()
     if not rows:
-        return ApacheBloomFilter(1 << lg_m, num_hashes, seed).to_wire()
+        return ApacheBloomFilter(num_bits, num_hashes, seed).to_wire()
     out = ApacheBloomFilter.from_wire(bytes(rows[0]["sketch"]))
     for r in rows[1:]:
         out.union(ApacheBloomFilter.from_wire(bytes(r["sketch"])))

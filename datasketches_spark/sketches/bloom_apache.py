@@ -72,23 +72,27 @@ def suggest_num_filter_bits(max_distinct: int, fpp: float) -> int:
     return int(np.ceil(-max_distinct * np.log(fpp) / (np.log(2.0) ** 2)))
 
 
-def _hash_pair(values, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """(h0, h1) per item with java BloomFilter canonicalization;
-    null / empty-string rows are dropped (java update() no-ops).
+def _hash_pair(values, seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """(h0, h1, kept_positions, n_input) with java BloomFilter
+    canonicalization; null / empty-string rows are excluded from the
+    hash arrays (java update() no-ops and query() returns false for
+    them) and ``kept_positions`` maps each hash back to its input row.
 
-    NaN doubles are ALSO dropped — a deliberate, documented deviation:
-    java hashes Double.doubleToLongBits(NaN), but Spark's Arrow float
-    transfer conflates NULL and NaN, so a NaN row here is
+    NaN doubles are ALSO excluded — a deliberate, documented
+    deviation: java hashes Double.doubleToLongBits(NaN), but Spark's
+    Arrow float transfer conflates NULL and NaN, so a NaN row here is
     indistinguishable from a NULL.  -0.0 keeps its sign bit (java
     doubleToLongBits canonicalizes only NaN), so 0.0 and -0.0 probe
     DIFFERENT bits — unlike the theta families."""
     ser = values if isinstance(values, pd.Series) else pd.Series(values)
-    ser = ser.dropna()
-    if ser.empty:
-        z = np.empty(0, dtype=np.uint64)
-        return z, z
+    n = len(ser)
+    kept = np.flatnonzero(ser.notna().to_numpy())
+    z = np.empty(0, dtype=np.uint64)
+    if kept.size == 0:
+        return z, z, kept, n
+    sub = ser.iloc[kept]
     if ser.dtype != object and not pd.api.types.is_string_dtype(ser.dtype):
-        arr = ser.to_numpy()
+        arr = sub.to_numpy()
         if arr.dtype.kind in "iub":
             lanes = arr.astype(np.int64).view(np.uint64)
         elif arr.dtype.kind == "f":
@@ -96,55 +100,45 @@ def _hash_pair(values, seed: int) -> tuple[np.ndarray, np.ndarray]:
         else:
             raise TypeError(f"unsupported dtype for bloom filter: {arr.dtype}")
         h0 = xxh64_long(lanes, seed)
-        return h0, xxh64_long(lanes, h0)
-    first = next((v for v in ser if v is not None), None)
+        return h0, xxh64_long(lanes, h0), kept, n
+    first = next((v for v in sub if v is not None), None)
     if isinstance(first, (int, np.integer)):
-        lanes = ser.astype(np.int64).to_numpy().view(np.uint64)
+        lanes = sub.astype(np.int64).to_numpy().view(np.uint64)
         h0 = xxh64_long(lanes, seed)
-        return h0, xxh64_long(lanes, h0)
+        return h0, xxh64_long(lanes, h0), kept, n
     if isinstance(first, float):
-        lanes = ser.astype(np.float64).to_numpy().view(np.uint64)
+        lanes = sub.astype(np.float64).to_numpy().view(np.uint64)
+        nz = ~np.isnan(lanes.view(np.float64))
+        lanes, kept = lanes[nz], kept[nz]
         h0 = xxh64_long(lanes, seed)
-        return h0, xxh64_long(lanes, h0)
+        return h0, xxh64_long(lanes, h0), kept, n
     import pyarrow as pa
+
+    from ..murmur import arrow_byte_buffers
 
     typ = (
         pa.large_binary()
         if isinstance(first, (bytes, bytearray))
         else pa.large_utf8()
     )
-    pa_arr = pa.array(ser, type=typ, from_pandas=True)
-    off = np.frombuffer(pa_arr.buffers()[1], dtype=np.int64)[
-        pa_arr.offset : pa_arr.offset + len(pa_arr) + 1
-    ]
-    buf = pa_arr.buffers()[2]
-    data = (
-        np.frombuffer(buf, dtype=np.uint8) if buf is not None
-        else np.empty(0, dtype=np.uint8)
-    )
+    pa_arr = pa.array(sub, type=typ, from_pandas=True)
+    data, off = arrow_byte_buffers(pa_arr)
     lens = np.diff(off)
     if (lens == 0).any():  # java skips empty strings/bytes
         keep = np.flatnonzero(lens > 0)
+        kept = kept[keep]
         if keep.size == 0:
-            z = np.empty(0, dtype=np.uint64)
-            return z, z
+            return z, z, kept, n
         pa_arr = pa_arr.take(pa.array(keep))
-        off = np.frombuffer(pa_arr.buffers()[1], dtype=np.int64)[
-            pa_arr.offset : pa_arr.offset + len(pa_arr) + 1
-        ]
-        buf = pa_arr.buffers()[2]
-        data = (
-            np.frombuffer(buf, dtype=np.uint8) if buf is not None
-            else np.empty(0, dtype=np.uint8)
-        )
+        data, off = arrow_byte_buffers(pa_arr)
     h0 = xxh64_bytes(data, off, seed)
-    return h0, xxh64_bytes(data, off, h0)
+    return h0, xxh64_bytes(data, off, h0), kept, n
 
 
 class ApacheBloomFilter:
     """Heap BloomFilter with java-parity bits and wire."""
 
-    __slots__ = ("num_hashes", "seed", "data", "num_bits_set")
+    __slots__ = ("num_hashes", "seed", "data", "_count", "_dirty")
 
     def __init__(
         self,
@@ -159,7 +153,8 @@ class ApacheBloomFilter:
         self.num_hashes = int(num_hashes)
         self.seed = int(seed) & ((1 << 64) - 1)
         self.data = np.zeros((num_bits + 63) >> 6, dtype=np.uint64)
-        self.num_bits_set = 0
+        self._count = 0
+        self._dirty = False
 
     # ---- geometry ----
     @property
@@ -167,8 +162,20 @@ class ApacheBloomFilter:
         return int(self.data.size) << 6
 
     @property
+    def num_bits_set(self) -> int:
+        """Lazily recounted (java keeps the same dirty-flag scheme:
+        updates mark the count dirty instead of paying an O(capacity)
+        popcount per batch)."""
+        if self._dirty:
+            self._count = int(np.unpackbits(self.data.view(np.uint8)).sum())
+            self._dirty = False
+        return self._count
+
+    @property
     def is_empty(self) -> bool:
-        return self.num_bits_set == 0
+        if self._dirty:
+            return not self.data.any()
+        return self._count == 0
 
     def fill_percentage(self) -> float:
         return self.num_bits_set / self.capacity
@@ -183,7 +190,7 @@ class ApacheBloomFilter:
             )
 
     def update_series(self, values) -> None:
-        h0, h1 = _hash_pair(values, self.seed)
+        h0, h1, _, _ = _hash_pair(values, self.seed)
         if h0.size == 0:
             return
         pos = self._positions(h0, h1).ravel()
@@ -191,24 +198,23 @@ class ApacheBloomFilter:
             self.data, (pos >> np.uint64(6)).astype(np.int64),
             np.uint64(1) << (pos & np.uint64(63)),
         )
-        self._recount()
+        self._dirty = True
 
     def query_series(self, values) -> np.ndarray:
-        """Boolean per non-null input row (nulls excluded upstream)."""
-        h0, h1 = _hash_pair(values, self.seed)
+        """One boolean PER INPUT ROW: null / empty-string / NaN rows
+        answer False (java query() parity — it returns false for
+        null/empty without probing)."""
+        h0, h1, kept, n = _hash_pair(values, self.seed)
+        out = np.zeros(n, dtype=bool)
         if h0.size == 0:
-            return np.empty(0, dtype=bool)
+            return out
         pos = self._positions(h0, h1)
         bits = (
             self.data[(pos >> np.uint64(6)).astype(np.int64)]
             >> (pos & np.uint64(63))
         ) & np.uint64(1)
-        return bits.all(axis=1)
-
-    def _recount(self) -> None:
-        self.num_bits_set = int(
-            np.unpackbits(self.data.view(np.uint8)).sum()
-        )
+        out[kept] = bits.all(axis=1)
+        return out
 
     # ---- set ops (java union/intersect compatibility checks) ----
     def _check_compatible(self, other: "ApacheBloomFilter") -> None:
@@ -233,11 +239,12 @@ class ApacheBloomFilter:
             self.seed = other.seed
             self.num_hashes = other.num_hashes
             self.data = other.data.copy()
-            self.num_bits_set = other.num_bits_set
+            self._count = other._count
+            self._dirty = other._dirty
             return
         self._check_compatible(other)
         self.data |= other.data
-        self._recount()
+        self._dirty = True
 
     # the generic merge-path alias (families.update_sketch blob loop)
     merge = union
@@ -245,7 +252,7 @@ class ApacheBloomFilter:
     def intersect(self, other: "ApacheBloomFilter") -> None:
         self._check_compatible(other)
         self.data &= other.data
-        self._recount()
+        self._dirty = True
 
     def describe(self) -> str:
         return (
@@ -307,11 +314,12 @@ class ApacheBloomFilter:
             blob, dtype=np.uint64, count=num_longs, offset=32
         ).copy()
         if bits_set >= 0:
-            sk.num_bits_set = int(bits_set)
-            if sk.num_bits_set != int(np.unpackbits(sk.data.view(np.uint8)).sum()):
+            sk._count = int(bits_set)
+            sk._dirty = False
+            if sk._count != int(np.unpackbits(sk.data.view(np.uint8)).sum()):
                 raise err
-        else:  # java "dirty" marker: recount
-            sk._recount()
+        else:  # java "dirty" marker: recount lazily
+            sk._dirty = True
         return sk
 
     deserialize = from_wire

@@ -119,6 +119,16 @@ def _sum_duplicates(
     return uniq, acc
 
 
+def _copy_widened(sk: "AodSketch", m: int) -> "AodSketch":
+    out = AodSketch(sk.lg_k, sk.num_values)
+    out.theta = sk.theta
+    sk._consolidate()
+    out.keys = sk.keys.copy()
+    out.values = sk.values.copy()
+    out._widen_to(m)
+    return out
+
+
 class AodSketch:
     """ArrayOfDoubles tuple sketch (Apache-wire-compatible)."""
 
@@ -163,8 +173,12 @@ class AodSketch:
         """Feed aligned (key, summary-row) batches.
 
         ``vals`` is ``(n, num_values)`` (or ``(n,)`` when
-        num_values == 1); rows whose key is NULL/empty are skipped,
-        NaNs in summaries propagate like java doubles."""
+        num_values == 1); rows whose key is NULL/empty are skipped.
+        NaNs in ``vals`` propagate like java doubles at THIS layer;
+        note the Spark entry points normalize NULL summary values to
+        0.0 (SQL SUM semantics) before reaching here, and the Arrow
+        float transfer conflates NULL with NaN — avoid NaN summaries
+        in DataFrame inputs."""
         h, kept = _row_hashes(keys)
         if h.size == 0:
             return
@@ -189,6 +203,19 @@ class AodSketch:
             self.keys = self.keys[:k]
             self.values = self.values[:k]
 
+    def _widen_to(self, m: int) -> None:
+        """Grow the summary width — legal only while every retained
+        summary is zero (an all-NULL-summaries group: its keys carried
+        no column mass, so zero-padding is exact)."""
+        self._consolidate()
+        if self.values.size and self.values.any():
+            raise ValueError(
+                "Cannot merge tuple sketches with different num_values: "
+                f"{self.num_values} vs {m}"
+            )
+        self.num_values = m
+        self.values = np.zeros((self.keys.size, m), dtype=np.float64)
+
     def merge(self, other: "AodSketch") -> None:
         if other.num_values != self.num_values:
             if self.is_empty and not self._pk:
@@ -197,11 +224,10 @@ class AodSketch:
                 # it sees a blob)
                 self.num_values = other.num_values
                 self.values = np.empty((0, other.num_values), dtype=np.float64)
+            elif other.num_values > self.num_values:
+                self._widen_to(other.num_values)
             else:
-                raise ValueError(
-                    "Cannot merge tuple sketches with different num_values: "
-                    f"{self.num_values} vs {other.num_values}"
-                )
+                other = _copy_widened(other, self.num_values)
         self._consolidate()
         other._consolidate()
         self.theta = min(self.theta, other.theta)
@@ -373,7 +399,13 @@ class AodSketch:
     @classmethod
     def from_wire(cls, blob: bytes, lg_k: int = DEFAULT_LG_K) -> "AodSketch":
         """Parse Apache ArrayOfDoubles bytes — compact (type 3) or the
-        updatable QuickSelect image (type 2, full hash table)."""
+        updatable QuickSelect image (type 2, full hash table).
+
+        Nominal size of the result: the QS image CARRIES lgNomEntries
+        (byte 16) and the import adopts it; the compact format carries
+        no K, so ``lg_k`` applies but is raised to hold the retained
+        set — an exact 50k-key compact blob must not silently purge to
+        the default 4096 on the next merge."""
         err = SketchDeserializeError("Failed to deserialize Tuple sketch")
         if not isinstance(blob, (bytes, bytearray)) or len(blob) < 16:
             raise err
@@ -422,9 +454,13 @@ class AodSketch:
             vals = np.frombuffer(
                 blob, dtype=np.float64, count=count * num_values, offset=24 + 8 * count
             ).reshape(count, num_values)
+            if count > (1 << sk.lg_k):
+                sk.lg_k = min(26, max(4, int(count - 1).bit_length()))
         else:  # QuickSelect image: full table, zero keys = empty slots
             if len(blob) < 32:
                 raise err
+            if 4 <= blob[16] <= 26:  # adopt the carried lgNomEntries
+                sk.lg_k = blob[16]
             cap = 1 << blob[17]
             need = 32 + 8 * cap * (1 + num_values)
             if len(blob) < need:

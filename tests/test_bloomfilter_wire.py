@@ -297,3 +297,61 @@ def test_wire_table_roundtrip_bloomfilter(spark, tmp_path):
     assert len(rows) == 3
     for r in rows:
         assert r.bits > 0 and r.has_g  # g in 0..2 is a member of its group
+
+
+def test_query_alignment_with_empty_and_null_rows():
+    """query_series returns ONE answer per input row: null/empty rows
+    answer False (java query() parity), never a short array."""
+    sk = ApacheBloomFilter(1024, 4, 9001)
+    sk.update_series(pd.Series(["alpha", "beta"]))
+    probes = pd.Series(["alpha", "", None, "beta", "absent"])
+    got = sk.query_series(probes)
+    assert len(got) == 5
+    assert list(got) == [True, False, False, True, False]
+    # SQL surface end-to-end exercised in test_sql_empty_probe below
+
+
+def test_sql_empty_probe(spark):
+    import datasketches_spark as dss
+
+    dss.register(spark)
+    spark.sql("SELECT 'a' AS s UNION ALL SELECT '' UNION ALL SELECT 'b'") \
+        .createOrReplaceTempView("bf_probe_t")
+    rows = spark.sql(
+        """
+        WITH f AS (SELECT datasketch_bloomfilter(10, s) AS sk FROM bf_probe_t)
+        SELECT s, datasketch_bloomfilter_might_contain(sk, s) AS hit
+        FROM bf_probe_t CROSS JOIN f ORDER BY s
+        """
+    ).collect()
+    assert [(r.s, r.hit) for r in rows] == [("", False), ("a", True), ("b", True)]
+
+
+def test_blob_custom_geometry_both_paths(spark):
+    """num_hashes/seed flow into BOTH build paths and survive the
+    merge — a filter meant to union with an existing java filter must
+    match its full geometry."""
+    from datasketches_spark.runtime_filter import bloomfilter_blob
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k").repartition(3)
+    a = ApacheBloomFilter.from_wire(
+        bloomfilter_blob(df, "k", lg_m=12, num_hashes=8, seed=1234,
+                         driver_merge=True)
+    )
+    b = ApacheBloomFilter.from_wire(
+        bloomfilter_blob(df, "k", lg_m=12, num_hashes=8, seed=1234,
+                         driver_merge=False)
+    )
+    for f in (a, b):
+        assert f.num_hashes == 8 and f.seed == 1234 and f.capacity == 4096
+    assert np.array_equal(a.data, b.data)
+
+
+def test_lazy_count_and_dirty_flag():
+    sk = ApacheBloomFilter(1024, 4, 9001)
+    sk.update_series(pd.Series(range(50), dtype=np.int64))
+    assert sk._dirty  # no eager popcount per batch
+    n1 = sk.num_bits_set
+    assert not sk._dirty and n1 > 0
+    sk.update_series(pd.Series(range(50, 60), dtype=np.int64))
+    assert sk._dirty and sk.num_bits_set >= n1 and not sk.is_empty

@@ -356,3 +356,87 @@ def test_aod_to_theta_projection():
     # composes with theta set algebra: self-intersection is identity
     inter = theta_intersect(proj, th)
     assert inter.get_estimate() == proj.get_estimate()
+
+
+def test_union_agg_preserves_large_exact_states(spark):
+    """datasketch_aod_union_agg accumulates at the inputs' lg_k (min
+    across blobs), so same-k blobs union LOSSLESSLY — a 50k-key
+    exact-mode state must not purge to the 4096 default."""
+    import datasketches_spark as dss
+
+    dss.register(spark)
+    df = spark.range(0, 50_000).selectExpr(
+        "id % 2 AS part", "id AS key", "array(1.0D) AS vals"
+    )
+    df.createOrReplaceTempView("aod_big_t")
+    parts = spark.sql(
+        "SELECT part, datasketch_aod(16, key, vals) AS sk"
+        " FROM aod_big_t GROUP BY part"
+    )
+    parts.createOrReplaceTempView("aod_big_parts")
+    row = spark.sql(
+        "SELECT datasketch_aod_estimate(datasketch_aod_union_agg(sk)) AS d,"
+        " datasketch_aod_is_estimation_mode(datasketch_aod_union_agg(sk)) AS est"
+        " FROM aod_big_parts"
+    ).first()
+    assert row.d == 50_000.0 and not row.est
+
+
+def test_from_wire_adopts_qs_lgk_and_raises_compact_lgk(spark, jvm):
+    # QS image carries lgNomEntries: adopt it
+    jsk = _builder(jvm, 14, 1)
+    for i in range(100):
+        jsk.update(BIG + i, _jarr(spark, [1.0]))
+    rt = AodSketch.from_wire(bytes(jsk.toByteArray()))
+    assert rt.lg_k == 14
+    # compact carries no K: lg_k is raised to hold the retained set
+    big = AodSketch(16, 1)
+    big.update_batch(
+        pd.Series(np.arange(50_000, dtype=np.int64)), np.ones((50_000, 1))
+    )
+    rt2 = AodSketch.from_wire(big.to_wire())  # default lg_k=12
+    assert rt2.lg_k >= 16 and rt2.num_retained == 50_000
+    # and a follow-up merge keeps the state exact
+    other = AodSketch(16, 1)
+    other.update_batch(pd.Series([1, 2]), np.ones((2, 1)))
+    rt2.merge(other)
+    assert rt2.get_estimate() == 50_000.0  # keys 1,2 already present
+
+
+def test_all_null_summary_groups_widen_on_merge():
+    """An all-NULL-summaries group builds zero summaries at width 1;
+    merging with a real width-m state widens the zeros exactly."""
+    narrow = AodSketch(12, 1)
+    narrow.update_batch(pd.Series([10, 11]), np.zeros((2, 1)))
+    wide = AodSketch(12, 2)
+    wide.update_batch(pd.Series([11, 12]), np.array([[1.0, 2.0], [3.0, 4.0]]))
+    u = AodSketch(12, 1)
+    u.merge(narrow)
+    u.merge(wide)
+    assert u.num_values == 2 and u.get_estimate() == 3.0
+    assert u.column_sums() == [4.0, 6.0]
+    # the reverse order too
+    v = AodSketch(12, 2)
+    v.merge(wide)
+    v.merge(narrow)
+    assert v.num_values == 2 and v.column_sums() == [4.0, 6.0]
+    # but non-zero summaries still refuse a width change
+    hot = AodSketch(12, 1)
+    hot.update_batch(pd.Series([1]), np.array([[5.0]]))
+    with pytest.raises(ValueError):
+        hot.merge(wide)
+
+
+def test_null_summary_elements_are_zero_in_udaf(spark):
+    import datasketches_spark as dss
+
+    dss.register(spark)
+    row = spark.sql(
+        "SELECT datasketch_aod_column_sums("
+        " datasketch_aod(12, key, vals))[0] AS s,"
+        " datasketch_aod_estimate(datasketch_aod(12, key, vals)) AS d"
+        " FROM VALUES (1, array(2.0D)), (2, array(CAST(NULL AS DOUBLE))),"
+        " (3, NULL) AS t(key, vals)"
+    ).first()
+    # NULL element and NULL array both contribute 0; keys still count
+    assert row.s == 2.0 and row.d == 3.0
