@@ -87,8 +87,11 @@ def create_sketch(family: str, params: dict):
     if family == "ebpps":
         return EbppsSketch(int(params.get("k", 1024)))
     if family == "aod":
+        lgk = params.get("lg_k")
+        # no declared K -> a merge accumulator that adopts the first
+        # blob's lg_k (k-less union/rollup paths stay lossless)
         return AodSketch(
-            int(params.get("lg_k", 12)), int(params.get("num_values", 1))
+            None if lgk is None else int(lgk), int(params.get("num_values", 1))
         )
     if family == "bloomfilter":
         return ApacheBloomFilter(

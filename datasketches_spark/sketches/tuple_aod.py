@@ -132,9 +132,21 @@ def _copy_widened(sk: "AodSketch", m: int) -> "AodSketch":
 class AodSketch:
     """ArrayOfDoubles tuple sketch (Apache-wire-compatible)."""
 
-    __slots__ = ("lg_k", "num_values", "theta", "keys", "values", "_pk", "_pv", "_pn")
+    __slots__ = (
+        "lg_k", "num_values", "theta", "keys", "values",
+        "_pk", "_pv", "_pn", "_adopt_k",
+    )
 
-    def __init__(self, lg_k: int = DEFAULT_LG_K, num_values: int = 1):
+    def __init__(self, lg_k: int | None = DEFAULT_LG_K, num_values: int = 1):
+        # lg_k=None: a generic merge ACCUMULATOR with no declared K —
+        # it adopts the first merged blob's lg_k, so same-k blob
+        # tables merge losslessly through k-less entry points
+        # (datasketch_aod_union_agg, io.rollup_sketch_table) instead
+        # of silently purging to the 4096 default.  An EXPLICIT lg_k
+        # is respected (Apache mixed-K degradation).
+        self._adopt_k = lg_k is None
+        if lg_k is None:
+            lg_k = DEFAULT_LG_K
         if not (4 <= lg_k <= 26):
             raise ValueError(f"Invalid lg_k for tuple sketch: {lg_k}")
         if not (1 <= num_values <= MAX_NUM_VALUES):
@@ -217,6 +229,9 @@ class AodSketch:
         self.values = np.zeros((self.keys.size, m), dtype=np.float64)
 
     def merge(self, other: "AodSketch") -> None:
+        if self._adopt_k and self.is_empty and not self._pk:
+            self.lg_k = other.lg_k
+            self._adopt_k = False
         if other.num_values != self.num_values:
             if self.is_empty and not self._pk:
                 # a fresh accumulator adopts the first input's width

@@ -225,3 +225,32 @@ def test_api_column_helpers(spark, tdf):
         api.bloomfilter_bits_set(F.col("sk")).alias("bits")
     ).first()
     assert row2.bits > 0
+
+
+def test_kless_rollup_preserves_exact_states(spark, tmp_path):
+    """io.rollup_sketch_table with NO k over a lg_k=16 tuple table:
+    the k-less merge accumulator adopts the blobs' lg_k, so 20k-key
+    exact states roll up losslessly instead of purging to 4096."""
+    from datasketches_spark import io as dio
+
+    df = spark.range(0, 40_000).selectExpr(
+        "CASE WHEN id < 20000 THEN '2026-01-03' ELSE '2026-01-09' END AS day",
+        "id AS key",
+        "CAST(1.0 AS DOUBLE) AS v",
+    )
+    daily = tuple_sketch_agg(df, "key", ["v"], group_cols=["day"], lg_k=16)
+    src = str(tmp_path / "daily")
+    dst = str(tmp_path / "monthly")
+    dio.write_sketch_table(daily, src, "sketch", "aod", k=16)
+    dio.rollup_sketch_table(
+        spark, src, dst, "aod", "substr(day, 1, 7)", period_col="month"
+    )
+    row = (
+        spark.read.parquet(dst)
+        .selectExpr(
+            "datasketch_aod_estimate(sketch) AS d",
+            "datasketch_aod_is_estimation_mode(sketch) AS est",
+        )
+        .first()
+    )
+    assert row.d == 40_000.0 and not row.est
