@@ -355,3 +355,21 @@ def test_lazy_count_and_dirty_flag():
     assert not sk._dirty and n1 > 0
     sk.update_series(pd.Series(range(50, 60), dtype=np.int64))
     assert sk._dirty and sk.num_bits_set >= n1 and not sk.is_empty
+
+
+def test_sketch_store_bloomfilter_family(spark, tmp_path):
+    """The streaming SketchStore extends to the Apache BloomFilter
+    family: absorbed micro-batches OR into the stored filter, and the
+    stored blob probes identically to a one-shot build."""
+    from datasketches_spark.streaming import SketchStore
+
+    store = SketchStore(str(tmp_path / "bf_store"), "bloomfilter", k=14)
+    b1 = spark.range(0, 500).withColumnRenamed("id", "k")
+    b2 = spark.range(500, 1000).withColumnRenamed("id", "k")
+    store.absorb(b1, "k")
+    store.absorb(b2, "k")
+    blob = bytes(store.read(spark).first()["sketch"])
+    stored = ApacheBloomFilter.from_wire(blob)
+    one = ApacheBloomFilter(1 << 14)
+    one.update_series(pd.Series(range(1000), dtype=np.int64))
+    assert np.array_equal(stored.data, one.data)
