@@ -1729,6 +1729,34 @@ def q_bloomfilter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_partition_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven range-partition planning (round 11,
+    pipeline/rangepart.py — the Spark-first equivalent of Apache's
+    ``partitions`` package): 7 balanced split points of
+    l_extendedprice from ONE exact-mode classic-Quantiles blob (2k =
+    65536 base buffer > rows at the gate SFs), then every row
+    assigned its deterministic cell via the codegen comparison chain
+    — no shuffle, no join, no sampling.  Cell counts are exact and
+    SQL-expressible."""
+    _ensure(spark)
+    from datasketches_spark.pipeline.rangepart import (
+        assign_range_partition,
+        partition_bounds,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = partition_bounds(
+        li, "l_extendedprice", 8, k=32768, family="quantiles"
+    )
+    return (
+        assign_range_partition(li, "l_extendedprice", bounds, "pid")
+        .groupBy("pid")
+        .agg(F.count("*").cast("long").alias("rows"))
+        .select(F.col("pid").cast("int").alias("pid"), "rows")
+        .orderBy("pid")
+    )
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 5-gram overlap of each
     training document with the benchmark corpus.  The benchmark is the
@@ -3117,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aod_custsales_by_priority": q_aod_custsales_by_priority,
         "aod_set_ops": q_aod_set_ops,
         "bloomfilter_members": q_bloomfilter_members,
+        "range_partition_cells": q_range_partition_cells,
         "bloom_contains_customers": q_bloom_contains_customers,
         "salted_theta_skew": q_salted_theta_skew,
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
@@ -3561,6 +3590,35 @@ def oracle_sql() -> dict[str, str]:
             " CAST(5 AS DOUBLE) AS c,"
             " CAST(n_nationkey AS VARCHAR) AS item FROM nation"
         ),
+        "range_partition_cells": """
+            WITH c AS (
+              SELECT l_extendedprice AS v,
+                     cume_dist() OVER (ORDER BY l_extendedprice) AS cd
+              FROM lineitem
+            ), b AS (
+              SELECT min(CASE WHEN cd >= 1/8.0 THEN v END) AS b1,
+                     min(CASE WHEN cd >= 2/8.0 THEN v END) AS b2,
+                     min(CASE WHEN cd >= 3/8.0 THEN v END) AS b3,
+                     min(CASE WHEN cd >= 4/8.0 THEN v END) AS b4,
+                     min(CASE WHEN cd >= 5/8.0 THEN v END) AS b5,
+                     min(CASE WHEN cd >= 6/8.0 THEN v END) AS b6,
+                     min(CASE WHEN cd >= 7/8.0 THEN v END) AS b7
+              FROM c
+            )
+            SELECT CAST(pid AS INTEGER) AS pid,
+                   CAST(count(*) AS BIGINT) AS rows
+            FROM (
+              SELECT (CASE WHEN l_extendedprice >= b1 THEN 1 ELSE 0 END
+                    + CASE WHEN l_extendedprice >= b2 THEN 1 ELSE 0 END
+                    + CASE WHEN l_extendedprice >= b3 THEN 1 ELSE 0 END
+                    + CASE WHEN l_extendedprice >= b4 THEN 1 ELSE 0 END
+                    + CASE WHEN l_extendedprice >= b5 THEN 1 ELSE 0 END
+                    + CASE WHEN l_extendedprice >= b6 THEN 1 ELSE 0 END
+                    + CASE WHEN l_extendedprice >= b7 THEN 1 ELSE 0 END
+                   ) AS pid
+              FROM lineitem CROSS JOIN b
+            ) GROUP BY pid ORDER BY pid
+        """,
         "bloomfilter_members": (
             "SELECT c_mktsegment,"
             " CAST(count(*) AS BIGINT) AS members,"
