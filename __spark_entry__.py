@@ -1757,6 +1757,45 @@ def q_range_partition_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fdt_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Distinct Tuples (round 11 — the 13th wire family,
+    sketches/fdt.py, differential vs live datasketches-java FdtSketch
+    in tests/test_fdt_wire.py): one theta sample of distinct
+    (priority, status, customer) tuples answers "distinct customers
+    per (priority, status)" for EVERY group from a single bounded
+    blob.  lg_k=14 > distinct tuples at the gate SFs keeps it exact;
+    the blob also round-trips the Apache generic-tuple wire inside
+    the query."""
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    tup = orders.select(
+        F.array(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.col("o_custkey").cast("string"),
+        ).alias("tup")
+    )
+    sk = sketch_agg(tup, "tup", "fdt", k=14)
+    rt = sk.select(
+        F.expr("datasketch_fdt_from_wire(datasketch_fdt_to_wire(sketch))").alias(
+            "sk"
+        )
+    )
+    return (
+        rt.select(
+            F.explode(
+                F.expr("datasketch_fdt_top_groups(sk, array(0, 1))")
+            ).alias("g")
+        )
+        .select(
+            F.col("g.group").alias("grp"),
+            F.col("g.count").alias("cnt"),
+            F.round(F.col("g.estimate")).cast("long").alias("est"),
+        )
+        .orderBy("grp")
+    )
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 5-gram overlap of each
     training document with the benchmark corpus.  The benchmark is the
@@ -3146,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aod_set_ops": q_aod_set_ops,
         "bloomfilter_members": q_bloomfilter_members,
         "range_partition_cells": q_range_partition_cells,
+        "fdt_top_groups": q_fdt_top_groups,
         "bloom_contains_customers": q_bloom_contains_customers,
         "salted_theta_skew": q_salted_theta_skew,
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
@@ -3589,6 +3629,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n_regionkey AS BIGINT) AS regionkey,"
             " CAST(5 AS DOUBLE) AS c,"
             " CAST(n_nationkey AS VARCHAR) AS item FROM nation"
+        ),
+        "fdt_top_groups": (
+            "SELECT o_orderpriority || ',' || o_orderstatus AS grp,"
+            " CAST(count(DISTINCT o_custkey) AS BIGINT) AS cnt,"
+            " CAST(count(DISTINCT o_custkey) AS BIGINT) AS est"
+            " FROM orders GROUP BY o_orderpriority, o_orderstatus"
+            " ORDER BY grp"
         ),
         "range_partition_cells": """
             WITH c AS (

@@ -18,6 +18,7 @@ from .sketches import (
     AodSketch,
     ApacheBloomFilter,
     BloomFilterSketch,
+    FdtSketch,
     CountMinSketch,
     CpcSketch,
     EbppsSketch,
@@ -50,6 +51,7 @@ FAMILY_CLASSES = {
     "ebpps": EbppsSketch,
     "aod": AodSketch,
     "bloomfilter": ApacheBloomFilter,
+    "fdt": FdtSketch,
 }
 
 
@@ -93,6 +95,8 @@ def create_sketch(family: str, params: dict):
         return AodSketch(
             None if lgk is None else int(lgk), int(params.get("num_values", 1))
         )
+    if family == "fdt":
+        return FdtSketch(int(params.get("lg_k", 12)))
     if family == "bloomfilter":
         return ApacheBloomFilter(
             1 << int(params.get("lg_m", 20)),
@@ -182,7 +186,7 @@ def update_sketch(family: str, sk, series: pd.Series, merge: bool = False) -> No
                 "You might need to add explicit type casts."
             )
         sk.update(s.to_numpy())
-    elif family in ("frequent_items", "reservoir", "cms", "ebpps"):
+    elif family in ("frequent_items", "reservoir", "cms", "ebpps", "fdt"):
         sk.update_series(s)
     elif family == "aod":
         raise ValueError(
@@ -198,7 +202,7 @@ def build_params(family: str, k: int | None, series: pd.Series | None) -> dict:
     """Resolve constructor params from a constant-K argument plus the
     batch dtype (typed quantile sketches, SURVEY.md §1.2)."""
     params: dict = {}
-    if family in ("theta", "aod"):
+    if family in ("theta", "aod", "fdt"):
         if k is not None:
             params["lg_k"] = k
     elif family in ("hll", "cpc"):

@@ -86,6 +86,11 @@ def build_aggregate_registry() -> dict[str, object]:
     # what makes filters reproducible and cross-system mergeable)
     reg["datasketch_bloomfilter"] = _agg_with_k("bloomfilter")
     reg["datasketch_bloomfilter_union_agg"] = _agg_with_k("bloomfilter")
+    # beyond-reference FDT (frequent distinct tuples, Apache generic-
+    # tuple wire — sketches/fdt.py): datasketch_fdt(lg_k, array(dims))
+    # samples DISTINCT string tuples; *_top_groups post-processes
+    reg["datasketch_fdt"] = _agg_with_k("fdt")
+    reg["datasketch_fdt_union_agg"] = _agg_with_k("fdt")
     # beyond-reference reservoir sample: K is the sample size
     reg["datasketch_reservoir"] = _agg_with_k("reservoir")
     reg["datasketch_reservoir_union_agg"] = _agg_with_k("reservoir")

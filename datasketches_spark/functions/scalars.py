@@ -40,6 +40,8 @@ from ..sketches import (
     bloomfilter_intersect,
     bloomfilter_union,
     BloomFilterSketch,
+    FdtSketch,
+    fdt_union,
     CountMinSketch,
     CpcSketch,
     FrequentItemsSketch,
@@ -685,6 +687,39 @@ def build_scalar_registry() -> dict[str, object]:
     reg[p + "to_theta"] = _unary(
         A, lambda sk: aod_to_theta(sk).serialize(), "binary"
     )
+
+    # ---- FDT frequent distinct tuples (beyond-reference; Apache
+    # generic-tuple wire — sketches/fdt.py, differential vs live
+    # datasketches-java FdtSketch in tests/test_fdt_wire.py)
+    p = "datasketch_fdt_"
+    FD = FdtSketch
+    reg[p + "estimate"] = _unary(FD, lambda sk: float(sk.get_estimate()), "double")
+    reg[p + "lower_bound"] = _with_args(
+        FD, lambda sk, n: float(sk.get_bound(int(n), upper=False)), "double", 1, (2,)
+    )
+    reg[p + "upper_bound"] = _with_args(
+        FD, lambda sk, n: float(sk.get_bound(int(n), upper=True)), "double", 1, (2,)
+    )
+    reg[p + "is_empty"] = _unary(FD, lambda sk: bool(sk.is_empty), "boolean")
+    reg[p + "is_estimation_mode"] = _unary(
+        FD, lambda sk: bool(sk.is_estimation_mode), "boolean"
+    )
+    reg[p + "num_retained"] = _unary(FD, lambda sk: int(sk.num_retained), "long")
+    reg[p + "theta"] = _unary(FD, lambda sk: float(sk.get_theta()), "double")
+    reg[p + "union"] = _sketch_pair(FD, lambda a, b: fdt_union(a, b))
+    reg[p + "top_groups"] = _with_args(
+        FD,
+        lambda sk, dims, limit: sk.get_result(
+            [int(d) for d in dims], int(limit)
+        ),
+        "array<struct<group: string, count: long, estimate: double,"
+        " lower_bound: double, upper_bound: double>>",
+        2,
+        (0,),
+    )
+    reg[p + "to_wire"] = _unary(FD, lambda sk: sk.to_wire(), "binary")
+    reg[p + "from_wire"] = _unary(FD, lambda sk: sk.serialize(), "binary")
+    reg[p + "describe"] = _unary(FD, lambda sk: sk.describe(), "string")
 
     # ---- exact summary stats (beyond-reference; sketches/stats.py) ----
     p = "datasketch_stats_"

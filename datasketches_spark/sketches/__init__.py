@@ -8,6 +8,7 @@ to a framed BLOB (base.py), and NULL-skipping at the update layer.
 from .base import (
     FAMILY_AOD,
     FAMILY_BLOOM,
+    FAMILY_FDT,
     FAMILY_CMS,
     FAMILY_EBPPS,
     FAMILY_CPC,
@@ -39,6 +40,7 @@ from .cpc import CpcSketch
 from .hll import HllSketch
 from .tdigest import TDigestSketch
 from .theta import ThetaSketch, theta_a_not_b, theta_intersect, theta_union
+from .fdt import FdtSketch, fdt_union
 from .tuple_aod import (
     AodSketch,
     aod_a_not_b,
@@ -49,6 +51,7 @@ from .tuple_aod import (
 
 FAMILY_CLASSES = {
     FAMILY_AOD: AodSketch,
+    FAMILY_FDT: FdtSketch,
     FAMILY_THETA: ThetaSketch,
     FAMILY_KLL: KllSketch,
     FAMILY_QUANTILES: QuantilesSketch,
@@ -89,6 +92,8 @@ __all__ = [
     "aod_intersect",
     "aod_a_not_b",
     "aod_to_theta",
+    "FdtSketch",
+    "fdt_union",
     "BloomFilterSketch",
     "bloom_union",
     "bloom_intersect",

@@ -45,6 +45,7 @@ FAMILY_CMS = 11
 FAMILY_STATS = 12
 FAMILY_EBPPS = 13
 FAMILY_AOD = 14
+FAMILY_FDT = 15
 
 # Reservoir v2 (round 10): payload gains a `weighted` flag byte so the
 # Apache wire exporter can refuse weighted (non-uniform) samples —
@@ -75,6 +76,7 @@ FAMILY_NAMES = {
     FAMILY_STATS: "Stats",
     FAMILY_EBPPS: "EBPPS Sample",
     FAMILY_AOD: "Tuple",
+    FAMILY_FDT: "FDT",
 }
 
 # dtype codes for typed quantile sketches (sketch_kll_double etc.)

@@ -1,0 +1,383 @@
+"""Frequent Distinct Tuples (FDT) sketch — "which dimension-value
+groups contain the most distinct tuples", from one bounded blob.
+
+Beyond-reference family with Apache wire (the 13th):
+datasketches-java's ``FdtSketch`` (org.apache.datasketches.fdt,
+bundled jar = live oracle) is a generic Tuple sketch whose theta key
+is the WHOLE string tuple and whose summary is the tuple itself, so
+the retained set is a uniform-ish (theta) sample of DISTINCT tuples.
+Post-processing groups the sample by any dimension subset and scales
+counts by 1/theta — answering "top groups by distinct count" where
+the exact GROUP BY COUNT(DISTINCT ...) would shuffle the world.
+
+Semantics recovered from the 6.2.0 bytecode and differentially tested
+against the live jar (tests/test_fdt_wire.py):
+
+- key hash: the tuple joins with ',' (Util.stringConcat, bipush 44),
+  pre-hashes via XXH64 over the UTF-16 code units with seed
+  2050804337 (Util.stringArrHash -> XxHash.hashCharArr), and that
+  long then takes the standard theta murmur3/9001 ``h1 >>> 1`` path
+  (UpdatableSketch.update(long, U) wraps it in a long[1]).
+- wire (generic tuple CompactSketch, serial version 3, family 9,
+  SketchType ordinal 1)::
+
+    [0] preamble longs: 1 (empty or single-item exact), 2 (exact),
+        3 (estimation)
+    [1] serVer 3; [2] family 9; [3] sketch type 1; [4] unused
+    [5] flags: bit1 IS_READ_ONLY, bit2 IS_EMPTY, bit3 IS_COMPACT
+    [6:8] seed hash (0x93CC)
+    [exact/estimation, not single:] [8:12] retained i32, [12:16] pad
+    [estimation only:] [16:24] thetaLong
+    entries: per entry, hash u64 LE then the summary bytes —
+    ArrayOfStringsSummary: i32 total bytes, u8 num nodes, then per
+    node i32 UTF-8 length + bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from ..hashing import MAX_HASH
+from ..murmur import DEFAULT_SEED_HASH, murmur3_u64
+from ..xxhash import xxh64_bytes
+from .base import FAMILY_FDT, SketchDeserializeError, frame, is_framed, unframe
+
+DEFAULT_LG_K = 12
+
+_STR_ARR_HASH_SEED = 2050804337  # Util.stringArrHash's XxHash seed
+_THETA_SEED = 9001
+
+_WIRE_SERVER = 3
+_WIRE_FAMILY_TUPLE = 9
+_WIRE_TYPE_COMPACT = 1
+_WIRE_FLAG_READ_ONLY = 1 << 1
+_WIRE_FLAG_EMPTY = 1 << 2
+_WIRE_FLAG_COMPACT = 1 << 3
+
+_FLAG_EMPTY = 1
+
+
+def tuple_hashes(tuples: list[tuple[str, ...]]) -> np.ndarray:
+    """java-parity theta hashes of string tuples (rows align with the
+    input; the caller screens zeros)."""
+    if not tuples:
+        return np.empty(0, dtype=np.uint64)
+    # Util.stringConcat: ','.join, then XXH64 over the UTF-16 units
+    bufs = [",".join(t).encode("utf-16-le") for t in tuples]
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    offs = np.cumsum([0] + [len(b) for b in bufs])
+    pre = xxh64_bytes(flat, offs, _STR_ARR_HASH_SEED)
+    h1, _ = murmur3_u64(pre, _THETA_SEED)
+    return h1 >> np.uint64(1)
+
+
+def _summary_bytes(t: tuple[str, ...]) -> bytes:
+    nodes = [s.encode("utf-8") for s in t]
+    total = 5 + sum(4 + len(b) for b in nodes)
+    out = struct.pack("<iB", total, len(nodes))
+    for b in nodes:
+        out += struct.pack("<i", len(b)) + b
+    return out
+
+
+class FdtSketch:
+    """Distinct-tuple sample with per-group post-processing."""
+
+    __slots__ = ("lg_k", "theta", "keys", "tuples", "_pend")
+
+    def __init__(self, lg_k: int = DEFAULT_LG_K):
+        if not (4 <= lg_k <= 26):
+            raise ValueError(f"Invalid lg_k for fdt sketch: {lg_k}")
+        self.lg_k = lg_k
+        self.theta = MAX_HASH
+        self.keys = np.empty(0, dtype=np.uint64)
+        self.tuples: list[tuple[str, ...]] = []
+        self._pend: list[tuple[int, tuple[str, ...]]] = []
+
+    # ---- building ----
+    def update_series(self, series: pd.Series) -> None:
+        """Series of list/tuple-of-string rows; NULL rows skipped."""
+        tups = [
+            tuple("" if x is None else str(x) for x in v)
+            for v in series
+            if v is not None
+        ]
+        self.update_tuples(tups)
+
+    def update_tuples(self, tups: list[tuple[str, ...]]) -> None:
+        if not tups:
+            return
+        hs = tuple_hashes(tups)
+        th = np.uint64(self.theta)
+        for h, t in zip(hs.tolist(), tups):
+            if h != 0 and h < th:
+                self._pend.append((h, t))
+        if len(self._pend) > max(4 << self.lg_k, 1 << 16):
+            self._consolidate()
+
+    def _consolidate(self) -> None:
+        if not self._pend:
+            return
+        pk = np.fromiter(
+            (h for h, _ in self._pend), dtype=np.uint64, count=len(self._pend)
+        )
+        allk = np.concatenate([self.keys, pk])
+        allt = self.tuples + [t for _, t in self._pend]
+        self._pend = []
+        uniq, idx = np.unique(allk, return_index=True)
+        self.keys = uniq
+        self.tuples = [allt[i] for i in idx.tolist()]
+        self._purge()
+
+    def _purge(self) -> None:
+        k = 1 << self.lg_k
+        if self.keys.size > k:
+            self.theta = int(self.keys[k])
+            self.keys = self.keys[:k]
+            self.tuples = self.tuples[:k]
+
+    def merge(self, other: "FdtSketch") -> None:
+        self._consolidate()
+        other._consolidate()
+        self.theta = min(self.theta, other.theta)
+        th = np.uint64(self.theta)
+        allk = np.concatenate([self.keys, other.keys])
+        allt = self.tuples + other.tuples
+        live = allk < th
+        if not live.all():
+            allk = allk[live]
+            allt = [t for t, ok in zip(allt, live.tolist()) if ok]
+        uniq, idx = np.unique(allk, return_index=True)
+        self.keys = uniq
+        self.tuples = [allt[i] for i in idx.tolist()]
+        self._purge()
+
+    # ---- queries ----
+    @property
+    def is_empty(self) -> bool:
+        self._consolidate()
+        return self.keys.size == 0 and self.theta == MAX_HASH
+
+    @property
+    def is_estimation_mode(self) -> bool:
+        return self.theta < MAX_HASH
+
+    @property
+    def num_retained(self) -> int:
+        self._consolidate()
+        return int(self.keys.size)
+
+    def get_theta(self) -> float:
+        return self.theta / MAX_HASH
+
+    def get_estimate(self) -> float:
+        self._consolidate()
+        if self.theta == MAX_HASH:
+            return float(self.keys.size)
+        return self.keys.size / (self.theta / MAX_HASH)
+
+    def get_bound(self, num_std_devs: int, upper: bool) -> float:
+        if not (1 <= num_std_devs <= 3):
+            raise ValueError("num_std_devs must be 1..3")
+        if not self.is_estimation_mode:
+            return self.get_estimate()
+        r = max(self.num_retained, 1)
+        est = self.get_estimate()
+        f = num_std_devs / np.sqrt(r)
+        return est * (1.0 + f) if upper else est / (1.0 + f)
+
+    def get_result(
+        self,
+        dims: list[int],
+        limit: int = 0,
+        num_std_dev: int = 2,
+        sep: str = ",",
+    ) -> list[dict]:
+        """Top groups over the chosen dimension positions, by
+        estimated distinct-tuple count (java FdtSketch.getResult
+        semantics: group the retained sample, scale by 1/theta, HT
+        binomial bounds)."""
+        self._consolidate()
+        groups: dict[str, int] = {}
+        for t in self.tuples:
+            g = sep.join(t[d] for d in dims)
+            groups[g] = groups.get(g, 0) + 1
+        th = self.theta / MAX_HASH
+        out = []
+        for g, cnt in groups.items():
+            est = cnt / th
+            if self.is_estimation_mode:
+                f = num_std_dev / np.sqrt(cnt)
+                lb, ub = est / (1.0 + f), est * (1.0 + f)
+            else:
+                lb = ub = est
+            out.append(
+                {
+                    "group": g,
+                    "count": cnt,
+                    "estimate": float(est),
+                    "lower_bound": float(lb),
+                    "upper_bound": float(ub),
+                }
+            )
+        out.sort(key=lambda r: (-r["count"], r["group"]))
+        return out[:limit] if limit else out
+
+    def describe(self) -> str:
+        return (
+            "### FDT sketch summary:\n"
+            f"   lg nominal size      : {self.lg_k}\n"
+            f"   num retained tuples  : {self.num_retained}\n"
+            f"   empty?               : {self.is_empty}\n"
+            f"   estimation mode?     : {self.is_estimation_mode}\n"
+            f"   theta (fraction)     : {self.get_theta():.6f}\n"
+            f"   estimate             : {self.get_estimate():.3f}\n"
+        )
+
+    # ---- engine-local DSKS frame (payload == the Apache wire, which
+    # is self-describing; only lg_k rides in the frame header) ----
+    def serialize(self) -> bytes:
+        self._consolidate()
+        flags = _FLAG_EMPTY if self.is_empty else 0
+        return frame(
+            FAMILY_FDT, struct.pack("<BB", self.lg_k, flags) + self.to_wire()
+        )
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "FdtSketch":
+        if not is_framed(blob):
+            return cls.from_wire(blob)
+        payload = unframe(blob, FAMILY_FDT)
+        err = SketchDeserializeError("Failed to deserialize FDT sketch")
+        try:
+            lg_k, _flags = struct.unpack_from("<BB", payload, 0)
+            return cls.from_wire(bytes(payload[2:]), lg_k=lg_k)
+        except (struct.error, ValueError) as exc:
+            raise err from exc
+
+    # ---- Apache wire ----
+    @staticmethod
+    def sniff_wire(blob: bytes) -> bool:
+        return (
+            len(blob) >= 8
+            and blob[1] == _WIRE_SERVER
+            and blob[2] == _WIRE_FAMILY_TUPLE
+            and blob[3] == _WIRE_TYPE_COMPACT
+        )
+
+    def to_wire(self) -> bytes:
+        """Apache generic-tuple CompactSketch bytes (serVer 3, strings
+        summary) — heapify-able by datasketches-java's
+        ArrayOfStringsSummaryDeserializer and FDT post-processors."""
+        self._consolidate()
+        n = int(self.keys.size)
+        single = n == 1 and not self.is_estimation_mode
+        flags = _WIRE_FLAG_COMPACT | _WIRE_FLAG_READ_ONLY
+        if self.is_empty:
+            flags |= _WIRE_FLAG_EMPTY
+        pre = 1 if (self.is_empty or single) else (3 if self.is_estimation_mode else 2)
+        head = struct.pack(
+            "<BBBBBBH",
+            pre,
+            _WIRE_SERVER,
+            _WIRE_FAMILY_TUPLE,
+            _WIRE_TYPE_COMPACT,
+            0,
+            flags,
+            DEFAULT_SEED_HASH,
+        )
+        body = b""
+        if not self.is_empty and not single:
+            body += struct.pack("<i4x", n)
+            if self.is_estimation_mode:
+                body += struct.pack("<q", min(self.theta, MAX_HASH - 1))
+        for h, t in zip(self.keys.tolist(), self.tuples):
+            body += struct.pack("<Q", h) + _summary_bytes(t)
+        return head + body
+
+    @classmethod
+    def from_wire(cls, blob: bytes, lg_k: int = DEFAULT_LG_K) -> "FdtSketch":
+        err = SketchDeserializeError("Failed to deserialize FDT sketch")
+        if not isinstance(blob, (bytes, bytearray)) or len(blob) < 8:
+            raise err
+        blob = bytes(blob)
+        pre, ser_ver, family, stype, flags = (
+            blob[0], blob[1], blob[2], blob[3], blob[5],
+        )
+        (seed_hash,) = struct.unpack_from("<H", blob, 6)
+        if (
+            ser_ver != _WIRE_SERVER
+            or family != _WIRE_FAMILY_TUPLE
+            or stype != _WIRE_TYPE_COMPACT
+            or pre not in (1, 2, 3)
+        ):
+            raise err
+        empty = bool(flags & _WIRE_FLAG_EMPTY)
+        sk = cls(lg_k)
+        if empty:
+            return sk
+        if seed_hash != DEFAULT_SEED_HASH:
+            raise SketchDeserializeError(
+                "Failed to deserialize FDT sketch: seed hash mismatch"
+            )
+        theta = MAX_HASH
+        if pre == 1:  # single-item exact
+            n, off = 1, 8
+        else:
+            if len(blob) < 16:
+                raise err
+            (n,) = struct.unpack_from("<i", blob, 8)
+            off = 16
+            if pre == 3:
+                if len(blob) < 24:
+                    raise err
+                (tl,) = struct.unpack_from("<q", blob, 16)
+                theta = MAX_HASH if tl >= MAX_HASH - 1 else tl
+                if theta <= 0:
+                    raise err
+                off = 24
+        # every entry needs >= 13 bytes (hash + summary header): a
+        # corrupt count cannot force a giant allocation
+        if n < 0 or off + 13 * n > len(blob):
+            raise err
+        try:
+            keys = np.empty(n, dtype=np.uint64)
+            tuples: list[tuple[str, ...]] = []
+            for i in range(n):
+                (keys[i],) = struct.unpack_from("<Q", blob, off)
+                off += 8
+                total, nn = struct.unpack_from("<iB", blob, off)
+                if total < 5 or off + total > len(blob):
+                    raise err
+                p = off + 5
+                node = []
+                for _ in range(nn):
+                    (ln,) = struct.unpack_from("<i", blob, p)
+                    if ln < 0 or p + 4 + ln > off + total:
+                        raise err
+                    node.append(blob[p + 4 : p + 4 + ln].decode("utf-8"))
+                    p += 4 + ln
+                tuples.append(tuple(node))
+                off += total
+        except (struct.error, IndexError, UnicodeDecodeError) as exc:
+            raise err from exc
+        uk = np.unique(keys)
+        if uk.size != n or (n and not ((keys > 0) & (keys < np.uint64(theta))).all()):
+            raise err
+        order = np.argsort(keys, kind="stable")
+        if n > (1 << sk.lg_k):
+            sk.lg_k = min(26, max(4, int(n - 1).bit_length()))
+        sk.theta = int(theta)
+        sk.keys = keys[order]
+        sk.tuples = [tuples[i] for i in order.tolist()]
+        return sk
+
+
+def fdt_union(a: FdtSketch, b: FdtSketch, lg_k: int | None = None) -> FdtSketch:
+    out = FdtSketch(lg_k if lg_k is not None else max(a.lg_k, b.lg_k))
+    out.merge(a)
+    out.merge(b)
+    return out

@@ -166,6 +166,22 @@ _SPECIAL = {
         "updatable QuickSelect table image; every aod reader also "
         "sniffs wire blobs"
     ),
+    "datasketch_fdt": (
+        "Frequent Distinct Tuples AGG — datasketch_fdt(lg_k, "
+        "array(dim1, dim2, ...)): a theta sample of DISTINCT string "
+        "tuples; datasketch_fdt_top_groups answers 'which dimension-"
+        "value groups contain the most distinct tuples' without the "
+        "full GROUP BY COUNT(DISTINCT) shuffle. Apache generic-tuple "
+        "wire (serVer 3, strings summary) — java's FdtSketch heapifies "
+        "and unions our blobs; hash parity via Util.stringArrHash "
+        "(XXH64/2050804337 over UTF-16 units of the ','-join). "
+        "Differential: tests/test_fdt_wire.py"
+    ),
+    "datasketch_fdt_top_groups": (
+        "top groups over chosen dimension positions by estimated "
+        "distinct-tuple count (count/theta, HT bounds); optional "
+        "limit arg"
+    ),
     "datasketch_bloomfilter": (
         "Apache BloomFilter AGG (filters.bloomfilter) — XXH64-hashed "
         "bits BYTE-IDENTICAL to datasketches-java for the same items/"
@@ -274,7 +290,7 @@ def _note(name: str) -> str:
 
 
 total = 0
-for fam in ["theta", "aod", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "bloomfilter", "reservoir", "varopt", "ebpps", "cms", "stats"]:
+for fam in ["theta", "aod", "fdt", "hll", "cpc", "kll", "quantiles", "req", "tdigest", "frequent", "bloom", "bloomfilter", "reservoir", "varopt", "ebpps", "cms", "stats"]:
     fns = groups.get(fam, [])
     total += len(fns)
     lines.append(f"## {fam} ({len(fns)} functions)")

@@ -34,7 +34,8 @@ def ctx(spark):
           datasketch_cms(12, xs)             AS sk_cms,
           datasketch_ebpps(64, xs)           AS sk_ebpps,
           datasketch_stats(xd)               AS sk_stats,
-          datasketch_aod(12, xi, array(xd, xd * 2)) AS sk_aod
+          datasketch_aod(12, xi, array(xd, xd * 2)) AS sk_aod,
+          datasketch_fdt(12, array(xs, CAST(xi % 3 AS STRING))) AS sk_fdt
         FROM smoke_t
         """
     ).createOrReplaceTempView("smoke_sketches")
@@ -54,7 +55,7 @@ def _args_for(name: str) -> str | None:
     }
     if name in varopt_table:
         return varopt_table[name]
-    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloomfilter", "bloom", "reservoir", "cms", "ebpps", "stats", "aod"):
+    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloomfilter", "bloom", "reservoir", "cms", "ebpps", "stats", "aod", "fdt"):
         if name.startswith(f"datasketch_{f}_"):
             fam = f
             suffix = name[len(f"datasketch_{f}_") :]
@@ -99,7 +100,7 @@ def _args_for(name: str) -> str | None:
         else f"{sk}, array(50.0D, 150.0D), true",
         "describe": f"{sk}, true"
         if fam == "tdigest"
-        else (f"{sk}" if fam in ("theta", "bloom", "bloomfilter", "reservoir", "cms", "ebpps", "stats", "aod") else f"{sk}, true, false"),
+        else (f"{sk}" if fam in ("theta", "bloom", "bloomfilter", "reservoir", "cms", "ebpps", "stats", "aod", "fdt") else f"{sk}, true, false"),
         "normalized_rank_error": f"{sk}, true",
         "total_weight": f"{sk}",
         "get_theta": f"{sk}",
@@ -136,6 +137,7 @@ def _args_for(name: str) -> str | None:
         "column_sums": f"{sk}",
         "column_sums_retained": f"{sk}",
         "column_means": f"{sk}",
+        "top_groups": f"{sk}, array(0), 3",
     }
     return table.get(suffix)
 
@@ -198,6 +200,10 @@ def test_every_aggregate_executes(ctx):
                 sql = f"SELECT {name}(12, xi, array(xd, xd * 2)) FROM smoke_t"
             elif name == "datasketch_aod_union_agg":
                 sql = f"SELECT {name}(sk_aod) FROM smoke_sketches"
+            elif name == "datasketch_fdt":
+                sql = f"SELECT {name}(12, array(xs, 'd')) FROM smoke_t"
+            elif name == "datasketch_fdt_union_agg":
+                sql = f"SELECT {name}(12, sk_fdt) FROM smoke_sketches"
             elif name in two_arg_k:
                 col = "xs" if "frequent" in name else "xd" if name in (
                     "datasketch_kll", "datasketch_quantiles", "datasketch_req",

@@ -1,0 +1,202 @@
+"""FDT (Frequent Distinct Tuples) sketch: core behavior and Apache
+generic-tuple wire differential vs LIVE datasketches-java
+(org.apache.datasketches.fdt.FdtSketch / tuple.strings.* in the
+bundled jar).
+
+Like the AoD family, exact-mode states are fully deterministic: the
+theta key is Util.stringArrHash (XXH64/2050804337 over the UTF-16
+units of the ','-joined tuple) pushed through the murmur/9001 theta
+path, so java-built and python-built sketches retain the SAME hash
+set and SAME tuples."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datasketches_spark.sketches.base import SketchDeserializeError
+from datasketches_spark.sketches.fdt import FdtSketch, fdt_union, tuple_hashes
+
+
+@pytest.fixture(scope="module")
+def jvm(spark):
+    return spark.sparkContext._jvm
+
+
+def _mem(jvm, blob: bytes):
+    return jvm.org.apache.datasketches.memory.Memory.wrap(blob)
+
+
+def _jfdt(jvm, lg_k: int):
+    return jvm.org.apache.datasketches.fdt.FdtSketch(lg_k)
+
+
+def _jtuple(spark, strs):
+    gw = spark.sparkContext._gateway
+    arr = gw.new_array(gw.jvm.java.lang.String, len(strs))
+    for i, s in enumerate(strs):
+        arr[i] = s
+    return arr
+
+
+def _heapify(jvm, blob: bytes):
+    deser = (
+        jvm.org.apache.datasketches.tuple.strings.ArrayOfStringsSummaryDeserializer()
+    )
+    return jvm.org.apache.datasketches.tuple.Sketches.heapifySketch(
+        _mem(jvm, blob), deser
+    )
+
+
+TUPLES = [
+    ("us", "mobile", f"u{i % 37}") for i in range(200)
+] + [("de", "web", f"u{i % 11}") for i in range(100)]
+
+
+# ------------------------------------------------------------- core
+
+
+def test_exact_mode_estimate_and_groups():
+    sk = FdtSketch(12)
+    sk.update_tuples(TUPLES)
+    distinct = len(set(TUPLES))
+    assert sk.get_estimate() == float(distinct)
+    assert not sk.is_estimation_mode
+    res = sk.get_result([0, 1])
+    got = {r["group"]: r["count"] for r in res}
+    assert got == {"us,mobile": 37, "de,web": 11}
+    assert res[0]["group"] == "us,mobile"  # sorted by count desc
+    top = sk.get_result([0, 1], limit=1)
+    assert len(top) == 1 and top[0]["group"] == "us,mobile"
+
+
+def test_merge_equals_one_shot():
+    a, b, one = FdtSketch(12), FdtSketch(12), FdtSketch(12)
+    a.update_tuples(TUPLES[:150])
+    b.update_tuples(TUPLES[150:])
+    one.update_tuples(TUPLES)
+    u = fdt_union(a, b)
+    one._consolidate()
+    assert np.array_equal(u.keys, one.keys)
+    assert u.tuples == one.tuples
+
+
+def test_estimation_mode_band():
+    sk = FdtSketch(8)
+    tups = [("d", str(i)) for i in range(100_000)]
+    sk.update_tuples(tups)
+    assert sk.is_estimation_mode
+    assert abs(sk.get_estimate() - 100_000) / 100_000 < 4 / np.sqrt(1 << 8)
+    res = sk.get_result([0])
+    assert len(res) == 1
+    assert res[0]["lower_bound"] <= 100_000 <= res[0]["upper_bound"]
+
+
+def test_dsks_roundtrip_and_corrupt():
+    sk = FdtSketch(10)
+    sk.update_tuples(TUPLES)
+    rt = FdtSketch.deserialize(sk.serialize())
+    assert np.array_equal(rt.keys, sk.keys) and rt.tuples == sk.tuples
+    assert rt.lg_k == sk.lg_k
+    with pytest.raises(SketchDeserializeError):
+        FdtSketch.deserialize(b"DSKSgarbagebytes")
+
+
+# ------------------------------------------------- differential vs java
+
+
+def test_hash_parity_vs_java(spark, jvm):
+    """Same tuples -> the same theta hash set as live java."""
+    jsk = _jfdt(jvm, 12)
+    ours = FdtSketch(12)
+    tups = [("alpha", "beta", f"x{i}") for i in range(50)] + [("", "y")]
+    for t in tups:
+        jsk.update(_jtuple(spark, list(t)))
+    ours.update_tuples(tups)
+    theirs = FdtSketch.from_wire(bytes(jsk.compact().toByteArray()))
+    ours._consolidate()
+    assert np.array_equal(ours.keys, theirs.keys)
+    assert ours.tuples == theirs.tuples
+
+
+def test_java_reads_our_wire_all_forms(spark, jvm):
+    # empty, single-item, exact multi, estimation
+    cases = [
+        [],
+        [("one", "tuple")],
+        [("a", str(i)) for i in range(100)],
+        [("b", str(i)) for i in range(30_000)],  # lg_k 8 -> estimation
+    ]
+    for i, tups in enumerate(cases):
+        sk = FdtSketch(8)
+        sk.update_tuples(tups)
+        jsk = _heapify(jvm, sk.to_wire())
+        assert jsk.getRetainedEntries() == sk.num_retained
+        assert jsk.getEstimate() == pytest.approx(
+            sk.get_estimate(), rel=1e-12, abs=1e-12
+        )
+        assert jsk.isEmpty() == sk.is_empty
+        # and java re-serializes our state byte-identically once sorted
+        # order matches (we emit sorted; java compact preserves order)
+        back = FdtSketch.from_wire(bytes(jsk.compact().toByteArray()))
+        assert np.array_equal(back.keys, sk.keys)
+        assert back.tuples == sk.tuples
+
+
+def test_we_read_java_wire_and_group_parity(spark, jvm):
+    jsk = _jfdt(jvm, 10)
+    tups = [("us", "mobile", f"u{i % 13}") for i in range(60)] + [
+        ("de", "web", f"u{i % 7}") for i in range(30)
+    ]
+    for t in tups:
+        jsk.update(_jtuple(spark, list(t)))
+    ours = FdtSketch.from_wire(bytes(jsk.compact().toByteArray()))
+    assert ours.get_estimate() == float(len(set(tups)))
+    got = {r["group"]: r["count"] for r in ours.get_result([0, 1])}
+    assert got == {"us,mobile": 13, "de,web": 7}
+    # (java's own getResult post-processor takes a char argument py4j
+    # cannot marshal; the grouping semantics are instead pinned by the
+    # exact-SQL oracle pair fdt_top_groups)
+
+
+def test_java_unions_our_wire(spark, jvm):
+    a, b = FdtSketch(10), FdtSketch(10)
+    a.update_tuples([("x", str(i)) for i in range(40)])
+    b.update_tuples([("x", str(i)) for i in range(20, 60)])
+    ops = jvm.org.apache.datasketches.tuple.strings.ArrayOfStringsSummarySetOperations()
+    u = jvm.org.apache.datasketches.tuple.Union(1 << 10, ops)
+    u.union(_heapify(jvm, a.to_wire()))
+    u.union(_heapify(jvm, b.to_wire()))
+    res = u.getResult()
+    assert res.getEstimate() == 60.0
+    back = FdtSketch.from_wire(bytes(res.toByteArray()))
+    assert back.get_estimate() == 60.0
+    assert {t for t in back.tuples} == {("x", str(i)) for i in range(60)}
+
+
+def test_wire_rejects_corruption():
+    sk = FdtSketch(10)
+    sk.update_tuples([("a", "b"), ("c", "d")])
+    w = bytearray(sk.to_wire())
+    for mut in (
+        lambda b: struct.pack_into("<B", b, 1, 9),  # serVer
+        lambda b: struct.pack_into("<B", b, 2, 3),  # family
+        lambda b: struct.pack_into("<H", b, 6, 0x1234),  # seed hash
+        lambda b: struct.pack_into("<i", b, 8, 1000),  # count > len
+    ):
+        bad = bytearray(w)
+        mut(bad)
+        with pytest.raises(SketchDeserializeError):
+            FdtSketch.from_wire(bytes(bad))
+
+
+def test_tuple_hashes_screen_and_separator():
+    # separator matters: ("ab","c") != ("a","bc")
+    h = tuple_hashes([("ab", "c"), ("a", "bc")])
+    assert h[0] != h[1]
+    # but the JOINED string with the same comma IS the same key
+    h2 = tuple_hashes([("ab,c",)])
+    assert h2[0] == h[0]

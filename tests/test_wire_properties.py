@@ -342,12 +342,12 @@ def test_reservoir_garbage_never_parses_silently():
     st.sampled_from(
         ["theta", "kll", "quantiles", "req", "tdigest", "hll", "cpc",
          "frequent_items", "bloom", "reservoir", "cms", "stats", "ebpps",
-         "aod"]
+         "aod", "fdt"]
     ),
     st.integers(min_value=0, max_value=2**31),
 )
 def test_dsks_frame_bitflip_never_escapes(family, seed):
-    """Round 10: one flipped byte in a VALID DSKS frame (ALL 14
+    """Round 10: one flipped byte in a VALID DSKS frame (ALL 15
     families, including the beyond-reference ones the Apache-wire
     fuzz can't reach) must either raise the reference's deserialize
     error or parse as a differently-valid sketch — never leak
@@ -372,6 +372,12 @@ def test_dsks_frame_bitflip_never_escapes(family, seed):
         sk = AodSketch(8, 2)
         if n:
             sk.update_batch(s, rng.random((n, 2)))
+    elif family == "fdt":
+        from datasketches_spark.sketches import FdtSketch
+
+        sk = FdtSketch(8)
+        if n:
+            sk.update_tuples([(str(v % 7), str(v)) for v in s])
     else:
         sk = create_sketch(family, build_params(family, None, s))
         if n:
