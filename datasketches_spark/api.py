@@ -102,6 +102,16 @@ def aod_union_agg(col) -> Column:
     return F.call_udf("datasketch_aod_union_agg", _c(col))
 
 
+def fdt(lg_k: int, dims) -> Column:
+    """Frequent-Distinct-Tuples AGG: ``dims`` is an array<string>
+    column (``F.array(...)``)."""
+    return F.call_udf("datasketch_fdt", F.lit(lg_k), _c(dims))
+
+
+def fdt_union_agg(lg_k: int, col) -> Column:
+    return F.call_udf("datasketch_fdt_union_agg", F.lit(lg_k), _c(col))
+
+
 def bloomfilter(lg_m: int, col) -> Column:
     """Apache-wire BloomFilter AGG (cross-system bits; 6 hashes,
     seed 9001)."""

@@ -84,6 +84,42 @@ def distinct_sum(
     )
 
 
+def top_distinct_groups(
+    df: DataFrame,
+    dim_cols: list[str],
+    group_dims: list[int] | None = None,
+    limit: int = 20,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Which dimension-value groups contain the most DISTINCT tuples —
+    from ONE bounded FDT blob (sketches/fdt.py), no GROUP BY
+    COUNT(DISTINCT) shuffle.  ``dim_cols`` are string dimensions
+    forming the tuple; ``group_dims`` are positions to group by
+    (default: all but the last).  Returns (group, count, estimate,
+    lower_bound, upper_bound) rows, top ``limit`` by count."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    dims = group_dims if group_dims is not None else list(range(len(dim_cols) - 1))
+    if not dims:
+        raise ValueError("group_dims must name at least one position")
+    tup = df.select(
+        F.array(*[F.col(c).cast("string") for c in dim_cols]).alias("__tup")
+    )
+    sk = sketch_agg(tup, "__tup", "fdt", k=lg_k)
+    dim_sql = ", ".join(str(int(d)) for d in dims)
+    return (
+        sk.select(
+            F.explode(
+                F.expr(
+                    f"datasketch_fdt_top_groups(sketch, array({dim_sql}),"
+                    f" {int(limit)})"
+                )
+            ).alias("g")
+        )
+        .select("g.group", "g.count", "g.estimate", "g.lower_bound", "g.upper_bound")
+    )
+
+
 def quantiles(
     df: DataFrame,
     col: str,

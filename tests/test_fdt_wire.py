@@ -200,3 +200,38 @@ def test_tuple_hashes_screen_and_separator():
     # but the JOINED string with the same comma IS the same key
     h2 = tuple_hashes([("ab,c",)])
     assert h2[0] == h[0]
+
+
+# ------------------------------------------------- Spark integration
+
+
+def test_two_phase_sketch_agg_and_one_call(spark):
+    import datasketches_spark as dss
+    from datasketches_spark import approx
+    from datasketches_spark.aggregation import sketch_agg
+    from pyspark.sql import functions as F
+
+    dss.register(spark)
+    df = spark.range(0, 5000).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'web' ELSE 'api' END AS src",
+        "CAST(id % 400 AS STRING) AS user"
+    )
+    tup = df.select(F.array("src", "user").alias("t"))
+    sk = sketch_agg(tup, "t", "fdt", k=12)
+    est = sk.selectExpr("datasketch_fdt_estimate(sketch) AS d").first().d
+    want = df.distinct().count()
+    assert est == float(want)
+
+    got = {
+        r.group: r["count"]
+        for r in approx.top_distinct_groups(
+            df, ["src", "user"], group_dims=[0], lg_k=12
+        ).collect()
+    }
+    exact = {
+        r.src: r.d
+        for r in df.groupBy("src").agg(
+            F.countDistinct("user").alias("d")
+        ).collect()
+    }
+    assert got == exact
