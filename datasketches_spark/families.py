@@ -96,7 +96,9 @@ def create_sketch(family: str, params: dict):
             None if lgk is None else int(lgk), int(params.get("num_values", 1))
         )
     if family == "fdt":
-        return FdtSketch(int(params.get("lg_k", 12)))
+        lgk = params.get("lg_k")
+        # no declared K -> adopt the first blob's lg_k on merge
+        return FdtSketch(None if lgk is None else int(lgk))
     if family == "bloomfilter":
         return ApacheBloomFilter(
             1 << int(params.get("lg_m", 20)),

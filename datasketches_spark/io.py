@@ -27,6 +27,7 @@ _FAMILY_BYTES = {
     "varopt": 10,
     "ebpps": 13,
     "aod": 14,
+    "fdt": 15,
 }
 _META_KEY = "datasketches_spark"
 
@@ -154,7 +155,7 @@ def merge_bucketed_sketch_tables(
 
 _WIRE_FAMILIES = frozenset(
     ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest",
-     "frequent_items", "reservoir", "varopt", "ebpps", "aod",
+     "frequent_items", "reservoir", "varopt", "ebpps", "aod", "fdt",
      # bloomfilter blobs ARE the Apache wire (self-describing); the
      # to/from_wire projections are identities, kept for uniformity
      "bloomfilter"]

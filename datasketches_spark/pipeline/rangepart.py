@@ -79,18 +79,25 @@ def assign_range_partition(
     output_col: str = "range_pid",
 ) -> DataFrame:
     """Stable partition id per row against FIXED bounds:
-    ``pid = #{b in bounds : b <= value}`` (NULL values -> NULL pid).
+    ``pid = #{b in bounds : b <= value}``.  NULL and NaN values get a
+    NULL pid — identically on BOTH implementations (Spark's NaN
+    ordering would otherwise route NaN to the top cell on the codegen
+    path while the Arrow path cannot distinguish NaN from NULL).
 
     The bounds are plan literals — whole-stage-codegen comparisons up
     to _CASE_CHAIN_MAX boundaries, a broadcast-free Arrow searchsorted
     beyond — so the assignment adds NO shuffle and NO join."""
+    from pyspark.sql.types import DoubleType, FloatType
+
     bs = sorted(float(b) for b in bounds)
     c = F.col(col)
+    is_float = isinstance(df.schema[col].dataType, (DoubleType, FloatType))
     if len(bs) <= _CASE_CHAIN_MAX:
+        valid = c.isNotNull() & ~F.isnan(c) if is_float else c.isNotNull()
         pid: Column = reduce(
             lambda acc, b: acc + (c >= F.lit(b)).cast("int"),
             bs,
-            F.when(c.isNotNull(), F.lit(0)),
+            F.when(valid, F.lit(0)),
         )
         return df.withColumn(output_col, pid)
 

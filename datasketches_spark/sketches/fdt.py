@@ -86,9 +86,15 @@ def _summary_bytes(t: tuple[str, ...]) -> bytes:
 class FdtSketch:
     """Distinct-tuple sample with per-group post-processing."""
 
-    __slots__ = ("lg_k", "theta", "keys", "tuples", "_pend")
+    __slots__ = ("lg_k", "theta", "keys", "tuples", "_pend", "_adopt_k")
 
-    def __init__(self, lg_k: int = DEFAULT_LG_K):
+    def __init__(self, lg_k: int | None = DEFAULT_LG_K):
+        # lg_k=None: a k-less merge ACCUMULATOR that adopts the first
+        # merged blob's lg_k (same contract as AodSketch — k-less
+        # union/rollup/store paths stay lossless)
+        self._adopt_k = lg_k is None
+        if lg_k is None:
+            lg_k = DEFAULT_LG_K
         if not (4 <= lg_k <= 26):
             raise ValueError(f"Invalid lg_k for fdt sketch: {lg_k}")
         self.lg_k = lg_k
@@ -141,6 +147,9 @@ class FdtSketch:
 
     def merge(self, other: "FdtSketch") -> None:
         self._consolidate()
+        if self._adopt_k and self.keys.size == 0 and not self._pend:
+            self.lg_k = other.lg_k
+            self._adopt_k = False
         other._consolidate()
         self.theta = min(self.theta, other.theta)
         th = np.uint64(self.theta)
@@ -201,8 +210,16 @@ class FdtSketch:
         semantics: group the retained sample, scale by 1/theta, HT
         binomial bounds)."""
         self._consolidate()
+        dims = [int(d) for d in dims]
+        if any(d < 0 for d in dims):
+            raise ValueError(f"dimension indices must be >= 0, got {dims}")
         groups: dict[str, int] = {}
         for t in self.tuples:
+            if any(d >= len(t) for d in dims):
+                raise ValueError(
+                    f"dimension index out of range: dims {dims} vs a "
+                    f"retained tuple of arity {len(t)}"
+                )
             g = sep.join(t[d] for d in dims)
             groups[g] = groups.get(g, 0) + 1
         th = self.theta / MAX_HASH
@@ -289,14 +306,15 @@ class FdtSketch:
             flags,
             DEFAULT_SEED_HASH,
         )
-        body = b""
+        parts = [head]
         if not self.is_empty and not single:
-            body += struct.pack("<i4x", n)
+            parts.append(struct.pack("<i4x", n))
             if self.is_estimation_mode:
-                body += struct.pack("<q", min(self.theta, MAX_HASH - 1))
+                parts.append(struct.pack("<q", min(self.theta, MAX_HASH - 1)))
         for h, t in zip(self.keys.tolist(), self.tuples):
-            body += struct.pack("<Q", h) + _summary_bytes(t)
-        return head + body
+            parts.append(struct.pack("<Q", h))
+            parts.append(_summary_bytes(t))
+        return b"".join(parts)
 
     @classmethod
     def from_wire(cls, blob: bytes, lg_k: int = DEFAULT_LG_K) -> "FdtSketch":

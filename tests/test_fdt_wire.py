@@ -235,3 +235,60 @@ def test_two_phase_sketch_agg_and_one_call(spark):
         ).collect()
     }
     assert got == exact
+
+
+def test_review_fixes_io_adopt_validate(spark, tmp_path):
+    """Round-11 second review batch: (a) fdt rides the sketch-table
+    and wire-table IO; (b) k-less merge accumulators adopt the first
+    blob's lg_k (no silent purge of exact states); (c) top_groups
+    validates dimension indices cleanly."""
+    import datasketches_spark as dss
+    from datasketches_spark import io as dio
+    from datasketches_spark.aggregation import sketch_agg, sketch_merge
+    from pyspark.sql import functions as F
+
+    dss.register(spark)
+    df = spark.range(0, 20_000).selectExpr(
+        "CAST(id % 2 AS STRING) AS part", "CAST(id AS STRING) AS u"
+    ).select("part", F.array("part", "u").alias("t"))
+    per_part = sketch_agg(df, "t", "fdt", group_cols=["part"], k=16)
+    # (a) DSKS table + wire table routes both accept the family
+    src = str(tmp_path / "fdt_dsks")
+    dio.write_sketch_table(per_part, src, "sketch", "fdt", k=16)
+    wire = str(tmp_path / "fdt_wire")
+    dio.write_wire_table(per_part, wire, "sketch", "fdt", k=16)
+    # (b) k-less merge of DSKS blobs stays exact at 20k tuples — the
+    # engine frame CARRIES lg_k and the k-less accumulator adopts it
+    merged = sketch_merge(dio.read_sketch_table(spark, src), "fdt")
+    row = merged.selectExpr(
+        "datasketch_fdt_estimate(sketch) AS d",
+        "datasketch_fdt_is_estimation_mode(sketch) AS est",
+    ).first()
+    assert row.d == 20_000.0 and not row.est
+    # the Apache wire carries NO nominal K (same as AoD compact), so
+    # wire-ingested blobs only guarantee lg_k >= their retained set;
+    # the k-less merge of the two 10k-blobs is then a (close) estimate
+    row_w = sketch_merge(dio.read_wire_table(spark, wire), "fdt").selectExpr(
+        "datasketch_fdt_estimate(sketch) AS d"
+    ).first()
+    assert abs(row_w.d - 20_000) / 20_000 < 0.05
+    # (c) clean dim validation
+    sk_local = FdtSketch(10)
+    sk_local.update_tuples([("a", "b")])
+    with pytest.raises(ValueError, match="out of range"):
+        sk_local.get_result([5])
+    with pytest.raises(ValueError, match=">= 0"):
+        sk_local.get_result([-1])
+
+
+def test_to_wire_linear_time():
+    """to_wire joins parts (no quadratic bytes +=): 120k entries must
+    serialize in well under a second."""
+    import time
+
+    sk = FdtSketch(17)
+    sk.update_tuples([("g", str(i)) for i in range(120_000)])
+    t0 = time.time()
+    w = sk.to_wire()
+    dt = time.time() - t0
+    assert len(w) > 120_000 * 13 and dt < 2.0

@@ -107,3 +107,20 @@ def test_plan_no_shuffle_in_assignment(spark, pdf):
     )
     assert "Exchange" not in plan
     assert "Project" in plan
+
+
+def test_nan_gets_null_pid_on_both_paths(spark):
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (None,)], "v double"
+    )
+    few = [0.5, 2.0]
+    many = [float(b) for b in range(0, 130)]  # > chain max
+    for bs in (few, many):
+        got = {
+            ("nan" if r.v is not None and np.isnan(r.v) else r.v): r.range_pid
+            for r in assign_range_partition(df, "v", bs).collect()
+        }
+        assert got[1.0] is not None
+        assert got["nan"] is None and got[None] is None
