@@ -117,10 +117,14 @@ class FdtSketch:
         if not tups:
             return
         hs = tuple_hashes(tups)
-        th = np.uint64(self.theta)
-        for h, t in zip(hs.tolist(), tups):
-            if h != 0 and h < th:
-                self._pend.append((h, t))
+        mask = (hs != 0) & (hs < np.uint64(self.theta))
+        if mask.all():
+            self._pend.extend(zip(hs.tolist(), tups))
+        elif mask.any():
+            hl = hs.tolist()
+            self._pend.extend(
+                (hl[i], tups[i]) for i in np.flatnonzero(mask).tolist()
+            )
         if len(self._pend) > max(4 << self.lg_k, 1 << 16):
             self._consolidate()
 
