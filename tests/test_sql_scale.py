@@ -213,3 +213,24 @@ def test_partials_aod_and_bloomfilter(spark):
         """
     ).first()
     assert got.n == 3
+
+
+def test_partials_fdt_generic_family(spark):
+    """FDT rides the UDTF's generic single-value family dispatch (the
+    value column is the tuple array)."""
+    spark.range(0, 2000).selectExpr(
+        "id % 2 AS g",
+        "array(CAST(id % 2 AS STRING), CAST(id % 150 AS STRING)) AS t",
+    ).createOrReplaceTempView("sql_scale_fdt_t")
+    rows = spark.sql(
+        """
+        SELECT g, datasketch_fdt_estimate(
+                 datasketch_fdt_union_agg(14, sketch)) AS d
+        FROM datasketch_partials(
+               TABLE(SELECT g, t FROM sql_scale_fdt_t), 'fdt', 14)
+        GROUP BY g
+        """
+    ).collect()
+    # id % 2 fixes the parity of id % 150 (150 is even): 75 distinct
+    # (g, id%150) tuples per group
+    assert {r.g: r.d for r in rows} == {0: 75.0, 1: 75.0}
