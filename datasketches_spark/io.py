@@ -28,6 +28,9 @@ _FAMILY_BYTES = {
     "ebpps": 13,
     "aod": 14,
     "fdt": 15,
+    # Apache BloomFilter blobs ARE the wire format (no DSKS frame);
+    # None = wire-native, validated by sniffing the Apache preamble
+    "bloomfilter": None,
 }
 _META_KEY = "datasketches_spark"
 
@@ -77,7 +80,18 @@ def read_sketch_table(
         expected = _FAMILY_BYTES[info["family"]]
         sample = df.select(sketch_col).filter(F.col(sketch_col).isNotNull()).first()
         if sample is not None:
-            fam = peek_family(bytes(sample[0]))
+            blob = bytes(sample[0])
+            if expected is None:  # wire-native family: sniff the preamble
+                from .sketches.bloom_apache import ApacheBloomFilter  # noqa: PLC0415
+
+                if not ApacheBloomFilter.sniff_wire(blob):
+                    raise ValueError(
+                        f"sketch table at {path}: column '{sketch_col}' tagged "
+                        f"as family '{info['family']}' but blobs are not "
+                        "Apache BloomFilter wire"
+                    )
+                return df
+            fam = peek_family(blob)
             if fam != expected:
                 raise ValueError(
                     f"sketch table at {path}: column '{sketch_col}' tagged as "

@@ -289,6 +289,18 @@ class ApacheBloomFilter:
 
     serialize = to_wire
 
+    @staticmethod
+    def sniff_wire(blob) -> bool:
+        """True iff the bytes carry the Apache BloomFilter preamble
+        (this family has no DSKS frame — the blob IS the wire)."""
+        return (
+            isinstance(blob, (bytes, bytearray))
+            and len(blob) >= 8
+            and blob[0] in (3, 4)
+            and blob[1] == _WIRE_SERVER
+            and blob[2] == _WIRE_FAMILY
+        )
+
     @classmethod
     def from_wire(cls, blob: bytes) -> "ApacheBloomFilter":
         err = SketchDeserializeError("Failed to deserialize Bloom filter sketch")
@@ -313,11 +325,13 @@ class ApacheBloomFilter:
         sk.data = np.frombuffer(
             blob, dtype=np.uint64, count=num_longs, offset=32
         ).copy()
+        # java readers trust a non-negative stored count as-is and only
+        # recount on the -1 dirty marker; match that (no eager popcount
+        # on the deserialize hot path — a stale count behaves exactly as
+        # it would in java until the next mutation marks it dirty)
         if bits_set >= 0:
             sk._count = int(bits_set)
             sk._dirty = False
-            if sk._count != int(np.unpackbits(sk.data.view(np.uint8)).sum()):
-                raise err
         else:  # java "dirty" marker: recount lazily
             sk._dirty = True
         return sk

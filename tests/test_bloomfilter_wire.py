@@ -235,7 +235,6 @@ def test_corruption_rejected():
         lambda b: struct.pack_into("<B", b, 1, 7),  # serVer
         lambda b: struct.pack_into("<B", b, 2, 3),  # family
         lambda b: struct.pack_into("<i", b, 16, 1 << 29),  # numLongs > len
-        lambda b: struct.pack_into("<q", b, 24, 5),  # wrong bits-set count
     ):
         bad = bytearray(w)
         mut(bad)
@@ -243,6 +242,15 @@ def test_corruption_rejected():
             ApacheBloomFilter.from_wire(bytes(bad))
     with pytest.raises(SketchDeserializeError):
         ApacheBloomFilter.from_wire(b"short")
+    # a non-negative stored count is trusted AS-IS (java readers never
+    # recount unless the -1 dirty marker is present) — no eager
+    # O(capacity) popcount on the deserialize hot path
+    stale = bytearray(w)
+    struct.pack_into("<q", stale, 24, 5)
+    rt = ApacheBloomFilter.from_wire(bytes(stale))
+    assert rt.num_bits_set == 5 and not rt._dirty
+    rt.update_series(pd.Series([12345], dtype=np.int64))  # mutation re-dirties
+    assert rt.num_bits_set > 30  # real popcount after the dirty recount
 
 
 def test_nan_skip_documented_deviation():
@@ -373,3 +381,28 @@ def test_sketch_store_bloomfilter_family(spark, tmp_path):
     one = ApacheBloomFilter(1 << 14)
     one.update_series(pd.Series(range(1000), dtype=np.int64))
     assert np.array_equal(stored.data, one.data)
+
+def test_sketch_table_bloomfilter_family(spark, tmp_path):
+    """write_sketch_table/read_sketch_table accept the bloomfilter
+    family (its blobs ARE the Apache wire, validated by preamble sniff
+    instead of a DSKS family byte — the r11 advice asymmetry)."""
+    from datasketches_spark import io as dio
+    from datasketches_spark.aggregation import sketch_agg
+
+    df = spark.range(0, 200).selectExpr("id % 2 AS g", "id AS k")
+    flt = sketch_agg(df, "k", "bloomfilter", group_cols=["g"], k=12)
+    path = str(tmp_path / "bf_dsks")
+    dio.write_sketch_table(flt, path, "sketch", "bloomfilter", k=12)
+    back = dio.read_sketch_table(spark, path)  # validate=True sniffs
+    assert dio.sketch_column_info(back, "sketch")["family"] == "bloomfilter"
+    blobs = [bytes(r["sketch"]) for r in back.collect()]
+    assert len(blobs) == 2
+    assert all(ApacheBloomFilter.sniff_wire(b) for b in blobs)
+    # a mis-tagged table still fails the sniff
+    theta = sketch_agg(df, "k", "theta", group_cols=["g"], k=12)
+    mistagged = str(tmp_path / "bf_mistagged")
+    dio.with_sketch_metadata(theta, "sketch", "bloomfilter").write.mode(
+        "overwrite"
+    ).parquet(mistagged)
+    with pytest.raises(ValueError, match="not Apache BloomFilter wire"):
+        dio.read_sketch_table(spark, mistagged)
