@@ -35,6 +35,7 @@ against the live jar (tests/test_fdt_wire.py):
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -105,13 +106,107 @@ class FdtSketch:
 
     # ---- building ----
     def update_series(self, series: pd.Series) -> None:
-        """Series of list/tuple-of-string rows; NULL rows skipped."""
+        """Series of list/tuple-of-string rows; NULL rows skipped.
+
+        NULL *elements* render as the string ``"null"`` — java parity:
+        Util.stringConcat goes through StringBuilder.append, and
+        java's string conversion of a null reference is ``"null"``, so
+        tuples with null dimensions hash identically cross-system.
+        """
+        if not len(series):
+            return
+        # DSKS_FDT_NO_ARROW: measurement hook — forces the row-loop
+        # fallback so A/B scaling runs can interleave both paths in one
+        # session (propagates to workers via spark.executorEnv.*)
+        if not os.environ.get("DSKS_FDT_NO_ARROW") and self._update_arrow(series):
+            return
         tups = [
-            tuple("" if x is None else str(x) for x in v)
+            tuple("null" if x is None else str(x) for x in v)
             for v in series
             if v is not None
         ]
         self.update_tuples(tups)
+
+    def _update_arrow(self, series) -> bool:
+        """Vectorized batch path (r11 verdict item 1): the ','-join,
+        UTF-16 encode and both hashes run columnar in Arrow/numpy, and
+        Python tuples materialize ONLY for rows that survive the theta
+        filter + in-batch dedup — the per-row ``str()``/``encode``
+        constants the old loop paid per input row now cost per
+        RETAINED row.  Returns False for inputs the Arrow path cannot
+        type (non-string elements etc.) — the caller falls back."""
+        try:
+            import pyarrow as pa  # noqa: PLC0415
+            import pyarrow.compute as pc  # noqa: PLC0415
+
+            arr = pa.array(series, from_pandas=True)
+        except Exception:  # noqa: BLE001 — any inference failure falls back
+            return False
+        t = arr.type
+        if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+            return False
+        vt = t.value_type
+        if not (pa.types.is_string(vt) or pa.types.is_large_string(vt)):
+            return False
+        # positional map back into the ORIGINAL rows: survivors are
+        # materialized from the pandas object arrays directly (tuple()
+        # over a small ndarray is ~5x cheaper than Arrow take+to_pylist
+        # at typical survivor rates)
+        rows_np = np.asarray(series, dtype=object)
+        if arr.null_count:
+            rows_np = rows_np[~pd.isna(series).to_numpy()]
+            arr = arr.drop_null()
+        if not len(arr):
+            return True
+        null_elems = bool(arr.values.null_count)
+        if null_elems:  # java String.valueOf(null) == "null"
+            arr = type(arr).from_arrays(
+                arr.offsets, pc.fill_null(arr.values, "null")
+            )
+        joined = pc.binary_join(arr, ",").cast(pa.large_string())
+        from ..murmur import arrow_byte_buffers  # noqa: PLC0415
+
+        data, off = arrow_byte_buffers(joined)
+        used = data[off[0] : off[-1]] if data.size else data
+        if used.size == 0 or int(used.max()) < 128:
+            # ASCII: UTF-16LE code units are the bytes zero-interleaved
+            u16 = np.zeros(data.size * 2, dtype=np.uint8)
+            u16[0::2] = data
+            pre = xxh64_bytes(u16, off * 2, _STR_ARR_HASH_SEED)
+        else:  # non-BMP/surrogate-correct per-row encode
+            bufs = [s.encode("utf-16-le") for s in joined.to_pylist()]
+            flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            pre = xxh64_bytes(
+                flat, np.cumsum([0] + [len(b) for b in bufs]), _STR_ARR_HASH_SEED
+            )
+        h1, _ = murmur3_u64(pre, _THETA_SEED)
+        hs = h1 >> np.uint64(1)
+        # chunked survivor materialization: consolidating between
+        # chunks drops theta early, so later chunks theta-filter BEFORE
+        # paying the to_pylist/tuple cost (the whole point of the
+        # vectorized path — per-row Python work only for retained rows)
+        cap = max(4 << self.lg_k, 1 << 16)
+        mk = (
+            (lambda v: tuple("null" if x is None else x for x in v))
+            if null_elems
+            else tuple
+        )
+        n = len(arr)
+        pos = 0
+        while pos < n:
+            end = min(pos + (1 << 16), n)
+            hc = hs[pos:end]
+            keep = np.flatnonzero((hc != 0) & (hc < np.uint64(self.theta)))
+            if keep.size:
+                keep += pos
+                uniq, first = np.unique(hs[keep], return_index=True)
+                sel = keep[first]
+                tups = [mk(v) for v in rows_np[sel]]
+                self._pend.extend(zip(uniq.tolist(), tups))
+                if len(self._pend) > cap:
+                    self._consolidate()
+            pos = end
+        return True
 
     def update_tuples(self, tups: list[tuple[str, ...]]) -> None:
         if not tups:
@@ -211,8 +306,12 @@ class FdtSketch:
     ) -> list[dict]:
         """Top groups over the chosen dimension positions, by
         estimated distinct-tuple count (java FdtSketch.getResult
-        semantics: group the retained sample, scale by 1/theta, HT
-        binomial bounds)."""
+        grouping semantics: group the retained sample, scale by
+        1/theta).  Bounds are the same Gaussian approximation the
+        theta family documents (est*(1±z/sqrt(count))) — java's
+        PostProcessor calls BinomialBoundsN instead, so
+        estimation-mode bounds are NOT matched to java (exact-mode
+        values, counts and estimates are)."""
         self._consolidate()
         dims = [int(d) for d in dims]
         if any(d < 0 for d in dims):
