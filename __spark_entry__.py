@@ -1645,6 +1645,38 @@ def q_aod_custsales_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("priority")
 
 
+def q_aod_string_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayOfDoubles tuple sketch with STRING keys (r11 verdict #7):
+    datasketches-java's ArrayOfDoublesUpdatableSketch accepts String
+    keys through the same murmur path (UTF-8 bytes, seed 9001) and the
+    hash parity is differentially tested in
+    tests/test_tuple_aod_wire.py::test_hash_parity_long_and_string_keys.
+    One blob per market segment keyed on c_name answers distinct
+    names + summed balances; exact mode at the gate SFs, Apache wire
+    round trip inside the query."""
+    _ensure(spark)
+    from datasketches_spark.aggregation import tuple_sketch_agg
+
+    cust = _t(spark, sf_dir, "customer")
+    sk = tuple_sketch_agg(
+        cust, "c_name", ["c_acctbal"], group_cols=["c_mktsegment"], lg_k=16
+    )
+    rt = sk.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("datasketch_aod_from_wire(datasketch_aod_to_wire(sketch))").alias(
+            "sk"
+        ),
+    )
+    return rt.select(
+        "segment",
+        F.expr("CAST(round(datasketch_aod_estimate(sk)) AS BIGINT)").alias(
+            "distinct_names"
+        ),
+        F.expr("round(datasketch_aod_column_sums(sk)[0], 2)").alias("total_bal"),
+        F.expr("datasketch_aod_is_estimation_mode(sk)").alias("is_est"),
+    ).orderBy("segment")
+
+
 def q_aod_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tuple-sketch set algebra with summaries carried through, on
     exact-mode states: customers with F orders vs O orders.  The
@@ -3182,6 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_reservoir_two_phase": q_weighted_reservoir_two_phase,
         "ebpps_exact_sample": q_ebpps_exact_sample,
         "aod_custsales_by_priority": q_aod_custsales_by_priority,
+        "aod_string_keys": q_aod_string_keys,
         "aod_set_ops": q_aod_set_ops,
         "bloomfilter_members": q_bloomfilter_members,
         "range_partition_cells": q_range_partition_cells,
@@ -3681,6 +3714,13 @@ def oracle_sql() -> dict[str, str]:
             " CAST(1 AS INTEGER) AS num_values,"
             " FALSE AS is_est"
             " FROM orders GROUP BY o_orderpriority ORDER BY priority"
+        ),
+        "aod_string_keys": (
+            "SELECT c_mktsegment AS segment,"
+            " CAST(count(DISTINCT c_name) AS BIGINT) AS distinct_names,"
+            " round(sum(c_acctbal), 2) AS total_bal,"
+            " FALSE AS is_est"
+            " FROM customer GROUP BY c_mktsegment ORDER BY segment"
         ),
         "aod_set_ops": """
             WITH fa AS (

@@ -290,12 +290,14 @@ class FdtSketch:
     def get_bound(self, num_std_devs: int, upper: bool) -> float:
         if not (1 <= num_std_devs <= 3):
             raise ValueError("num_std_devs must be 1..3")
+        self._consolidate()
         if not self.is_estimation_mode:
             return self.get_estimate()
-        r = max(self.num_retained, 1)
-        est = self.get_estimate()
-        f = num_std_devs / np.sqrt(r)
-        return est * (1.0 + f) if upper else est / (1.0 + f)
+        # java tuple.Sketch bounds — the real BinomialBoundsN
+        from .binomial_bounds import lower_bound, upper_bound  # noqa: PLC0415
+
+        f = upper_bound if upper else lower_bound
+        return f(int(self.num_retained), self.theta / MAX_HASH, num_std_devs)
 
     def get_result(
         self,
@@ -305,13 +307,12 @@ class FdtSketch:
         sep: str = ",",
     ) -> list[dict]:
         """Top groups over the chosen dimension positions, by
-        estimated distinct-tuple count (java FdtSketch.getResult
-        grouping semantics: group the retained sample, scale by
-        1/theta).  Bounds are the same Gaussian approximation the
-        theta family documents (est*(1±z/sqrt(count))) — java's
-        PostProcessor calls BinomialBoundsN instead, so
-        estimation-mode bounds are NOT matched to java (exact-mode
-        values, counts and estimates are)."""
+        estimated distinct-tuple count (java FdtSketch.getResult /
+        PostProcessor.populateList semantics: group the retained
+        sample, scale by 1/theta; per-group bounds are
+        tuple.Sketch.getLower/UpperBound(numStdDev, count) — the real
+        BinomialBoundsN, exact-double-parity port in
+        sketches/binomial_bounds.py)."""
         self._consolidate()
         dims = [int(d) for d in dims]
         if any(d < 0 for d in dims):
@@ -325,13 +326,15 @@ class FdtSketch:
                 )
             g = sep.join(t[d] for d in dims)
             groups[g] = groups.get(g, 0) + 1
+        from .binomial_bounds import lower_bound, upper_bound  # noqa: PLC0415
+
         th = self.theta / MAX_HASH
         out = []
         for g, cnt in groups.items():
             est = cnt / th
             if self.is_estimation_mode:
-                f = num_std_dev / np.sqrt(cnt)
-                lb, ub = est / (1.0 + f), est * (1.0 + f)
+                lb = lower_bound(cnt, th, num_std_dev)
+                ub = upper_bound(cnt, th, num_std_dev)
             else:
                 lb = ub = est
             out.append(

@@ -132,15 +132,17 @@ class ThetaSketch:
     def get_bound(self, num_std_devs: int, upper: bool) -> float:
         if not (1 <= num_std_devs <= 3):
             raise ValueError("num_std_devs must be 1..3")
+        self._consolidate()
         if not self.is_estimation_mode:
             return self.get_estimate()
-        r = max(self.hashes.size, 1)
-        est = self.get_estimate()
-        # Gaussian approximation of the binomial bounds the reference's
-        # library uses; preserves the bounds ordering asserted in
-        # test/sql/datasketch_theta.test:511-546.
-        factor = num_std_devs / np.sqrt(r)
-        return est * (1.0 + factor) if upper else est / (1.0 + factor)
+        # the REAL Apache BinomialBoundsN (round 12) — exact double
+        # parity with datasketches-java and hence with the reference's
+        # datasketch_theta_lower/upper_bound (same C++ math;
+        # differential matrix in tests/test_binomial_bounds.py)
+        from .binomial_bounds import lower_bound, upper_bound  # noqa: PLC0415
+
+        f = upper_bound if upper else lower_bound
+        return f(int(self.hashes.size), self.theta / MAX_HASH, num_std_devs)
 
     def describe(self) -> str:
         return (
@@ -174,9 +176,9 @@ class ThetaSketch:
         try:
             lg_k, _flags, theta, count = struct.unpack_from("<BBQI", payload, 0)
             hashes = np.frombuffer(payload, dtype=np.uint64, count=count, offset=14)
+            sk = cls(lg_k)  # a corrupt lg_k byte is a deserialize error
         except (struct.error, ValueError) as exc:
             raise SketchDeserializeError("Failed to deserialize Theta sketch") from exc
-        sk = cls(lg_k)
         sk.theta = theta
         sk.hashes = hashes.copy()
         return sk

@@ -281,12 +281,15 @@ class AodSketch:
     def get_bound(self, num_std_devs: int, upper: bool) -> float:
         if not (1 <= num_std_devs <= 3):
             raise ValueError("num_std_devs must be 1..3")
+        self._consolidate()
         if not self.is_estimation_mode:
             return self.get_estimate()
-        r = max(self.num_retained, 1)
-        est = self.get_estimate()
-        factor = num_std_devs / np.sqrt(r)
-        return est * (1.0 + factor) if upper else est / (1.0 + factor)
+        # java tuple.Sketch.getLower/UpperBound(numStdDev) — the real
+        # BinomialBoundsN (tests/test_binomial_bounds.py)
+        from .binomial_bounds import lower_bound, upper_bound  # noqa: PLC0415
+
+        f = upper_bound if upper else lower_bound
+        return f(int(self.num_retained), self.theta / MAX_HASH, num_std_devs)
 
     def column_sums_retained(self) -> list[float]:
         """Raw per-column sums over the retained entries."""

@@ -1,0 +1,115 @@
+"""BinomialBoundsN differential tests vs live datasketches-java.
+
+The java class is public static, so every branch of the ported
+algorithm (sketches/binomial_bounds.py) is driven directly against
+the jar bundled in pyspark — exact double equality expected (the
+arithmetic is identical operation-for-operation)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from datasketches_spark.sketches.binomial_bounds import lower_bound, upper_bound
+
+
+@pytest.fixture(scope="module")
+def jbb(spark):
+    return spark._jvm.org.apache.datasketches.thetacommon.BinomialBoundsN
+
+
+def _matrix():
+    # hit every branch: n in {0,1} geometric tails; n<=120 with
+    # theta >= n/360 (exact tail summation), theta < n/360 (equiv
+    # tables), theta > 0.99999; n > 120 contClassic; theta == 1.0
+    rng = np.random.default_rng(12)
+    cases = []
+    for n in (0, 1, 2, 5, 17, 60, 119, 120, 121, 300, 5000, 1 << 20):
+        for theta in (
+            1.0, 0.999995, 0.75, 0.5, 0.2, 0.05, 1e-3, 1e-6,
+            (n / 360.0) * 0.999 if n else 0.01,  # just under the table cut
+            min(1.0, (n / 360.0) * 1.001) if n else 0.02,  # just over
+        ):
+            if not (0.0 < theta <= 1.0):
+                continue
+            cases.append((n, float(theta)))
+    for _ in range(150):
+        cases.append(
+            (int(rng.integers(0, 3000)), float(rng.uniform(1e-7, 1.0)))
+        )
+    return cases
+
+
+def test_matches_java_exactly(jbb):
+    for n, theta in _matrix():
+        for sdev in (1, 2, 3):
+            jl = jbb.getLowerBound(n, theta, sdev, False)
+            ju = jbb.getUpperBound(n, theta, sdev, False)
+            pl = lower_bound(n, theta, sdev)
+            pu = upper_bound(n, theta, sdev)
+            assert pl == jl and pu == ju, (n, theta, sdev, pl, jl, pu, ju)
+
+
+def test_no_data_seen_and_arg_checks(jbb):
+    assert lower_bound(5, 0.5, 2, no_data_seen=True) == 0.0
+    assert upper_bound(5, 0.5, 2, no_data_seen=True) == 0.0
+    assert jbb.getLowerBound(5, 0.5, 2, True) == 0.0
+    with pytest.raises(ValueError, match="numSDev must only be"):
+        lower_bound(5, 0.5, 4)
+    with pytest.raises(ValueError, match="theta"):
+        upper_bound(5, 1.5, 2)
+
+
+def test_bound_sanity():
+    # lb <= est <= ub and bounds widen with sdev
+    for n, theta in ((100, 0.01), (4096, 0.05), (7, 0.9)):
+        est = n / theta
+        lbs = [lower_bound(n, theta, s) for s in (1, 2, 3)]
+        ubs = [upper_bound(n, theta, s) for s in (1, 2, 3)]
+        assert lbs[2] <= lbs[1] <= lbs[0] <= est <= ubs[0] <= ubs[1] <= ubs[2]
+        assert all(math.isfinite(x) for x in lbs + ubs)
+
+
+def test_theta_sketch_bounds_match_java_estimation_mode(spark, jbb):
+    """End-to-end: an estimation-mode theta sketch's get_bound equals
+    java CompactSketch.getLower/UpperBound on the SAME wire blob."""
+    import pandas as pd
+
+    from datasketches_spark.sketches.theta import ThetaSketch
+
+    jvm = spark.sparkContext._jvm
+    sk = ThetaSketch(lg_k=6)
+    sk.update_values(pd.Series(range(5000)))
+    assert sk.num_retained and sk.is_estimation_mode  # consolidates first
+    mem = jvm.org.apache.datasketches.memory.Memory.wrap(sk.to_wire())
+    jsk = jvm.org.apache.datasketches.theta.Sketches.wrapSketch(mem)
+    assert abs(jsk.getEstimate() - sk.get_estimate()) < 1e-9
+    for sdev in (1, 2, 3):
+        assert sk.get_bound(sdev, upper=False) == jsk.getLowerBound(sdev)
+        assert sk.get_bound(sdev, upper=True) == jsk.getUpperBound(sdev)
+
+
+def test_fdt_group_bounds_match_java_subset_bounds(spark):
+    """get_result per-group bounds == java tuple.Sketch
+    getLower/UpperBound(numStdDev, count) on the same heapified state."""
+    import numpy as np
+    import pandas as pd
+
+    from datasketches_spark.sketches.fdt import FdtSketch
+
+    jvm = spark.sparkContext._jvm
+    sk = FdtSketch(5)
+    rows = [np.array([f"g{i%4}", str(i)], dtype=object) for i in range(4000)]
+    sk.update_series(pd.Series(rows))
+    assert sk.num_retained and sk.is_estimation_mode  # consolidates first
+    deser = (
+        jvm.org.apache.datasketches.tuple.strings.ArrayOfStringsSummaryDeserializer()
+    )
+    mem = jvm.org.apache.datasketches.memory.Memory.wrap(sk.to_wire())
+    jsk = jvm.org.apache.datasketches.tuple.Sketches.heapifySketch(mem, deser)
+    assert jsk.getRetainedEntries() == sk.num_retained
+    for sdev in (1, 2, 3):
+        for grp in sk.get_result([0], num_std_dev=sdev):
+            cnt = grp["count"]
+            assert grp["lower_bound"] == jsk.getLowerBound(sdev, cnt)
+            assert grp["upper_bound"] == jsk.getUpperBound(sdev, cnt)

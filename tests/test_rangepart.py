@@ -124,3 +124,74 @@ def test_nan_gets_null_pid_on_both_paths(spark):
         }
         assert got[1.0] is not None
         assert got["nan"] is None and got[None] is None
+
+
+# --------------------------- live-java differential (r11 verdict #3)
+
+
+def test_partition_bounds_match_java_partitions_feature(spark):
+    """partition_bounds == the interior boundaries of datasketches-java's
+    PartitioningFeature (KllItemsSketch.getPartitionBoundariesFromNumParts,
+    the API org.apache.datasketches.partitions drives) on the same data.
+
+    Exact-mode sketches on both sides: java's boundaries are
+    getQuantile(i/parts, INCLUSIVE) over evenly spaced ranks 0..1
+    (ItemsSketchSortedView bytecode), identical to our convention, so
+    the interior split points must be EQUAL."""
+    jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
+    vals = [float(v) for v in range(397)]  # exact mode at k=512
+    import random
+
+    random.Random(7).shuffle(vals)
+
+    jsk = jvm.org.apache.datasketches.kll.KllItemsSketch.newHeapInstance(
+        512,
+        jvm.java.util.Comparator.naturalOrder(),
+        jvm.org.apache.datasketches.common.ArrayOfDoublesSerDe(),
+    )
+    for v in vals:
+        jsk.update(v)
+    inclusive = getattr(
+        jvm.org.apache.datasketches.quantilescommon.QuantileSearchCriteria,
+        "INCLUSIVE",
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    for parts in (2, 4, 7):
+        gpb = jsk.getPartitionBoundariesFromNumParts(parts, inclusive)
+        jb = [float(b) for b in gpb.getBoundaries()]
+        ours = partition_bounds(df, "x", parts, k=512)
+        assert ours == jb[1:-1], (parts, ours, jb)
+        # endpoints are the data min/max in exact mode
+        assert jb[0] == min(vals) and jb[-1] == max(vals)
+
+
+def test_estimation_mode_bounds_within_java_rank_band(spark):
+    """Estimation mode: our split points land within the KLL
+    normalized rank error of the target ranks when measured by JAVA's
+    getRank on a sketch heapified from OUR wire blob.  (Exact equality
+    is not expected: java's sorted view injects unretained min/max
+    items with weight 1 — documented r8 divergence — and the two-phase
+    Spark build merges in partition order.)"""
+    import pandas as pd
+
+    from datasketches_spark.sketches.compactor import KllSketch
+
+    jvm = spark.sparkContext._jvm
+    n = 60_000
+    rng_vals = [((v * 2654435761) % n) / 7.0 for v in range(n)]
+    sk = KllSketch(200)
+    sk.update(pd.Series(rng_vals).to_numpy())
+    mem = jvm.org.apache.datasketches.memory.Memory.wrap(sk.to_wire())
+    jsk = jvm.org.apache.datasketches.kll.KllDoublesSketch.heapify(mem)
+    inclusive = getattr(
+        jvm.org.apache.datasketches.quantilescommon.QuantileSearchCriteria,
+        "INCLUSIVE",
+    )
+    parts = 8
+    eps = jsk.getNormalizedRankError(False)  # single-sided, getQuantile
+    for i in range(1, parts):
+        p = i / parts
+        b = sk.get_quantile(p, True)
+        jr = jsk.getRank(b, inclusive)
+        assert abs(jr - p) <= 2 * eps, (p, b, jr, eps)

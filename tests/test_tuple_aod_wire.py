@@ -440,3 +440,30 @@ def test_null_summary_elements_are_zero_in_udaf(spark):
     ).first()
     # NULL element and NULL array both contribute 0; keys still count
     assert row.s == 2.0 and row.d == 3.0
+
+
+def test_java_reads_our_string_key_wire(spark, jvm):
+    """r12: java heapifies a STRING-keyed blob of ours and keeps
+    merging it with java-side String updates — full string-key interop
+    (hash parity is test_hash_parity_long_and_string_keys; this gates
+    the export + java-side union direction)."""
+    ours = AodSketch(12, 1)
+    strs = [f"doc-{i}" for i in range(500)]
+    ours.update_batch(pd.Series(strs), np.full((500, 1), 2.0))
+    jsk = _heapify(jvm, ours.to_wire())
+    assert jsk.getEstimate() == 500.0
+    assert float(jsk.getValues()[0][0]) == 2.0
+    # java unions our blob with more java String updates: overlap sums
+    u = (
+        jvm.org.apache.datasketches.tuple.arrayofdoubles.ArrayOfDoublesSetOperationBuilder()
+        .setNumberOfValues(1)
+        .buildUnion()
+    )
+    u.union(jsk)
+    jup = _builder(jvm, 12, 1)
+    for s in strs[:100]:
+        jup.update(s, _jarr(spark, [1.0]))
+    u.union(jup.compact())
+    merged = AodSketch.from_wire(bytes(u.getResult().toByteArray()))
+    assert merged.get_estimate() == 500.0
+    assert merged.column_sums() == pytest.approx([500 * 2.0 + 100 * 1.0])
