@@ -1387,6 +1387,28 @@ def q_theta_jaccard_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_jaccard_bounds_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """java-exact JaccardSimilarity triple [lb, est, ub] (round 12,
+    sketches/theta.py jaccard_bounds — binomial-proportion ratio
+    bounds, differential vs live java in tests/test_binomial_bounds.py).
+    Exact-mode inputs make the sampling fraction 1.0, where the triple
+    degenerates to the exact jaccard on all three positions — the
+    SQL-expressible surface."""
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    a = sketch_agg(
+        orders.filter(F.col("o_orderstatus") == "F"), "o_custkey", "theta", k=16
+    ).select(F.col("sketch").alias("a"))
+    b = sketch_agg(
+        orders.filter(F.col("o_orderstatus") == "O"), "o_custkey", "theta", k=16
+    ).select(F.col("sketch").alias("b"))
+    return a.crossJoin(b).select(
+        F.round(F.expr("datasketch_theta_jaccard_bounds(a, b)[0]"), 6).alias("lb"),
+        F.round(F.expr("datasketch_theta_jaccard_bounds(a, b)[1]"), 6).alias("est"),
+        F.round(F.expr("datasketch_theta_jaccard_bounds(a, b)[2]"), 6).alias("ub"),
+    )
+
+
 def q_quantiles_req_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-mode metadata sweep for the classic-quantiles and REQ
     families: n == num_retained, estimation mode off, min/max are the
@@ -1786,6 +1808,42 @@ def q_range_partition_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("rows"))
         .select(F.col("pid").cast("int").alias("pid"), "rows")
         .orderBy("pid")
+    )
+
+
+def q_fdt_null_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FDT over tuples with NULL dimensions (round 12): NULL elements
+    hash as the string "null" — java Util.stringConcat parity
+    (String.valueOf(null)), so the oracle is a plain CASE .. 'null'
+    GROUP BY.  Exact mode at the gate SFs; wire round trip inside."""
+    _ensure(spark)
+    orders = _t(spark, sf_dir, "orders")
+    tup = orders.select(
+        F.array(
+            "o_orderpriority",
+            F.when(F.col("o_orderstatus") == "O", None).otherwise(
+                F.col("o_orderstatus")
+            ),
+            F.col("o_custkey").cast("string"),
+        ).alias("tup")
+    )
+    sk = sketch_agg(tup, "tup", "fdt", k=16)
+    rt = sk.select(
+        F.expr("datasketch_fdt_from_wire(datasketch_fdt_to_wire(sketch))").alias(
+            "sk"
+        )
+    )
+    return (
+        rt.select(
+            F.explode(
+                F.expr("datasketch_fdt_top_groups(sk, array(0, 1))")
+            ).alias("g")
+        )
+        .select(
+            F.col("g.group").alias("grp"),
+            F.col("g.count").alias("distinct_customers"),
+        )
+        .orderBy("grp")
     )
 
 
@@ -3218,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aod_set_ops": q_aod_set_ops,
         "bloomfilter_members": q_bloomfilter_members,
         "range_partition_cells": q_range_partition_cells,
+        "fdt_null_dims": q_fdt_null_dims,
         "fdt_top_groups": q_fdt_top_groups,
         "bloom_contains_customers": q_bloom_contains_customers,
         "salted_theta_skew": q_salted_theta_skew,
@@ -3225,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_distinct_customers": q_cumulative_distinct_customers,
         "theta_rollup_region": q_theta_rollup_region,
         "theta_jaccard_statuses": q_theta_jaccard_statuses,
+        "theta_jaccard_bounds_exact": q_theta_jaccard_bounds_exact,
         "join_size_estimate": q_join_size_estimate,
         "native_topk_priorities": q_native_topk_priorities,
         "docs_dedup_stats": q_docs_dedup_stats,
@@ -3663,6 +3723,14 @@ def oracle_sql() -> dict[str, str]:
             " CAST(5 AS DOUBLE) AS c,"
             " CAST(n_nationkey AS VARCHAR) AS item FROM nation"
         ),
+        "fdt_null_dims": (
+            "SELECT o_orderpriority || ',' ||"
+            " CASE WHEN o_orderstatus = 'O' THEN 'null'"
+            " ELSE o_orderstatus END AS grp,"
+            " CAST(count(DISTINCT o_custkey) AS BIGINT)"
+            " AS distinct_customers"
+            " FROM orders GROUP BY grp ORDER BY grp"
+        ),
         "fdt_top_groups": (
             "SELECT o_orderpriority || ',' || o_orderstatus AS grp,"
             " CAST(count(DISTINCT o_custkey) AS BIGINT) AS cnt,"
@@ -3767,6 +3835,20 @@ def oracle_sql() -> dict[str, str]:
             " min(o_totalprice) AS r_min, max(o_totalprice) AS r_max"
             " FROM orders GROUP BY o_orderpriority"
         ),
+        "theta_jaccard_bounds_exact": """
+            WITH j AS (SELECT round(
+              (SELECT count(*) FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE o_orderstatus='O'))::DOUBLE
+              /
+              (SELECT count(*) FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+                UNION
+                SELECT o_custkey FROM orders WHERE o_orderstatus='O'))::DOUBLE,
+            6) AS v)
+            SELECT v AS lb, v AS est, v AS ub FROM j
+        """,
         "theta_jaccard_statuses": """
             SELECT round(
               (SELECT count(*) FROM (

@@ -442,6 +442,25 @@ def build_scalar_registry() -> dict[str, object]:
 
     reg[p + "jaccard"] = _theta_jaccard
 
+    # java-exact JaccardSimilarity.jaccard triple [lb, est, ub]
+    # (sketches/theta.py jaccard_bounds — binomial-proportion ratio
+    # bounds; differential vs live java in tests/test_binomial_bounds.py)
+    @pandas_udf("array<double>")
+    def _theta_jaccard_bounds(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..sketches.theta import jaccard_bounds  # noqa: PLC0415
+
+        sa = _deser_batch(ThetaSketch, a)
+        sb = _deser_batch(ThetaSketch, b)
+        out = []
+        for x, y in zip(sa, sb):
+            if x is None or y is None:
+                out.append(None)
+            else:
+                out.append([float(v) for v in jaccard_bounds(x, y)])
+        return _obj_series(out)
+
+    reg[p + "jaccard_bounds"] = _theta_jaccard_bounds
+
     # ---- HLL / CPC ----
     for fam, cls in (("hll", HllSketch), ("cpc", CpcSketch)):
         p = f"datasketch_{fam}_"

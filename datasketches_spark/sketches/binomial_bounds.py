@@ -154,3 +154,140 @@ def upper_bound(
     ub = _approx_bino_ub(num_samples, theta, num_sdev)
     est = float(num_samples) / theta
     return max(est, ub)
+
+
+# ---- BoundsOnBinomialProportions (org.apache.datasketches.common) ----
+# The Bayesian binomial-proportion bounds the theta-family RATIO
+# estimators use (B-over-A: jaccard, intersections over unions).
+# Algorithm recovered from the 6.2.0 bytecode: Abramowitz & Stegun
+# 26.5.22 for the general case, exact geometric tails at the k edges,
+# and the A&S 7.1.27-style erf the delta conversion runs through.
+
+
+def _erf_of_nonneg(x: float) -> float:
+    c1, c3, c5 = 0.0705230784, 0.0092705272, 2.765672e-4
+    c2, c4, c6 = 0.0422820123, 1.520143e-4, 4.30638e-5
+    xx = x * x
+    x3 = xx * x
+    x4 = xx * xx
+    x5 = xx * x3
+    x6 = x3 * x3
+    s = 1.0 + c1 * x + c2 * xx + c3 * x3 + c4 * x4 + c5 * x5 + c6 * x6
+    s2 = s * s
+    s4 = s2 * s2
+    s8 = s4 * s4
+    s16 = s8 * s8
+    return 1.0 - 1.0 / s16
+
+
+def erf(x: float) -> float:
+    return -1.0 * _erf_of_nonneg(-x) if x < 0.0 else _erf_of_nonneg(x)
+
+
+def normal_cdf(x: float) -> float:
+    return 0.5 * (1.0 + erf(x / math.sqrt(2.0)))
+
+
+def _delta_of_num_stdevs(kappa: float) -> float:
+    return normal_cdf(-kappa)
+
+
+def _as26522(a: float, b: float, sdev: float) -> float:
+    b2m1 = 2.0 * b - 1.0
+    a2m1 = 2.0 * a - 1.0
+    big_d = (sdev * sdev - 3.0) / 6.0
+    one_over_n = 1.0 / a2m1 + 1.0 / b2m1
+    h = 2.0 / one_over_n
+    w = sdev * math.sqrt(h + big_d) / h
+    lam = 1.0 / b2m1 - 1.0 / a2m1
+    # 0.8333333333333334 is java's 5.0/6.0 literal
+    term = big_d + 0.8333333333333334 - 2.0 / (3.0 * h)
+    arg = w - lam * term
+    return a / (a + b * math.exp(2.0 * arg))
+
+
+def _check_np(n: int, k: int) -> None:
+    if n < 0:
+        raise ValueError("N must be non-negative")
+    if k < 0:
+        raise ValueError("K must be non-negative")
+    if k > n:
+        raise ValueError("K cannot exceed N")
+
+
+def approximate_lower_bound_on_p(n: int, k: int, num_stdevs: float) -> float:
+    """java BoundsOnBinomialProportions.approximateLowerBoundOnP."""
+    _check_np(n, k)
+    if n == 0 or k == 0:
+        return 0.0
+    if k == 1:
+        delta = _delta_of_num_stdevs(num_stdevs)
+        return 1.0 - math.pow(1.0 - delta, 1.0 / n)
+    if k == n:
+        delta = _delta_of_num_stdevs(num_stdevs)
+        return math.pow(delta, 1.0 / n)
+    x = _as26522(float(n - k + 1), float(k), -1.0 * num_stdevs)
+    return 1.0 - x
+
+
+def approximate_upper_bound_on_p(n: int, k: int, num_stdevs: float) -> float:
+    """java BoundsOnBinomialProportions.approximateUpperBoundOnP."""
+    _check_np(n, k)
+    if n == 0 or k == n:
+        return 1.0
+    if k == n - 1:
+        delta = _delta_of_num_stdevs(num_stdevs)
+        return math.pow(1.0 - delta, 1.0 / n)
+    if k == 0:
+        delta = _delta_of_num_stdevs(num_stdevs)
+        return 1.0 - math.pow(delta, 1.0 / n)
+    x = _as26522(float(n - k), float(k + 1), num_stdevs)
+    return 1.0 - x
+
+
+def estimate_unknown_p(n: int, k: int) -> float:
+    _check_np(n, k)
+    return 0.5 if n == 0 else k / n
+
+
+# ---- BoundsOnRatiosInSampledSets (fixed 2 standard deviations) ----
+
+
+def _hacky_adjuster(f: float) -> float:
+    tmp = math.sqrt(1.0 - f)
+    return tmp if f <= 0.5 else tmp + 0.01 * (f - 0.5)
+
+
+def _check_ratio_inputs(a: int, b: int) -> None:
+    if b > a or a < 0 or b < 0:
+        raise ValueError(
+            f"a must be >= b and neither a nor b can be < 0: a = {a}, b = {b}"
+        )
+
+
+def ratio_lower_bound(a: int, b: int, f: float) -> float:
+    """java BoundsOnRatiosInSampledSets.getLowerBoundForBoverA —
+    ``a`` items seen at inclusion probability ``f``, ``b`` of them in
+    the subset; bound on the true |B|/|A|."""
+    _check_ratio_inputs(a, b)
+    if a == 0:
+        return 0.0
+    if f == 1.0:
+        return b / a
+    return approximate_lower_bound_on_p(a, b, 2.0 * _hacky_adjuster(f))
+
+
+def ratio_upper_bound(a: int, b: int, f: float) -> float:
+    """java BoundsOnRatiosInSampledSets.getUpperBoundForBoverA."""
+    _check_ratio_inputs(a, b)
+    if a == 0:
+        return 1.0
+    if f == 1.0:
+        return b / a
+    return approximate_upper_bound_on_p(a, b, 2.0 * _hacky_adjuster(f))
+
+
+def ratio_estimate(a: int, b: int) -> float:
+    """java BoundsOnRatiosInSampledSets.getEstimateOfBoverA."""
+    _check_ratio_inputs(a, b)
+    return 0.5 if a == 0 else b / a

@@ -303,3 +303,53 @@ def theta_a_not_b(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
     out.theta = theta
     out.hashes = np.setdiff1d(ah, bh)
     return out
+
+
+def jaccard_bounds(a: ThetaSketch, b: ThetaSketch) -> tuple[float, float, float]:
+    """java-exact JaccardSimilarity.jaccard triple ``(lb, est, ub)``.
+
+    Mirrors org.apache.datasketches.theta.JaccardSimilarity (6.2.0
+    bytecode): union at ceilingPowerOf2(cA+cB) nominal (clamped to
+    2^26 — large enough that the union never downsamples below
+    min(thetaA, thetaB) for any reachable sketch), intersection
+    theta-aligned with the union, and the B-over-A ratio bounds from
+    BoundsOnRatiosInThetaSketchedSets (binomial-proportion bounds at
+    2*hackyAdjuster(theta) std devs).  Differential vs live java in
+    tests/test_binomial_bounds.py."""
+    from .binomial_bounds import (  # noqa: PLC0415
+        ratio_estimate,
+        ratio_lower_bound,
+        ratio_upper_bound,
+    )
+
+    a._consolidate()
+    b._consolidate()
+    if a.is_empty and b.is_empty:
+        return (1.0, 1.0, 1.0)
+    if a.is_empty or b.is_empty:
+        return (0.0, 0.0, 0.0)
+    theta_u = min(a.theta, b.theta)
+    th = np.uint64(theta_u)
+    uh = np.unique(np.concatenate([a.hashes, b.hashes]))
+    uh = uh[uh < th]
+    if uh.size > (1 << 26):  # java's union nominal clamp
+        theta_u = int(uh[1 << 26])
+        uh = uh[: 1 << 26]
+        th = np.uint64(theta_u)
+    cu = int(uh.size)
+    # java's exactly-equal early-out: identical retained sets at one theta
+    if (
+        cu == int(a.hashes.size) == int(b.hashes.size)
+        and a.theta == b.theta == theta_u
+    ):
+        return (1.0, 1.0, 1.0)
+    ih = np.intersect1d(a.hashes, b.hashes)
+    ci = int(ih[ih < th].size)
+    if cu <= 0:  # BoundsOnRatiosInThetaSketchedSets countA<=0 paths
+        return (0.0, 0.5, 1.0)
+    f = theta_u / MAX_HASH
+    return (
+        ratio_lower_bound(cu, ci, f),
+        ratio_estimate(cu, ci),
+        ratio_upper_bound(cu, ci, f),
+    )

@@ -121,6 +121,7 @@ def _args_for(name: str) -> str | None:
         "intersect": f"{sk}, {sk}",
         "a_not_b": f"{sk}, {sk}",
         "jaccard": f"{sk}, {sk}",
+        "jaccard_bounds": f"{sk}, {sk}",
         "ks": f"{sk}, {sk}",
         "sample_weights": f"{sk}",
         "total_weight_estimate": f"{sk}",

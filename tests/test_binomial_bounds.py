@@ -113,3 +113,88 @@ def test_fdt_group_bounds_match_java_subset_bounds(spark):
             cnt = grp["count"]
             assert grp["lower_bound"] == jsk.getLowerBound(sdev, cnt)
             assert grp["upper_bound"] == jsk.getUpperBound(sdev, cnt)
+
+
+def test_jaccard_bounds_match_java(spark, jbb):
+    """jaccard_bounds == java JaccardSimilarity.jaccard on identical
+    wire states — exact doubles, across exact/estimation/overlap
+    regimes and the early-out paths."""
+    import pandas as pd
+
+    from datasketches_spark.sketches.theta import ThetaSketch, jaccard_bounds
+
+    jvm = spark.sparkContext._jvm
+    jc = jvm.org.apache.datasketches.theta.JaccardSimilarity
+
+    def jsk(sk):
+        mem = jvm.org.apache.datasketches.memory.Memory.wrap(sk.to_wire())
+        return jvm.org.apache.datasketches.theta.Sketches.wrapSketch(mem)
+
+    cases = [
+        (range(0), range(0)),            # both empty -> ONES
+        (range(100), range(0)),          # one empty -> ZEROS
+        (range(100), range(100)),        # identical exact -> ONES
+        (range(100), range(50, 150)),    # exact overlap
+        (range(5000), range(2500, 7500)),    # estimation overlap
+        (range(5000), range(5000)),          # identical estimation
+        (range(5000), range(4990, 5010)),    # est vs tiny exact
+    ]
+    for lg_a, lg_b in ((6, 6), (6, 10)):
+        for va, vb in cases:
+            a = ThetaSketch(lg_a)
+            a.update_values(pd.Series(list(va), dtype="int64"))
+            b = ThetaSketch(lg_b)
+            b.update_values(pd.Series(list(vb), dtype="int64"))
+            ours = jaccard_bounds(a, b)
+            theirs = [float(x) for x in jc.jaccard(jsk(a), jsk(b))]
+            assert list(ours) == theirs, (lg_a, lg_b, len(list(va)), ours, theirs)
+
+
+def test_jaccard_bounds_sql(spark):
+    import datasketches_spark as dss
+
+    dss.register(spark)
+    row = spark.sql(
+        """
+        WITH t AS (
+          SELECT datasketch_theta(id) AS a FROM range(0, 300)
+        ), u AS (
+          SELECT datasketch_theta(id) AS b FROM range(150, 450)
+        )
+        SELECT datasketch_theta_jaccard_bounds(a, b) AS jb,
+               datasketch_theta_jaccard(a, b) AS j
+        FROM t CROSS JOIN u
+        """
+    ).first()
+    lb, est, ub = row.jb
+    assert lb <= est <= ub
+    assert est == row.j == 150 / 450  # exact mode: exact jaccard
+
+
+def test_binomial_proportions_match_java(spark):
+    """approximate{Lower,Upper}BoundOnP and estimateUnknownP == java
+    BoundsOnBinomialProportions (exact doubles) over all edge branches
+    (k in {0, 1, n-1, n}) and the AS 26.5.22 general case."""
+    from datasketches_spark.sketches.binomial_bounds import (
+        approximate_lower_bound_on_p,
+        approximate_upper_bound_on_p,
+        estimate_unknown_p,
+    )
+
+    jbp = spark._jvm.org.apache.datasketches.common.BoundsOnBinomialProportions
+    rng = np.random.default_rng(99)
+    cases = [(0, 0), (1, 0), (1, 1), (2, 1), (10, 0), (10, 1), (10, 9),
+             (10, 10), (500, 250), (500, 499), (100000, 137)]
+    cases += [
+        (int(n), int(rng.integers(0, n + 1)))
+        for n in rng.integers(1, 100000, 60)
+    ]
+    for n, k in cases:
+        for sdev in (0.5, 1.0, 1.98881, 2.0, 3.0):
+            assert approximate_lower_bound_on_p(n, k, sdev) == (
+                jbp.approximateLowerBoundOnP(n, k, sdev)
+            ), (n, k, sdev, "lb")
+            assert approximate_upper_bound_on_p(n, k, sdev) == (
+                jbp.approximateUpperBoundOnP(n, k, sdev)
+            ), (n, k, sdev, "ub")
+        assert estimate_unknown_p(n, k) == jbp.estimateUnknownP(n, k)
