@@ -461,6 +461,46 @@ def build_scalar_registry() -> dict[str, object]:
 
     reg[p + "jaccard_bounds"] = _theta_jaccard_bounds
 
+    # the rest of java's JaccardSimilarity surface (sketches/theta.py;
+    # same differential suite): provable-equality and the one-sided
+    # similarity/dissimilarity hypothesis tests on the bound triple
+    @pandas_udf("boolean")
+    def _theta_exactly_equal(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..sketches.theta import theta_exactly_equal  # noqa: PLC0415
+
+        sa = _deser_batch(ThetaSketch, a)
+        sb = _deser_batch(ThetaSketch, b)
+        return _obj_series(
+            [
+                None if x is None or y is None else bool(theta_exactly_equal(x, y))
+                for x, y in zip(sa, sb)
+            ]
+        )
+
+    def _theta_threshold_test(fn):
+        @pandas_udf("boolean")
+        def _udf(a: pd.Series, b: pd.Series, thr: pd.Series) -> pd.Series:
+            from ..sketches import theta as _t  # noqa: PLC0415
+
+            f = getattr(_t, fn)
+            sa = _deser_batch(ThetaSketch, a)
+            sb = _deser_batch(ThetaSketch, b)
+            out = []
+            for x, y, t in zip(sa, sb, thr):
+                if x is None or y is None or t is None or pd.isna(t):
+                    out.append(None)
+                else:
+                    out.append(bool(f(x, y, float(t))))
+            return _obj_series(out)
+
+        return _udf
+
+    reg[p + "exactly_equal"] = _theta_exactly_equal
+    reg[p + "similarity_test"] = _theta_threshold_test("theta_similarity_test")
+    reg[p + "dissimilarity_test"] = _theta_threshold_test(
+        "theta_dissimilarity_test"
+    )
+
     # ---- HLL / CPC ----
     for fam, cls in (("hll", HllSketch), ("cpc", CpcSketch)):
         p = f"datasketch_{fam}_"

@@ -353,3 +353,34 @@ def jaccard_bounds(a: ThetaSketch, b: ThetaSketch) -> tuple[float, float, float]
         ratio_estimate(cu, ci),
         ratio_upper_bound(cu, ci, f),
     )
+
+
+def theta_exactly_equal(a: ThetaSketch, b: ThetaSketch) -> bool:
+    """java JaccardSimilarity.exactlyEqual: true iff the two sketches
+    provably retain the SAME hash set at the same theta (both empty is
+    equal; the union adding nothing to either side is equal)."""
+    a._consolidate()
+    b._consolidate()
+    if a.is_empty and b.is_empty:
+        return True
+    if a.is_empty or b.is_empty:
+        return False
+    theta_u = min(a.theta, b.theta)
+    uh = np.unique(np.concatenate([a.hashes, b.hashes]))
+    cu = int(uh[uh < np.uint64(theta_u)].size)
+    return (
+        cu == int(a.hashes.size) == int(b.hashes.size)
+        and a.theta == b.theta == theta_u
+    )
+
+
+def theta_similarity_test(a: ThetaSketch, b: ThetaSketch, threshold: float) -> bool:
+    """java JaccardSimilarity.similarityTest: jaccard LOWER bound >=
+    threshold (a pass means similarity is proven at ~2 std devs)."""
+    return jaccard_bounds(a, b)[0] >= threshold
+
+
+def theta_dissimilarity_test(a: ThetaSketch, b: ThetaSketch, threshold: float) -> bool:
+    """java JaccardSimilarity.dissimilarityTest: jaccard UPPER bound <=
+    threshold (a pass means dissimilarity is proven)."""
+    return jaccard_bounds(a, b)[2] <= threshold

@@ -122,6 +122,9 @@ def _args_for(name: str) -> str | None:
         "a_not_b": f"{sk}, {sk}",
         "jaccard": f"{sk}, {sk}",
         "jaccard_bounds": f"{sk}, {sk}",
+        "exactly_equal": f"{sk}, {sk}",
+        "similarity_test": f"{sk}, {sk}, 0.5",
+        "dissimilarity_test": f"{sk}, {sk}, 0.5",
         "ks": f"{sk}, {sk}",
         "sample_weights": f"{sk}",
         "total_weight_estimate": f"{sk}",

@@ -198,3 +198,65 @@ def test_binomial_proportions_match_java(spark):
                 jbp.approximateUpperBoundOnP(n, k, sdev)
             ), (n, k, sdev, "ub")
         assert estimate_unknown_p(n, k) == jbp.estimateUnknownP(n, k)
+
+
+def test_jaccard_class_surface_matches_java(spark):
+    """exactlyEqual / similarityTest / dissimilarityTest == java
+    JaccardSimilarity across the same state matrix."""
+    import pandas as pd
+
+    from datasketches_spark.sketches.theta import (
+        ThetaSketch,
+        theta_dissimilarity_test,
+        theta_exactly_equal,
+        theta_similarity_test,
+    )
+
+    jvm = spark.sparkContext._jvm
+    jc = jvm.org.apache.datasketches.theta.JaccardSimilarity
+
+    def jsk(sk):
+        mem = jvm.org.apache.datasketches.memory.Memory.wrap(sk.to_wire())
+        return jvm.org.apache.datasketches.theta.Sketches.wrapSketch(mem)
+
+    cases = [
+        (range(0), range(0)),
+        (range(100), range(0)),
+        (range(100), range(100)),
+        (range(100), range(50, 150)),
+        (range(5000), range(2500, 7500)),
+        (range(5000), range(5000)),
+    ]
+    for va, vb in cases:
+        a = ThetaSketch(6)
+        a.update_values(pd.Series(list(va), dtype="int64"))
+        b = ThetaSketch(6)
+        b.update_values(pd.Series(list(vb), dtype="int64"))
+        ja, jb_ = jsk(a), jsk(b)
+        assert theta_exactly_equal(a, b) == jc.exactlyEqual(ja, jb_)
+        for thr in (0.1, 0.5, 0.9):
+            assert theta_similarity_test(a, b, thr) == jc.similarityTest(
+                ja, jb_, thr
+            ), ("sim", len(list(va)), len(list(vb)), thr)
+            assert theta_dissimilarity_test(a, b, thr) == jc.dissimilarityTest(
+                ja, jb_, thr
+            ), ("dis", len(list(va)), len(list(vb)), thr)
+
+
+def test_jaccard_class_surface_sql(spark):
+    import datasketches_spark as dss
+
+    dss.register(spark)
+    row = spark.sql(
+        """
+        WITH t AS (SELECT datasketch_theta(id) AS a FROM range(0, 300)),
+             u AS (SELECT datasketch_theta(id) AS b FROM range(0, 300)),
+             v AS (SELECT datasketch_theta(id) AS c FROM range(500, 800))
+        SELECT datasketch_theta_exactly_equal(a, b) AS eq,
+               datasketch_theta_exactly_equal(a, c) AS ne,
+               datasketch_theta_similarity_test(a, b, 0.99) AS sim,
+               datasketch_theta_dissimilarity_test(a, c, 0.01) AS dis
+        FROM t CROSS JOIN u CROSS JOIN v
+        """
+    ).first()
+    assert row.eq and not row.ne and row.sim and row.dis
