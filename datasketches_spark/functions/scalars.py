@@ -426,18 +426,17 @@ def build_scalar_registry() -> dict[str, object]:
     # DataSketches ecosystem ships the same as jaccard_similarity
     @pandas_udf("double")
     def _theta_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        # jaccard_bounds[1] IS java's JaccardSimilarity estimate
+        # (retained-ratio at the union theta, no nominal-k purge of the
+        # union) — in exact mode it equals |A∩B|/|A∪B| exactly
+        from ..sketches.theta import jaccard_bounds  # noqa: PLC0415
+
         sa = _deser_batch(ThetaSketch, a)
         sb = _deser_batch(ThetaSketch, b)
-        out = []
-        for x, y in zip(sa, sb):
-            if x is None or y is None:
-                out.append(None)
-                continue
-            union_est = theta_union(x, y).get_estimate()
-            if union_est == 0.0:
-                out.append(1.0)  # both empty: identical sets
-                continue
-            out.append(theta_intersect(x, y).get_estimate() / union_est)
+        out = [
+            None if x is None or y is None else float(jaccard_bounds(x, y)[1])
+            for x, y in zip(sa, sb)
+        ]
         return _obj_series(out)
 
     reg[p + "jaccard"] = _theta_jaccard
