@@ -1406,6 +1406,12 @@ def q_theta_jaccard_bounds_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("datasketch_theta_jaccard_bounds(a, b)[0]"), 6).alias("lb"),
         F.round(F.expr("datasketch_theta_jaccard_bounds(a, b)[1]"), 6).alias("est"),
         F.round(F.expr("datasketch_theta_jaccard_bounds(a, b)[2]"), 6).alias("ub"),
+        # the hypothesis tests on the same exact-mode triple: proven
+        # similar at any threshold <= the exact jaccard, proven
+        # dissimilar at any threshold >= it; never exactly equal here
+        F.expr("datasketch_theta_exactly_equal(a, b)").alias("eq"),
+        F.expr("datasketch_theta_similarity_test(a, b, 0.01)").alias("sim"),
+        F.expr("datasketch_theta_dissimilarity_test(a, b, 0.99)").alias("dis"),
     )
 
 
@@ -3847,7 +3853,11 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT o_custkey FROM orders WHERE o_orderstatus='O'))::DOUBLE,
             6) AS v)
-            SELECT v AS lb, v AS est, v AS ub FROM j
+            SELECT v AS lb, v AS est, v AS ub,
+                   FALSE AS eq,
+                   (v >= 0.01) AS sim,
+                   (v <= 0.99) AS dis
+            FROM j
         """,
         "theta_jaccard_statuses": """
             SELECT round(
