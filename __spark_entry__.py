@@ -909,6 +909,34 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_minhash_near_dups_sigtable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB MinHash route: signatures are computed ONCE and
+    written as a compact (id, sig) parquet table pre-partitioned by
+    hash(id) (dedup.write_minhash_signatures), then the same
+    LSH-verified near-dup join runs with ``signatures=`` that table —
+    candidate generation and the estimated-jaccard pre-filter are pure
+    JVM plans over stored parquet (zero Python nodes; asserted in
+    tests/test_sigtable.py), and raw text is touched only by the exact
+    char-5-gram verify of candidates.  Must hash-match
+    minhash_near_dups exactly: the table stores the identical seeded
+    splitmix64 signatures and the verify stage is exact."""
+    import os
+    import tempfile
+
+    from datasketches_spark.pipeline import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dsks_sigtable_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    D.write_minhash_signatures(docs, "doc_id", "text", path, buckets=8)
+    pairs = D.lsh_verified_near_duplicates(
+        docs, "doc_id", "text", threshold=0.8, signatures=path
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming <= 3 via 16-bit band LSH.
 
@@ -3295,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_topk_priorities": q_native_topk_priorities,
         "docs_dedup_stats": q_docs_dedup_stats,
         "minhash_near_dups": q_minhash_near_dups,
+        "minhash_near_dups_sigtable": q_minhash_near_dups_sigtable,
         "simhash_near_pairs": q_simhash_near_pairs,
         "dup_components": q_dup_components,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
@@ -4388,6 +4417,10 @@ def oracle_sql() -> dict[str, str]:
     # the python-core blob union answers the same exact count as the
     # JVM-native hll_union_custkey (both coupon-exact at gate SF)
     out["hll_union_py_statuses"] = out["hll_union_custkey"]
+    # the signature-table route must reproduce the direct LSH near-dup
+    # result exactly (same stored signatures, same exact verify), so it
+    # shares the brute-force all-pairs oracle verbatim
+    out["minhash_near_dups_sigtable"] = out["minhash_near_dups"]
     return out
 
 

@@ -24,7 +24,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 from ..hashing import splitmix64
@@ -237,9 +237,9 @@ def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
 
 
 def minhash_near_duplicates(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str,
-    text_col: str,
+    text_col: str | None = None,
     threshold: float = 0.8,
     num_hashes: int = 64,
     shingle: int = 5,
@@ -247,6 +247,7 @@ def minhash_near_duplicates(
     rows: int = 4,
     seed: int = 1,
     persist: bool = True,
+    signatures: "DataFrame | str | None" = None,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) pairs with estimated jaccard >= threshold.
 
@@ -255,10 +256,16 @@ def minhash_near_duplicates(
     without materialization Spark recomputes the Python signature pass
     per branch. ``persist=True`` (default) caches it — the dominant
     cost at scale, where signatures are num_hashes longs per doc (a
-    bounded ~0.5 KB/doc). For 100 TB corpora, write signatures to a
-    table bucketed by id instead and pass ``persist=False``.
+    bounded ~0.5 KB/doc). For 100 TB corpora, pass ``signatures=`` a
+    stored table (see :func:`write_minhash_signatures`): the plan then
+    reads (id, sig) parquet per branch — no Python pass, no cache —
+    and ``df``/``text_col`` are unused (``df`` may be ``None``).
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
+    if signatures is not None:
+        sigs = _resolve_signatures(signatures, df)
+        persist = False  # the stored table IS the materialization
+    else:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
     if persist:
         sigs = sigs.persist()
     pairs = minhash_candidate_pairs(sigs, id_col, bands, rows)
@@ -272,6 +279,82 @@ def minhash_near_duplicates(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+# --------------------------------------------- signature-table workflow
+#
+# The 100 TB MinHash recipe as executable code (not a docstring): the
+# Python signature pass runs ONCE, at write time, and lands a compact
+# (id, sig) table -- ~8*num_hashes bytes/doc, so a 100 TB corpus yields
+# a ~50 GB signature table at the default 64 hashes.  Every downstream
+# near-dup run reads that table: candidate generation, pre-filtering,
+# and signature verification are then pure JVM plans over parquet --
+# no mapInPandas node anywhere, no persist() needed (the table IS the
+# materialization), and the raw text enters only the final exact-verify
+# join.  Mirrors the reference's store-the-sketch re-aggregation pitch
+# (docs/README.md:9,190-192) applied to LSH signatures.
+
+
+def write_minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    buckets: int = 32,
+    table: str | None = None,
+    num_hashes: int = 64,
+    shingle: int = 5,
+    seed: int = 1,
+    engine: str = "pandas",
+    mode: str = "overwrite",
+) -> str:
+    """Compute MinHash signatures once and persist them as a table.
+
+    With ``table`` set, writes a catalog table hash-BUCKETED by
+    ``id_col`` (``bucketBy(buckets).sortBy(id_col)`` at ``path``) so
+    read-side id joins (the verification re-joins, incremental
+    signature upserts) can skip their exchange under bucketed-join
+    planning.  Without ``table``, writes plain parquet pre-partitioned
+    by ``hash(id)`` into ``buckets`` files -- no catalog dependency,
+    same layout, no bucket metadata.
+
+    The written slice defines the dedup universe: run the downstream
+    near-dup query against the same document slice the signatures were
+    built from (signature-only verification trusts the table's ids).
+    Returns ``path``.
+    """
+    sigs = (
+        minhash_signatures_jvm(df, id_col, text_col, num_hashes, shingle)
+        if engine == "jvm"
+        else minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
+    )
+    sigs = sigs.repartition(buckets, F.col(id_col))
+    if table is not None:
+        (
+            sigs.write.mode(mode)
+            .option("path", path)
+            .bucketBy(buckets, id_col)
+            .sortBy(id_col)
+            .saveAsTable(table)
+        )
+    else:
+        sigs.write.mode(mode).parquet(path)
+    return path
+
+
+def read_minhash_signatures(spark: SparkSession, source: str) -> DataFrame:
+    """Load a stored signature table: a path (contains ``/``) is read
+    as parquet, anything else as a catalog table name."""
+    return spark.read.parquet(source) if "/" in source else spark.table(source)
+
+
+def _resolve_signatures(
+    signatures: "DataFrame | str", df: DataFrame | None
+) -> DataFrame:
+    if isinstance(signatures, DataFrame):
+        return signatures
+    spark = df.sparkSession if df is not None else SparkSession.getActiveSession()
+    return read_minhash_signatures(spark, signatures)
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:
@@ -301,6 +384,7 @@ def lsh_verified_near_duplicates(
     ngram: int = 5,
     persist: bool = True,
     engine: str = "pandas",
+    signatures: "DataFrame | str | None" = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) near-dup pairs with EXACT char-ngram
     Jaccard >= threshold, found via MinHash LSH.
@@ -343,8 +427,20 @@ def lsh_verified_near_duplicates(
     transfer; the JVM path remains useful where Python workers are
     unavailable.  Signatures persist by default (both engines feed a
     self-join, which would otherwise recompute the pass per branch).
+
+    ``signatures=`` (a DataFrame, parquet path, or table name from
+    :func:`write_minhash_signatures`) skips the signature computation
+    AND the persist: candidate generation + the estimated-jaccard
+    pre-filter become pure JVM plans over the stored (id, sig) table,
+    and the raw text is touched only by the exact verify join.  This
+    is the 100 TB path — the Python pass ran once, at write time.
+    ``num_hashes``/``shingle``/``seed``/``engine`` are then ignored
+    (the table fixes them); build it from the same document slice.
     """
-    if engine == "jvm":
+    if signatures is not None:
+        sigs = _resolve_signatures(signatures, df)
+        persist = False  # the stored table IS the materialization
+    elif engine == "jvm":
         sigs = minhash_signatures_jvm(df, id_col, text_col, num_hashes, shingle)
     elif engine == "pandas":
         sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
