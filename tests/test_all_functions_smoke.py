@@ -261,3 +261,9 @@ def test_functions_md_counts_match_registry(spark):
         len(agg),
         len(sca),
     ), "docs/FUNCTIONS.md is stale — run python scripts/gen_functions_md.py"
+    # README quotes the same total in two places; gate those too
+    readme = open("/root/repo/README.md").read()
+    quoted = re.findall(r"(\d+) SQL functions", readme)
+    assert quoted and all(
+        int(q) == len(agg) + len(sca) for q in quoted
+    ), f"README.md function counts stale: {quoted}"
