@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import compat
+
 from datasketches_spark.pipeline.text import tokens
 
 
@@ -54,7 +56,7 @@ def benchmark_ngrams(bench: DataFrame, text_col: str, n: int) -> DataFrame:
     expression onto one core while the cluster idles.  The extra
     shuffle moves only the eval text, never the training corpus.
     """
-    par = bench.sparkSession.sparkContext.defaultParallelism
+    par = compat.default_parallelism(bench.sparkSession)
     return (
         bench.repartition(par)
         .select(F.explode(word_ngrams(F.col(text_col), n)).alias("ng"))
@@ -90,13 +92,14 @@ def _fan_out_if_narrow(df: DataFrame) -> DataFrame:
     raw-text shuffle would be the real cost (cluster-scale behavior:
     with 1000 cores the per-core threshold alone would admit ~128 GB)."""
     spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    max_split = int(
-        str(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
-    )
-    plan_bytes = int(
-        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    )
+    par = compat.default_parallelism(spark)
+    max_split = compat.files_max_partition_bytes(spark)
+    plan_bytes = compat.plan_size_bytes(df)
+    if plan_bytes is None:
+        # planner stats unreachable (Spark Connect): never shuffle raw
+        # text on a guess — the fan-out is an optimization for SMALL
+        # scans, and skipping it is always correct
+        return df
     if plan_bytes < min(par * max_split, _FAN_OUT_BYTE_CAP):
         return df.repartition(par)
     return df

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import compat
+
 
 def detect_hot_keys(
     df: DataFrame,
@@ -63,8 +65,15 @@ def detect_hot_keys(
 
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for a frame (no job; same stats the
-    planner's broadcast decision reads)."""
-    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    planner's broadcast decision reads).  Raises under Spark Connect
+    (no planner-stat surface) — every caller treats the failure as
+    'size unknown' and takes its scale-safe branch."""
+    size = compat.plan_size_bytes(df)
+    if size is None:
+        raise RuntimeError(
+            "planner statistics unavailable (Spark Connect session)"
+        )
+    return size
 
 
 def skew_join(
@@ -94,14 +103,15 @@ def skew_join(
     if hot_keys is None:
         # auto mode only: an explicit hot_keys list forces the split
         # (callers use it to pin the plan; tests exercise it)
-        thr = int(
-            str(
-                left.sparkSession._jsparkSession.sessionState()
-                .conf()
-                .autoBroadcastJoinThreshold()
-            )
-        )
-        if 0 < thr and _plan_size_bytes(right) <= thr:
+        thr = compat.auto_broadcast_threshold(left.sparkSession)
+        try:
+            right_bytes = _plan_size_bytes(right)
+        except RuntimeError:
+            # stats unavailable (Connect): skip the broadcast
+            # fast-path check; the hot/cold split below is exact and
+            # scale-safe regardless of the right side's size
+            right_bytes = None
+        if right_bytes is not None and 0 < thr and right_bytes <= thr:
             return left.join(right, on, how)
         hot_keys = detect_hot_keys(
             left, on, max_hot=max_hot, min_share=min_share, seed=seed

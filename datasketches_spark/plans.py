@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import compat
+
 # pattern -> why it breaks at 100 TB
 RED_FLAGS: dict[str, str] = {
     "CartesianProduct": (
@@ -46,7 +48,7 @@ def scalability_report(df: DataFrame) -> dict:
     """Inspect the planned physical tree: returns ``{"flags": [...],
     "info": [...], "num_exchanges": N, "plan": <string>}``.  Each flag
     is ``{"pattern": ..., "advice": ...}``."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = compat.physical_plan_string(df)
     flags, info = [], []
     for pattern, advice in RED_FLAGS.items():
         if pattern in plan:

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+from . import compat
 from .aggregation import sketch_agg
 from .sketches import BloomFilterSketch
 
@@ -68,8 +69,10 @@ def bloom_filter_blob(
         # one partial per INPUT PARTITION (not per core): gate on the
         # actual scan partition count so the collect stays bounded on
         # wide scans (getNumPartitions plans but runs no job)
-        parts = df.rdd.getNumPartitions()
-        driver_merge = parts * (1 << lg_m) // 8 <= (64 << 20)
+        parts = compat.scan_partitions(df)
+        # unknown width (Spark Connect): the blob-only shuffle merge is
+        # bounded at any cluster width, so it is the safe default
+        driver_merge = parts is not None and parts * (1 << lg_m) // 8 <= (64 << 20)
     if not driver_merge:
         return bloom_filter_of(df, key_col, lg_m=lg_m).collect()[0]["sketch"]
     rows = sketch_partial(df, key_col, "bloom", k=lg_m).collect()
@@ -96,7 +99,7 @@ def bloom_prune_with(
     dropped either way.
     """
     key = fact_key if isinstance(fact_key, Column) else F.col(fact_key)
-    bc = fact.sparkSession.sparkContext.broadcast(bytes(blob))
+    bc = compat.broadcast_value(fact.sparkSession, bytes(blob))
     holder: list[BloomFilterSketch] = []
 
     @pandas_udf("boolean")
@@ -147,8 +150,8 @@ def bloomfilter_blob(
 
     partial = df.select(key_col).mapInPandas(build, "sketch binary")
     if driver_merge is None:
-        parts = df.rdd.getNumPartitions()
-        driver_merge = parts * num_bits // 8 <= (64 << 20)
+        parts = compat.scan_partitions(df)
+        driver_merge = parts is not None and parts * num_bits // 8 <= (64 << 20)
     if not driver_merge:
         # blob-only shuffle merge; the empty accumulator adopts the
         # partials' geometry on the first union
@@ -174,7 +177,7 @@ def bloomfilter_prune_with(
     from .sketches import ApacheBloomFilter  # noqa: PLC0415
 
     key = fact_key if isinstance(fact_key, Column) else F.col(fact_key)
-    bc = fact.sparkSession.sparkContext.broadcast(bytes(blob))
+    bc = compat.broadcast_value(fact.sparkSession, bytes(blob))
     holder: list = []
 
     @pandas_udf("boolean")
@@ -302,6 +305,12 @@ def jvm_bloom_filter_bytes(
     the JVM in one job (no Python, no Arrow).  ``2^lg_m`` bits;
     expectedNumItems is back-derived so java picks ``num_hashes``
     hash functions (k = round(numBits/n * ln 2))."""
+    if not compat.has_jvm(df):
+        raise RuntimeError(
+            "engine='jvm' needs a classic py4j session "
+            "(DataFrameStatFunctions.bloomFilter is Scala-only); use "
+            "engine='python' or 'apache' under Spark Connect"
+        )
     num_bits = 1 << lg_m
     expected = max(1, int(round(num_bits * math.log(2) / num_hashes)))
     jbf = df._jdf.stat().bloomFilter(key_col, expected, num_bits)
@@ -316,7 +325,7 @@ def jvm_bloom_prune_with(
 ) -> DataFrame:
     """Filter ``fact`` by Spark BloomFilter bytes (integral keys)."""
     key = fact_key if isinstance(fact_key, Column) else F.col(fact_key)
-    bc = fact.sparkSession.sparkContext.broadcast(bytes(blob))
+    bc = compat.broadcast_value(fact.sparkSession, bytes(blob))
     holder: list[SparkBloomFilter] = []
 
     @pandas_udf("boolean")
@@ -364,7 +373,11 @@ def bloom_prune(
         raise ValueError(f"engine ({engine!r}) must be auto/jvm/python/apache")
     if engine == "auto":
         dim_type = dim.schema[dim_key].dataType
-        engine = "jvm" if isinstance(dim_type, _INTEGRAL) else "python"
+        engine = (
+            "jvm"
+            if isinstance(dim_type, _INTEGRAL) and compat.has_jvm(dim)
+            else "python"
+        )
     if engine == "jvm":
         blob = jvm_bloom_filter_bytes(dim, dim_key, lg_m=lg_m)
         return jvm_bloom_prune_with(fact, fact_key, blob)

@@ -50,14 +50,14 @@ class SketchStore:
     def exists(self, spark: SparkSession) -> bool:
         # Hadoop FS probe instead of spark.read.parquet(path): works
         # for any scheme and does not make the JVM log a spurious
-        # FileNotFoundException stack trace on the first micro-batch
-        try:
-            jvm = spark._jvm
-            p = jvm.org.apache.hadoop.fs.Path(self.path)
-            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-            return bool(fs.exists(p))
-        except Exception:  # noqa: BLE001 -- unreachable filesystem
-            return False
+        # FileNotFoundException stack trace on the first micro-batch.
+        # Under Spark Connect compat falls back to an OS check for
+        # local paths / a read probe for remote schemes — returning a
+        # WRONG False here would silently overwrite accumulated state,
+        # so the fallback must actually probe, never default.
+        from . import compat
+
+        return compat.fs_path_exists(spark, self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)

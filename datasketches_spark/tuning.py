@@ -80,10 +80,18 @@ def plan_bytes(df) -> int:
     the per-query input to :func:`scale_confs` (same statistic the
     engine's broadcast/fan-out gates key on; see
     pipeline/decontam.py's plan-bytes gate for why row/partition
-    counts lie and bytes don't)."""
-    return int(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
+    counts lie and bytes don't).  Raises under Spark Connect (no
+    planner-stat surface) — pass ``data_bytes`` to
+    :func:`scale_confs` directly there (e.g. summed file sizes)."""
+    from . import compat
+
+    size = compat.plan_size_bytes(df)
+    if size is None:
+        raise RuntimeError(
+            "planner statistics unavailable (Spark Connect session); "
+            "pass scale_confs(data_bytes=...) explicitly"
+        )
+    return size
 
 
 def scale_confs(
