@@ -240,6 +240,38 @@ class TestFrequentItemsBands:
         assert sk.epsilon == pytest.approx(0.00341796875, rel=0.5)
 
 
+def _grid_cells():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "accuracy_grid.py",
+    )
+    spec = importlib.util.spec_from_file_location("accuracy_grid", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.CELLS
+
+
+class TestAccuracyGrid:
+    """The committed sf1-scale grid (docs/BASELINE_LOCAL.md 'Estimation-
+    mode accuracy grid'): every family x k cell must sit inside its
+    contracted band, same fixed seeds as the committed table.  One
+    source of truth: scripts/accuracy_grid.py defines the cells, this
+    asserts them, the script prints the table."""
+
+    @pytest.mark.parametrize(
+        "family,params,fn",
+        _grid_cells(),
+        ids=[f"{f}-{p}" for f, p, _ in _grid_cells()],
+    )
+    def test_cell_within_contract(self, family, params, fn):
+        observed, band, note = fn()
+        assert observed <= band, (family, params, observed, band, note)
+
+
 class TestTupleAodAccuracy:
     """Estimation-mode bands for the ArrayOfDoubles tuple family: the
     key estimator is the theta/KMV estimator (same RSE ~ 1/sqrt(k));
