@@ -3871,22 +3871,26 @@ def oracle_sql() -> dict[str, str]:
             " FROM orders GROUP BY o_orderpriority"
         ),
         "theta_jaccard_bounds_exact": """
-            WITH j AS (SELECT round(
+            WITH c AS (SELECT
               (SELECT count(*) FROM (
                 SELECT o_custkey FROM orders WHERE o_orderstatus='F'
                 INTERSECT
-                SELECT o_custkey FROM orders WHERE o_orderstatus='O'))::DOUBLE
-              /
+                SELECT o_custkey FROM orders WHERE o_orderstatus='O')) AS i,
               (SELECT count(*) FROM (
                 SELECT o_custkey FROM orders WHERE o_orderstatus='F'
                 UNION
-                SELECT o_custkey FROM orders WHERE o_orderstatus='O'))::DOUBLE,
-            6) AS v)
-            SELECT v AS lb, v AS est, v AS ub,
-                   FALSE AS eq,
-                   (v >= 0.01) AS sim,
-                   (v <= 0.99) AS dis
-            FROM j
+                SELECT o_custkey FROM orders WHERE o_orderstatus='O')) AS u)
+            SELECT round(i::DOUBLE / u, 6) AS lb,
+                   round(i::DOUBLE / u, 6) AS est,
+                   round(i::DOUBLE / u, 6) AS ub,
+                   -- exact mode: exactly_equal <=> identical key sets
+                   (i = u) AS eq,
+                   -- java similarity/dissimilarity tests degenerate to
+                   -- threshold comparisons on the exact jaccard here;
+                   -- deriving them from i/u keeps the pair SF-proof
+                   (i::DOUBLE / u >= 0.01) AS sim,
+                   (i::DOUBLE / u <= 0.99) AS dis
+            FROM c
         """,
         "theta_jaccard_statuses": """
             SELECT round(

@@ -302,7 +302,7 @@ class ApacheBloomFilter:
         )
 
     @classmethod
-    def from_wire(cls, blob: bytes) -> "ApacheBloomFilter":
+    def from_wire(cls, blob: bytes, validate: bool = False) -> "ApacheBloomFilter":
         err = SketchDeserializeError("Failed to deserialize Bloom filter sketch")
         if not isinstance(blob, (bytes, bytearray)) or len(blob) < 24:
             raise err
@@ -328,11 +328,13 @@ class ApacheBloomFilter:
         # java readers trust a non-negative stored count as-is and only
         # recount on the -1 dirty marker; match that (no eager popcount
         # on the deserialize hot path — a stale count behaves exactly as
-        # it would in java until the next mutation marks it dirty)
-        if bits_set >= 0:
+        # it would in java until the next mutation marks it dirty).
+        # ``validate=True`` opts untrusted blobs into an eager recount
+        # so a corrupted stored count can't propagate via num_bits_set.
+        if bits_set >= 0 and not validate:
             sk._count = int(bits_set)
             sk._dirty = False
-        else:  # java "dirty" marker: recount lazily
+        else:  # java "dirty" marker (or caller-requested validation)
             sk._dirty = True
         return sk
 

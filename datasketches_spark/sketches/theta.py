@@ -31,6 +31,9 @@ from ..murmur import DEFAULT_SEED_HASH, theta_hash_values
 from .base import FAMILY_THETA, SketchDeserializeError, frame, is_framed, unframe
 
 DEFAULT_LG_K = 12
+# constructor bound AND the reachability guarantee for jaccard_bounds'
+# 2^26 union clamp (see the assert there before bumping this)
+MAX_LG_K = 26
 
 _FLAG_EMPTY = 1
 
@@ -53,7 +56,7 @@ class ThetaSketch:
     __slots__ = ("lg_k", "theta", "hashes", "_pending", "_pending_n")
 
     def __init__(self, lg_k: int = DEFAULT_LG_K):
-        if not (4 <= lg_k <= 26):
+        if not (4 <= lg_k <= MAX_LG_K):
             raise ValueError(f"Invalid lg_k for theta sketch: {lg_k}")
         self.lg_k = lg_k
         self.theta = MAX_HASH  # exclusive threshold; MAX_HASH == "theta = 1.0"
@@ -332,7 +335,15 @@ def jaccard_bounds(a: ThetaSketch, b: ThetaSketch) -> tuple[float, float, float]
     th = np.uint64(theta_u)
     uh = np.unique(np.concatenate([a.hashes, b.hashes]))
     uh = uh[uh < th]
-    if uh.size > (1 << 26):  # java's union nominal clamp
+    # java's union nominal clamp at 2^26: slicing the SORTED-unique
+    # array to the 2^26 smallest with theta = the (2^26+1)-th IS java's
+    # QuickSelect purge at the cap, and below the cap java never purges
+    # either (retained <= ceilPow2(cA+cB) = the nominal, by
+    # construction).  The paths could only diverge if a single sketch
+    # retained more than 2^26 — MAX_LG_K pins that impossible; a future
+    # lg_k bump past 26 must revisit this clamp (guarded below).
+    assert (1 << MAX_LG_K) <= (1 << 26), "raise the union clamp with MAX_LG_K"
+    if uh.size > (1 << 26):
         theta_u = int(uh[1 << 26])
         uh = uh[: 1 << 26]
         th = np.uint64(theta_u)

@@ -251,6 +251,11 @@ def test_corruption_rejected():
     assert rt.num_bits_set == 5 and not rt._dirty
     rt.update_series(pd.Series([12345], dtype=np.int64))  # mutation re-dirties
     assert rt.num_bits_set > 30  # real popcount after the dirty recount
+    # validate=True opts untrusted blobs into an eager recount: the
+    # tampered count never surfaces (r12 ADVICE item)
+    true_count = ApacheBloomFilter.from_wire(bytes(w)).num_bits_set
+    vt = ApacheBloomFilter.from_wire(bytes(stale), validate=True)
+    assert vt.num_bits_set == true_count != 5
 
 
 def test_nan_skip_documented_deviation():
