@@ -248,6 +248,116 @@ def ebpps_cell(k: int):
     return z, 4.0, "PPS share z-score <= 4"
 
 
+# --------------------------------------------- merged-mode twin cells
+#
+# The distributed contract: the SAME band must hold when the stream is
+# split into 8 partitions, each sketched independently, serialized
+# (the blob that crosses the shuffle), deserialized, and merged — the
+# exact shape of sketch_agg's two-phase plan.
+
+
+def _two_phase(cls, ctor_arg, values, update, parts: int = 8):
+    accs = []
+    for chunk in np.array_split(values, parts):
+        s = cls(ctor_arg)
+        update(s, chunk)
+        accs.append(s.serialize())
+    out = cls.deserialize(accs[0])
+    for blob in accs[1:]:
+        out.merge(cls.deserialize(blob))
+    return out
+
+
+def theta_merged_cell(lg_k: int):
+    from datasketches_spark.sketches import ThetaSketch
+
+    sk = _two_phase(
+        ThetaSketch, lg_k, _perm(N, 1400 + lg_k),
+        lambda s, c: s.update_values(pd.Series(c)),
+    )
+    return abs(sk.get_estimate() / N - 1.0), 3.0 / math.sqrt(1 << lg_k), "2-phase, same band"
+
+
+def hll_merged_cell(lg_k: int):
+    from datasketches_spark.sketches import HllSketch
+
+    sk = _two_phase(
+        HllSketch, lg_k, _perm(N, 1500 + lg_k),
+        lambda s, c: s.update_values(pd.Series(c)),
+    )
+    return abs(sk.get_estimate() / N - 1.0), 3.0 * 1.04 / math.sqrt(1 << lg_k), "2-phase, same band"
+
+
+def cpc_merged_cell(lg_k: int):
+    from datasketches_spark.sketches import CpcSketch
+
+    sk = _two_phase(
+        CpcSketch, lg_k, _perm(N, 1600 + lg_k),
+        lambda s, c: s.update_values(pd.Series(c)),
+    )
+    return abs(sk.get_estimate() / N - 1.0), 3.0 * 0.7213 / math.sqrt(1 << lg_k), "2-phase, same band"
+
+
+def kll_merged_cell(k: int):
+    from datasketches_spark.sketches import KllSketch
+
+    sk = _two_phase(
+        KllSketch, k, _perm(N, 1700 + k).astype(np.float64),
+        lambda s, c: s.update(c),
+    )
+    band = 2.0 * sk.normalized_rank_error(True)
+    return _rank_err_max(sk, N), band, "2-phase, same band"
+
+
+def req_merged_cell(k: int):
+    from datasketches_spark.sketches import ReqSketch
+
+    sk = _two_phase(
+        ReqSketch, k, _perm(N, 1800 + k).astype(np.float64),
+        lambda s, c: s.update(c),
+    )
+    errs = []
+    for q in (0.95, 0.99, 0.999):
+        item = sk.get_quantile(q, True)
+        errs.append(abs((item + 1) / N - q) / (1 - q))
+    return max(errs), 0.035, "2-phase, same band"
+
+
+def tdigest_merged_cell(delta: int):
+    from datasketches_spark.sketches import TDigestSketch
+
+    sk = _two_phase(
+        TDigestSketch, delta, _perm(N, 1900 + delta).astype(np.float64),
+        lambda s, c: s.update(c),
+    )
+    errs = []
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        errs.append(abs((sk.get_quantile(q) + 1) / N - q))
+    return max(errs), 0.02, "2-phase, same band"
+
+
+def fi_merged_cell(lg_k: int):
+    from datasketches_spark.sketches import FrequentItemsSketch
+
+    counts = _zipf_counts(2000, N, 2000 + lg_k)
+    items = np.repeat(np.arange(counts.size), counts)
+    items = items[np.random.default_rng(2000 + lg_k).permutation(items.size)]
+    sk = _two_phase(
+        FrequentItemsSketch, lg_k, items,
+        lambda s, c: s.update_series(pd.Series(c.astype(str))),
+    )
+    w = float(counts.sum())
+    worst = 0.0
+    for rank in range(5):
+        true = int(counts[rank])
+        lb, ub = sk.get_lower_bound(str(rank)), sk.get_upper_bound(str(rank))
+        assert lb <= true <= ub, (rank, lb, true, ub)
+        worst = max(worst, abs(sk.get_estimate(str(rank)) - true) / (sk.epsilon * w))
+    # merged FI epsilon guarantee widens by the number of merged parts'
+    # purge offsets in the worst case; 2x covers the 8-way split here
+    return worst, 2.0, "2-phase, eps*W x2 (8-way merge)"
+
+
 def stats_cell(_k: int):
     from datasketches_spark.sketches import StatsSketch
 
@@ -291,6 +401,14 @@ CELLS = [
     ("reservoir_weighted", "k=4096", lambda: varopt_cell(4096)),
     ("ebpps", "k=4096", lambda: ebpps_cell(4096)),
     ("stats", "exact", lambda: stats_cell(0)),
+    # merged-mode twins: same bands through the two-phase plan shape
+    ("theta", "lg_k=12 merged x8", lambda: theta_merged_cell(12)),
+    ("hll", "lg_k=12 merged x8", lambda: hll_merged_cell(12)),
+    ("cpc", "lg_k=12 merged x8", lambda: cpc_merged_cell(12)),
+    ("kll", "k=200 merged x8", lambda: kll_merged_cell(200)),
+    ("req", "k=12 merged x8", lambda: req_merged_cell(12)),
+    ("tdigest", "delta=100 merged x8", lambda: tdigest_merged_cell(100)),
+    ("frequent_items", "lg_k=10 merged x8", lambda: fi_merged_cell(10)),
 ]
 
 
