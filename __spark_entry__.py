@@ -926,10 +926,9 @@ def q_minhash_near_dups_sigtable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_spark.pipeline import dedup as D
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"dsks_sigtable_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    # per-process temp dir: a fixed shared path would race concurrent
+    # harness runs (overwrite-while-reading) and collide across users
+    path = os.path.join(tempfile.mkdtemp(prefix="dsks_sigtable_"), "sigs")
     D.write_minhash_signatures(docs, "doc_id", "text", path, buckets=8)
     pairs = D.lsh_verified_near_duplicates(
         docs, "doc_id", "text", threshold=0.8, signatures=path

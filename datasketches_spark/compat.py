@@ -55,6 +55,7 @@ _SIZE_UNITS = {
     "m": 1 << 20, "mb": 1 << 20,
     "g": 1 << 30, "gb": 1 << 30,
     "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
 }
 
 
@@ -71,11 +72,15 @@ def parse_size_bytes(value: "str | int") -> int:
 
 def conf_size_bytes(spark: SparkSession, key: str, default: int) -> int:
     """A size-valued session conf in bytes, via the public conf API
-    (works on classic AND Connect — no sessionState reflection)."""
+    (works on classic AND Connect — no sessionState reflection).
+    ``default`` covers only an ABSENT/unreadable conf; a present but
+    unparseable value raises (silently substituting the default would
+    run broadcast/fan-out gates against a wrong threshold)."""
     try:
-        return parse_size_bytes(spark.conf.get(key))
+        raw = spark.conf.get(key)
     except Exception:
         return default
+    return parse_size_bytes(raw)
 
 
 def auto_broadcast_threshold(spark: SparkSession) -> int:
@@ -152,14 +157,15 @@ def fs_path_exists(spark: SparkSession, path: str) -> bool:
     Classic probes the Hadoop FileSystem directly (no spurious JVM
     FileNotFoundException logging — see streaming.SketchStore).  Under
     Connect: local/file: paths check the OS; remote schemes fall back
-    to a spark.read schema probe (AnalysisException <=> absent)."""
-    try:
+    to a spark.read schema probe.  The probe maps ONLY
+    missing-path errors to False — a transient credential/network
+    failure must RAISE, never read as 'absent' (SketchStore.absorb
+    would otherwise overwrite accumulated state on a wrong False)."""
+    if has_jvm(spark):
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         return bool(fs.exists(p))
-    except Exception:
-        pass
     scheme, sep, rest = path.partition("://")
     if not sep:
         return os.path.exists(path)
@@ -168,5 +174,10 @@ def fs_path_exists(spark: SparkSession, path: str) -> bool:
     try:
         spark.read.format("parquet").load(path).schema
         return True
-    except Exception:
-        return False
+    except Exception as e:  # noqa: BLE001 — classified below
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return False
+        if "UNABLE_TO_INFER_SCHEMA" in msg:  # exists, just empty/unreadable
+            return True
+        raise

@@ -20,6 +20,7 @@ All randomness is seeded -> deterministic results run-to-run.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import numpy as np
@@ -323,11 +324,12 @@ def write_minhash_signatures(
     built from (signature-only verification trusts the table's ids).
     Returns ``path``.
     """
-    sigs = (
-        minhash_signatures_jvm(df, id_col, text_col, num_hashes, shingle)
-        if engine == "jvm"
-        else minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
-    )
+    if engine == "jvm":  # note: the jvm hash family has no seed knob
+        sigs = minhash_signatures_jvm(df, id_col, text_col, num_hashes, shingle)
+    elif engine == "pandas":
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
+    else:
+        raise ValueError(f"unknown engine: {engine!r} (want 'jvm' or 'pandas')")
     sigs = sigs.repartition(buckets, F.col(id_col))
     if table is not None:
         (
@@ -342,10 +344,17 @@ def write_minhash_signatures(
     return path
 
 
+_TABLE_NAME_RE = re.compile(r"^\w+(\.\w+){0,2}$")
+
+
 def read_minhash_signatures(spark: SparkSession, source: str) -> DataFrame:
-    """Load a stored signature table: a path (contains ``/``) is read
-    as parquet, anything else as a catalog table name."""
-    return spark.read.parquet(source) if "/" in source else spark.table(source)
+    """Load a stored signature table: a catalog identifier
+    (``name``, ``db.name``, ``catalog.db.name``) reads via
+    ``spark.table``; anything else — including relative paths like
+    ``sigs.parquet`` — reads as parquet."""
+    if _TABLE_NAME_RE.match(source) and not source.endswith(".parquet"):
+        return spark.table(source)
+    return spark.read.parquet(source)
 
 
 def _resolve_signatures(
@@ -354,6 +363,11 @@ def _resolve_signatures(
     if isinstance(signatures, DataFrame):
         return signatures
     spark = df.sparkSession if df is not None else SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "signatures= given as a path/table name but no DataFrame and "
+            "no active SparkSession to read it with"
+        )
     return read_minhash_signatures(spark, signatures)
 
 
@@ -437,6 +451,11 @@ def lsh_verified_near_duplicates(
     ``num_hashes``/``shingle``/``seed``/``engine`` are then ignored
     (the table fixes them); build it from the same document slice.
     """
+    # cand-persist stays governed by the caller's persist flag even on
+    # the table route: the filtered candidate set feeds THREE branches,
+    # and without caching the bucket self-join + pre-filter over the
+    # full signature table would re-execute per branch at 100 TB
+    persist_cand = persist
     if signatures is not None:
         sigs = _resolve_signatures(signatures, df)
         persist = False  # the stored table IS the materialization
@@ -492,7 +511,7 @@ def lsh_verified_near_duplicates(
             )
             .select("id_a", "id_b")
         )
-        if persist:
+        if persist_cand:
             # the filtered candidate set feeds three branches (the
             # id-prune + both verify joins); it is tiny by
             # construction, so caching it is cheap

@@ -32,8 +32,11 @@ from .base import FAMILY_THETA, SketchDeserializeError, frame, is_framed, unfram
 
 DEFAULT_LG_K = 12
 # constructor bound AND the reachability guarantee for jaccard_bounds'
-# 2^26 union clamp (see the assert there before bumping this)
+# 2^26 union clamp — the import-time check below (not a strippable
+# per-call assert) forces whoever bumps this to revisit that clamp
 MAX_LG_K = 26
+if (1 << MAX_LG_K) > (1 << 26):  # pragma: no cover
+    raise AssertionError("raise jaccard_bounds' union clamp with MAX_LG_K")
 
 _FLAG_EMPTY = 1
 
@@ -340,9 +343,8 @@ def jaccard_bounds(a: ThetaSketch, b: ThetaSketch) -> tuple[float, float, float]
     # QuickSelect purge at the cap, and below the cap java never purges
     # either (retained <= ceilPow2(cA+cB) = the nominal, by
     # construction).  The paths could only diverge if a single sketch
-    # retained more than 2^26 — MAX_LG_K pins that impossible; a future
-    # lg_k bump past 26 must revisit this clamp (guarded below).
-    assert (1 << MAX_LG_K) <= (1 << 26), "raise the union clamp with MAX_LG_K"
+    # retained more than 2^26 — MAX_LG_K pins that impossible (checked
+    # at import time next to its definition, survives python -O).
     if uh.size > (1 << 26):
         theta_u = int(uh[1 << 26])
         uh = uh[: 1 << 26]

@@ -5,6 +5,8 @@ is the equivalent blanket guarantee for our 90-function registry --
 any function that cannot execute end-to-end fails here by name.
 """
 
+import os
+
 import pytest
 
 import datasketches_spark as dss
@@ -249,7 +251,8 @@ def test_functions_md_counts_match_registry(spark):
 
     agg = dss.build_aggregate_registry()
     sca = dss.build_scalar_registry()
-    text = open("/root/repo/docs/FUNCTIONS.md").read()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(repo, "docs", "FUNCTIONS.md")).read()
     m = re.search(
         r"\*\*Total: (\d+) registered functions\*\* "
         r"\((\d+) aggregates, (\d+) scalars\)",
@@ -262,7 +265,7 @@ def test_functions_md_counts_match_registry(spark):
         len(sca),
     ), "docs/FUNCTIONS.md is stale — run python scripts/gen_functions_md.py"
     # README quotes the same total in two places; gate those too
-    readme = open("/root/repo/README.md").read()
+    readme = open(os.path.join(repo, "README.md")).read()
     quoted = re.findall(r"(\d+) SQL functions", readme)
     assert quoted and all(
         int(q) == len(agg) + len(sca) for q in quoted

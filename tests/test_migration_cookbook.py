@@ -32,6 +32,12 @@ def _blocks():
 def _statements(block: str):
     """Split on top-level semicolons (cookbook SQL never embeds ';'
     in literals — enforced here by refusing quoted semicolons)."""
+    # odd-index segments of a quote-split are INSIDE string literals
+    if any(";" in seg for seg in block.split("'")[1::2]):
+        raise AssertionError(
+            "cookbook block embeds ';' inside a string literal — the "
+            "splitter can't handle that; rewrite the snippet"
+        )
     for raw in block.split(";"):
         stmt = raw.strip()
         if stmt:
