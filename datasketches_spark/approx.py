@@ -349,14 +349,20 @@ def near_duplicates(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
+    signatures: "DataFrame | str | None" = None,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) near-duplicate text pairs via
     MinHash + LSH banding: candidate pairs come from a band-key
     equi-join (never an O(n^2) cross product), verified against the
-    cached signatures.  See pipeline/dedup.py for the knobs."""
+    cached signatures.  At corpus scale, write the signatures once
+    with :func:`datasketches_spark.pipeline.dedup.write_minhash_signatures`
+    and pass ``signatures=`` that table — the plan then runs pure-JVM
+    over stored parquet.  See pipeline/dedup.py for the knobs."""
     from .pipeline import dedup as _dedup
 
-    return _dedup.minhash_near_duplicates(df, id_col, text_col, threshold=threshold)
+    return _dedup.minhash_near_duplicates(
+        df, id_col, text_col, threshold=threshold, signatures=signatures
+    )
 
 
 def neighbors(

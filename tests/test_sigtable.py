@@ -72,6 +72,18 @@ class TestRouteEquality:
         spark.catalog.clearCache()
         assert a == b
 
+    def test_approx_facade_passthrough(self, spark, sig_path):
+        import datasketches_spark as dss
+
+        direct = dss.approx.near_duplicates(_docs(spark), "doc_id", "text")
+        via = dss.approx.near_duplicates(
+            None, "doc_id", "text", signatures=sig_path
+        )
+        a = {(r.id_a, r.id_b) for r in direct.collect()}
+        b = {(r.id_a, r.id_b) for r in via.collect()}
+        spark.catalog.clearCache()
+        assert a == b
+
     def test_stored_signatures_match_live(self, spark, sig_path):
         live = {
             r.doc_id: tuple(r.sig) if r.sig is not None else None
