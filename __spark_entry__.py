@@ -999,6 +999,33 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with a full-corpus re-rank shortlist:
+    the whole PQ machinery executes — driver-side per-block k-means
+    training, map-only uint8 encoding, the ADC LUT-gather scoring
+    pass, the shortlist window, and the exact re-rank joins — and with
+    the shortlist covering the corpus the exact re-rank provably
+    reproduces brute-force top-5, so the pipeline hash-matches the
+    same oracle as ann_topk.  The SCALE configuration (bounded
+    shortlist over compressed m-bytes/vector codes) is recall-gated in
+    tests/test_scalepath_properties.py + BASELINE_LOCAL.md "PQ
+    recall"."""
+    from datasketches_spark.pipeline import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cb = S.pq_train(emb, m=8, nbits=6, seed=31)
+    codes = S.pq_encode(emb, cb)
+    out = S.pq_topk(codes, queries, cb, k=5, rerank=1_000_000, embeddings=emb)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rnk")
+    )
+
+
 def q_word_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-set (unigram) Jaccard of consecutive doc pairs — pure JVM
     array expressions (split/array_intersect), no Python in the plan."""
@@ -3328,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
         "ann_topk": q_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "pq_ann_topk": q_pq_ann_topk,
         "doc_token_counts": q_doc_token_counts,
         "customer_redaction": q_customer_redaction,
         "decontam_overlap": q_decontam_overlap,
@@ -4424,6 +4452,9 @@ def oracle_sql() -> dict[str, str]:
     # result exactly (same stored signatures, same exact verify), so it
     # shares the brute-force all-pairs oracle verbatim
     out["minhash_near_dups_sigtable"] = out["minhash_near_dups"]
+    # PQ with a full-corpus re-rank shortlist provably equals brute
+    # force, so it shares the exact cosine top-k oracle
+    out["pq_ann_topk"] = out["ann_topk"]
     return out
 
 

@@ -333,6 +333,196 @@ def ivf_topk(
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# --------------------------------------------------- product quantization
+#
+# The third ANN path, for when even an IVF cell scan is too many bytes:
+# vectors are compressed to m uint8 codes (one per subvector block), so
+# the search scan reads m bytes/vector instead of 4*dim — 16-64x less
+# I/O at 100 TB — and scoring is an m-entry table gather instead of a
+# dim-length dot product (asymmetric distance computation, ADC).
+# Training is driver-side k-means per block on a bounded sample (the
+# ivf_build pattern); encoding is a map-only Arrow pass; search is the
+# brute_force_topk plan shape with the heavy per-pair math replaced by
+# LUT lookups and an optional exact re-rank of the ADC shortlist.
+
+
+def _kmeans_l2(sample: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic euclidean Lloyd iterations (driver-side)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(sample.shape[0], size=min(k, sample.shape[0]), replace=False)
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        d = -2.0 * sample @ cents.T + (cents**2).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        for c in range(cents.shape[0]):
+            members = sample[assign == c]
+            if members.shape[0]:
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 31,
+    sample_limit: int = 10_000,
+) -> np.ndarray:
+    """Train PQ codebooks: ndarray (m, 2^nbits, dim/m).
+
+    Vectors are L2-normalized before splitting into ``m`` equal
+    blocks, so ADC inner-product scores approximate COSINE similarity
+    (the convention every other operator here ranks by).  ``dim`` must
+    be divisible by ``m``.  Deterministic given the seed."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_limit).collect()],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    sn = _normalize_rows(sample)
+    dsub = dim // m
+    return np.stack(
+        [
+            _kmeans_l2(sn[:, b * dsub : (b + 1) * dsub], 1 << nbits, seed + b)
+            for b in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<smallint>[m]) — map-only Arrow pass; persist
+    the result as the compressed search table (m bytes of payload per
+    vector at nbits=8)."""
+    from pyspark.sql.types import ArrayType, ShortType  # noqa: PLC0415
+
+    m, _, dsub = codebooks.shape
+    cb = codebooks.copy()
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("codes", ArrayType(ShortType()), True),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize_rows(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            codes = np.empty((mat.shape[0], m), dtype=np.int16)
+            for b in range(m):
+                block = mat[:, b * dsub : (b + 1) * dsub]
+                d = -2.0 * block @ cb[b].T + (cb[b] ** 2).sum(axis=1)[None, :]
+                codes[:, b] = np.argmin(d, axis=1).astype(np.int16)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema=schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    rerank: int = 0,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes (ADC), optionally
+    exact-re-ranked.
+
+    Plan shape = :func:`brute_force_topk` (broadcast queries, stream
+    the corpus, WindowGroupLimit top-k) with two substitutions that
+    are the whole point at scale: the corpus side ships CODES (m
+    bytes/vector) instead of raw vectors, and the per-pair score is an
+    m-entry LUT gather (numpy take per Arrow batch, one LUT per
+    distinct query per batch) instead of a dim-length dot product.
+    Everything stays distributed — queries never visit the driver.
+
+    ``rerank > 0`` keeps the top ``rerank`` ADC candidates per query
+    and re-scores them exactly against ``embeddings`` (required then)
+    — the standard PQ + re-rank recipe; recall floors for both modes
+    are gated in tests/test_scalepath_properties.py."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    m, _, dsub = codebooks.shape
+    cb = codebooks.copy()
+
+    @pandas_udf("double")
+    def adc_score(qid: pd.Series, qvec: pd.Series, code_s: pd.Series) -> pd.Series:
+        if not len(qid):
+            return pd.Series([], dtype="float64")
+        codes_mat = np.array(code_s.tolist(), dtype=np.int64)
+        out = np.empty(len(qid), dtype=np.float64)
+        uniq, inv = np.unique(qid.to_numpy(), return_inverse=True)
+        for u in range(uniq.size):
+            rows = np.nonzero(inv == u)[0]
+            q = np.asarray(qvec.iloc[rows[0]], dtype=np.float64)
+            q = q / max(float(np.linalg.norm(q)), 1e-12)
+            # LUT[m, 2^nbits]: inner product of each query block with
+            # every codeword; score = sum of m gathers
+            lut = np.einsum(
+                "bd,bkd->bk", q.reshape(m, dsub), cb
+            )
+            out[rows] = lut[np.arange(m)[None, :], codes_mat[rows]].sum(axis=1)
+        return pd.Series(out)
+
+    pairs = codes.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        adc_score(F.col(query_id_col), F.col(query_vec_col), F.col("codes")).alias(
+            "adc_sim"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id")
+    )
+    shortlist = k if rerank <= 0 else max(rerank, k)
+    top = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= shortlist
+    )
+    if rerank <= 0:
+        return top
+    if embeddings is None:
+        raise ValueError("rerank > 0 needs the raw `embeddings` DataFrame")
+    exact = (
+        top.select(query_id_col, "neighbor_id")
+        .join(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(queries), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_cosine_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -175,4 +175,20 @@ def test_ann_recall_floor_ivf_and_lsh(spark):
         similarity.lsh_topk(emb, queries, dim=dim, k=k, n_bits=6, seed=13)
     )
     assert r_lsh >= 0.3, r_lsh
-    emb.unpersist(); queries.unpersist(); assigned.unpersist()
+    # PQ (r13).  Tight clusters are PQ's WORST ranking case: ~200
+    # same-cluster vectors collapse to identical codes, so pure ADC
+    # cannot order within a cluster (measured 0.117 here — matches a
+    # pure-numpy replica exactly; grid in BASELINE_LOCAL.md "PQ
+    # recall").  The shippable recipe is ADC + exact re-rank with a
+    # shortlist that covers the code-collision set: rerank=200 →
+    # measured 0.987 on this geometry; floor at 0.95.
+    cb = similarity.pq_train(emb, m=8, nbits=6, seed=7, sample_limit=20_000)
+    codes = similarity.pq_encode(emb, cb).persist()
+    r_adc = recall(similarity.pq_topk(codes, queries, cb, k=k))
+    assert r_adc >= 0.10, r_adc  # quantization-collapse worst case
+    r_rr = recall(
+        similarity.pq_topk(codes, queries, cb, k=k, rerank=200, embeddings=emb)
+    )
+    assert r_rr >= 0.95, r_rr
+    assert r_rr >= r_adc  # re-rank can only help on this metric
+    emb.unpersist(); queries.unpersist(); assigned.unpersist(); codes.unpersist()
