@@ -1026,6 +1026,34 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the billion-scale composition: cell pruning + m-byte
+    ADC codes) in its provably-exact configuration — full probing +
+    corpus-covering re-rank shortlist reproduces brute-force top-5,
+    hash-matched against the ann_topk oracle.  The scale
+    configuration (partial probes, bounded shortlist) is recall-gated
+    in tests/test_scalepath_properties.py."""
+    from datasketches_spark.pipeline import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned, cents = S.ivf_build(emb, n_centroids=8, seed=29)
+    cb = S.pq_train(emb, m=8, nbits=6, seed=31)
+    codes = S.pq_encode(emb, cb)
+    assigned_codes = assigned.select("vec_id", "centroid_id").join(codes, "vec_id")
+    out = S.ivfpq_topk(
+        assigned_codes, cents, cb, queries,
+        k=5, n_probes=8, rerank=1_000_000, embeddings=emb,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rnk")
+    )
+
+
 def q_word_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-set (unigram) Jaccard of consecutive doc pairs — pure JVM
     array expressions (split/array_intersect), no Python in the plan."""
@@ -3356,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "pq_ann_topk": q_pq_ann_topk,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "doc_token_counts": q_doc_token_counts,
         "customer_redaction": q_customer_redaction,
         "decontam_overlap": q_decontam_overlap,
@@ -4455,6 +4484,7 @@ def oracle_sql() -> dict[str, str]:
     # PQ with a full-corpus re-rank shortlist provably equals brute
     # force, so it shares the exact cosine top-k oracle
     out["pq_ann_topk"] = out["ann_topk"]
+    out["ivfpq_ann_topk"] = out["ann_topk"]
     return out
 
 

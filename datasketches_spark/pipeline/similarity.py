@@ -260,31 +260,17 @@ def load_ivf_index(spark, path: str):
     return assigned, cents
 
 
-def ivf_topk(
-    assigned: DataFrame,
-    centroids: np.ndarray,
+def _probe_cells(
     queries: DataFrame,
-    k: int = 10,
-    n_probes: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "query_vec",
-    broadcast_queries: bool = True,
+    centroids: np.ndarray,
+    n_probes: int,
+    query_id_col: str,
+    query_vec_col: str,
 ) -> DataFrame:
-    """IVF search: per query, scan only the ``n_probes`` nearest
-    centroid cells (a pushed-down IN filter -> partition pruning when
-    the index is stored partitioned by centroid_id), re-rank exactly.
-
-    Probe assignment is DISTRIBUTED: a ``mapInPandas`` over the query
-    DataFrame with the (tiny) normalized centroid matrix in the UDF
-    closure — the query set never visits the driver, so a
-    million-query DataFrame works the same as ten queries.  Leave
-    ``broadcast_queries`` on for interactive query sets (both joins
-    broadcast); set it False for a LARGE query DataFrame so the
-    candidate/query joins shuffle instead of broadcasting (AQE picks
-    the strategy) — nothing in the plan is driver-bound either way.
-    """
+    """(query_id, centroid_id) for each query's n_probes nearest
+    cells — DISTRIBUTED probe assignment (mapInPandas over the query
+    DataFrame, tiny normalized centroid matrix in the closure), so a
+    million-query DataFrame works the same as ten queries."""
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
@@ -315,9 +301,37 @@ def ivf_topk(
                 }
             )
 
-    probe_df = queries.select(query_id_col, query_vec_col).mapInPandas(
+    return queries.select(query_id_col, query_vec_col).mapInPandas(
         probe_assign, schema=probe_schema
     )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF search: per query, scan only the ``n_probes`` nearest
+    centroid cells (a pushed-down IN filter -> partition pruning when
+    the index is stored partitioned by centroid_id), re-rank exactly.
+
+    Probe assignment is DISTRIBUTED: a ``mapInPandas`` over the query
+    DataFrame with the (tiny) normalized centroid matrix in the UDF
+    closure — the query set never visits the driver, so a
+    million-query DataFrame works the same as ten queries.  Leave
+    ``broadcast_queries`` on for interactive query sets (both joins
+    broadcast); set it False for a LARGE query DataFrame so the
+    candidate/query joins shuffle instead of broadcasting (AQE picks
+    the strategy) — nothing in the plan is driver-bound either way.
+    """
+    probe_df = _probe_cells(queries, centroids, n_probes, query_id_col, query_vec_col)
     maybe_bcast = F.broadcast if broadcast_queries else (lambda d: d)
     cand = assigned.join(maybe_bcast(probe_df), "centroid_id").select(
         query_id_col, F.col(id_col).alias("neighbor_id"), vec_col
@@ -431,6 +445,65 @@ def pq_encode(
     return df.select(id_col, vec_col).mapInPandas(encode, schema=schema)
 
 
+def _adc_score_udf(codebooks: np.ndarray):
+    """Arrow-batched ADC scorer: (query_id, query_vec, codes) ->
+    approximate cosine.  One LUT per distinct query per batch (m x
+    2^nbits inner products), then an m-entry gather per row — the
+    per-pair cost that replaces a dim-length dot product."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    m, _, dsub = codebooks.shape
+    cb = codebooks.copy()
+
+    @pandas_udf("double")
+    def adc_score(qid: pd.Series, qvec: pd.Series, code_s: pd.Series) -> pd.Series:
+        if not len(qid):
+            return pd.Series([], dtype="float64")
+        codes_mat = np.array(code_s.tolist(), dtype=np.int64)
+        out = np.empty(len(qid), dtype=np.float64)
+        uniq, inv = np.unique(qid.to_numpy(), return_inverse=True)
+        for u in range(uniq.size):
+            rows = np.nonzero(inv == u)[0]
+            q = np.asarray(qvec.iloc[rows[0]], dtype=np.float64)
+            q = q / max(float(np.linalg.norm(q)), 1e-12)
+            lut = np.einsum("bd,bkd->bk", q.reshape(m, dsub), cb)
+            out[rows] = lut[np.arange(m)[None, :], codes_mat[rows]].sum(axis=1)
+        return pd.Series(out)
+
+    return adc_score
+
+
+def _exact_rerank(
+    shortlist_df: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    exact = (
+        shortlist_df.select(query_id_col, "neighbor_id")
+        .join(
+            embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+            "neighbor_id",
+        )
+        .join(F.broadcast(queries), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pq_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -458,30 +531,7 @@ def pq_topk(
     and re-scores them exactly against ``embeddings`` (required then)
     — the standard PQ + re-rank recipe; recall floors for both modes
     are gated in tests/test_scalepath_properties.py."""
-    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
-
-    m, _, dsub = codebooks.shape
-    cb = codebooks.copy()
-
-    @pandas_udf("double")
-    def adc_score(qid: pd.Series, qvec: pd.Series, code_s: pd.Series) -> pd.Series:
-        if not len(qid):
-            return pd.Series([], dtype="float64")
-        codes_mat = np.array(code_s.tolist(), dtype=np.int64)
-        out = np.empty(len(qid), dtype=np.float64)
-        uniq, inv = np.unique(qid.to_numpy(), return_inverse=True)
-        for u in range(uniq.size):
-            rows = np.nonzero(inv == u)[0]
-            q = np.asarray(qvec.iloc[rows[0]], dtype=np.float64)
-            q = q / max(float(np.linalg.norm(q)), 1e-12)
-            # LUT[m, 2^nbits]: inner product of each query block with
-            # every codeword; score = sum of m gathers
-            lut = np.einsum(
-                "bd,bkd->bk", q.reshape(m, dsub), cb
-            )
-            out[rows] = lut[np.arange(m)[None, :], codes_mat[rows]].sum(axis=1)
-        return pd.Series(out)
-
+    adc_score = _adc_score_udf(codebooks)
     pairs = codes.crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
@@ -500,26 +550,63 @@ def pq_topk(
         return top
     if embeddings is None:
         raise ValueError("rerank > 0 needs the raw `embeddings` DataFrame")
-    exact = (
-        top.select(query_id_col, "neighbor_id")
-        .join(
-            embeddings.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col)
-            ),
-            "neighbor_id",
-        )
-        .join(F.broadcast(queries), query_id_col)
-        .select(
-            query_id_col,
-            "neighbor_id",
-            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
-        )
+    return _exact_rerank(
+        top, embeddings, queries, k, id_col, vec_col, query_id_col, query_vec_col
     )
-    w2 = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
+
+
+def ivfpq_topk(
+    assigned_codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    rerank: int = 0,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the billion-scale composition — per query, scan only
+    the ``n_probes`` nearest cells (partition pruning when the code
+    table is stored partitioned by centroid_id) AND score those
+    candidates from m-byte PQ codes (ADC), optionally exact-re-ranking
+    the shortlist.  ``assigned_codes`` is (id, centroid_id, codes):
+    join :func:`ivf_build`'s assignment with :func:`pq_encode`'s
+    codes and persist that slim table — the raw vectors are touched
+    only by the optional re-rank.
+
+    With ``n_probes == n_centroids`` and a corpus-covering ``rerank``
+    this provably reproduces brute force (the oracle-gate
+    configuration, ivfpq_ann_topk); scale-config recall floors live in
+    tests/test_scalepath_properties.py."""
+    probe_df = _probe_cells(queries, centroids, n_probes, query_id_col, query_vec_col)
+    adc_score = _adc_score_udf(codebooks)
+    cand = assigned_codes.join(F.broadcast(probe_df), "centroid_id").select(
+        query_id_col, F.col(id_col).alias("neighbor_id"), "codes"
     )
-    return exact.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= k
+    pairs = cand.join(F.broadcast(queries), query_id_col).select(
+        query_id_col,
+        "neighbor_id",
+        adc_score(F.col(query_id_col), F.col(query_vec_col), F.col("codes")).alias(
+            "adc_sim"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id")
+    )
+    shortlist = k if rerank <= 0 else max(rerank, k)
+    top = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= shortlist
+    )
+    if rerank <= 0:
+        return top
+    if embeddings is None:
+        raise ValueError("rerank > 0 needs the raw `embeddings` DataFrame")
+    return _exact_rerank(
+        top, embeddings, queries, k, id_col, vec_col, query_id_col, query_vec_col
     )
 
 

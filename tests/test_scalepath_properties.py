@@ -191,4 +191,15 @@ def test_ann_recall_floor_ivf_and_lsh(spark):
     )
     assert r_rr >= 0.95, r_rr
     assert r_rr >= r_adc  # re-rank can only help on this metric
-    emb.unpersist(); queries.unpersist(); assigned.unpersist(); codes.unpersist()
+    # IVF-PQ (r13): cell pruning + ADC codes + exact re-rank; probing
+    # 8/64 cells bounds recall by IVF's own probe recall (0.9 floor),
+    # and the tight-cluster code collapse is absorbed by rerank=200
+    ac = assigned.select("vec_id", "centroid_id").join(codes, "vec_id").persist()
+    r_ivfpq = recall(
+        similarity.ivfpq_topk(
+            ac, cvecs, cb, queries, k=k, n_probes=8, rerank=200, embeddings=emb
+        )
+    )
+    assert r_ivfpq >= 0.85, r_ivfpq
+    emb.unpersist(); queries.unpersist(); assigned.unpersist()
+    codes.unpersist(); ac.unpersist()
