@@ -1054,6 +1054,23 @@ def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score: mean ln P(token) per doc
+    under the corpus's own unigram distribution (exact engine — the
+    SQL-expressible twin of the CMS scale path, whose sketch-backed
+    scorer is equality-gated against this in tests/test_pipeline.py).
+    Rounded to 6dp both sides (fp summation order)."""
+    from datasketches_spark.pipeline import lm as L
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = L.unigram_logprob(docs, "doc_id", "text", engine="exact")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("logprob", 6).alias("lp6"),
+    )
+
+
 def q_word_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-set (unigram) Jaccard of consecutive doc pairs — pure JVM
     array expressions (split/array_intersect), no Python in the plan."""
@@ -3385,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_token_counts": q_doc_token_counts,
         "customer_redaction": q_customer_redaction,
         "decontam_overlap": q_decontam_overlap,
@@ -3697,6 +3715,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": (
             f"SELECT doc_id, {_T.oracle_lang_id_sql()} AS lang_pred FROM documents"
         ),
+        "doc_unigram_logprob": f"""
+            WITH tok AS (SELECT doc_id, unnest({_T.oracle_tokens_sql()}) AS tok
+                         FROM documents WHERE doc_id < 300),
+            cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            tot AS (SELECT count(*) AS t FROM tok),
+            scored AS (SELECT doc_id, count(*) AS n_tokens,
+                              round(avg(ln(c::DOUBLE / t)), 6) AS lp6
+                       FROM tok JOIN cnt USING (tok) CROSS JOIN tot
+                       GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+                   s.lp6
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+            LEFT JOIN scored s USING (doc_id)
+        """,
         "char_jaccard_adjacent": (
             "SELECT a.doc_id AS id_a, jaccard(a.text, b.text) AS jac "
             "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "

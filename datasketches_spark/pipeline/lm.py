@@ -1,0 +1,135 @@
+"""Unigram language-model quality scoring (the CCNet-style filter).
+
+Rank documents by how "ordinary" their token distribution is: the mean
+ln P(token) under the corpus's own unigram model.  Low scores flag
+gibberish, boilerplate explosions, and wrong-language text — the
+classic cheap LM filter applied before expensive model-based scoring.
+
+Two engines, one contract:
+
+- ``engine="exact"``: explode tokens -> count -> join scores back ->
+  per-doc mean.  Two shuffles; the vocabulary materializes as a table.
+  ANSI-SQL-expressible, so this engine is the oracle gate.
+- ``engine="cms"`` — THE 100 TB PATH: token counts live in a Count-Min
+  sketch built by the blob-only two-phase plan (one narrow explode +
+  map-side partials; only KB-scale blobs cross the shuffle), the
+  merged blob is broadcast, and every document is scored in a
+  map-only Arrow pass probing the sketch.  The raw text NEVER
+  shuffles and no vocabulary table exists at any scale — the sketch
+  is the language model.  CMS overestimates rare-token counts by at
+  most eps*W w.h.p. (eps printed by the sketch), which BIASES scores
+  UP for rare tokens — at filtering thresholds this is conservative
+  (junk scores slightly less junky, never the reverse); size lg_w so
+  eps*W is well under the rarest count you care about.  At gate SF
+  the sketch is collision-free and the two engines are equal
+  (tests/test_pipeline.py gates the equality).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from .. import compat
+from ..aggregation import sketch_agg
+from .text import tokens
+
+_WS = re.compile(r"\s+")
+
+
+def _py_tokens(text: str) -> list[str]:
+    """Python twin of text.tokens() — must match the JVM expression
+    token-for-token (lower, trim, split on whitespace runs)."""
+    t = text.strip().lower()
+    return _WS.split(t) if t else []
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine: str = "exact",
+    lg_w: int = 20,
+) -> DataFrame:
+    """(id, n_tokens, logprob): mean ln(count(tok)/total_tokens) per
+    document, under the corpus's own unigram distribution.  Documents
+    with zero tokens keep n_tokens = 0 and a NULL logprob."""
+    if engine == "exact":
+        return _exact(docs, id_col, text_col)
+    if engine == "cms":
+        return _cms(docs, id_col, text_col, lg_w)
+    raise ValueError(f"unknown engine: {engine!r} (want 'exact' or 'cms')")
+
+
+def _exact(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.log(F.col("c").cast("double") / F.col("t"))).alias("logprob"),
+        )
+    )
+    # zero-token docs never appear in `toks`; re-attach them
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "logprob",
+        )
+    )
+
+
+def _cms(docs: DataFrame, id_col: str, text_col: str, lg_w: int) -> DataFrame:
+    from ..sketches import CountMinSketch  # noqa: PLC0415
+
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    # explode is NARROW — the two-phase CMS build's only exchange moves
+    # fixed-size blobs; the one-row result must reach the driver anyway
+    # (it becomes the broadcast model)
+    rows = sketch_agg(toks, "tok", "cms", k=lg_w).collect()
+    if not rows:  # corpus with zero tokens: nothing to model
+        return docs.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("logprob"),
+        )
+    blob = bytes(rows[0]["sketch"])
+    bc = compat.broadcast_value(docs.sparkSession, blob)
+    schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType, True),
+            StructField("n_tokens", LongType(), True),
+            StructField("logprob", DoubleType(), True),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = CountMinSketch.deserialize(bc.value)
+        total = float(sk.total_weight())
+        for pdf in batches:
+            ids, ns, lps = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                tk = _py_tokens(text) if text is not None else []
+                ids.append(i)
+                ns.append(len(tk))
+                if not tk:
+                    lps.append(None)
+                    continue
+                est = sk.estimate_series(pd.Series(tk)).astype(np.float64)
+                lps.append(float(np.mean(np.log(est / total))))
+            yield pd.DataFrame({id_col: ids, "n_tokens": ns, "logprob": lps})
+
+    return docs.select(id_col, text_col).mapInPandas(score, schema=schema)

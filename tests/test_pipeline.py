@@ -1337,3 +1337,66 @@ class TestNullTextMinhash:
                 df, "doc_id", "text", threshold=0.1, engine=engine
             )
             assert pairs.count() == 0, engine
+
+
+class TestUnigramLm:
+    def test_cms_engine_equals_exact(self, spark):
+        """The sketch-backed scale path must reproduce the exact
+        engine when the CMS is collision-free at this vocabulary
+        (deterministic: same data, same hashes, same result)."""
+        from datasketches_spark.pipeline import lm
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+            F.col("doc_id") < 150
+        )
+        exact = {
+            r.doc_id: (r.n_tokens, None if r.logprob is None else round(r.logprob, 9))
+            for r in lm.unigram_logprob(docs, engine="exact").collect()
+        }
+        cms = {
+            r.doc_id: (r.n_tokens, None if r.logprob is None else round(r.logprob, 9))
+            for r in lm.unigram_logprob(docs, engine="cms", lg_w=18).collect()
+        }
+        assert exact == cms and len(exact) == 150
+
+    def test_zero_token_and_null_docs(self, spark):
+        from datasketches_spark.pipeline import lm
+
+        df = spark.createDataFrame(
+            [(1, "hello hello world"), (2, ""), (3, None), (4, "  ")],
+            "doc_id long, text string",
+        )
+        for engine in ("exact", "cms"):
+            got = {
+                r.doc_id: (r.n_tokens, r.logprob)
+                for r in lm.unigram_logprob(df, engine=engine).collect()
+            }
+            assert got[2] == (0, None) and got[3] == (0, None) and got[4] == (0, None)
+            n, lp = got[1]
+            assert n == 3 and lp is not None
+            # P(hello)=2/3, P(world)=1/3; mean of [ln(2/3), ln(2/3), ln(1/3)]
+            import math
+
+            expect = (2 * math.log(2 / 3) + math.log(1 / 3)) / 3
+            assert abs(lp - expect) < 1e-12, engine
+
+    def test_cms_bias_is_upward_only(self, spark):
+        """An undersized CMS (forced collisions) may only RAISE scores
+        (overestimates inflate ln p) — the conservative direction for
+        a quality filter."""
+        from datasketches_spark.pipeline import lm
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+            F.col("doc_id") < 150
+        )
+        exact = {
+            r.doc_id: r.logprob
+            for r in lm.unigram_logprob(docs, engine="exact").collect()
+            if r.logprob is not None
+        }
+        tiny = {
+            r.doc_id: r.logprob
+            for r in lm.unigram_logprob(docs, engine="cms", lg_w=6).collect()
+            if r.logprob is not None
+        }
+        assert all(tiny[d] >= exact[d] - 1e-12 for d in exact)
