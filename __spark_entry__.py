@@ -1071,6 +1071,22 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score (exact engine; lam=0.7) — the
+    sharper garble/repetition filter; SQL twin joins bigram + unigram
+    counts.  The CMS two-blob scale engine is equality-gated against
+    this in tests/test_pipeline.py::TestUnigramLm."""
+    from datasketches_spark.pipeline import lm as L
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = L.bigram_logprob(docs, "doc_id", "text", engine="exact")
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round("logprob", 6).alias("lp6"),
+    )
+
+
 def q_word_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-set (unigram) Jaccard of consecutive doc pairs — pure JVM
     array expressions (split/array_intersect), no Python in the plan."""
@@ -3403,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
         "doc_token_counts": q_doc_token_counts,
         "customer_redaction": q_customer_redaction,
         "decontam_overlap": q_decontam_overlap,
@@ -3715,6 +3732,30 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": (
             f"SELECT doc_id, {_T.oracle_lang_id_sql()} AS lang_pred FROM documents"
         ),
+        "doc_bigram_logprob": f"""
+            WITH dd AS (SELECT doc_id, {_T.oracle_tokens_sql()} AS t
+                        FROM documents WHERE doc_id < 300),
+            tok AS (SELECT doc_id, unnest(t) AS tok FROM dd),
+            uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            tot AS (SELECT count(*) AS tt FROM tok),
+            bgl AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(t)), i -> t[i])) AS prev,
+                      unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS cur
+                    FROM dd WHERE len(t) >= 2),
+            bgc AS (SELECT prev, cur, count(*) AS cb FROM bgl
+                    GROUP BY prev, cur),
+            scored AS (SELECT doc_id, count(*) AS n_bigrams,
+                         round(avg(ln(0.7 * cb::DOUBLE / cp.c
+                                      + 0.3 * cc.c::DOUBLE / tt)), 6) AS lp6
+                       FROM bgl JOIN bgc USING (prev, cur)
+                       JOIN uni cp ON cp.tok = bgl.prev
+                       JOIN uni cc ON cc.tok = bgl.cur
+                       CROSS JOIN tot GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   s.lp6
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+            LEFT JOIN scored s USING (doc_id)
+        """,
         "doc_unigram_logprob": f"""
             WITH tok AS (SELECT doc_id, unnest({_T.oracle_tokens_sql()}) AS tok
                          FROM documents WHERE doc_id < 300),

@@ -67,6 +67,140 @@ def unigram_logprob(
     raise ValueError(f"unknown engine: {engine!r} (want 'exact' or 'cms')")
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine: str = "exact",
+    lg_w: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """(id, n_bigrams, logprob): interpolated bigram score — the mean
+    over positions i >= 2 of
+    ``ln(lam * c(w_{i-1} w_i)/c(w_{i-1}) + (1-lam) * c(w_i)/T)``.
+
+    Sharper than the unigram filter at catching token-level garble and
+    templated repetition (fluent bigrams score high even when the
+    unigrams are rare).  Same engine contract as
+    :func:`unigram_logprob`: ``exact`` is the SQL-expressible oracle
+    twin; ``cms`` keeps the model in TWO Count-Min blobs (unigram +
+    bigram), broadcast, scored map-only — bigram vocabulary is the
+    thing that truly cannot materialize at 100 TB (it grows ~n^1.5+),
+    which is exactly what the sketch sidesteps.  Documents with fewer
+    than two tokens get n_bigrams = 0 and NULL logprob."""
+    if engine == "exact":
+        return _bigram_exact(docs, id_col, text_col, lam)
+    if engine == "cms":
+        return _bigram_cms(docs, id_col, text_col, lg_w, lam)
+    raise ValueError(f"unknown engine: {engine!r} (want 'exact' or 'cms')")
+
+
+def _bigram_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(t, 1, n - 1).alias("prev"), F.slice(t, 2, n - 1).alias("cur")
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    return docs.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+
+
+def _bigram_exact(
+    docs: DataFrame, id_col: str, text_col: str, lam: float
+) -> DataFrame:
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("t"))
+    bgl = _bigram_pairs(docs, id_col, text_col)
+    bgc = bgl.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
+    cp = uni.select(F.col("tok").alias("prev"), F.col("c").alias("c_prev"))
+    cc = uni.select(F.col("tok").alias("cur"), F.col("c").alias("c_cur"))
+    scored = (
+        bgl.join(bgc, ["prev", "cur"])
+        .join(cp, "prev")
+        .join(cc, "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(
+                F.log(
+                    F.lit(lam) * F.col("cb") / F.col("c_prev")
+                    + F.lit(1.0 - lam) * F.col("c_cur") / F.col("t")
+                )
+            ).alias("logprob"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "logprob",
+        )
+    )
+
+
+def _bigram_cms(
+    docs: DataFrame, id_col: str, text_col: str, lg_w: int, lam: float
+) -> DataFrame:
+    from ..sketches import CountMinSketch  # noqa: PLC0415
+
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    bgs = _bigram_pairs(docs, id_col, text_col).select(
+        F.concat_ws(" ", "prev", "cur").alias("bg")
+    )
+    uni_rows = sketch_agg(toks, "tok", "cms", k=lg_w).collect()
+    bg_rows = sketch_agg(bgs, "bg", "cms", k=lg_w).collect()
+    if not uni_rows or not bg_rows:
+        return docs.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(None).cast("double").alias("logprob"),
+        )
+    bc_uni = compat.broadcast_value(docs.sparkSession, bytes(uni_rows[0]["sketch"]))
+    bc_bg = compat.broadcast_value(docs.sparkSession, bytes(bg_rows[0]["sketch"]))
+    schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType, True),
+            StructField("n_bigrams", LongType(), True),
+            StructField("logprob", DoubleType(), True),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        uni = CountMinSketch.deserialize(bc_uni.value)
+        bg = CountMinSketch.deserialize(bc_bg.value)
+        total = float(uni.total_weight())
+        for pdf in batches:
+            ids, ns, lps = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                tk = _py_tokens(text) if text is not None else []
+                ids.append(i)
+                if len(tk) < 2:
+                    ns.append(0)
+                    lps.append(None)
+                    continue
+                prev, cur = tk[:-1], tk[1:]
+                ns.append(len(cur))
+                cb = bg.estimate_series(
+                    pd.Series([f"{p} {c}" for p, c in zip(prev, cur)])
+                ).astype(np.float64)
+                cp = uni.estimate_series(pd.Series(prev)).astype(np.float64)
+                cc = uni.estimate_series(pd.Series(cur)).astype(np.float64)
+                lps.append(
+                    float(np.mean(np.log(lam * cb / cp + (1.0 - lam) * cc / total)))
+                )
+            yield pd.DataFrame({id_col: ids, "n_bigrams": ns, "logprob": lps})
+
+    return docs.select(id_col, text_col).mapInPandas(score, schema=schema)
+
+
 def _exact(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))

@@ -1400,3 +1400,42 @@ class TestUnigramLm:
             if r.logprob is not None
         }
         assert all(tiny[d] >= exact[d] - 1e-12 for d in exact)
+
+    def test_bigram_cms_engine_equals_exact(self, spark):
+        from datasketches_spark.pipeline import lm
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+            F.col("doc_id") < 150
+        )
+        exact = {
+            r.doc_id: (r.n_bigrams, None if r.logprob is None else round(r.logprob, 9))
+            for r in lm.bigram_logprob(docs, engine="exact").collect()
+        }
+        cms = {
+            r.doc_id: (r.n_bigrams, None if r.logprob is None else round(r.logprob, 9))
+            for r in lm.bigram_logprob(docs, engine="cms", lg_w=18).collect()
+        }
+        assert exact == cms and len(exact) == 150
+
+    def test_bigram_short_doc_semantics(self, spark):
+        import math
+
+        from datasketches_spark.pipeline import lm
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "one"), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        for engine in ("exact", "cms"):
+            got = {
+                r.doc_id: (r.n_bigrams, r.logprob)
+                for r in lm.bigram_logprob(df, engine=engine).collect()
+            }
+            assert got[2] == (0, None) and got[3] == (0, None) and got[4] == (0, None)
+            n, lp = got[1]
+            assert n == 3
+            # bigrams: "a b" x2, "b a" x1; c(a)=2, c(b)=2, T=5 (incl 'one')
+            s_ab = math.log(0.7 * 2 / 2 + 0.3 * 2 / 5)
+            s_ba = math.log(0.7 * 1 / 2 + 0.3 * 2 / 5)
+            expect = (2 * s_ab + s_ba) / 3
+            assert abs(lp - expect) < 1e-12, engine
