@@ -376,13 +376,37 @@ def neighbors(
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query (broadcast the queries,
     stream the corpus; shuffle is O(queries x k)).  For corpus-scale
-    query sets use pipeline/similarity.py's LSH or IVF variants."""
+    searches use pipeline/similarity.py's LSH / IVF / PQ / IVF-PQ
+    variants (prebuilt-index operators with recall-gated scale
+    configurations)."""
     from .pipeline import similarity as _sim
 
     return _sim.brute_force_topk(
         embeddings, queries, k=k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
+
+
+def lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    engine: str = "cms",
+    lg_w: int = 20,
+) -> DataFrame:
+    """Unigram (``ngram=1``) or interpolated bigram (``ngram=2``)
+    LM quality score per document — the CCNet-style junk filter.
+    Default engine is the sketch-backed scale path (the Count-Min
+    blob IS the language model; text never shuffles); ``exact`` is
+    the SQL-matchable twin.  See pipeline/lm.py."""
+    from .pipeline import lm as _lm
+
+    if ngram == 1:
+        return _lm.unigram_logprob(docs, id_col, text_col, engine=engine, lg_w=lg_w)
+    if ngram == 2:
+        return _lm.bigram_logprob(docs, id_col, text_col, engine=engine, lg_w=lg_w)
+    raise ValueError(f"ngram must be 1 or 2, got {ngram}")
 
 
 def profile(

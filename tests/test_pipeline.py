@@ -1417,6 +1417,25 @@ class TestUnigramLm:
         }
         assert exact == cms and len(exact) == 150
 
+    def test_cms_scoring_plan_is_map_only(self, spark):
+        """The 100 TB claim, assertable: once the CMS blob exists, the
+        SCORING DataFrame's plan carries ZERO exchanges — documents
+        stream through their scan, text never shuffles.  (The blob
+        build itself is the separate blob-only two-phase job.)  The
+        exact engine's plan shuffles several times — the contrast is
+        the point."""
+        from datasketches_spark.pipeline import lm
+        from datasketches_spark.plans import scalability_report
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).filter(F.col("doc_id") < 50)
+        for fn in (lm.unigram_logprob, lm.bigram_logprob):
+            rep = scalability_report(fn(docs, engine="cms", lg_w=14))
+            assert rep["num_exchanges"] == 0, (fn.__name__, rep["plan"])
+            rep_exact = scalability_report(fn(docs, engine="exact"))
+            assert rep_exact["num_exchanges"] > 0
+
     def test_bigram_short_doc_semantics(self, spark):
         import math
 
