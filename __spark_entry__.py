@@ -936,6 +936,21 @@ def q_minhash_near_dups_sigtable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_fuzzy_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call fuzzy dedup: LSH-verified near-dup pairs (J >= 0.8) →
+    connected components → keep the min-id representative of each
+    component.  The oracle recomputes the identical kept set from
+    brute-force all-pairs jaccard + a recursive-CTE reachability
+    closure (min reachable id == component label) — exact because the
+    banding+verify stage is exact at this threshold (see
+    minhash_near_dups)."""
+    from datasketches_spark.pipeline import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    kept = D.fuzzy_dedup(docs, "doc_id", "text", threshold=0.8, keep_cols=["doc_id"])
+    return kept.select("doc_id")
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming <= 3 via 16-bit band LSH.
 
@@ -3411,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_stats": q_docs_dedup_stats,
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_near_dups_sigtable": q_minhash_near_dups_sigtable,
+        "fuzzy_dedup_kept": q_fuzzy_dedup_kept,
         "simhash_near_pairs": q_simhash_near_pairs,
         "dup_components": q_dup_components,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
@@ -4172,6 +4188,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+        """,
+        "fuzzy_dedup_kept": """
+            WITH RECURSIVE
+            dd AS (SELECT doc_id, lower(text) AS t FROM documents
+                   WHERE doc_id < 200),
+            g AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(
+                      generate_series(1, greatest(length(t) - 4, 1)),
+                      i -> substr(t, CAST(i AS INT), 5))) AS sh
+                  FROM dd),
+            sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                      FROM g a JOIN g b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b FROM inter
+                      JOIN sz sa ON sa.doc_id = id_a
+                      JOIN sz sb ON sb.doc_id = id_b
+                      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+            edges AS (SELECT id_a AS ida, id_b AS idb FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM dd
+              UNION
+              SELECT r.src, e.idb FROM reach r JOIN edges e ON e.ida = r.dst),
+            comp AS (SELECT src AS doc_id, min(dst) AS c FROM reach
+                     GROUP BY src)
+            SELECT doc_id FROM comp WHERE c = doc_id
         """,
         "simhash_near_pairs": """
             WITH dd AS (SELECT doc_id, lower(text) AS t FROM documents

@@ -541,6 +541,39 @@ def lsh_verified_near_duplicates(
     )
 
 
+def fuzzy_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    keep_cols: list[str] | None = None,
+    max_iter: int = 10,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Keep ONE document (the min id) per near-duplicate component —
+    the one-call fuzzy-dedup a curation pipeline actually runs.
+
+    Composition of the gated pieces: LSH-verified near-dup pairs
+    (:func:`lsh_verified_near_duplicates`; pass ``signatures=`` via
+    ``lsh_kwargs`` for the stored-signature 100 TB path) →
+    :func:`connected_components` over the pair list (min-label
+    propagation, lineage-checkpointed) → anti-join the non-
+    representatives out.  Documents untouched by any pair survive
+    unchanged.  The component/label frames are O(duplicated docs) —
+    tiny relative to the corpus — so the only corpus-scale work is
+    the LSH join itself.  ``keep_cols`` trims the output projection
+    (default: every column)."""
+    pairs = lsh_verified_near_duplicates(
+        df, id_col, text_col, threshold=threshold, **lsh_kwargs
+    )
+    comp = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    kept = df.join(drop, id_col, "left_anti")
+    return kept.select(*(keep_cols or df.columns))
+
+
 # --------------------------------------------------------------- simhash
 
 

@@ -84,6 +84,18 @@ class TestRouteEquality:
         spark.catalog.clearCache()
         assert a == b
 
+    def test_fuzzy_dedup_composes_with_table(self, spark, sig_path):
+        """The one-call fuzzy dedup gives the identical kept set
+        through the stored-signature route."""
+        docs = _docs(spark)
+        direct = {r.doc_id for r in D.fuzzy_dedup(
+            docs, "doc_id", "text", keep_cols=["doc_id"]).collect()}
+        via = {r.doc_id for r in D.fuzzy_dedup(
+            docs, "doc_id", "text", keep_cols=["doc_id"],
+            signatures=sig_path).collect()}
+        spark.catalog.clearCache()
+        assert direct == via and 0 < len(direct) <= docs.count()
+
     def test_stored_signatures_match_live(self, spark, sig_path):
         live = {
             r.doc_id: tuple(r.sig) if r.sig is not None else None
