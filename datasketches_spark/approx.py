@@ -387,6 +387,26 @@ def neighbors(
     )
 
 
+def fuzzy_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    keep_cols: list[str] | None = None,
+    signatures: "DataFrame | str | None" = None,
+) -> DataFrame:
+    """Keep one document (min id) per near-duplicate component — the
+    one-call fuzzy dedup (LSH pairs -> connected components -> keep
+    representative).  Pass ``signatures=`` a stored table from
+    write_minhash_signatures for the 100 TB route."""
+    from .pipeline import dedup as _dedup
+
+    return _dedup.fuzzy_dedup(
+        df, id_col, text_col, threshold=threshold,
+        keep_cols=keep_cols, signatures=signatures,
+    )
+
+
 def lm_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
