@@ -40,14 +40,40 @@ from .. import compat
 from ..aggregation import sketch_agg
 from .text import tokens
 
-_WS = re.compile(r"\s+")
+# Java regex \s without UNICODE_CHARACTER_CLASS — ASCII only.  Python's
+# \s is Unicode-aware (NBSP, thin space, ideographic space), so a naive
+# twin splits tokens the JVM model never saw -> estimate 0 -> log(0).
+_JWS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _py_tokens(text: str) -> list[str]:
     """Python twin of text.tokens() — must match the JVM expression
-    token-for-token (lower, trim, split on whitespace runs)."""
-    t = text.strip().lower()
-    return _WS.split(t) if t else []
+    token-for-token (measured semantics, tests/test_pipeline.py
+    TestPyTokensTwin): lower, trim STRIPS ASCII SPACE 0x20 ONLY (a
+    leading tab/NBSP survives), split on JAVA-\\s runs (ASCII class)
+    with limit=-1 semantics — leading AND trailing empty tokens are
+    KEPT ('\\t' -> ['', ''])."""
+    t = text.lower().strip(" ")
+    return _JWS.split(t) if t else []
+
+
+def _segment_means(vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-segment mean of a flat value array, NaN for empty segments.
+
+    ``vals`` is the concatenation of variable-length per-doc segments
+    whose lengths are ``lens``.  One ``np.add.reduceat`` over the
+    non-empty segments' start offsets: zero-length segments contribute
+    no elements to ``vals``, so consecutive non-empty starts are
+    strictly increasing and each reduceat slab covers exactly one
+    segment (reduceat's repeated-index quirk never fires)."""
+    out = np.full(lens.size, np.nan)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    out[nz] = np.add.reduceat(vals, starts[nz]) / lens[nz]
+    return out
 
 
 def unigram_logprob(
@@ -178,25 +204,50 @@ def _bigram_cms(
         bg = CountMinSketch.deserialize(bc_bg.value)
         total = float(uni.total_weight())
         for pdf in batches:
-            ids, ns, lps = [], [], []
-            for i, text in zip(pdf[id_col], pdf[text_col]):
-                tk = _py_tokens(text) if text is not None else []
-                ids.append(i)
-                if len(tk) < 2:
-                    ns.append(0)
-                    lps.append(None)
-                    continue
-                prev, cur = tk[:-1], tk[1:]
-                ns.append(len(cur))
-                cb = bg.estimate_series(
-                    pd.Series([f"{p} {c}" for p, c in zip(prev, cur)])
-                ).astype(np.float64)
-                cp = uni.estimate_series(pd.Series(prev)).astype(np.float64)
-                cc = uni.estimate_series(pd.Series(cur)).astype(np.float64)
-                lps.append(
-                    float(np.mean(np.log(lam * cb / cp + (1.0 - lam) * cc / total)))
+            # vectorized across the WHOLE batch: flatten every doc's
+            # bigram positions once, probe each sketch role once, then
+            # segment-mean with np.add.reduceat — the per-doc pandas
+            # Series construction was the dominant constant (measured
+            # r14, BASELINE_LOCAL.md "CMS LM scorer")
+            toks = [
+                _py_tokens(t) if t is not None else [] for t in pdf[text_col]
+            ]
+            lens = np.fromiter(
+                (len(tk) - 1 if len(tk) >= 2 else 0 for tk in toks),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            prev_flat = [w for tk in toks if len(tk) >= 2 for w in tk[:-1]]
+            cur_flat = [w for tk in toks if len(tk) >= 2 for w in tk[1:]]
+            if prev_flat:
+                cb = np.asarray(
+                    bg.estimate_series(
+                        pd.Series(
+                            [f"{p} {c}" for p, c in zip(prev_flat, cur_flat)]
+                        )
+                    ),
+                    dtype=np.float64,
                 )
-            yield pd.DataFrame({id_col: ids, "n_bigrams": ns, "logprob": lps})
+                cp = np.asarray(
+                    uni.estimate_series(pd.Series(prev_flat)), dtype=np.float64
+                )
+                cc = np.asarray(
+                    uni.estimate_series(pd.Series(cur_flat)), dtype=np.float64
+                )
+                vals = np.log(lam * cb / cp + (1.0 - lam) * cc / total)
+            else:
+                vals = np.empty(0)
+            means = _segment_means(vals, lens)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bigrams": lens,
+                    "logprob": [
+                        None if n == 0 else float(m)
+                        for n, m in zip(lens, means)
+                    ],
+                }
+            )
 
     return docs.select(id_col, text_col).mapInPandas(score, schema=schema)
 
@@ -254,16 +305,34 @@ def _cms(docs: DataFrame, id_col: str, text_col: str, lg_w: int) -> DataFrame:
         sk = CountMinSketch.deserialize(bc.value)
         total = float(sk.total_weight())
         for pdf in batches:
-            ids, ns, lps = [], [], []
-            for i, text in zip(pdf[id_col], pdf[text_col]):
-                tk = _py_tokens(text) if text is not None else []
-                ids.append(i)
-                ns.append(len(tk))
-                if not tk:
-                    lps.append(None)
-                    continue
-                est = sk.estimate_series(pd.Series(tk)).astype(np.float64)
-                lps.append(float(np.mean(np.log(est / total))))
-            yield pd.DataFrame({id_col: ids, "n_tokens": ns, "logprob": lps})
+            # one flatten + ONE estimate_series probe per batch, then
+            # segment means via np.add.reduceat (was: three pandas
+            # Series per document — see BASELINE_LOCAL.md "CMS LM
+            # scorer" for the measured constant drop)
+            toks = [
+                _py_tokens(t) if t is not None else [] for t in pdf[text_col]
+            ]
+            lens = np.fromiter(
+                (len(tk) for tk in toks), dtype=np.int64, count=len(toks)
+            )
+            flat = [w for tk in toks for w in tk]
+            if flat:
+                est = np.asarray(
+                    sk.estimate_series(pd.Series(flat)), dtype=np.float64
+                )
+                vals = np.log(est / total)
+            else:
+                vals = np.empty(0)
+            means = _segment_means(vals, lens)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": lens,
+                    "logprob": [
+                        None if n == 0 else float(m)
+                        for n, m in zip(lens, means)
+                    ],
+                }
+            )
 
     return docs.select(id_col, text_col).mapInPandas(score, schema=schema)

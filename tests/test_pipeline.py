@@ -1458,3 +1458,66 @@ class TestUnigramLm:
             s_ba = math.log(0.7 * 1 / 2 + 0.3 * 2 / 5)
             expect = (2 * s_ab + s_ba) / 3
             assert abs(lp - expect) < 1e-12, engine
+
+
+class TestPyTokensTwin:
+    """lm._py_tokens must match text.tokens() token-for-token — the CMS
+    model is built by the JVM expression and probed by the Python twin,
+    so any divergence (a token the model never saw) yields estimate 0
+    -> log(0) = -inf.  Java's \\s is ASCII-only and Spark's trim strips
+    ASCII space only; Python's str.strip()/re \\s are Unicode-aware —
+    the exact trap ADVICE r13 flagged."""
+
+    CASES = [
+        "hello world",
+        "  padded  ",
+        "a b",  # NBSP: ONE token to the JVM
+        "a b",  # thin space
+        "a　b",  # ideographic space
+        " ",  # NBSP-only: one non-empty token
+        "\thello ",  # leading tab survives trim -> leading '' token
+        "a b\t",  # trailing tab -> trailing '' token (split limit=-1)
+        "\t",  # -> ['', '']
+        "a\x0bb",
+        "a\r\nb",
+        "",
+        "   ",
+        "Mixed CASE here",
+    ]
+
+    def test_twin_matches_jvm_tokens(self, spark):
+        from datasketches_spark.pipeline import lm
+        from datasketches_spark.pipeline.text import tokens
+
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.CASES)], "i int, t string"
+        )
+        jvm = {
+            r["i"]: r["tk"]
+            for r in df.select("i", tokens(F.col("t")).alias("tk")).collect()
+        }
+        for i, c in enumerate(self.CASES):
+            assert lm._py_tokens(c) == jvm[i], repr(c)
+
+    def test_cms_equals_exact_on_unicode_whitespace(self, spark):
+        """End-to-end: non-ASCII-whitespace docs score identically on
+        both engines (the old Unicode-aware twin returned -inf here)."""
+        import math
+
+        from datasketches_spark.pipeline import lm
+
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.CASES)], "doc_id long, text string"
+        )
+        for fn in (lm.unigram_logprob, lm.bigram_logprob):
+            exact = {
+                r.doc_id: (r[1], None if r.logprob is None else round(r.logprob, 9))
+                for r in fn(df, engine="exact").collect()
+            }
+            cms = {
+                r.doc_id: (r[1], None if r.logprob is None else round(r.logprob, 9))
+                for r in fn(df, engine="cms", lg_w=12).collect()
+            }
+            assert exact == cms, fn.__name__
+            for v in cms.values():
+                assert v[1] is None or math.isfinite(v[1])
