@@ -173,6 +173,32 @@ def _kmeans(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 8) -> 
     return cents
 
 
+def _train_sample(
+    df: DataFrame, vec_col: str, sample_limit: int, seed: int
+) -> np.ndarray:
+    """Bounded UNBIASED training sample, collected to the driver.
+
+    A bare ``.limit(sample_limit)`` takes the FIRST partitions' rows —
+    on any sorted/clustered real corpus the centroids/codebooks would
+    train on one shard's distribution (r13 verdict finding).  Instead:
+    a seeded Bernoulli ``sample()`` sized from a count, oversampled
+    1.2x so the post-limit row count reaches ``sample_limit`` w.h.p.;
+    the ``limit`` still bounds the driver collect regardless of how
+    the sample lands.  Deterministic given the seed and input
+    partitioning."""
+    sel = df.select(vec_col)
+    n = sel.count()
+    rows = []
+    if 0 < n <= sample_limit:
+        rows = sel.collect()
+    elif n > sample_limit:
+        frac = min(1.0, 1.2 * sample_limit / n)
+        rows = sel.sample(fraction=frac, seed=seed).limit(sample_limit).collect()
+        if not rows:  # pathological undersample on tiny fractions
+            rows = sel.limit(sample_limit).collect()
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
 def ivf_build(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -187,13 +213,11 @@ def ivf_build(
     scale, persist ``assigned_df`` partitioned by ``centroid_id`` so
     probe-time reads prune partitions:
     ``assigned.write.partitionBy('centroid_id').parquet(...)``.
-    The k-means runs driver-side on a bounded sample (deterministic
-    seed); assignment is a map-only Arrow pass.
+    The k-means runs driver-side on a bounded seeded sample
+    (:func:`_train_sample` — unbiased under any corpus ordering);
+    assignment is a map-only Arrow pass.
     """
-    sample = np.array(
-        [r[0] for r in df.select(vec_col).limit(sample_limit).collect()],
-        dtype=np.float64,
-    )
+    sample = _train_sample(df, vec_col, sample_limit, seed)
     cents = _kmeans(sample, n_centroids, seed)
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
@@ -392,11 +416,10 @@ def pq_train(
     Vectors are L2-normalized before splitting into ``m`` equal
     blocks, so ADC inner-product scores approximate COSINE similarity
     (the convention every other operator here ranks by).  ``dim`` must
-    be divisible by ``m``.  Deterministic given the seed."""
-    sample = np.array(
-        [r[0] for r in df.select(vec_col).limit(sample_limit).collect()],
-        dtype=np.float64,
-    )
+    be divisible by ``m``.  Deterministic given the seed; the training
+    sample is a seeded Bernoulli sample (:func:`_train_sample`), not
+    the first partitions' rows."""
+    sample = _train_sample(df, vec_col, sample_limit, seed)
     dim = sample.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
@@ -482,14 +505,16 @@ def _exact_rerank(
     vec_col: str,
     query_id_col: str,
     query_vec_col: str,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
+    maybe_bcast = F.broadcast if broadcast_queries else (lambda d: d)
     exact = (
         shortlist_df.select(query_id_col, "neighbor_id")
         .join(
             embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
             "neighbor_id",
         )
-        .join(F.broadcast(queries), query_id_col)
+        .join(maybe_bcast(queries), query_id_col)
         .select(
             query_id_col,
             "neighbor_id",
@@ -515,6 +540,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes (ADC), optionally
     exact-re-ranked.
@@ -527,12 +553,19 @@ def pq_topk(
     distinct query per batch) instead of a dim-length dot product.
     Everything stays distributed — queries never visit the driver.
 
+    ``broadcast_queries=True`` (default) suits interactive query sets;
+    set it False for a LARGE query DataFrame (a batch offline ANN job
+    with millions of queries) so the pairing and re-rank joins shuffle
+    instead of building a driver-side broadcast — same contract as
+    :func:`ivf_topk`.
+
     ``rerank > 0`` keeps the top ``rerank`` ADC candidates per query
     and re-scores them exactly against ``embeddings`` (required then)
     — the standard PQ + re-rank recipe; recall floors for both modes
     are gated in tests/test_scalepath_properties.py."""
     adc_score = _adc_score_udf(codebooks)
-    pairs = codes.crossJoin(F.broadcast(queries)).select(
+    maybe_bcast = F.broadcast if broadcast_queries else (lambda d: d)
+    pairs = codes.crossJoin(maybe_bcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
         adc_score(F.col(query_id_col), F.col(query_vec_col), F.col("codes")).alias(
@@ -551,7 +584,8 @@ def pq_topk(
     if embeddings is None:
         raise ValueError("rerank > 0 needs the raw `embeddings` DataFrame")
     return _exact_rerank(
-        top, embeddings, queries, k, id_col, vec_col, query_id_col, query_vec_col
+        top, embeddings, queries, k, id_col, vec_col, query_id_col,
+        query_vec_col, broadcast_queries,
     )
 
 
@@ -568,6 +602,7 @@ def ivfpq_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-PQ: the billion-scale composition — per query, scan only
     the ``n_probes`` nearest cells (partition pruning when the code
@@ -581,13 +616,17 @@ def ivfpq_topk(
     With ``n_probes == n_centroids`` and a corpus-covering ``rerank``
     this provably reproduces brute force (the oracle-gate
     configuration, ivfpq_ann_topk); scale-config recall floors live in
-    tests/test_scalepath_properties.py."""
+    tests/test_scalepath_properties.py.  ``broadcast_queries=False``
+    is the batch-offline path for query sets too large to broadcast —
+    the probe/query/re-rank joins shuffle instead (same contract as
+    :func:`ivf_topk`)."""
     probe_df = _probe_cells(queries, centroids, n_probes, query_id_col, query_vec_col)
     adc_score = _adc_score_udf(codebooks)
-    cand = assigned_codes.join(F.broadcast(probe_df), "centroid_id").select(
+    maybe_bcast = F.broadcast if broadcast_queries else (lambda d: d)
+    cand = assigned_codes.join(maybe_bcast(probe_df), "centroid_id").select(
         query_id_col, F.col(id_col).alias("neighbor_id"), "codes"
     )
-    pairs = cand.join(F.broadcast(queries), query_id_col).select(
+    pairs = cand.join(maybe_bcast(queries), query_id_col).select(
         query_id_col,
         "neighbor_id",
         adc_score(F.col(query_id_col), F.col(query_vec_col), F.col("codes")).alias(
@@ -606,7 +645,8 @@ def ivfpq_topk(
     if embeddings is None:
         raise ValueError("rerank > 0 needs the raw `embeddings` DataFrame")
     return _exact_rerank(
-        top, embeddings, queries, k, id_col, vec_col, query_id_col, query_vec_col
+        top, embeddings, queries, k, id_col, vec_col, query_id_col,
+        query_vec_col, broadcast_queries,
     )
 
 

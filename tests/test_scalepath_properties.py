@@ -203,3 +203,67 @@ def test_ann_recall_floor_ivf_and_lsh(spark):
     assert r_ivfpq >= 0.85, r_ivfpq
     emb.unpersist(); queries.unpersist(); assigned.unpersist()
     codes.unpersist(); ac.unpersist()
+
+
+def test_pq_ivfpq_shuffle_query_path(spark):
+    """r13 verdict #1 — pq_topk/ivfpq_topk must offer the same
+    ``broadcast_queries=False`` contract as ivf_topk: a batch offline
+    ANN job (millions of queries) cannot build a driver-side broadcast
+    of the query set.  With auto-broadcast disabled the False path's
+    plan must contain ZERO BroadcastExchange nodes (the True path's
+    must contain them — the contrast proves the flag is live), and
+    both paths must return identical rows."""
+    import numpy as np
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from datasketches_spark import compat
+    from datasketches_spark.pipeline import similarity
+
+    rng = np.random.default_rng(17)
+    n, dim, k = 300, 16, 5
+    pts = rng.standard_normal((n, dim))
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank) for r in df.collect()
+        )
+
+    # conf OFF before anything is persisted: InMemoryRelations compile
+    # their build plan at persist() time, so a cached index built under
+    # the default threshold would legitimately carry (corpus-side)
+    # broadcasts inside the cache — not what this test is about
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        emb = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in pts[i]]) for i in range(n)]
+        ).persist()
+        queries = emb.orderBy("vec_id").limit(4).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ).persist()
+        cb = similarity.pq_train(emb, m=4, nbits=5, seed=3, sample_limit=n)
+        codes = similarity.pq_encode(emb, cb).persist()
+        assigned, cvecs = similarity.ivf_build(
+            emb, n_centroids=4, sample_limit=n, seed=5
+        )
+        ac = assigned.select("vec_id", "centroid_id").join(codes, "vec_id").persist()
+        for make in (
+            lambda bq: similarity.pq_topk(
+                codes, queries, cb, k=k, rerank=50, embeddings=emb,
+                broadcast_queries=bq,
+            ),
+            lambda bq: similarity.ivfpq_topk(
+                ac, cvecs, cb, queries, k=k, n_probes=4, rerank=50,
+                embeddings=emb, broadcast_queries=bq,
+            ),
+        ):
+            shuffled, bcast = make(False), make(True)
+            assert "BroadcastExchange" not in compat.physical_plan_string(
+                shuffled
+            )
+            assert "BroadcastExchange" in compat.physical_plan_string(bcast)
+            assert rows(shuffled) == rows(bcast)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    emb.unpersist(); queries.unpersist(); codes.unpersist(); ac.unpersist()
