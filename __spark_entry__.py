@@ -1147,6 +1147,132 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, max_iter=12)
 
 
+def q_fuzzy_dedup_kept_sigtable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_dedup through the STORED-SIGNATURE route, incl. the
+    incremental upsert: signatures for doc_id < 150 are written once
+    (dedup.write_minhash_signatures), docs 150-199 arrive later via
+    dedup.upsert_minhash_signatures (left-anti against the stored ids,
+    append-only — O(new docs)), and the one-call fuzzy dedup runs with
+    ``signatures=`` that table.  Must hash-match fuzzy_dedup_kept: the
+    stored signatures are the identical seeded splitmix64 values and
+    the verify stage is exact."""
+    import os
+    import tempfile
+
+    from datasketches_spark.pipeline import dedup as D
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    path = os.path.join(tempfile.mkdtemp(prefix="dsks_sigtable_"), "sigs")
+    D.write_minhash_signatures(
+        docs.filter(F.col("doc_id") < 150), "doc_id", "text", path, buckets=8
+    )
+    D.upsert_minhash_signatures(
+        docs.filter(F.col("doc_id") >= 150), "doc_id", "text", path, buckets=8
+    )
+    kept = D.fuzzy_dedup(
+        docs, "doc_id", "text", threshold=0.8, keep_cols=["doc_id"],
+        signatures=path,
+    )
+    return kept.select("doc_id")
+
+
+def q_theta_seed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datasketch_theta_get_seed returns the Apache seed HASH of the
+    engine's fixed default seed 9001 — the constant 37836 (0x93CC),
+    byte-matching compact_theta_sketch::get_seed_hash() (reference
+    src/theta_sketch.cpp:346-354).  Pinned-literal oracle, the same
+    way the wire-roundtrip gates pin byte arithmetic."""
+    _ensure(spark)
+    sk = sketch_agg(_t(spark, sf_dir, "nation"), "n_nationkey", "theta", k=12)
+    return sk.select(F.expr("datasketch_theta_get_seed(sketch)").alias("seed_hash"))
+
+
+def q_hll_lg_config_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datasketch_hll_lg_config_k echoes the configured lg_k through a
+    build + blob round trip (reference codegen/generator.py:401-419
+    metadata surface) — deterministic, literal-pinned oracle."""
+    _ensure(spark)
+    sk = sketch_agg(_t(spark, sf_dir, "customer"), "c_custkey", "hll", k=13)
+    return sk.select(
+        F.expr("CAST(datasketch_hll_lg_config_k(sketch) AS BIGINT)").alias(
+            "lg_config_k"
+        )
+    )
+
+
+def q_kll_normalized_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datasketch_kll_normalized_rank_error(sk, pmf) is a pure function
+    of k — (2.443 if pmf else 1.970) / k^0.9433, the Apache KLL
+    calibration (reference docs/README.md:532: ~1.33%/~1.65% at
+    k=200).  The oracle recomputes the closed form arithmetically."""
+    _ensure(spark)
+    sk = sketch_agg(_t(spark, sf_dir, "lineitem"), "l_quantity", "kll", k=200)
+    return sk.select(
+        F.expr(
+            "round(datasketch_kll_normalized_rank_error(sketch, false), 9)"
+        ).alias("nre_single"),
+        F.expr(
+            "round(datasketch_kll_normalized_rank_error(sketch, true), 9)"
+        ).alias("nre_pmf"),
+    )
+
+
+def q_quantiles_normalized_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic-quantiles twin of kll_normalized_rank_error:
+    (1.854 if pmf else 1.576) / k^0.9657 (reference
+    docs/README.md:259-261 table calibration)."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "quantiles", k=128
+    )
+    return sk.select(
+        F.expr(
+            "round(datasketch_quantiles_normalized_rank_error(sketch, false), 9)"
+        ).alias("nre_single"),
+        F.expr(
+            "round(datasketch_quantiles_normalized_rank_error(sketch, true), 9)"
+        ).alias("nre_pmf"),
+    )
+
+
+def q_estimation_accuracy_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESTIMATION-mode accuracy exercised end-to-end through SQL
+    (rows-only: randomized estimates are not SQL-reproducible, so
+    there is no oracle twin — the contracted bands themselves are
+    gated offline by scripts/accuracy_grid.py over 1M-value streams).
+    Builds theta/HLL/CPC at lg_k=12 over l_orderkey (distinct count
+    exceeds 2^12 at sf >= 0.01, so the sketches genuinely estimate)
+    and returns one row per family asserting |est/exact - 1| <= 5%
+    (>= 3 sigma at this geometry; deterministic given the data —
+    estimates are functions of the fixed hash family, not run-time
+    randomness)."""
+    _ensure(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    exact = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    sks = li.agg(
+        F.expr(
+            "datasketch_theta_estimate(datasketch_theta_lgk(12, l_orderkey))"
+        ).alias("theta_est"),
+        F.expr("datasketch_hll_estimate(datasketch_hll(12, l_orderkey))").alias(
+            "hll_est"
+        ),
+        F.expr("datasketch_cpc_estimate(datasketch_cpc(12, l_orderkey))").alias(
+            "cpc_est"
+        ),
+    )
+    stacked = sks.crossJoin(exact).select(
+        F.expr(
+            "stack(3, 'theta', theta_est, 'hll', hll_est, 'cpc', cpc_est) "
+            "AS (family, est)"
+        ),
+        "n",
+    )
+    return stacked.select(
+        "family",
+        (F.abs(F.col("est") / F.col("n") - 1.0) <= 0.05).alias("within_band"),
+    ).orderBy("family")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-flag distinct suppliers (theta) + exact quantiles
     (KLL) on sf0.001 — BOTH sketches built in one scan + one shuffle
@@ -3384,8 +3510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rollup idioms, dedup/LSH, ANN, text/curation, multimodal, events
     time-series, drift, profiling).  Same-family variants (extra
     scalar surfaces, alternate key types, SQL-arity twins) follow
-    after entry 50; all 107 pass the identical oracle gate locally
-    (scripts/check_oracle.py)."""
+    after entry 50; all pass the identical oracle gate locally
+    (scripts/check_oracle.py — 139 hash-matched pairs + 1 rows-only
+    estimation-band entry as of round 14)."""
     return {
         # -- driver window: one representative per operator family --
         "theta_distinct_orders": q_theta_distinct_orders,
@@ -3523,6 +3650,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_rollup": q_streaming_windowed_rollup,
         "streaming_drift_ks": q_streaming_drift_ks,
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
+        "fuzzy_dedup_kept_sigtable": q_fuzzy_dedup_kept_sigtable,
+        "theta_seed_hash": q_theta_seed_hash,
+        "hll_lg_config_k": q_hll_lg_config_k,
+        "kll_normalized_rank_error": q_kll_normalized_rank_error,
+        "quantiles_normalized_rank_error": q_quantiles_normalized_rank_error,
+        # rows-only (no oracle twin): estimation-mode accuracy band
+        "estimation_accuracy_band": q_estimation_accuracy_band,
     }
 
 
@@ -4217,6 +4351,47 @@ def oracle_sql() -> dict[str, str]:
                      GROUP BY src)
             SELECT doc_id FROM comp WHERE c = doc_id
         """,
+        # identical kept set through the stored-signature route (the
+        # signatures are the same seeded values; verify is exact)
+        "fuzzy_dedup_kept_sigtable": """
+            WITH RECURSIVE
+            dd AS (SELECT doc_id, lower(text) AS t FROM documents
+                   WHERE doc_id < 200),
+            g AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(
+                      generate_series(1, greatest(length(t) - 4, 1)),
+                      i -> substr(t, CAST(i AS INT), 5))) AS sh
+                  FROM dd),
+            sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                      FROM g a JOIN g b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b FROM inter
+                      JOIN sz sa ON sa.doc_id = id_a
+                      JOIN sz sb ON sb.doc_id = id_b
+                      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+            edges AS (SELECT id_a AS ida, id_b AS idb FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM dd
+              UNION
+              SELECT r.src, e.idb FROM reach r JOIN edges e ON e.ida = r.dst),
+            comp AS (SELECT src AS doc_id, min(dst) AS c FROM reach
+                     GROUP BY src)
+            SELECT doc_id FROM comp WHERE c = doc_id
+        """,
+        # deterministic metadata scalars, literal/closed-form pinned
+        "theta_seed_hash": "SELECT CAST(37836 AS BIGINT) AS seed_hash",
+        "hll_lg_config_k": "SELECT CAST(13 AS BIGINT) AS lg_config_k",
+        "kll_normalized_rank_error": (
+            "SELECT round(1.970 / pow(200, 0.9433), 9) AS nre_single, "
+            "round(2.443 / pow(200, 0.9433), 9) AS nre_pmf"
+        ),
+        "quantiles_normalized_rank_error": (
+            "SELECT round(1.576 / pow(128, 0.9657), 9) AS nre_single, "
+            "round(1.854 / pow(128, 0.9657), 9) AS nre_pmf"
+        ),
         "simhash_near_pairs": """
             WITH dd AS (SELECT doc_id, lower(text) AS t FROM documents
                         WHERE doc_id < 200),

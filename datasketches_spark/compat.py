@@ -118,9 +118,11 @@ def scan_partitions(df: DataFrame) -> int | None:
 class _ClosureBroadcast:
     """Duck-typed stand-in for a SparkContext broadcast: the value
     rides inside the UDF's pickled closure instead of the torrent
-    broadcast.  Shipped once per task launch rather than once per
-    executor — acceptable for the bounded blobs (<= 2^lg_m/8 bytes)
-    this package broadcasts, and the only option under Connect."""
+    broadcast.  Shipped once per TASK LAUNCH rather than once per
+    executor — fine for KB-scale blobs (bloom/theta partials), but a
+    real cost for fat payloads (a default-lg_w CMS language model is
+    tens of MB): :func:`broadcast_value` warns past
+    ``_CLOSURE_BCAST_WARN_BYTES``.  The only option under Connect."""
 
     __slots__ = ("value",)
 
@@ -128,13 +130,37 @@ class _ClosureBroadcast:
         self.value = value
 
 
+_CLOSURE_BCAST_WARN_BYTES = 4 << 20
+
+
 def broadcast_value(spark: SparkSession, value):
     """sc.broadcast when the JVM bridge exists, closure capture
     otherwise.  Returns an object with a ``.value`` attribute either
-    way, so probe UDFs are written once."""
+    way, so probe UDFs are written once.
+
+    On the closure fallback (Connect), payloads over
+    ``_CLOSURE_BCAST_WARN_BYTES`` draw a RuntimeWarning: the value is
+    re-shipped with every task launch, so e.g. lm.py's CMS models
+    should be sized down (lower ``lg_w``) or run on a classic JVM
+    session."""
     try:
         return spark.sparkContext.broadcast(value)
     except Exception:
+        try:
+            size = len(value)
+        except Exception:
+            size = 0
+        if size > _CLOSURE_BCAST_WARN_BYTES:
+            import warnings  # noqa: PLC0415
+
+            warnings.warn(
+                f"no JVM broadcast available; a {size / (1 << 20):.1f} MiB "
+                "value is closure-captured and will ship with EVERY task "
+                "launch. Shrink the payload (e.g. lower lg_w on CMS "
+                "models) or use a classic (non-Connect) session.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return _ClosureBroadcast(value)
 
 

@@ -264,6 +264,7 @@ def minhash_near_duplicates(
     """
     if signatures is not None:
         sigs = _resolve_signatures(signatures, df)
+        _check_sig_width(sigs, bands, rows)
         persist = False  # the stored table IS the materialization
     else:
         sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
@@ -348,13 +349,110 @@ _TABLE_NAME_RE = re.compile(r"^\w+(\.\w+){0,2}$")
 
 
 def read_minhash_signatures(spark: SparkSession, source: str) -> DataFrame:
-    """Load a stored signature table: a catalog identifier
+    """Load a stored signature table: a registered catalog identifier
     (``name``, ``db.name``, ``catalog.db.name``) reads via
-    ``spark.table``; anything else — including relative paths like
-    ``sigs.parquet`` — reads as parquet."""
+    ``spark.table``; anything else — absolute paths, relative paths,
+    bare directory names like ``sigs`` — reads as parquet.  Catalog
+    names win when both could apply (probed via
+    ``catalog.tableExists``, so a bare name that is NOT a registered
+    table falls through to parquet instead of dying with
+    TABLE_OR_VIEW_NOT_FOUND)."""
     if _TABLE_NAME_RE.match(source) and not source.endswith(".parquet"):
-        return spark.table(source)
+        try:
+            is_table = spark.catalog.tableExists(source)
+        except Exception:
+            is_table = False
+        if is_table:
+            return spark.table(source)
     return spark.read.parquet(source)
+
+
+def _check_sig_width(sigs: DataFrame, bands: int, rows: int) -> None:
+    """Stored-signature geometry guard (ADVICE r13): a table written
+    with num_hashes < bands*rows makes ``sig[i*rows+j]`` NULL for the
+    upper bands, so ``F.hash(all-NULL)`` degenerates to a CONSTANT
+    band key and every doc pairs with every doc in those bands — a
+    silent O(n^2) candidate blowup (the exact verify still returns
+    correct pairs, so nothing else catches it).  One limit-1 job."""
+    row = (
+        sigs.filter(F.col("sig").isNotNull())
+        .select(F.size("sig").alias("w"))
+        .first()
+    )
+    if row is not None and row["w"] < bands * rows:
+        raise ValueError(
+            f"stored signatures carry {row['w']} hashes but banding "
+            f"needs bands*rows = {bands}*{rows} = {bands * rows}; "
+            "re-write the signature table with num_hashes >= bands*rows "
+            "or pass matching bands=/rows=."
+        )
+
+
+def upsert_minhash_signatures(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    table: str | None = None,
+    buckets: int = 32,
+    num_hashes: int = 64,
+    shingle: int = 5,
+    seed: int = 1,
+    engine: str = "pandas",
+) -> str:
+    """Incrementally extend a stored signature table with NEW docs.
+
+    The incremental half of :func:`write_minhash_signatures`'s
+    contract: signatures are computed ONLY for ``new_docs`` ids not
+    already present (a left-anti join — exchange-free on the stored
+    side under bucketed-join planning for the catalog route), written
+    in the same ``repartition(buckets, id)`` layout, and APPENDED.
+    Existing files are never rewritten, so the upsert costs O(new
+    docs), not O(corpus).  Already-present ids are skipped, never
+    duplicated: signatures are deterministic given (num_hashes,
+    shingle, seed, engine), so the stored row is already correct —
+    pass the SAME parameters the table was built with (``num_hashes``
+    is cross-checked against the stored signature width; the rest
+    cannot be recovered from the table and are the caller's
+    contract).
+
+    Invariant (tested in tests/test_sigtable.py): upserting new docs
+    into a table built from ``base`` equals a from-scratch
+    :func:`write_minhash_signatures` over ``base UNION new``.
+    Returns ``path``.
+    """
+    spark = new_docs.sparkSession
+    existing = read_minhash_signatures(spark, table if table is not None else path)
+    got = (
+        existing.filter(F.col("sig").isNotNull())
+        .select(F.size("sig").alias("w"))
+        .first()
+    )
+    if got is not None and got["w"] != num_hashes:
+        raise ValueError(
+            f"stored signatures carry {got['w']} hashes but num_hashes="
+            f"{num_hashes} was requested; upserts must use the exact "
+            "parameters the table was built with."
+        )
+    fresh = new_docs.join(existing.select(id_col), id_col, "left_anti")
+    if engine == "jvm":
+        sigs = minhash_signatures_jvm(fresh, id_col, text_col, num_hashes, shingle)
+    elif engine == "pandas":
+        sigs = minhash_signatures(fresh, id_col, text_col, num_hashes, shingle, seed)
+    else:
+        raise ValueError(f"unknown engine: {engine!r} (want 'jvm' or 'pandas')")
+    sigs = sigs.repartition(buckets, F.col(id_col))
+    if table is not None:
+        (
+            sigs.write.mode("append")
+            .option("path", path)
+            .bucketBy(buckets, id_col)
+            .sortBy(id_col)
+            .saveAsTable(table)
+        )
+    else:
+        sigs.write.mode("append").parquet(path)
+    return path
 
 
 def _resolve_signatures(
@@ -458,6 +556,7 @@ def lsh_verified_near_duplicates(
     persist_cand = persist
     if signatures is not None:
         sigs = _resolve_signatures(signatures, df)
+        _check_sig_width(sigs, bands, rows)
         persist = False  # the stored table IS the materialization
     elif engine == "jvm":
         sigs = minhash_signatures_jvm(df, id_col, text_col, num_hashes, shingle)
@@ -719,12 +818,27 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 10
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+    on_max_iter: str = "raise",
 ) -> DataFrame:
-    """(id, component) via iterative min-label propagation over pairs.
+    """(id, component) via min-label propagation + pointer doubling.
 
-    Each iteration is one shuffle (groupBy min); converges in
-    O(diameter) iterations -- bounded by ``max_iter`` for safety.
+    Each round: one propagation shuffle (groupBy min over neighbors)
+    followed by a pointer-doubling shortcut (``component <- the
+    component's own component``), so remaining chain depth HALVES per
+    round and convergence takes O(log diameter) rounds — the default
+    ``max_iter=10`` covers diameters up to ~2^10 (the r13 plain
+    propagation needed one round per hop, so a >10-hop duplicate
+    chain silently kept extra "representatives").
+
+    If the loop still exhausts ``max_iter`` without converging the
+    labels are NOT a valid partition; ``on_max_iter`` picks the
+    behavior: ``"raise"`` (default) raises RuntimeError, ``"warn"``
+    emits a RuntimeWarning and returns the partial labels,
+    ``"ignore"`` returns them silently.
 
     Iterative DataFrame algorithms grow their lineage by one
     join+agg per round; without truncation every action re-executes
@@ -736,6 +850,10 @@ def connected_components(
     (``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``) if
     executor loss during the loop must be survivable.
     """
+    if on_max_iter not in ("raise", "warn", "ignore"):
+        raise ValueError(
+            f"on_max_iter must be 'raise', 'warn' or 'ignore', got {on_max_iter!r}"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -748,6 +866,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node, "left")
@@ -755,7 +874,7 @@ def connected_components(
             .agg(F.min("component").alias("nbr_min"))
             .withColumnRenamed("src", "node")
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -763,6 +882,27 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
+            )
+            # checkpointed: it feeds BOTH sides of the shortcut join
+            # below — unmaterialized, the propagation would recompute
+            # per branch
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling: every component value is itself a node id
+        # (a min over node ids), so jump each label to ITS label —
+        # labels only decrease within the component, correctness holds
+        lookup = propagated.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        )
+        new_labels = (
+            propagated.join(
+                lookup, propagated.component == lookup.c_node, "left"
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("c_comp"), F.col("component")).alias(
+                    "component"
+                ),
             )
             .localCheckpoint(eager=True)
         )
@@ -774,6 +914,21 @@ def connected_components(
         done = changed.isEmpty()
         labels = new_labels
         if done:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds (component diameter > ~2^{max_iter}); "
+            "the returned labels over-partition some components. Raise "
+            "max_iter, or pass on_max_iter='warn'/'ignore' to accept "
+            "partial labels."
+        )
+        if on_max_iter == "raise":
+            raise RuntimeError(msg)
+        if on_max_iter == "warn":
+            import warnings  # noqa: PLC0415
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.withColumnRenamed("node", "id")

@@ -23,6 +23,12 @@ Two engines, one contract:
   eps*W is well under the rarest count you care about.  At gate SF
   the sketch is collision-free and the two engines are equal
   (tests/test_pipeline.py gates the equality).
+
+Connect caveat: without a JVM bridge the model blob is
+closure-captured (compat.broadcast_value) and ships with EVERY task —
+at the default lg_w=20 that is tens of MB per launch (two blobs for
+bigram).  compat warns past 4 MiB; lower ``lg_w`` (each step halves
+the blob) or run a classic session for fat models.
 """
 
 from __future__ import annotations

@@ -147,6 +147,19 @@ class TestFallbacks:
         bc = compat.broadcast_value(_NoJvmSession(), b"payload")
         assert bc.value == b"payload"
 
+    def test_broadcast_value_warns_on_fat_closure_payload(self):
+        """ADVICE r13: a closure-captured value ships per TASK, so a
+        tens-of-MB CMS model must draw a warning, not sail silently."""
+        import warnings
+
+        fat = b"x" * (compat._CLOSURE_BCAST_WARN_BYTES + 1)
+        with pytest.warns(RuntimeWarning, match="EVERY task"):
+            bc = compat.broadcast_value(_NoJvmSession(), fat)
+        assert bc.value == fat
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # small payloads stay silent
+            compat.broadcast_value(_NoJvmSession(), b"small")
+
     def test_broadcast_value_classic(self, spark):
         bc = compat.broadcast_value(spark, b"payload")
         assert bc.value == b"payload"

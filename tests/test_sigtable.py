@@ -170,3 +170,114 @@ class TestBucketedTableMode:
             assert rt.count() == _docs(spark).count()
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestUpsert:
+    """upsert_minhash_signatures: incremental == from-scratch."""
+
+    def test_parquet_upsert_equals_from_scratch(self, spark, tmp_path):
+        docs_all = read_table(spark, SF, "documents").filter(F.col("doc_id") < 200)
+        base = docs_all.filter(F.col("doc_id") < 120)
+        new = docs_all.filter(F.col("doc_id") >= 100)  # 100-119 already stored
+        p_inc = str(tmp_path / "sigs_inc")
+        D.write_minhash_signatures(base, "doc_id", "text", p_inc, buckets=4)
+        D.upsert_minhash_signatures(new, "doc_id", "text", p_inc, buckets=4)
+        p_full = str(tmp_path / "sigs_full")
+        D.write_minhash_signatures(docs_all, "doc_id", "text", p_full, buckets=4)
+        inc = {
+            r.doc_id: tuple(r.sig) if r.sig is not None else None
+            for r in D.read_minhash_signatures(spark, p_inc).collect()
+        }
+        full = {
+            r.doc_id: tuple(r.sig) if r.sig is not None else None
+            for r in D.read_minhash_signatures(spark, p_full).collect()
+        }
+        assert inc == full and len(inc) == 200  # overlap skipped, never duplicated
+
+    def test_catalog_upsert_keeps_bucket_layout(self, spark, tmp_path):
+        table = "dsks_test_sig_upsert"
+        path = str(tmp_path / "sig_upsert")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        try:
+            docs_all = read_table(spark, SF, "documents").filter(
+                F.col("doc_id") < 200
+            )
+            base = docs_all.filter(F.col("doc_id") < 150)
+            new = docs_all.filter(F.col("doc_id") >= 140)
+            D.write_minhash_signatures(
+                base, "doc_id", "text", path, buckets=4, table=table
+            )
+            D.upsert_minhash_signatures(
+                new, "doc_id", "text", path, buckets=4, table=table
+            )
+            t = spark.table(table)
+            assert t.count() == 200
+            assert t.select("doc_id").distinct().count() == 200
+            cols = {
+                r.col_name: r.data_type
+                for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+            }
+            assert cols.get("Num Buckets") == "4"
+            live = {
+                r.doc_id: tuple(r.sig)
+                for r in D.minhash_signatures(docs_all, "doc_id", "text").collect()
+            }
+            stored = {r.doc_id: tuple(r.sig) for r in t.collect()}
+            assert stored == live
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def test_upsert_width_mismatch_raises(self, spark, tmp_path):
+        path = str(tmp_path / "sigs_w32")
+        D.write_minhash_signatures(
+            _docs(spark), "doc_id", "text", path, buckets=2, num_hashes=32
+        )
+        with pytest.raises(ValueError, match="32 hashes"):
+            D.upsert_minhash_signatures(
+                _docs(spark), "doc_id", "text", path, buckets=2, num_hashes=64
+            )
+
+
+class TestSigGeometryGuard:
+    """ADVICE r13: a stored table narrower than bands*rows used to make
+    F.hash(all-NULL) a CONSTANT band key — silent O(n^2) candidates."""
+
+    def test_narrow_signatures_raise_on_both_routes(self, spark, tmp_path):
+        path = str(tmp_path / "sigs_narrow")
+        D.write_minhash_signatures(
+            _docs(spark), "doc_id", "text", path, buckets=2, num_hashes=32
+        )
+        with pytest.raises(ValueError, match="bands\\*rows"):
+            D.minhash_near_duplicates(
+                None, "doc_id", signatures=path  # default 16x4 needs 64
+            )
+        with pytest.raises(ValueError, match="bands\\*rows"):
+            D.lsh_verified_near_duplicates(
+                _docs(spark), "doc_id", "text", signatures=path
+            )
+        # matching geometry passes through fine
+        out = D.minhash_near_duplicates(
+            None, "doc_id", signatures=path, bands=8, rows=4
+        )
+        assert out.count() >= 0
+
+
+class TestReadDisambiguation:
+    """ADVICE r13: a bare \\w+ name that is NOT a registered table must
+    fall through to a parquet read, not die TABLE_OR_VIEW_NOT_FOUND."""
+
+    def test_registered_name_wins(self, spark, sig_path):
+        view = "dsks_sig_view_probe"
+        D.read_minhash_signatures(spark, sig_path).createOrReplaceTempView(view)
+        try:
+            got = D.read_minhash_signatures(spark, view)
+            assert got.count() == _docs(spark).count()
+        finally:
+            spark.catalog.dropTempView(view)
+
+    def test_unregistered_bare_name_tries_parquet(self, spark):
+        with pytest.raises(Exception) as ei:
+            D.read_minhash_signatures(
+                spark, "definitely_not_a_table_or_dir"
+            ).collect()
+        assert "TABLE_OR_VIEW_NOT_FOUND" not in str(ei.value)
