@@ -647,6 +647,7 @@ def fuzzy_dedup(
     threshold: float = 0.8,
     keep_cols: list[str] | None = None,
     max_iter: int = 10,
+    on_max_iter: str = "raise",
     **lsh_kwargs,
 ) -> DataFrame:
     """Keep ONE document (the min id) per near-duplicate component —
@@ -661,11 +662,17 @@ def fuzzy_dedup(
     unchanged.  The component/label frames are O(duplicated docs) —
     tiny relative to the corpus — so the only corpus-scale work is
     the LSH join itself.  ``keep_cols`` trims the output projection
-    (default: every column)."""
+    (default: every column).  Component labeling converges in O(log
+    diameter) rounds (pointer doubling); if ``max_iter`` is still
+    exhausted the run RAISES by default rather than silently keeping
+    extra representatives — ``on_max_iter`` forwards to
+    :func:`connected_components`."""
     pairs = lsh_verified_near_duplicates(
         df, id_col, text_col, threshold=threshold, **lsh_kwargs
     )
-    comp = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    comp = connected_components(
+        pairs, "id_a", "id_b", max_iter=max_iter, on_max_iter=on_max_iter
+    )
     drop = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

@@ -589,6 +589,107 @@ def pq_topk(
     )
 
 
+def save_pq_index(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist a PQ index: the (id, codes) table + the trained
+    codebooks, self-contained.  The code table is the whole search
+    input at probe time (m bytes/vector instead of 4*dim — the 16-64x
+    I/O cut that makes PQ the 100 TB scan path); codebooks ride along
+    as one tiny parquet so a loader needs no retraining (training is
+    seeded but the sample is partitioning-dependent — shipping the
+    trained bytes, not the recipe, is what makes results stable
+    across environments)."""
+    spark = codes.sparkSession
+    codes.select(id_col, "codes").write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    m, ksub, dsub = codebooks.shape
+    rows = [
+        (int(b), int(c), [float(x) for x in codebooks[b, c]])
+        for b in range(m)
+        for c in range(ksub)
+    ]
+    (
+        spark.createDataFrame(
+            rows, "block int, code int, centroid array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/codebooks")
+    )
+
+
+def _load_codebooks(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("block", "code").collect()
+    m = 1 + max(r["block"] for r in rows)
+    ksub = 1 + max(r["code"] for r in rows)
+    dsub = len(rows[0]["centroid"])
+    cb = np.empty((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        cb[r["block"], r["code"]] = r["centroid"]
+    return cb
+
+
+def load_pq_index(spark, path: str):
+    """(codes_df, codebooks ndarray) back from :func:`save_pq_index` —
+    ready for :func:`pq_topk`."""
+    return spark.read.parquet(f"{path}/codes"), _load_codebooks(spark, path)
+
+
+def save_ivfpq_index(
+    assigned_codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist an IVF-PQ index: the slim (id, centroid_id, codes)
+    table written PARTITIONED BY centroid_id (probe-time reads of
+    n_probes cells become parquet partition pruning — the ivf layout)
+    + the coarse centroids + the PQ codebooks.  The layout is the
+    billion-scale serving shape: a query touches n_probes/n_centroids
+    of an already-16-64x-compressed corpus."""
+    spark = assigned_codes.sparkSession
+    (
+        assigned_codes.select(id_col, "codes", "centroid_id")
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (
+        spark.createDataFrame(cent_rows, "centroid_id long, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+    m, ksub, _ = codebooks.shape
+    cb_rows = [
+        (int(b), int(c), [float(x) for x in codebooks[b, c]])
+        for b in range(m)
+        for c in range(ksub)
+    ]
+    (
+        spark.createDataFrame(cb_rows, "block int, code int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/codebooks")
+    )
+
+
+def load_ivfpq_index(spark, path: str):
+    """(assigned_codes_df, centroids, codebooks) back from
+    :func:`save_ivfpq_index` — ready for :func:`ivfpq_topk`."""
+    codes = spark.read.parquet(f"{path}/codes")
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
+    cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    return codes, cents, _load_codebooks(spark, path)
+
+
 def ivfpq_topk(
     assigned_codes: DataFrame,
     centroids: np.ndarray,

@@ -1139,6 +1139,81 @@ class TestIVF:
         assert len(rows) == 100
         assert all(0 <= r.centroid_id < 4 for r in rows)
 
+    def test_pq_index_save_load_roundtrip(self, spark, tmp_path):
+        """save_pq_index/load_pq_index: the persisted (codes table +
+        codebooks) must reproduce in-memory pq_topk exactly — the
+        trained bytes ship with the index, no retraining."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        rng = np.random.default_rng(23)
+        vecs = rng.standard_normal((200, 16)).astype(np.float64)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(200)]
+        )
+        cb = similarity.pq_train(df, m=4, nbits=4, seed=9, sample_limit=200)
+        codes = similarity.pq_encode(df, cb)
+        path = str(tmp_path / "pq_full")
+        similarity.save_pq_index(codes, cb, path)
+        lcodes, lcb = similarity.load_pq_index(spark, path)
+        assert lcb.shape == cb.shape and np.allclose(cb, lcb)
+        queries = df.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        want = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in similarity.pq_topk(codes, queries, cb, k=5).collect()
+        }
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in similarity.pq_topk(lcodes, queries, lcb, k=5).collect()
+        }
+        assert got == want and len(got) == 15
+
+    def test_ivfpq_index_save_load_prunes_and_matches(self, spark, tmp_path):
+        """save_ivfpq_index/load_ivfpq_index: partition-pruned code
+        layout (probing 2 of 4 cells must plan as PartitionFilters,
+        not a post-scan row filter) AND exact result equality with the
+        in-memory ivfpq_topk."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        rng = np.random.default_rng(29)
+        vecs = rng.standard_normal((200, 16)).astype(np.float64)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(200)]
+        )
+        assigned, cents = similarity.ivf_build(df, n_centroids=4, sample_limit=200)
+        cb = similarity.pq_train(df, m=4, nbits=4, seed=9, sample_limit=200)
+        ac = assigned.select("vec_id", "centroid_id").join(
+            similarity.pq_encode(df, cb), "vec_id"
+        )
+        path = str(tmp_path / "ivfpq_full")
+        similarity.save_ivfpq_index(ac, cents, cb, path)
+        lac, lcents, lcb = similarity.load_ivfpq_index(spark, path)
+        assert np.allclose(cents, lcents) and np.allclose(cb, lcb)
+        probed = lac.filter(F.col("centroid_id").isin([0, 1]))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        queries = df.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        want = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in similarity.ivfpq_topk(
+                ac, cents, cb, queries, k=5, n_probes=2
+            ).collect()
+        }
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in similarity.ivfpq_topk(
+                lac, lcents, lcb, queries, k=5, n_probes=2
+            ).collect()
+        }
+        assert got == want and len(got) == 15
+
 
 # ---------------- sessionization ---------------------------------------
 
