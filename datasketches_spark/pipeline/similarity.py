@@ -470,13 +470,20 @@ def pq_encode(
 
 def _adc_score_udf(codebooks: np.ndarray):
     """Arrow-batched ADC scorer: (query_id, query_vec, codes) ->
-    approximate cosine.  One LUT per distinct query per batch (m x
-    2^nbits inner products), then an m-entry gather per row — the
-    per-pair cost that replaces a dim-length dot product."""
+    approximate cosine.  LUTs (m x 2^nbits inner products per query)
+    are built for ALL distinct queries in the batch at once via a
+    batched matmul, in bounded blocks so LUT memory stays ~MBs
+    regardless of batch width; scoring is then one fancy-indexed
+    m-entry gather per row.  The block path is what keeps the
+    ``broadcast_queries=False`` batch-offline shape (millions of
+    DISTINCT queries per batch) from degenerating into a per-row
+    Python loop — measured in BASELINE_LOCAL.md "ADC batch scoring"."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
     m, _, dsub = codebooks.shape
     cb = codebooks.copy()
+    cb_t = np.ascontiguousarray(cb.transpose(0, 2, 1))  # (m, dsub, ksub)
+    block = 512  # 512 * m * ksub doubles ≈ 8 MB of LUTs at 8x256
 
     @pandas_udf("double")
     def adc_score(qid: pd.Series, qvec: pd.Series, code_s: pd.Series) -> pd.Series:
@@ -484,13 +491,22 @@ def _adc_score_udf(codebooks: np.ndarray):
             return pd.Series([], dtype="float64")
         codes_mat = np.array(code_s.tolist(), dtype=np.int64)
         out = np.empty(len(qid), dtype=np.float64)
-        uniq, inv = np.unique(qid.to_numpy(), return_inverse=True)
-        for u in range(uniq.size):
-            rows = np.nonzero(inv == u)[0]
-            q = np.asarray(qvec.iloc[rows[0]], dtype=np.float64)
-            q = q / max(float(np.linalg.norm(q)), 1e-12)
-            lut = np.einsum("bd,bkd->bk", q.reshape(m, dsub), cb)
-            out[rows] = lut[np.arange(m)[None, :], codes_mat[rows]].sum(axis=1)
+        uniq, first_idx, inv = np.unique(
+            qid.to_numpy(), return_index=True, return_inverse=True
+        )
+        cols = np.arange(m)[None, :]
+        for lo in range(0, uniq.size, block):
+            hi = min(lo + block, uniq.size)
+            qmat = np.array(
+                [qvec.iloc[i] for i in first_idx[lo:hi]], dtype=np.float64
+            )
+            qmat = _normalize_rows(qmat).reshape(hi - lo, m, 1, dsub)
+            # (q, m, 1, dsub) @ (m, dsub, ksub) -> (q, m, 1, ksub)
+            luts = np.matmul(qmat, cb_t)[:, :, 0, :]
+            rows = np.nonzero((inv >= lo) & (inv < hi))[0]
+            out[rows] = luts[
+                inv[rows][:, None] - lo, cols, codes_mat[rows]
+            ].sum(axis=1)
         return pd.Series(out)
 
     return adc_score
