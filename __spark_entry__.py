@@ -1235,6 +1235,69 @@ def q_quantiles_normalized_rank_error(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def q_describe_surfaces_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All SEVEN reference describe surfaces, content-gated: the
+    describe STRING itself is engine-specific (the reference's own
+    tests only pattern-match it, test/sql/datasketch_hll.test:83-86),
+    but the numeric fields it must carry are exact-mode deterministic
+    — K/N/retained for the quantile families, compression/total
+    weight for tdigest, lg-k/retained/seed-hash for theta, lg config
+    k for HLL/CPC.  regexp_extract pulls each number and the oracle
+    recomputes it from the data (counts) or pins the configured
+    literal.  Six sketches build in ONE customer scan
+    (sketch_agg_multi) + one theta over nation."""
+    from datasketches_spark.aggregation import sketch_agg_multi
+
+    _ensure(spark)
+    multi = sketch_agg_multi(
+        _t(spark, sf_dir, "customer"),
+        [
+            ("c_acctbal", "kll", 32768, "kll_sk"),
+            ("c_acctbal", "quantiles", 32768, "q_sk"),
+            ("c_acctbal", "req", 12, "req_sk"),
+            ("c_acctbal", "tdigest", 100, "td_sk"),
+            ("c_custkey", "hll", 13, "hll_sk"),
+            ("c_custkey", "cpc", 12, "cpc_sk"),
+        ],
+    )
+    theta = sketch_agg(
+        _t(spark, sf_dir, "nation"), "n_nationkey", "theta", k=16
+    ).select(F.expr("datasketch_theta_describe(sketch)").alias("theta_d"))
+
+    def ext(desc_col, pattern, alias):
+        return (
+            F.regexp_extract(desc_col, pattern, 1).cast("bigint").alias(alias)
+        )
+
+    d = multi.select(
+        F.expr("datasketch_kll_describe(kll_sk)").alias("kll_d"),
+        F.expr("datasketch_quantiles_describe(q_sk)").alias("q_d"),
+        F.expr("datasketch_req_describe(req_sk)").alias("req_d"),
+        F.expr("datasketch_tdigest_describe(td_sk)").alias("td_d"),
+        F.expr("datasketch_hll_describe(hll_sk)").alias("hll_d"),
+        F.expr("datasketch_cpc_describe(cpc_sk)").alias("cpc_d"),
+    ).crossJoin(theta)
+    return d.select(
+        ext(F.col("kll_d"), r"K\s+: (\d+)", "kll_k"),
+        ext(F.col("kll_d"), r"N\s+: (\d+)", "kll_n"),
+        ext(F.col("kll_d"), r"retained items : (\d+)", "kll_retained"),
+        ext(F.col("q_d"), r"K\s+: (\d+)", "q_k"),
+        ext(F.col("q_d"), r"N\s+: (\d+)", "q_n"),
+        ext(F.col("q_d"), r"retained items : (\d+)", "q_retained"),
+        ext(F.col("req_d"), r"K\s+: (\d+)", "req_k"),
+        ext(F.col("req_d"), r"N\s+: (\d+)", "req_n"),
+        ext(F.col("td_d"), r"compression \(k\) : (\d+)", "td_k"),
+        ext(F.col("td_d"), r"total weight\s+: (\d+)", "td_weight"),
+        ext(F.col("theta_d"), r"lg nominal size\s+: (\d+)", "theta_lgk"),
+        ext(
+            F.col("theta_d"), r"num retained entries : (\d+)", "theta_retained"
+        ),
+        ext(F.col("theta_d"), r"seed hash\s+: (\d+)", "theta_seed"),
+        ext(F.col("hll_d"), r"lg config k\s+: (\d+)", "hll_lgk"),
+        ext(F.col("cpc_d"), r"lg config k\s+: (\d+)", "cpc_lgk"),
+    )
+
+
 def q_estimation_accuracy_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ESTIMATION-mode accuracy exercised end-to-end through SQL
     (rows-only: randomized estimates are not SQL-reproducible, so
@@ -3655,6 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_lg_config_k": q_hll_lg_config_k,
         "kll_normalized_rank_error": q_kll_normalized_rank_error,
         "quantiles_normalized_rank_error": q_quantiles_normalized_rank_error,
+        "describe_surfaces_extract": q_describe_surfaces_extract,
         # rows-only (no oracle twin): estimation-mode accuracy band
         "estimation_accuracy_band": q_estimation_accuracy_band,
     }
@@ -4392,6 +4456,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT round(1.576 / pow(128, 0.9657), 9) AS nre_single, "
             "round(1.854 / pow(128, 0.9657), 9) AS nre_pmf"
         ),
+        # all seven describe surfaces, numeric-content-gated: counts
+        # recomputed from the data, configured k / seed-hash pinned
+        "describe_surfaces_extract": """
+            SELECT CAST(32768 AS BIGINT) AS kll_k,
+                   count(*) AS kll_n,
+                   count(*) AS kll_retained,   -- exact mode: no compaction
+                   CAST(32768 AS BIGINT) AS q_k,
+                   count(*) AS q_n,
+                   count(*) AS q_retained,
+                   CAST(12 AS BIGINT) AS req_k,
+                   count(*) AS req_n,
+                   CAST(100 AS BIGINT) AS td_k,
+                   count(*) AS td_weight,
+                   CAST(16 AS BIGINT) AS theta_lgk,
+                   (SELECT count(DISTINCT n_nationkey) FROM nation)
+                     AS theta_retained,
+                   CAST(37836 AS BIGINT) AS theta_seed,
+                   CAST(13 AS BIGINT) AS hll_lgk,
+                   CAST(12 AS BIGINT) AS cpc_lgk
+            FROM customer
+        """,
         "simhash_near_pairs": """
             WITH dd AS (SELECT doc_id, lower(text) AS t FROM documents
                         WHERE doc_id < 200),
