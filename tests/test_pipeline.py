@@ -308,9 +308,10 @@ class TestDedup:
             assert got == want, f"seed {seed}"
 
     def test_connected_components_long_path(self, spark):
-        """A 16-node path needs 15 propagation hops: the loop must stay
-        fast per-iteration (localCheckpoint truncates lineage — without
-        it each round re-executes the whole history) and converge."""
+        """A 16-node path (15 hops; ~4 pointer-doubled rounds): the
+        loop must stay fast per-iteration (localCheckpoint truncates
+        lineage — without it each round re-executes the whole
+        history) and converge."""
         pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(15)])
         comps = {
             r.id: r.component
@@ -1559,6 +1560,39 @@ class TestUnigramLm:
             s_ba = math.log(0.7 * 1 / 2 + 0.3 * 2 / 5)
             expect = (2 * s_ab + s_ba) / 3
             assert abs(lp - expect) < 1e-12, engine
+
+
+class TestSegmentMeans:
+    """lm._segment_means is the shared segment-reduce primitive behind
+    the vectorized CMS scorers — property-checked against the naive
+    per-segment loop (ragged shapes, empty segments at every position,
+    all-empty batches)."""
+
+    def test_matches_naive_on_random_raggedness(self):
+        import numpy as np
+
+        from datasketches_spark.pipeline.lm import _segment_means
+
+        rng = np.random.default_rng(5)
+        for _ in range(200):
+            lens = rng.integers(0, 5, size=rng.integers(1, 12))
+            vals = rng.standard_normal(int(lens.sum()))
+            got = _segment_means(vals, lens.astype(np.int64))
+            pos = 0
+            for i, ln in enumerate(lens):
+                if ln == 0:
+                    assert np.isnan(got[i])
+                else:
+                    assert np.isclose(got[i], vals[pos : pos + ln].mean())
+                    pos += ln
+
+    def test_all_empty(self):
+        import numpy as np
+
+        from datasketches_spark.pipeline.lm import _segment_means
+
+        out = _segment_means(np.empty(0), np.zeros(4, dtype=np.int64))
+        assert out.shape == (4,) and np.isnan(out).all()
 
 
 class TestPyTokensTwin:
