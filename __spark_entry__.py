@@ -1176,6 +1176,63 @@ def q_fuzzy_dedup_kept_sigtable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def q_semantic_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup) on a
+    deterministic surface: centroids pinned to the first 8 embeddings,
+    assignment via the sql engine (sequential-fold cosine argmax with
+    first-max tie-break — bit-reproducible vs DuckDB's
+    list_cosine_similarity), greedy smaller-id drop rule at
+    cosine >= 0.4 among the first 300 vectors.  The oracle rebuilds
+    assignment (row_number over cosine DESC, cid ASC) + the
+    NOT EXISTS drop rule in pure SQL.  The arrow engine (the scale
+    path) is asserted equal in tests/test_pipeline.py."""
+    import numpy as np
+
+    from datasketches_spark.pipeline import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = np.array(
+        [
+            r[0]
+            for r in emb.filter(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    kept = S.semantic_dedup(
+        emb,
+        threshold=0.4,
+        centroids=cents,
+        assign_engine="sql",
+        keep_cluster_col=True,
+    )
+    return kept.select(F.col("vec_id").alias("kept_id"), "cluster_id")
+
+
+def q_stratified_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling
+    (sampling.stratified_sample — df.sampleBy's contract on the
+    engine-portable md5 unit hash): en halved, de quartered, zh kept
+    whole, fr/es dropped via the default.  Pure map stage; the oracle
+    replays the identical CASE-over-unit-hash predicate."""
+    from datasketches_spark.pipeline.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25, "zh": 1.0}, "doc_id", salt="st1"
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.min("doc_id").alias("id_min"),
+        F.max("doc_id").alias("id_max"),
+    )
+
+
 def q_theta_seed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datasketch_theta_get_seed returns the Apache seed HASH of the
     engine's fixed default seed 9001 — the constant 37836 (0x93CC),
@@ -3714,6 +3771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_drift_ks": q_streaming_drift_ks,
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
         "fuzzy_dedup_kept_sigtable": q_fuzzy_dedup_kept_sigtable,
+        "semantic_dedup_kept": q_semantic_dedup_kept,
+        "stratified_docs_sample": q_stratified_docs_sample,
         "theta_seed_hash": q_theta_seed_hash,
         "hll_lg_config_k": q_hll_lg_config_k,
         "kll_normalized_rank_error": q_kll_normalized_rank_error,
@@ -4445,6 +4504,26 @@ def oracle_sql() -> dict[str, str]:
                      GROUP BY src)
             SELECT doc_id FROM comp WHERE c = doc_id
         """,
+        "semantic_dedup_kept": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings WHERE vec_id < 300),
+            cents AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < 8),
+            assign AS (
+              SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.c) DESC,
+                                  c.cid) AS rn
+                FROM emb e CROSS JOIN cents c) WHERE rn = 1)
+            SELECT a.vec_id AS kept_id, a.cid AS cluster_id
+            FROM assign a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM assign b
+              WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+                AND list_cosine_similarity(a.v, b.v) >= 0.4)
+        """,
+        "stratified_docs_sample": _stratified_sample_oracle(),
         # deterministic metadata scalars, literal/closed-form pinned
         "theta_seed_hash": "SELECT CAST(37836 AS BIGINT) AS seed_hash",
         "hll_lg_config_k": "SELECT CAST(13 AS BIGINT) AS lg_config_k",
@@ -4929,6 +5008,19 @@ def _chunk_pack_oracle() -> str:
                least(e, (pack_id + 1) * 2048)
                    - greatest(s, pack_id * 2048) AS slice_len
         FROM x
+    """
+
+
+def _stratified_sample_oracle() -> str:
+    from datasketches_spark.pipeline.sampling import oracle_stratified_keep_sql
+
+    pred = oracle_stratified_keep_sql(
+        "lang", {"en": 0.5, "de": 0.25, "zh": 1.0}, "doc_id", salt="st1"
+    )
+    return f"""
+        SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
+               min(doc_id) AS id_min, max(doc_id) AS id_max
+        FROM documents WHERE {pred} GROUP BY lang
     """
 
 

@@ -407,6 +407,41 @@ def fuzzy_dedup(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 29,
+) -> DataFrame:
+    """SemDeDup: keep rows with no smaller-id cosine-near-duplicate in
+    the same k-means cluster (cluster -> within-cluster prune; the
+    embedding-space complement of :func:`fuzzy_dedup`).  See
+    pipeline/similarity.py::semantic_dedup for centroid/engine knobs."""
+    from .pipeline import similarity as _sim
+
+    return _sim.semantic_dedup(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        n_clusters=n_clusters, seed=seed,
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample — ``df.sampleBy``'s
+    contract on the engine-portable md5 unit hash (stable under
+    repartitioning, auditable in SQL).  See pipeline/sampling.py."""
+    from .pipeline.sampling import stratified_sample as _ss
+
+    return _ss(df, strata_col, fractions, id_col, salt=salt)
+
+
 def lm_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

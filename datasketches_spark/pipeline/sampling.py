@@ -105,6 +105,60 @@ def grouped_topk(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "",
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample (``df.sampleBy``'s
+    contract, minus its non-portable per-partition RNG).
+
+    A row survives iff ``unit_hash(id, salt) < fractions[stratum]``;
+    strata absent from ``fractions`` get ``default`` (0.0 = dropped,
+    1.0 = kept whole).  Membership is a pure function of (id, salt):
+    stable under repartitioning and incremental ingest, joinable after
+    the fact, and recomputable in any engine with md5 (the DuckDB
+    oracle hash-matches a CASE over the same expression).  Nested
+    samples compose: the survivor set at fraction f' < f is a subset
+    of the one at f, so shrinking a stratum never resamples it.
+
+    Scale: scan -> filter, a pure map stage — no shuffle, no Python,
+    no fraction-table join (the CASE folds into whole-stage codegen).
+    For fractions derived from a target mixture instead of given
+    explicitly, use :func:`..pipeline.mixture.sample_to_mixture`.
+    """
+    if not fractions:
+        raise ValueError("fractions must be a non-empty dict")
+    for s, frac in {**fractions, "<default>": default}.items():
+        if not 0.0 <= float(frac) <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0, 1], got {frac}")
+    f_expr = F.lit(float(default))
+    for s, frac in fractions.items():
+        f_expr = F.when(F.col(strata_col) == s, F.lit(float(frac))).otherwise(f_expr)
+    return df.filter(unit_hash(id_col, salt) < f_expr)
+
+
+def oracle_stratified_keep_sql(
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "",
+    default: float = 0.0,
+) -> str:
+    """The identical survival predicate in DuckDB SQL (for audits /
+    the oracle gate) — a CASE over :func:`oracle_unit_hash_sql`."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN {float(frac)!r}" for s, frac in fractions.items()
+    )
+    return (
+        f"{oracle_unit_hash_sql(id_col, salt)} < "
+        f"(CASE {strata_col} {cases} ELSE {float(default)!r} END)"
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

@@ -801,6 +801,152 @@ def embedding_cosine_near_duplicates(
     )
 
 
+# ------------------------------------------------------------ semantic dedup
+
+_SQL_ASSIGN_MAX_CLUSTERS = 64
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    engine: str = "arrow",
+) -> DataFrame:
+    """Nearest-centroid (max-cosine) assignment as a pure map stage.
+
+    ``engine='arrow'``: one vectorized numpy argmax per Arrow batch
+    (the scale path — O(dim) BLAS per row, any number of centroids).
+    ``engine='sql'``: an all-JVM expression — per-centroid
+    :func:`cosine` into an array, then ``array_position(arr,
+    array_max(arr))`` (first-max == smallest centroid id on ties).
+    The sql engine folds doubles in the same sequential order DuckDB
+    does, so assignments are bit-reproducible for SQL audits/oracles;
+    its expression tree grows with ``n_clusters * dim`` so it is
+    capped at 64 clusters (same codegen-size cutover as
+    rangepart.partition_ids).  Both engines break cosine ties toward
+    the smaller centroid id; they can differ only when BLAS summation
+    order makes two cosines cross within float rounding.
+    """
+    k, _dim = centroids.shape
+    if engine == "sql":
+        if k > _SQL_ASSIGN_MAX_CLUSTERS:
+            raise ValueError(
+                f"assign_clusters engine='sql' caps at {_SQL_ASSIGN_MAX_CLUSTERS} "
+                f"clusters (expression size grows with n_clusters*dim); "
+                f"got {k} — use engine='arrow'"
+            )
+        v = F.col(vec_col)
+        cos_arr = F.array(
+            *[
+                cosine(v, F.array(*[F.lit(float(x)) for x in c]))
+                for c in centroids
+            ]
+        )
+        return df.withColumn(
+            cluster_col,
+            (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("long"),
+        )
+    if engine != "arrow":
+        raise ValueError(f"unknown assign engine: {engine!r}")
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField(cluster_col, LongType(), True),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mn = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], cluster_col: np.argmax(mn @ cn.T, axis=1)}
+            )
+
+    return df.join(
+        df.select(id_col, vec_col).mapInPandas(assign, schema=schema), id_col
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 29,
+    centroids: "np.ndarray | None" = None,
+    sample_limit: int = 10_000,
+    assign_engine: str = "arrow",
+    cluster_col: str = "cluster_id",
+    keep_cluster_col: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column.
+
+    Cluster the corpus with a coarse k-means (cosine), then within
+    each cluster drop every row that has a SMALLER-id row in the same
+    cluster with cosine >= ``threshold`` (Abbas et al. 2023,
+    arXiv:2303.09540; the one-shot drop rule is NeMo-Curator's
+    formulation with id as the scan order).  Returns the kept rows
+    with their original columns (+ ``cluster_col`` when
+    ``keep_cluster_col``).
+
+    The rule is deliberately NON-transitive: with a~b, b~c, a!~c the
+    chain keeps only a (b drops against a, c against b) — one pass,
+    no iteration.  For transitive-closure semantics over text use
+    :func:`datasketches_spark.pipeline.dedup.fuzzy_dedup`.
+
+    Scale shape: centroid training is a bounded seeded driver sample
+    (:func:`_train_sample`); assignment is map-only; the only shuffle
+    is the within-cluster self-join, whose work is sum(cluster_size^2)
+    — size ``n_clusters`` ~ n/target_cluster_size (SemDeDup uses
+    ~sqrt(n)) and let AQE's skew-join split outlier-heavy clusters.
+    The slim (id, vec, cluster) projection is what shuffles; full rows
+    rejoin only for the kept set.  At 100 TB, persist the assignment
+    once (``assigned.write.partitionBy(cluster_col)``) and run the
+    pair scan per cluster partition.
+
+    Pairs with a zero-norm vector have NULL cosine and never drop.
+    """
+    if centroids is None:
+        sample = _train_sample(df, vec_col, sample_limit, seed)
+        centroids = _kmeans(sample, n_clusters, seed)
+    centroids = np.asarray(centroids, dtype=np.float64)
+
+    slim = df.select(id_col, vec_col)
+    # persist: the self-join puts the assignment (a Python pass on the
+    # arrow engine) in two plan branches (same fix as the LSH signatures)
+    assigned = assign_clusters(
+        slim, centroids, id_col, vec_col, cluster_col, engine=assign_engine
+    ).persist()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .filter(
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    kept = df.join(dropped, id_col, "left_anti")
+    if keep_cluster_col:
+        kept = kept.join(assigned.select(id_col, cluster_col), id_col)
+    return kept
+
+
 # ------------------------------------------------------------ quantization
 
 

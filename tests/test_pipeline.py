@@ -413,6 +413,156 @@ class TestSimilarity:
         assert row.c == pytest.approx(1.0)
 
 
+class TestSemanticDedup:
+    @pytest.fixture(scope="class")
+    def cents2d(self):
+        return np.array([[1.0, 0.0], [0.0, 1.0]])
+
+    def _df(self, spark, vecs):
+        return spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+        )
+
+    @pytest.mark.parametrize("engine", ["sql", "arrow"])
+    def test_known_answer(self, spark, cents2d, engine):
+        # cluster 0: id0 ~ id1 (near-colinear) -> id1 drops against id0
+        # cluster 1: id2 kept, id3 far from id2, id4 ~ id2 -> id4 drops
+        vecs = [[1, 0.01], [1, 0.02], [0.02, 1], [-1, 0.5], [0.03, 1]]
+        df = self._df(spark, vecs)
+        kept = similarity.semantic_dedup(
+            df, threshold=0.9, centroids=cents2d, assign_engine=engine,
+            keep_cluster_col=True,
+        )
+        got = {r.vec_id: r.cluster_id for r in kept.collect()}
+        assert got == {0: 0, 2: 1, 3: 1}
+
+    @pytest.mark.parametrize("engine", ["sql", "arrow"])
+    def test_drop_rule_is_one_shot_not_transitive(self, spark, cents2d, engine):
+        # a~b, b~c, a!~c (angles 0/25/50 deg, threshold cos(30 deg)):
+        # b drops against a, c drops against b EVEN THOUGH b was
+        # dropped — the documented NeMo-style one-pass rule (transitive
+        # closure is fuzzy_dedup's contract, not this one's)
+        deg = np.deg2rad([0.0, 25.0, 50.0])
+        vecs = np.stack([np.cos(deg), np.sin(deg)], axis=1)
+        df = self._df(spark, vecs)
+        kept = similarity.semantic_dedup(
+            df, threshold=float(np.cos(np.deg2rad(30))),
+            centroids=np.array([[1.0, 0.0]]), assign_engine=engine,
+        )
+        assert [r.vec_id for r in kept.collect()] == [0]
+
+    def test_engines_agree_and_trained_centroids(self, spark, emb):
+        from datasketches_spark.pipeline.similarity import _kmeans, _train_sample
+
+        sample = _train_sample(emb, "embedding", 1000, seed=7)
+        cents = _kmeans(sample, 4, seed=7)
+        outs = []
+        for engine in ("sql", "arrow"):
+            kept = similarity.semantic_dedup(
+                emb, threshold=0.8, centroids=cents, assign_engine=engine,
+                keep_cluster_col=True,
+            )
+            outs.append(sorted((r.vec_id, r.cluster_id) for r in kept.collect()))
+        assert outs[0] == outs[1]
+        # colinear pair (0, 1): greedy keeps the smaller id only
+        ids = {i for i, _ in outs[0]}
+        assert 0 in ids and 1 not in ids
+
+    def test_threshold_above_one_keeps_everything(self, spark, emb):
+        kept = similarity.semantic_dedup(
+            emb, threshold=1.5, n_clusters=3, assign_engine="arrow"
+        )
+        assert kept.count() == emb.count()
+
+    def test_sql_engine_cluster_cap(self, spark, emb):
+        with pytest.raises(ValueError, match="caps at 64"):
+            similarity.assign_clusters(
+                emb, np.zeros((65, 8)) + 1.0, engine="sql"
+            )
+
+    def test_unknown_engine_raises(self, spark, emb):
+        with pytest.raises(ValueError, match="unknown assign engine"):
+            similarity.assign_clusters(emb, np.ones((2, 8)), engine="bogus")
+
+
+class TestStratifiedSample:
+    @pytest.fixture(scope="class")
+    def strat_df(self, spark):
+        rows = [
+            Row(doc_id=i, lang=["en", "de", "zh"][i % 3]) for i in range(300)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_fraction_semantics(self, spark, strat_df):
+        from datasketches_spark.pipeline.sampling import stratified_sample
+
+        kept = stratified_sample(
+            strat_df, "lang", {"en": 0.5, "de": 1.0}, "doc_id", salt="t"
+        )
+        counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts.get("de") == 100          # kept whole
+        assert "zh" not in counts               # default 0 -> dropped
+        assert 25 <= counts.get("en", 0) <= 75  # ~half of 100
+
+    def test_nested_fractions_are_subsets(self, spark, strat_df):
+        from datasketches_spark.pipeline.sampling import stratified_sample
+
+        small = stratified_sample(strat_df, "lang", {"en": 0.3}, "doc_id", salt="t")
+        big = stratified_sample(strat_df, "lang", {"en": 0.6}, "doc_id", salt="t")
+        s = {r.doc_id for r in small.collect()}
+        b = {r.doc_id for r in big.collect()}
+        assert s <= b
+
+    def test_repartition_invariant(self, spark, strat_df):
+        from datasketches_spark.pipeline.sampling import stratified_sample
+
+        frac = {"en": 0.4, "de": 0.7, "zh": 0.1}
+        a = stratified_sample(strat_df, "lang", frac, "doc_id", salt="x")
+        b = stratified_sample(strat_df.repartition(7), "lang", frac, "doc_id", salt="x")
+        assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+
+    def test_default_fraction_keeps_unlisted_strata(self, spark, strat_df):
+        from datasketches_spark.pipeline.sampling import stratified_sample
+
+        kept = stratified_sample(
+            strat_df, "lang", {"en": 0.0}, "doc_id", salt="t", default=1.0
+        )
+        counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"de": 100, "zh": 100}
+
+    def test_validation(self, spark, strat_df):
+        from datasketches_spark.pipeline.sampling import stratified_sample
+
+        with pytest.raises(ValueError, match="non-empty"):
+            stratified_sample(strat_df, "lang", {}, "doc_id")
+        with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+            stratified_sample(strat_df, "lang", {"en": 1.5}, "doc_id")
+        with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+            stratified_sample(strat_df, "lang", {"en": 0.5}, "doc_id", default=-0.1)
+
+    def test_oracle_sql_twin_matches(self, spark, strat_df):
+        """The DuckDB predicate builder replays the identical kept set."""
+        import duckdb
+
+        from datasketches_spark.pipeline.sampling import (
+            oracle_stratified_keep_sql,
+            stratified_sample,
+        )
+
+        frac = {"en": 0.37, "zh": 0.81}
+        kept = stratified_sample(strat_df, "lang", frac, "doc_id", salt="s9")
+        spark_ids = sorted(r.doc_id for r in kept.collect())
+        pdf = strat_df.toPandas()  # noqa: F841 — duckdb reads it by name
+        pred = oracle_stratified_keep_sql("lang", frac, "doc_id", salt="s9")
+        duck_ids = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT doc_id FROM pdf WHERE {pred} ORDER BY doc_id"
+            ).fetchall()
+        ]
+        assert spark_ids == duck_ids
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def bin_df(self, spark):
