@@ -854,26 +854,31 @@ def assign_clusters(
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
+    # pass-through map: every input column rides the Arrow stream and
+    # the cluster id is appended — NO join back to df, so the whole
+    # assignment is a zero-exchange map stage at any scale (ivf_build's
+    # join-back shape turns into a full shuffle join once the
+    # assignment side outgrows the broadcast threshold).  Transfer cost
+    # scales with column count — hand this a slim projection.
     schema = StructType(
-        [
-            StructField(id_col, df.schema[id_col].dataType, True),
-            StructField(cluster_col, LongType(), True),
-        ]
+        list(df.schema.fields) + [StructField(cluster_col, LongType(), True)]
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            out = pdf.copy()
+            if not len(pdf):
+                out[cluster_col] = np.array([], dtype=np.int64)
+                yield out
+                continue
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             mn = mat / np.maximum(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
             )
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], cluster_col: np.argmax(mn @ cn.T, axis=1)}
-            )
+            out[cluster_col] = np.argmax(mn @ cn.T, axis=1)
+            yield out
 
-    return df.join(
-        df.select(id_col, vec_col).mapInPandas(assign, schema=schema), id_col
-    )
+    return df.mapInPandas(assign, schema=schema)
 
 
 def semantic_dedup(
