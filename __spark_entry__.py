@@ -1213,6 +1213,42 @@ def q_semantic_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(F.col("vec_id").alias("kept_id"), "cluster_id")
 
 
+def q_semantic_dedup_kept_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup through the STORED-ASSIGNMENTS route: the
+    cluster assignment (the only Python-capable stage) is written once
+    (similarity.write_cluster_assignments, partitioned by cluster),
+    and the dedup runs pure-JVM over the stored table with
+    ``assignments=``.  Must hash-match semantic_dedup_kept — the
+    stored sql-engine assignment is bit-identical.  Plan purity (zero
+    Python nodes) is asserted in tests/test_pipeline.py."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from datasketches_spark.pipeline import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = np.array(
+        [
+            r[0]
+            for r in emb.filter(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="dsks_semdedup_"), "idx")
+    S.write_cluster_assignments(emb, cents, path, engine="sql")
+    kept = S.semantic_dedup(
+        emb, threshold=0.4, assignments=path, keep_cluster_col=True
+    )
+    return kept.select(F.col("vec_id").alias("kept_id"), "cluster_id")
+
+
 def q_stratified_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum Bernoulli sampling
     (sampling.stratified_sample — df.sampleBy's contract on the
@@ -3772,6 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
         "fuzzy_dedup_kept_sigtable": q_fuzzy_dedup_kept_sigtable,
         "semantic_dedup_kept": q_semantic_dedup_kept,
+        "semantic_dedup_kept_stored": q_semantic_dedup_kept_stored,
         "stratified_docs_sample": q_stratified_docs_sample,
         "theta_seed_hash": q_theta_seed_hash,
         "hll_lg_config_k": q_hll_lg_config_k,
@@ -4942,6 +4979,9 @@ def oracle_sql() -> dict[str, str]:
     # force, so it shares the exact cosine top-k oracle
     out["pq_ann_topk"] = out["ann_topk"]
     out["ivfpq_ann_topk"] = out["ann_topk"]
+    # the stored-assignments route reads the identical sql-engine
+    # assignment from parquet, so it shares the SemDeDup oracle
+    out["semantic_dedup_kept_stored"] = out["semantic_dedup_kept"]
     return out
 
 

@@ -881,6 +881,47 @@ def assign_clusters(
     return df.mapInPandas(assign, schema=schema)
 
 
+def write_cluster_assignments(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    engine: str = "arrow",
+) -> None:
+    """Materialize :func:`assign_clusters` output partitioned BY
+    CLUSTER on disk (+ the centroids as a tiny sidecar parquet, so the
+    table is self-contained like :func:`save_ivf_index`).
+
+    This is semantic dedup's 100 TB route: the assignment pass — the
+    only Python stage — runs ONCE at write time, and every later
+    :func:`semantic_dedup` call with ``assignments=`` this path is
+    pure JVM (scan -> self-join -> anti-join).  The cluster partition
+    layout also means per-cluster reprocessing reads one directory."""
+    spark = df.sparkSession
+    assigned = assign_clusters(
+        df.select(id_col, vec_col), centroids, id_col, vec_col,
+        cluster_col, engine=engine,
+    )
+    assigned.write.partitionBy(cluster_col).mode("overwrite").parquet(
+        f"{path}/assignments"
+    )
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (
+        spark.createDataFrame(cent_rows, "centroid_id long, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+
+
+def read_cluster_assignments(spark, path: str) -> DataFrame:
+    """The assignment table back from :func:`write_cluster_assignments`
+    (centroids sidecar is not needed for the dedup pair scan)."""
+    return spark.read.parquet(f"{path}/assignments")
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -893,6 +934,7 @@ def semantic_dedup(
     assign_engine: str = "arrow",
     cluster_col: str = "cluster_id",
     keep_cluster_col: bool = False,
+    assignments: "DataFrame | str | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
@@ -920,18 +962,43 @@ def semantic_dedup(
     pair scan per cluster partition.
 
     Pairs with a zero-norm vector have NULL cosine and never drop.
-    """
-    if centroids is None:
-        sample = _train_sample(df, vec_col, sample_limit, seed)
-        centroids = _kmeans(sample, n_clusters, seed)
-    centroids = np.asarray(centroids, dtype=np.float64)
 
-    slim = df.select(id_col, vec_col)
-    # persist: the self-join puts the assignment (a Python pass on the
-    # arrow engine) in two plan branches (same fix as the LSH signatures)
-    assigned = assign_clusters(
-        slim, centroids, id_col, vec_col, cluster_col, engine=assign_engine
-    ).persist()
+    ``assignments=`` (a DataFrame with (id, vec, cluster) columns, or
+    a :func:`write_cluster_assignments` path) skips clustering AND
+    assignment entirely — the stored table IS the materialization, the
+    plan is pure JVM, and ``centroids``/``assign_engine`` are ignored.
+
+    Columns in the assignment table must match ``id_col``/``vec_col``/
+    ``cluster_col``.
+    """
+    if assignments is not None:
+        if isinstance(assignments, str):
+            assignments = read_cluster_assignments(df.sparkSession, assignments)
+        missing = {id_col, vec_col, cluster_col} - set(assignments.columns)
+        if missing:
+            raise ValueError(
+                f"assignments table lacks column(s) {sorted(missing)}; "
+                f"expected ({id_col}, {vec_col}, {cluster_col})"
+            )
+        # stored table: already materialized, no persist needed.  The
+        # cast normalizes the cluster id back to long — a disk table
+        # partitioned by cluster re-infers the partition column as int
+        assigned = assignments.select(
+            id_col, vec_col, F.col(cluster_col).cast("long").alias(cluster_col)
+        )
+    else:
+        if centroids is None:
+            sample = _train_sample(df, vec_col, sample_limit, seed)
+            centroids = _kmeans(sample, n_clusters, seed)
+        centroids = np.asarray(centroids, dtype=np.float64)
+
+        slim = df.select(id_col, vec_col)
+        # persist: the self-join puts the assignment (a Python pass on
+        # the arrow engine) in two plan branches (same fix as the LSH
+        # signatures)
+        assigned = assign_clusters(
+            slim, centroids, id_col, vec_col, cluster_col, engine=assign_engine
+        ).persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(

@@ -468,6 +468,42 @@ class TestSemanticDedup:
         ids = {i for i, _ in outs[0]}
         assert 0 in ids and 1 not in ids
 
+    def test_stored_assignments_route(self, spark, emb, cents2d, tmp_path):
+        """write_cluster_assignments once -> semantic_dedup with
+        assignments= matches the direct route AND plans pure JVM
+        (zero Python eval nodes — the Arrow pass ran at write time)."""
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((30, 2))
+        vecs[7] = vecs[2] * 2.0  # same-direction dup -> 7 drops
+        df = self._df(spark, vecs)
+        path = str(tmp_path / "semdedup_idx")
+        similarity.write_cluster_assignments(df, cents2d, path)
+        direct = similarity.semantic_dedup(
+            df, threshold=0.9, centroids=cents2d, assign_engine="arrow"
+        )
+        stored = similarity.semantic_dedup(df, threshold=0.9, assignments=path)
+        d = sorted(r.vec_id for r in direct.collect())
+        s = sorted(r.vec_id for r in stored.collect())
+        assert d == s and 7 not in s and 2 in s
+        plan = stored._jdf.queryExecution().executedPlan().toString()
+        py_nodes = [
+            n
+            for n in (
+                "MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython",
+                "ArrowEvalPython", "MapInArrow",
+            )
+            if n in plan
+        ]
+        assert py_nodes == [], py_nodes
+        assert "assignments" in plan  # actually reads the stored table
+
+    def test_stored_assignments_column_mismatch_raises(self, spark, emb, cents2d):
+        assigned = similarity.assign_clusters(
+            emb, np.ones((2, 8)), cluster_col="wrong_name"
+        )
+        with pytest.raises(ValueError, match="lacks column"):
+            similarity.semantic_dedup(emb, assignments=assigned)
+
     def test_threshold_above_one_keeps_everything(self, spark, emb):
         kept = similarity.semantic_dedup(
             emb, threshold=1.5, n_clusters=3, assign_engine="arrow"
