@@ -922,6 +922,44 @@ def read_cluster_assignments(spark, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/assignments")
 
 
+def upsert_cluster_assignments(
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    engine: str = "arrow",
+) -> str:
+    """Incrementally extend a stored assignment table with NEW rows.
+
+    The incremental half of :func:`write_cluster_assignments`'s
+    contract: the stored centroid sidecar defines the (frozen) cluster
+    geometry, assignment runs ONLY for ids not already present (a
+    left-anti join against the stored id column), and the new rows
+    APPEND in the same cluster-partitioned layout — existing files are
+    never rewritten, so the upsert costs O(new rows), not O(corpus).
+    Assignment is deterministic given the centroids, so upserting
+    ``new`` into a table built from ``base`` equals a from-scratch
+    write over ``base UNION new`` (tested).  Returns ``path``.
+    """
+    spark = new_df.sparkSession
+    crows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
+    )
+    centroids = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    existing = read_cluster_assignments(spark, path)
+    fresh = new_df.select(id_col, vec_col).join(
+        existing.select(id_col), id_col, "left_anti"
+    )
+    assigned = assign_clusters(
+        fresh, centroids, id_col, vec_col, cluster_col, engine=engine
+    )
+    assigned.write.partitionBy(cluster_col).mode("append").parquet(
+        f"{path}/assignments"
+    )
+    return path
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -497,6 +497,38 @@ class TestSemanticDedup:
         assert py_nodes == [], py_nodes
         assert "assignments" in plan  # actually reads the stored table
 
+    def test_upsert_equals_from_scratch(self, spark, cents2d, tmp_path):
+        """write(base) + upsert(new) == write(base UNION new), row for
+        row — assignment is deterministic given the frozen centroids;
+        already-present ids are skipped, never duplicated."""
+        rng = np.random.default_rng(11)
+        vecs = rng.standard_normal((40, 2))
+        base = self._df(spark, vecs[:25])
+        allv = self._df(spark, vecs)
+        inc = str(tmp_path / "inc")
+        full = str(tmp_path / "full")
+        similarity.write_cluster_assignments(base, cents2d, inc)
+        # overlap: ids 20-24 already stored, 25-39 genuinely new
+        similarity.upsert_cluster_assignments(
+            allv.filter("vec_id >= 20"), inc
+        )
+        similarity.write_cluster_assignments(allv, cents2d, full)
+        a = sorted(
+            (r.vec_id, r.cluster_id)
+            for r in similarity.read_cluster_assignments(spark, inc).collect()
+        )
+        b = sorted(
+            (r.vec_id, r.cluster_id)
+            for r in similarity.read_cluster_assignments(spark, full).collect()
+        )
+        assert a == b and len(a) == 40
+        # and the dedup answers agree through both tables
+        ka = similarity.semantic_dedup(allv, threshold=0.9, assignments=inc)
+        kb = similarity.semantic_dedup(allv, threshold=0.9, assignments=full)
+        assert sorted(r.vec_id for r in ka.collect()) == sorted(
+            r.vec_id for r in kb.collect()
+        )
+
     def test_stored_assignments_column_mismatch_raises(self, spark, emb, cents2d):
         assigned = similarity.assign_clusters(
             emb, np.ones((2, 8)), cluster_col="wrong_name"
