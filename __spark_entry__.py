@@ -1213,6 +1213,42 @@ def q_semantic_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(F.col("vec_id").alias("kept_id"), "cluster_id")
 
 
+def q_semantic_dedup_kept_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup with which_to_keep='hard' — the SemDeDup paper's
+    diversity-preserving order: the scan ranks each cluster by
+    ascending similarity-to-centroid (cluster-edge rows survive, the
+    prototype drops against a kept near-dup).  The oracle replays the
+    rank (row_number over cs ASC NULLS LAST, id) and the NOT EXISTS
+    drop rule; cent_sim is the same sequential-fold cosine that makes
+    the assignment bit-reproducible."""
+    import numpy as np
+
+    from datasketches_spark.pipeline import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = np.array(
+        [
+            r[0]
+            for r in emb.filter(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    kept = S.semantic_dedup(
+        emb,
+        threshold=0.4,
+        centroids=cents,
+        assign_engine="sql",
+        keep_cluster_col=True,
+        which_to_keep="hard",
+    )
+    return kept.select(F.col("vec_id").alias("kept_id"), "cluster_id")
+
+
 def q_semantic_dedup_kept_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic_dedup through the STORED-ASSIGNMENTS route: the
     cluster assignment (the only Python-capable stage) is written once
@@ -3808,6 +3844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
         "fuzzy_dedup_kept_sigtable": q_fuzzy_dedup_kept_sigtable,
         "semantic_dedup_kept": q_semantic_dedup_kept,
+        "semantic_dedup_kept_hard": q_semantic_dedup_kept_hard,
         "semantic_dedup_kept_stored": q_semantic_dedup_kept_stored,
         "stratified_docs_sample": q_stratified_docs_sample,
         "theta_seed_hash": q_theta_seed_hash,
@@ -4558,6 +4595,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM assign b
               WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+                AND list_cosine_similarity(a.v, b.v) >= 0.4)
+        """,
+        "semantic_dedup_kept_hard": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings WHERE vec_id < 300),
+            cents AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < 8),
+            assign AS (
+              SELECT vec_id, v, cid, cs FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       list_cosine_similarity(e.v, c.c) AS cs,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.c) DESC,
+                                  c.cid) AS rn
+                FROM emb e CROSS JOIN cents c) WHERE rn = 1),
+            ranked AS (
+              SELECT vec_id, v, cid,
+                     row_number() OVER (
+                       PARTITION BY cid
+                       ORDER BY cs ASC NULLS LAST, vec_id) AS rk
+              FROM assign)
+            SELECT a.vec_id AS kept_id, a.cid AS cluster_id
+            FROM ranked a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM ranked b
+              WHERE b.cid = a.cid AND b.rk < a.rk
                 AND list_cosine_similarity(a.v, b.v) >= 0.4)
         """,
         "stratified_docs_sample": _stratified_sample_oracle(),

@@ -414,16 +414,19 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_clusters: int = 16,
     seed: int = 29,
+    which_to_keep: str = "first",
 ) -> DataFrame:
-    """SemDeDup: keep rows with no smaller-id cosine-near-duplicate in
-    the same k-means cluster (cluster -> within-cluster prune; the
-    embedding-space complement of :func:`fuzzy_dedup`).  See
-    pipeline/similarity.py::semantic_dedup for centroid/engine knobs."""
+    """SemDeDup: keep rows with no earlier cosine-near-duplicate (in
+    the ``which_to_keep`` scan order: 'first'=id, 'hard'=cluster-edge
+    survives, 'easy'=prototype survives) in the same k-means cluster
+    (cluster -> within-cluster prune; the embedding-space complement
+    of :func:`fuzzy_dedup`).  See pipeline/similarity.py::
+    semantic_dedup for centroid/engine/stored-table knobs."""
     from .pipeline import similarity as _sim
 
     return _sim.semantic_dedup(
         df, id_col=id_col, vec_col=vec_col, threshold=threshold,
-        n_clusters=n_clusters, seed=seed,
+        n_clusters=n_clusters, seed=seed, which_to_keep=which_to_keep,
     )
 
 

@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -828,8 +828,15 @@ def assign_clusters(
     rangepart.partition_ids).  Both engines break cosine ties toward
     the smaller centroid id; they can differ only when BLAS summation
     order makes two cosines cross within float rounding.
+
+    Alongside the cluster id, ``cent_sim`` carries the winning cosine
+    (similarity to the assigned centroid) — the ordering key for
+    SemDeDup's which_to_keep='hard'/'easy' scans.  The sql engine
+    leaves it NULL for zero-norm vectors (0/0); the arrow engine's
+    norm guard yields 0.0 there.
     """
     k, _dim = centroids.shape
+    sim_col = "cent_sim"
     if engine == "sql":
         if k > _SQL_ASSIGN_MAX_CLUSTERS:
             raise ValueError(
@@ -847,7 +854,7 @@ def assign_clusters(
         return df.withColumn(
             cluster_col,
             (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("long"),
-        )
+        ).withColumn(sim_col, F.array_max(cos_arr))
     if engine != "arrow":
         raise ValueError(f"unknown assign engine: {engine!r}")
 
@@ -861,7 +868,11 @@ def assign_clusters(
     # assignment side outgrows the broadcast threshold).  Transfer cost
     # scales with column count — hand this a slim projection.
     schema = StructType(
-        list(df.schema.fields) + [StructField(cluster_col, LongType(), True)]
+        list(df.schema.fields)
+        + [
+            StructField(cluster_col, LongType(), True),
+            StructField(sim_col, DoubleType(), True),
+        ]
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -869,13 +880,16 @@ def assign_clusters(
             out = pdf.copy()
             if not len(pdf):
                 out[cluster_col] = np.array([], dtype=np.int64)
+                out[sim_col] = np.array([], dtype=np.float64)
                 yield out
                 continue
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             mn = mat / np.maximum(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
             )
-            out[cluster_col] = np.argmax(mn @ cn.T, axis=1)
+            sims = mn @ cn.T
+            out[cluster_col] = np.argmax(sims, axis=1)
+            out[sim_col] = np.max(sims, axis=1)
             yield out
 
     return df.mapInPandas(assign, schema=schema)
@@ -973,16 +987,30 @@ def semantic_dedup(
     cluster_col: str = "cluster_id",
     keep_cluster_col: bool = False,
     assignments: "DataFrame | str | None" = None,
+    which_to_keep: str = "first",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
     Cluster the corpus with a coarse k-means (cosine), then within
-    each cluster drop every row that has a SMALLER-id row in the same
-    cluster with cosine >= ``threshold`` (Abbas et al. 2023,
-    arXiv:2303.09540; the one-shot drop rule is NeMo-Curator's
-    formulation with id as the scan order).  Returns the kept rows
+    each cluster drop every row that has an EARLIER row (in the
+    ``which_to_keep`` scan order) in the same cluster with cosine >=
+    ``threshold`` (Abbas et al. 2023, arXiv:2303.09540; the one-shot
+    drop rule is NeMo-Curator's formulation).  Returns the kept rows
     with their original columns (+ ``cluster_col`` when
     ``keep_cluster_col``).
+
+    ``which_to_keep`` picks which member of a duplicate group
+    survives — NeMo-Curator's knob:
+
+    - ``'first'`` (default): id ascending — deterministic without the
+      centroid-similarity column, cheapest (no window).
+    - ``'hard'``: ascending similarity-to-centroid (cluster-edge
+      examples survive — the paper's diversity-preserving choice).
+    - ``'easy'``: descending similarity-to-centroid (prototypical
+      examples survive).
+
+    Both non-default orders tie-break on id and rank NULL cent_sim
+    (zero-norm vectors under the sql engine) last.
 
     The rule is deliberately NON-transitive: with a~b, b~c, a!~c the
     chain keeps only a (b drops against a, c against b) — one pass,
@@ -1009,20 +1037,32 @@ def semantic_dedup(
     Columns in the assignment table must match ``id_col``/``vec_col``/
     ``cluster_col``.
     """
+    if which_to_keep not in ("first", "hard", "easy"):
+        raise ValueError(
+            f"which_to_keep must be 'first', 'hard', or 'easy'; "
+            f"got {which_to_keep!r}"
+        )
     if assignments is not None:
         if isinstance(assignments, str):
             assignments = read_cluster_assignments(df.sparkSession, assignments)
-        missing = {id_col, vec_col, cluster_col} - set(assignments.columns)
+        need = {id_col, vec_col, cluster_col}
+        if which_to_keep != "first":
+            need.add("cent_sim")
+        missing = need - set(assignments.columns)
         if missing:
             raise ValueError(
                 f"assignments table lacks column(s) {sorted(missing)}; "
-                f"expected ({id_col}, {vec_col}, {cluster_col})"
+                f"expected ({', '.join(sorted(need))})"
             )
         # stored table: already materialized, no persist needed.  The
         # cast normalizes the cluster id back to long — a disk table
         # partitioned by cluster re-infers the partition column as int
+        keep_extra = ["cent_sim"] if which_to_keep != "first" else []
         assigned = assignments.select(
-            id_col, vec_col, F.col(cluster_col).cast("long").alias(cluster_col)
+            id_col,
+            vec_col,
+            F.col(cluster_col).cast("long").alias(cluster_col),
+            *keep_extra,
         )
     else:
         if centroids is None:
@@ -1037,12 +1077,26 @@ def semantic_dedup(
         assigned = assign_clusters(
             slim, centroids, id_col, vec_col, cluster_col, engine=assign_engine
         ).persist()
+    if which_to_keep == "first":
+        scan_col = id_col  # id ascending, no window needed
+    else:
+        # scan rank within the cluster: 'hard' keeps cluster-edge rows
+        # (low centroid similarity first), 'easy' keeps prototypes.
+        # asc/desc_nulls_last matches the DuckDB oracle's NULLS LAST.
+        sim = F.col("cent_sim")
+        order = (
+            sim.asc_nulls_last() if which_to_keep == "hard"
+            else sim.desc_nulls_last()
+        )
+        w = Window.partitionBy(cluster_col).orderBy(order, F.col(id_col))
+        scan_col = "__scan_rank"
+        assigned = assigned.withColumn(scan_col, F.row_number().over(w))
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(
             b,
             (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
-            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+            & (F.col(f"b.{scan_col}") < F.col(f"a.{scan_col}")),
         )
         .filter(
             cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))

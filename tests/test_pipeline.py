@@ -497,6 +497,50 @@ class TestSemanticDedup:
         assert py_nodes == [], py_nodes
         assert "assignments" in plan  # actually reads the stored table
 
+    @pytest.mark.parametrize("engine", ["sql", "arrow"])
+    def test_which_to_keep_orders(self, spark, engine):
+        """Angles 0/10/40 deg off the [1,0] centroid, threshold
+        cos(15 deg): 'first'/'easy' keep {0 deg, 40 deg}; 'hard' scans
+        edge-first so the 40-deg row survives, 10 deg survives against
+        it, and the prototype 0-deg row drops against 10 deg."""
+        deg = np.deg2rad([0.0, 10.0, 40.0])
+        vecs = np.stack([np.cos(deg), np.sin(deg)], axis=1)
+        df = self._df(spark, vecs)
+        thr = float(np.cos(np.deg2rad(15)))
+        cents = np.array([[1.0, 0.0]])
+        def kept(order):
+            out = similarity.semantic_dedup(
+                df, threshold=thr, centroids=cents, assign_engine=engine,
+                which_to_keep=order,
+            )
+            return sorted(r.vec_id for r in out.collect())
+        assert kept("first") == [0, 2]
+        assert kept("easy") == [0, 2]
+        assert kept("hard") == [1, 2]
+        with pytest.raises(ValueError, match="which_to_keep"):
+            kept("bogus")
+
+    def test_which_to_keep_hard_via_stored_table(self, spark, tmp_path):
+        """The stored route carries cent_sim, so 'hard' works off disk
+        and matches the direct route; an old-style table without
+        cent_sim raises a clear error."""
+        deg = np.deg2rad([0.0, 10.0, 40.0])
+        vecs = np.stack([np.cos(deg), np.sin(deg)], axis=1)
+        df = self._df(spark, vecs)
+        thr = float(np.cos(np.deg2rad(15)))
+        cents = np.array([[1.0, 0.0]])
+        path = str(tmp_path / "idx")
+        similarity.write_cluster_assignments(df, cents, path)
+        out = similarity.semantic_dedup(
+            df, threshold=thr, assignments=path, which_to_keep="hard"
+        )
+        assert sorted(r.vec_id for r in out.collect()) == [1, 2]
+        legacy = similarity.read_cluster_assignments(spark, path).drop("cent_sim")
+        with pytest.raises(ValueError, match="cent_sim"):
+            similarity.semantic_dedup(
+                df, threshold=thr, assignments=legacy, which_to_keep="hard"
+            )
+
     def test_upsert_equals_from_scratch(self, spark, cents2d, tmp_path):
         """write(base) + upsert(new) == write(base UNION new), row for
         row — assignment is deterministic given the frozen centroids;
