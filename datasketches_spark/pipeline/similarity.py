@@ -1071,12 +1071,9 @@ def semantic_dedup(
         centroids = np.asarray(centroids, dtype=np.float64)
 
         slim = df.select(id_col, vec_col)
-        # persist: the self-join puts the assignment (a Python pass on
-        # the arrow engine) in two plan branches (same fix as the LSH
-        # signatures)
         assigned = assign_clusters(
             slim, centroids, id_col, vec_col, cluster_col, engine=assign_engine
-        ).persist()
+        )
     if which_to_keep == "first":
         scan_col = id_col  # id ascending, no window needed
     else:
@@ -1091,6 +1088,13 @@ def semantic_dedup(
         w = Window.partitionBy(cluster_col).orderBy(order, F.col(id_col))
         scan_col = "__scan_rank"
         assigned = assigned.withColumn(scan_col, F.row_number().over(w))
+    if assignments is None:
+        # persist AFTER the rank column: the self-join puts the
+        # assignment (a Python pass on the arrow engine) and the rank
+        # window in two plan branches — cached once, both read it
+        # (same fix as the LSH signatures).  The stored route skips
+        # this: the parquet table is the materialization.
+        assigned = assigned.persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(
