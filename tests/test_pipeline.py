@@ -541,6 +541,49 @@ class TestSemanticDedup:
                 df, threshold=thr, assignments=legacy, which_to_keep="hard"
             )
 
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    @pytest.mark.parametrize("order", ["first", "hard", "easy"])
+    def test_numpy_twin_property(self, spark, seed, order):
+        """Random corpus vs an independent numpy brute-force replica of
+        the whole contract (argmax-first-max assignment, scan order,
+        one-shot earlier-neighbor drop rule) — catches rule drift the
+        fixed-data oracle can't."""
+        rng = np.random.default_rng(seed)
+        n, dim, k = 60, 6, 4
+        vecs = rng.standard_normal((n, dim))
+        cents = rng.standard_normal((k, dim))
+        thr = 0.55
+
+        def unit(m):
+            return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+        sims = unit(vecs) @ unit(cents).T
+        cluster = np.argmax(sims, axis=1)
+        cent_sim = np.max(sims, axis=1)
+        cos = unit(vecs) @ unit(vecs).T
+        if order == "first":
+            rank = np.arange(n, dtype=float)
+        elif order == "hard":
+            rank = np.lexsort((np.arange(n), cent_sim))  # asc
+            rank = np.argsort(rank).astype(float)
+        else:
+            rank = np.lexsort((np.arange(n), -cent_sim))  # desc
+            rank = np.argsort(rank).astype(float)
+        expected = sorted(
+            i
+            for i in range(n)
+            if not any(
+                cluster[j] == cluster[i] and rank[j] < rank[i] and cos[i, j] >= thr
+                for j in range(n)
+            )
+        )
+        df = self._df(spark, vecs)
+        kept = similarity.semantic_dedup(
+            df, threshold=thr, centroids=cents, assign_engine="arrow",
+            which_to_keep=order,
+        )
+        assert sorted(r.vec_id for r in kept.collect()) == expected
+
     def test_upsert_equals_from_scratch(self, spark, cents2d, tmp_path):
         """write(base) + upsert(new) == write(base UNION new), row for
         row — assignment is deterministic given the frozen centroids;
