@@ -3539,6 +3539,73 @@ def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     ).select("o_orderpriority", "distinct_customers")
 
 
+def q_streaming_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup dedup gate: documents (doc_id < 200) staged
+    as 4 id-sliced, mtime-ordered files and replayed availableNow
+    through SimhashDedupStore (hasher='md5' — the DuckDB-reproducible
+    signature).  Rows arrive in id order, so the streamed survivor set
+    must hash-match the one-shot rule 'keep unless a smaller-id doc is
+    within hamming 3' that the oracle computes over the union in SQL
+    (same md5 simhash CTE as the simhash_near_pairs oracle).  Kept
+    docs sink via foreachBatch parquet (the MEMORY sink refuses
+    checkpoint recovery — r11 note)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from datasketches_spark.streaming import SimhashDedupStore
+
+    base = _gate_dir(sf_dir, "stream_simdd_gate")
+    src = _os.path.join(base, "src")
+    out = _os.path.join(base, "out")
+    _os.makedirs(src)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+
+    def _stage(df, name: str, age_s: int) -> None:
+        tmp = _os.path.join(base, "tmp_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        dst = _os.path.join(src, name + ".parquet")
+        _shutil.copy(part, dst)
+        t = _time.time() - age_s
+        _os.utime(dst, (t, t))
+        _shutil.rmtree(tmp)
+
+    for i, (lo, hi) in enumerate([(0, 50), (50, 100), (100, 150), (150, 200)]):
+        _stage(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            f"slice_{i}", 400 - 100 * i,
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = SimhashDedupStore(
+        _os.path.join(base, "store"), max_hamming=3, hasher="md5"
+    )
+
+    def emit(df: DataFrame, _epoch: int) -> None:
+        df.select("doc_id").write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(
+            store.foreach_batch("doc_id", "text", emit)
+        )
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming gate timed out after 300s")
+    return spark.read.parquet(out).select(F.col("doc_id").alias("kept_id"))
+
+
 def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous-aggregate pattern end-to-end:
     ``windowed_sketch_partials`` buckets a stream into event-time
@@ -3839,6 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_data_watermark": q_streaming_late_data_watermark,
         "sql_scale_two_phase": q_sql_scale_two_phase,
         "sql_scale_weighted": q_sql_scale_weighted,
+        "streaming_simhash_dedup": q_streaming_simhash_dedup,
         "streaming_windowed_rollup": q_streaming_windowed_rollup,
         "streaming_drift_ks": q_streaming_drift_ks,
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
@@ -4981,6 +5049,27 @@ def oracle_sql() -> dict[str, str]:
             " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"
             " FROM orders WHERE o_orderkey % 10 != 7 GROUP BY 1"
         ),
+        "streaming_simhash_dedup": """
+            WITH dd AS (SELECT doc_id, lower(text) AS t FROM documents
+                        WHERE doc_id < 200),
+            tok AS (SELECT doc_id, md5_number_upper(w) AS h FROM (
+                      SELECT doc_id, unnest(string_split(t, ' ')) AS w
+                      FROM dd) WHERE w <> ''),
+            bb AS (SELECT unnest(generate_series(0, 63)) AS b),
+            bits AS (SELECT doc_id, b,
+                       CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1
+                                          THEN 1 ELSE -1 END) > 0
+                            THEN 1 ELSE 0 END AS bit
+                     FROM tok CROSS JOIN bb GROUP BY doc_id, b),
+            ham AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                           sum(CASE WHEN a.bit <> c.bit
+                                    THEN 1 ELSE 0 END)::BIGINT AS hamming
+                    FROM bits a JOIN bits c
+                      ON a.b = c.b AND a.doc_id < c.doc_id
+                    GROUP BY 1, 2)
+            SELECT doc_id AS kept_id FROM dd
+            WHERE doc_id NOT IN (SELECT id_b FROM ham WHERE hamming <= 3)
+        """,
         "sql_scale_two_phase": (
             "SELECT o_orderstatus,"
             " count(DISTINCT o_custkey)::BIGINT AS distinct_customers"

@@ -765,6 +765,52 @@ def simhash64(
     return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
 
 
+def _simhash_band_explode(sim_df: DataFrame, id_col: str) -> DataFrame:
+    """(id, simhash, band_idx, band_val): each signature exploded into
+    its four 16-bit bands — the pigeonhole candidate key (any pair
+    within hamming 3 shares at least one intact band)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    return sim_df.select(id_col, "simhash", F.explode(bands).alias("b")).select(
+        id_col, "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+
+
+def simhash_cross_near_ids(
+    probe_sigs: DataFrame,
+    ref_sigs: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Distinct probe ids having ANY reference signature within
+    ``max_hamming`` (band equi-join candidates + JVM xor/bit_count
+    verify — never an all-pairs product).  The two-sided complement of
+    :func:`simhash_near_pairs`, used by streaming near-dedup to test a
+    micro-batch against the stored signature history."""
+    a = _simhash_band_explode(probe_sigs, id_col).alias("a")
+    b = _simhash_band_explode(ref_sigs, id_col).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .filter(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= max_hamming
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+
+
 def simhash_near_pairs(
     sim_df: DataFrame, id_col: str, max_hamming: int = 3, persist: bool = True
 ) -> DataFrame:
@@ -781,18 +827,7 @@ def simhash_near_pairs(
     """
     if persist:
         sim_df = sim_df.persist()
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
-            )
-            for i in range(4)
-        ]
-    )
-    exploded = sim_df.select(id_col, "simhash", F.explode(bands).alias("b")).select(
-        id_col, "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
-    )
+    exploded = _simhash_band_explode(sim_df, id_col)
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
         a.join(

@@ -702,6 +702,130 @@ def streaming_dedup(
     )
 
 
+class SimhashDedupStore:
+    """Streaming NEAR-duplicate dedup: state = every seen row's 64-bit
+    simhash signature, stored as an append-only parquet table beside
+    the checkpoint.
+
+    Drop rule (one-shot, the same scan contract as
+    ``pipeline.similarity.semantic_dedup`` and the batch simhash
+    dedup): a row is dropped iff some EARLIER row — any previous
+    micro-batch, or a smaller-id row of the same batch — is within
+    ``max_hamming`` of it.  "Earlier" means earlier SEEN, not earlier
+    KEPT: ALL batch signatures are absorbed, dropped rows included, so
+    the rule stays one-pass and batch-boundary-invariant — when rows
+    arrive in id order the streaming result EQUALS the one-shot batch
+    computation over the union (the oracle gate replays exactly that),
+    and under any arrival order it is the standard crawler contract
+    ("have I seen something like this before?").  Greedy-vs-kept
+    (drop only against survivors) would make the answer depend on
+    batch boundaries; it is deliberately not offered.
+
+    Scale shape: per batch, one simhash Arrow pass over the BATCH
+    only, an in-batch banded self-join, and a banded equi-join of the
+    batch's signatures against the stored table (8 bytes + id per seen
+    row; never an all-pairs product, never a rescan of old text).
+    State grows O(rows seen) — for unbounded streams put the signature
+    table on a partitioned/compacted layout, or bound the horizon by
+    retiring old partitions.
+
+    ``hasher='md5'`` makes signatures reproducible in ANSI SQL
+    (DuckDB ``md5_number_upper``) — the oracle-gate configuration;
+    ``'fast'`` (default) is the vectorized scale path.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        max_hamming: int = 3,
+        hasher: str = "fast",
+        seed: int = 7,
+    ):
+        self.path = path
+        self.max_hamming = max_hamming
+        self.hasher = hasher
+        self.seed = seed
+
+    def _sig_path(self) -> str:
+        return self.path + "__sigs"
+
+    def exists(self, spark: SparkSession) -> bool:
+        from . import compat
+
+        return compat.fs_path_exists(spark, self._sig_path())
+
+    def read_signatures(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._sig_path())
+
+    def filter_new(
+        self, batch_df: DataFrame, id_col: str, text_col: str
+    ) -> "tuple[DataFrame, DataFrame]":
+        """(survivors, batch_signatures): batch rows with no earlier
+        near-duplicate, plus the signatures of the WHOLE batch (feed
+        them to :meth:`absorb_signatures` after emitting survivors).
+        The signature frame comes back persisted — unpersist it after
+        the absorb."""
+        from .pipeline import dedup as D
+
+        spark = batch_df.sparkSession
+        sigs = D.simhash64(
+            batch_df, id_col, text_col, seed=self.seed, hasher=self.hasher
+        ).persist()
+        drops = D.simhash_near_pairs(
+            sigs, id_col, self.max_hamming, persist=False
+        ).select(F.col("id_b").alias(id_col))
+        if self.exists(spark):
+            drops = drops.unionByName(
+                D.simhash_cross_near_ids(
+                    sigs, self.read_signatures(spark), id_col, self.max_hamming
+                )
+            )
+        survivors = batch_df.join(drops.distinct(), id_col, "left_anti")
+        return survivors, sigs
+
+    def absorb_signatures(self, sigs: DataFrame) -> None:
+        sigs.write.mode("append").parquet(self._sig_path())
+
+    # -- replay guard (same shape as SketchStore) ------------------------
+    def _last_epoch(self) -> int:
+        try:
+            with open(self.path + "__last_epoch", encoding="ascii") as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _record_epoch(self, epoch_id: int) -> None:
+        try:
+            with open(self.path + "__last_epoch", "w", encoding="ascii") as f:
+                f.write(str(epoch_id))
+        except OSError:
+            pass
+
+    def foreach_batch(
+        self,
+        id_col: str,
+        text_col: str,
+        emit: Callable[[DataFrame, int], None],
+    ) -> Callable[[DataFrame, int], None]:
+        """foreachBatch function: near-dedup the batch against all
+        history, hand survivors to ``emit``, then absorb the batch's
+        signatures (all of them — see the class contract)."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            if epoch_id <= self._last_epoch():
+                return
+            if batch_df.isEmpty():
+                return
+            survivors, sigs = self.filter_new(batch_df, id_col, text_col)
+            survivors = survivors.localCheckpoint(eager=True)
+            emit(survivors, epoch_id)
+            self.absorb_signatures(sigs)
+            self._record_epoch(epoch_id)
+            sigs.unpersist()
+
+        return fn
+
+
 class BloomDedupStore:
     """Approximate cross-batch dedup with constant-size state: a single
     Bloom filter blob (2^lg_m bits) of every id ever emitted.

@@ -865,3 +865,70 @@ def test_tws_engine_state_accumulates(spark, tmpdir):
         assert r.est == est  # in-operator metric column agrees
         best[r.g] = max(best.get(r.g, 0.0), est)
     assert sum(best.values()) == 600.0
+
+
+def test_simhash_dedup_store_batches(spark, tmpdir):
+    """Streaming near-dedup == the one-shot batch rule when rows
+    arrive in id order, regardless of batch boundaries: survivors of
+    the 2-batch replay equal 'docs with no smaller-id doc within
+    max_hamming' computed over the union in one shot."""
+    from datasketches_spark.pipeline import dedup as D
+    from datasketches_spark.streaming import SimhashDedupStore
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 120")
+    )
+    # one-shot reference: drop every id_b of a near pair (id_a < id_b)
+    sigs_all = D.simhash64(docs, "doc_id", "text")
+    pairs = D.simhash_near_pairs(sigs_all, "doc_id", max_hamming=3)
+    dropped = {r.id_b for r in pairs.collect()}
+    expected = sorted(
+        r.doc_id for r in docs.collect() if r.doc_id not in dropped
+    )
+    assert dropped, "fixture must contain near-duplicates for a real gate"
+
+    store = SimhashDedupStore(f"{tmpdir}/simdd", max_hamming=3)
+    emitted: list[int] = []
+
+    def emit(df, _epoch):
+        emitted.extend(r["doc_id"] for r in df.collect())
+
+    fn = store.foreach_batch("doc_id", "text", emit)
+    fn(docs.filter("doc_id < 60"), 0)
+    n_first = len(emitted)
+    fn(docs.filter("doc_id >= 60"), 1)
+    assert sorted(emitted) == expected
+    # replayed epoch is a no-op
+    fn(docs.filter("doc_id >= 60"), 1)
+    assert sorted(emitted) == expected
+    # state survives a new handle: replaying batch-2 docs under a new
+    # epoch emits nothing (all already seen)
+    store2 = SimhashDedupStore(f"{tmpdir}/simdd", max_hamming=3)
+    fn2 = store2.foreach_batch("doc_id", "text", emit)
+    fn2(docs.filter("doc_id >= 60"), 2)
+    assert sorted(emitted) == expected
+    assert n_first > 0
+
+
+def test_simhash_cross_near_ids(spark):
+    """Two-sided band join: probe ids within hamming of any reference
+    signature — hand-built signatures with known distances."""
+    from datasketches_spark.pipeline.dedup import simhash_cross_near_ids
+
+    ref = spark.createDataFrame(
+        [(0, 0b1111), (1, (1 << 40) | 7)], "doc_id long, simhash long"
+    )
+    probe = spark.createDataFrame(
+        [
+            (10, 0b1110),          # hamming 1 from ref 0 -> hit
+            (11, (1 << 40) | 7),   # hamming 0 from ref 1 -> hit
+            (12, -1),              # 64 ones: far from both -> miss
+        ],
+        "doc_id long, simhash long",
+    )
+    got = sorted(
+        r.doc_id for r in simhash_cross_near_ids(probe, ref, "doc_id", 3).collect()
+    )
+    assert got == [10, 11]
