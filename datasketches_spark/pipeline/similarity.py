@@ -1067,6 +1067,11 @@ def semantic_dedup(
     else:
         if centroids is None:
             sample = _train_sample(df, vec_col, sample_limit, seed)
+            if sample.size == 0:
+                # empty corpus: nothing to train on, nothing to drop
+                if keep_cluster_col:
+                    return df.withColumn(cluster_col, F.lit(None).cast("long"))
+                return df
             centroids = _kmeans(sample, n_clusters, seed)
         centroids = np.asarray(centroids, dtype=np.float64)
 

@@ -629,6 +629,14 @@ class TestSemanticDedup:
         )
         assert kept.count() == emb.count()
 
+    def test_empty_corpus_is_noop(self, spark, emb):
+        empty = emb.filter("vec_id < 0")
+        out = similarity.semantic_dedup(
+            empty, threshold=0.9, n_clusters=4, keep_cluster_col=True
+        )
+        assert out.count() == 0
+        assert "cluster_id" in out.columns
+
     def test_sql_engine_cluster_cap(self, spark, emb):
         with pytest.raises(ValueError, match="caps at 64"):
             similarity.assign_clusters(
