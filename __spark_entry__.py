@@ -1176,6 +1176,27 @@ def q_fuzzy_dedup_kept_sigtable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def q_quantity_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-powered winsorization (binning.quantile_clip): per-flag
+    KLL bounds at p05/p95 (k=32768 — exact mode at gate SFs, inclusive
+    cume_dist convention), broadcast back, map-side clamp.  The oracle
+    replays cume_dist bounds + greatest/least clamping; l_quantity is
+    integral doubles so the checksums are order-exact."""
+    from datasketches_spark.pipeline.binning import quantile_clip
+
+    _ensure(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    clipped = quantile_clip(
+        li, "l_quantity", 0.05, 0.95, by=["l_returnflag"], k=32768
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("l_quantity").alias("clipped_sum"),
+        F.min("l_quantity").alias("q_lo"),
+        F.max("l_quantity").alias("q_hi"),
+    )
+
+
 def q_semantic_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (similarity.semantic_dedup) on a
     deterministic surface: centroids pinned to the first 8 embeddings,
@@ -3911,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_drift_ks": q_streaming_drift_ks,
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
         "fuzzy_dedup_kept_sigtable": q_fuzzy_dedup_kept_sigtable,
+        "quantity_quantile_clip": q_quantity_quantile_clip,
         "semantic_dedup_kept": q_semantic_dedup_kept,
         "semantic_dedup_kept_hard": q_semantic_dedup_kept_hard,
         "semantic_dedup_kept_stored": q_semantic_dedup_kept_stored,
@@ -4645,6 +4667,20 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT src AS doc_id, min(dst) AS c FROM reach
                      GROUP BY src)
             SELECT doc_id FROM comp WHERE c = doc_id
+        """,
+        "quantity_quantile_clip": """
+            WITH c AS (SELECT l_returnflag AS g, l_quantity AS v,
+                              cume_dist() OVER (PARTITION BY l_returnflag
+                                                ORDER BY l_quantity) AS cd
+                       FROM lineitem),
+            b AS (SELECT g, min(CASE WHEN cd >= 0.05 THEN v END) AS lo,
+                         min(CASE WHEN cd >= 0.95 THEN v END) AS hi
+                  FROM c GROUP BY g)
+            SELECT g AS l_returnflag, count(*)::BIGINT AS n_rows,
+                   sum(greatest(lo, least(hi, v)))::DOUBLE AS clipped_sum,
+                   min(greatest(lo, least(hi, v))) AS q_lo,
+                   max(greatest(lo, least(hi, v))) AS q_hi
+            FROM c JOIN b USING (g) GROUP BY g
         """,
         "semantic_dedup_kept": """
             WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v

@@ -152,6 +152,106 @@ def quantile_bucket(
     ).drop(_CUTS)
 
 
+def quantile_clip(
+    df: DataFrame,
+    col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    by: list[str] | None = None,
+    k: int = 200,
+    mode: str = "clip",
+    method: str = "sketch",
+    output_col: str | None = None,
+) -> DataFrame:
+    """Winsorize (``mode='clip'``) or drop (``mode='filter'``) numeric
+    outliers by per-group quantile bounds — the standard treatment for
+    heavy-tailed features before training.
+
+    Same two embarrassingly parallel passes as :func:`quantile_bucket`:
+    phase 1 reduces the data to one (lo, hi) row per group (KLL
+    sketch via the blob-only two-phase path, or the exact value
+    histogram for bounded-cardinality columns); phase 2 broadcasts
+    that tiny frame back and clamps/filters map-side — no global sort,
+    no second shuffle of the data.  Bounds follow the inclusive
+    cume_dist convention (min v with cd >= q), so they are actual data
+    values and the clipped column keeps its original type; exact for
+    ``method='hist'`` or exact-mode K, within KLL rank error
+    otherwise.
+
+    ``mode='clip'``: values clamp into [lo, hi]; NULLs pass through.
+    ``mode='filter'``: keep rows with lo <= v <= hi; NULLs drop.
+    ``output_col`` (clip mode) writes the clamped value to a new
+    column instead of replacing ``col``.
+    """
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower <= upper <= 1; got ({lower}, {upper})"
+        )
+    if mode not in ("clip", "filter"):
+        raise ValueError(f"mode ({mode!r}) must be 'clip' or 'filter'")
+    by = list(by or [])
+    if method == "sketch":
+        sk = sketch_agg(df, col, "kll", group_cols=by, k=k)
+        bounds = sk.select(
+            *by,
+            F.expr(
+                f"datasketch_kll_quantile(sketch, {float(lower)!r}D, true)"
+            ).alias("__qc_lo"),
+            F.expr(
+                f"datasketch_kll_quantile(sketch, {float(upper)!r}D, true)"
+            ).alias("__qc_hi"),
+        )
+    elif method == "hist":
+        counts = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(*by, col)
+            .agg(F.count("*").alias("__c"))
+            .select(*by, F.col(col).cast("double").alias("__v"), "__c")
+        )
+        w_cum = (
+            Window.partitionBy(*by)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = (
+            Window.partitionBy(*by)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        cdf = counts.select(
+            *by,
+            "__v",
+            (F.sum("__c").over(w_cum) / F.sum("__c").over(w_all)).alias("__cd"),
+        )
+        bounds = cdf.groupBy(*by).agg(
+            F.min(F.when(F.col("__cd") >= lower, F.col("__v"))).alias("__qc_lo"),
+            F.min(F.when(F.col("__cd") >= upper, F.col("__v"))).alias("__qc_hi"),
+        )
+    else:
+        raise ValueError(f"method ({method!r}) must be 'sketch' or 'hist'")
+
+    joined = (
+        df.join(F.broadcast(bounds), by)
+        if by
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    # bounds are actual data values; casting them to the column's own
+    # type keeps the clipped column's type stable
+    dt = df.schema[col].dataType
+    lo = F.col("__qc_lo").cast(dt)
+    hi = F.col("__qc_hi").cast(dt)
+    if mode == "filter":
+        return joined.filter((F.col(col) >= lo) & (F.col(col) <= hi)).drop(
+            "__qc_lo", "__qc_hi"
+        )
+    clamped = F.when(
+        F.col(col).isNotNull(), F.greatest(lo, F.least(hi, F.col(col)))
+    ).otherwise(F.col(col))
+    return joined.withColumn(output_col or col, clamped).drop(
+        "__qc_lo", "__qc_hi"
+    )
+
+
 def equi_depth_histogram(
     df: DataFrame,
     col: str,

@@ -44,6 +44,31 @@ from .base import (
 
 _NP_DTYPES = {"float64": np.float64, "float32": np.float32, "int64": np.int64}
 
+# largest magnitude float64 represents exactly for integers
+_F64_EXACT = float(1 << 53)
+
+
+def _guard_f64_promotable(sk) -> None:
+    """Raise if an int64 sketch holds magnitudes float64 cannot
+    represent exactly (> 2^53) — the one case where promotion would
+    silently corrupt values."""
+    if sk.dtype != "int64":
+        return
+    for lv in sk.levels:
+        if lv.size and float(np.abs(lv).max()) > _F64_EXACT:
+            raise ValueError(
+                "cannot merge int64 and float64 sketch state: a retained "
+                "|value| exceeds 2^53, so float64 promotion would lose "
+                "precision — filter NULLs before sketching to keep the "
+                "batches int64-typed"
+            )
+    for m in (sk.min_item, sk.max_item):
+        if m is not None and abs(float(m)) > _F64_EXACT:
+            raise ValueError(
+                "cannot merge int64 and float64 sketch state: |min/max| "
+                "exceeds 2^53, so float64 promotion would lose precision"
+            )
+
 
 class CompactorSketch:
     """Base compactor stack; subclasses define capacity policy + family."""
@@ -109,6 +134,12 @@ class CompactorSketch:
         self._compress()
 
     def merge(self, other: "CompactorSketch") -> None:
+        if other.n == 0:
+            # an empty partial carries no values and its (default)
+            # dtype is meaningless -- an all-NULL partition must not
+            # poison a typed merge (found by the quantile_clip
+            # bigint-with-nulls test)
+            return
         if other.dtype != self.dtype:
             if self.n == 0:
                 # an empty accumulator adopts the dtype of its first input
@@ -116,7 +147,14 @@ class CompactorSketch:
                 self.dtype = other.dtype
                 self.levels = [np.empty(0, dtype=_NP_DTYPES[self.dtype])]
             else:
-                raise ValueError("cannot merge sketches of different value types")
+                # pandas renders a nullable int batch as float64, so
+                # same-column partials can legally disagree on dtype:
+                # promote to float64 (exact below 2^53) instead of
+                # failing the merge; numpy upcasts the other side's
+                # arrays during concatenation
+                _guard_f64_promotable(self)
+                _guard_f64_promotable(other)
+                self._promote_to_float64()
         if other.n == 0:
             return
         # merging different K degrades to the coarser resolution, like the
@@ -136,6 +174,18 @@ class CompactorSketch:
             self.min_item = min(self.min_item, other.min_item)
             self.max_item = max(self.max_item, other.max_item)
         self._compress()
+
+    def _promote_to_float64(self) -> None:
+        """Convert int64/float32 state to float64 in place (callers
+        guard 2^53 exactness first via _guard_f64_promotable)."""
+        if self.dtype == "float64":
+            return
+        self.levels = [lv.astype(np.float64) for lv in self.levels]
+        if self.min_item is not None:
+            self.min_item = float(self.min_item)
+            self.max_item = float(self.max_item)
+        self.dtype = "float64"
+        self._sorted_cache = None
 
     def _retained(self) -> int:
         return sum(lv.size for lv in self.levels)
@@ -715,12 +765,25 @@ class QuantilesSketch(CompactorSketch):
             j += 1
 
     def merge(self, other: "QuantilesSketch") -> None:
+        if other.n == 0:
+            # an empty partial carries no values and its (default)
+            # dtype is meaningless -- an all-NULL partition must not
+            # poison a typed merge (found by the quantile_clip
+            # bigint-with-nulls test)
+            return
         if other.dtype != self.dtype:
             if self.n == 0:
                 self.dtype = other.dtype
                 self.levels = [self._empty_arr()]
             else:
-                raise ValueError("cannot merge sketches of different value types")
+                # pandas renders a nullable int batch as float64, so
+                # same-column partials can legally disagree on dtype:
+                # promote to float64 (exact below 2^53) instead of
+                # failing the merge; numpy upcasts the other side's
+                # arrays during concatenation
+                _guard_f64_promotable(self)
+                _guard_f64_promotable(other)
+                self._promote_to_float64()
         if other.n == 0:
             return
         if self.n == 0:
@@ -1113,12 +1176,25 @@ class ReqSketch(CompactorSketch):
                 return
 
     def merge(self, other: "ReqSketch") -> None:
+        if other.n == 0:
+            # an empty partial carries no values and its (default)
+            # dtype is meaningless -- an all-NULL partition must not
+            # poison a typed merge (found by the quantile_clip
+            # bigint-with-nulls test)
+            return
         if other.dtype != self.dtype:
             if self.n == 0:
                 self.dtype = other.dtype
                 self.levels = [self._empty_arr()]
             else:
-                raise ValueError("cannot merge sketches of different value types")
+                # pandas renders a nullable int batch as float64, so
+                # same-column partials can legally disagree on dtype:
+                # promote to float64 (exact below 2^53) instead of
+                # failing the merge; numpy upcasts the other side's
+                # arrays during concatenation
+                _guard_f64_promotable(self)
+                _guard_f64_promotable(other)
+                self._promote_to_float64()
         if other.n == 0:
             return
         self.k = min(self.k, other.k)

@@ -147,3 +147,72 @@ def test_hist_path_null_edges(spark):
         df.filter(F.col("g") == "a"), "x", 2, method="hist"
     ).collect()
     assert {(r["bucket"], r["cnt"]) for r in g} == {(None, 2), (1, 5), (2, 5)}
+
+
+class TestQuantileClip:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        vals = np.concatenate(
+            [rng.normal(50.0, 5.0, 900), rng.normal(500.0, 50.0, 100)]
+        )
+        return spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], ["id", "x"]
+        )
+
+    def test_clip_matches_cume_dist_bounds(self, spark, skewed):
+        from datasketches_spark.pipeline.binning import quantile_clip
+
+        got = quantile_clip(skewed, "x", 0.1, 0.9, k=32768)
+        cd = skewed.withColumn(
+            "cd", F.cume_dist().over(Window.orderBy("x"))
+        )
+        lo = cd.filter("cd >= 0.1").agg(F.min("x")).first()[0]
+        hi = cd.filter("cd >= 0.9").agg(F.min("x")).first()[0]
+        rows = got.collect()
+        assert len(rows) == 1000
+        assert min(r.x for r in rows) == lo
+        assert max(r.x for r in rows) == hi
+        originals = {r.id: r.x for r in skewed.collect()}
+        for r in rows:
+            assert r.x == min(max(originals[r.id], lo), hi)
+
+    def test_filter_mode_and_hist_equality(self, spark, skewed):
+        from datasketches_spark.pipeline.binning import quantile_clip
+
+        f_sketch = quantile_clip(
+            skewed, "x", 0.1, 0.9, k=32768, mode="filter"
+        )
+        f_hist = quantile_clip(
+            skewed, "x", 0.1, 0.9, mode="filter", method="hist"
+        )
+        a = sorted(r.id for r in f_sketch.collect())
+        b = sorted(r.id for r in f_hist.collect())
+        assert a == b
+        assert 0 < len(a) < 1000  # both tails actually dropped
+
+    def test_output_col_nulls_and_type(self, spark):
+        from datasketches_spark.pipeline.binning import quantile_clip
+
+        df = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 1000), (4, None)],
+            "id long, v long",
+        )
+        out = quantile_clip(df, "v", 0.0, 0.75, k=64, output_col="v_clip")
+        rows = {r.id: (r.v, r.v_clip) for r in out.collect()}
+        assert rows[4] == (None, None)          # NULL passes through
+        assert rows[3][0] == 1000               # original kept
+        assert rows[3][1] == 3                  # clamped to p75 value
+        assert dict(out.dtypes)["v_clip"] == "bigint"  # type preserved
+
+    def test_validation(self, spark, skewed):
+        from datasketches_spark.pipeline.binning import quantile_clip
+
+        with pytest.raises(ValueError, match="lower <= upper"):
+            quantile_clip(skewed, "x", 0.9, 0.1)
+        with pytest.raises(ValueError, match="mode"):
+            quantile_clip(skewed, "x", mode="zap")
+        with pytest.raises(ValueError, match="method"):
+            quantile_clip(skewed, "x", method="zap")

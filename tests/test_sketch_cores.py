@@ -543,3 +543,57 @@ class TestStatsSketch:
         sk = create_sketch("stats", {})
         update_sketch("stats", sk, pd.Series([None, None], dtype=object), merge=True)
         assert sk.is_empty and sk.get_n() == 0
+
+
+class TestDtypePromotion:
+    """Mixed-dtype quantile-family merges: pandas renders a nullable
+    int batch as float64, so same-column partials can disagree —
+    promote to float64 (exact below 2^53) instead of failing."""
+
+    def _int_sk(self, cls, vals, k=64):
+        sk = cls(k, "int64")
+        sk.update(np.array(vals, dtype=np.int64))
+        return sk
+
+    def _f64_sk(self, cls, vals, k=64):
+        sk = cls(k, "float64")
+        sk.update(np.array(vals, dtype=np.float64))
+        return sk
+
+    @pytest.mark.parametrize(
+        "cls", [KllSketch, QuantilesSketch, ReqSketch]
+    )
+    def test_int_float_merge_promotes(self, cls):
+        a = self._int_sk(cls, [1, 2, 3, 10])
+        b = self._f64_sk(cls, [4.0, 5.0])
+        a.merge(b)
+        assert a.dtype == "float64"
+        assert a.n == 6
+        assert float(a.min_item) == 1.0 and float(a.max_item) == 10.0
+        # exact mode: every value retained, exactly representable
+        got = sorted(float(x) for lv in a.levels for x in lv)
+        assert got == [1.0, 2.0, 3.0, 4.0, 5.0, 10.0]
+
+    @pytest.mark.parametrize(
+        "cls", [KllSketch, QuantilesSketch, ReqSketch]
+    )
+    def test_float_accumulator_absorbs_int_partial(self, cls):
+        a = self._f64_sk(cls, [4.0])
+        b = self._int_sk(cls, [1, 2])
+        a.merge(b)
+        assert a.dtype == "float64" and a.n == 3
+
+    def test_empty_partial_any_dtype_is_noop(self):
+        a = self._int_sk(KllSketch, [1, 2])
+        b = KllSketch(64, "float64")  # default-dtype EMPTY partial
+        a.merge(b)
+        assert a.dtype == "int64" and a.n == 2
+
+    def test_beyond_2_53_refuses_promotion(self):
+        big = (1 << 60) + 1
+        a = self._int_sk(KllSketch, [big])
+        b = self._f64_sk(KllSketch, [1.5])
+        with pytest.raises(ValueError, match="2\\^53"):
+            a.merge(b)
+        with pytest.raises(ValueError, match="2\\^53"):
+            b.merge(a)
