@@ -36,7 +36,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .families import build_params, create_sketch, update_sketch
+from .families import (
+    build_params,
+    coerce_value_batch,
+    create_sketch,
+    spark_value_kind,
+    update_sketch,
+)
 
 
 def _out_schema(df: DataFrame, group_cols: list[str], output_col: str) -> StructType:
@@ -71,12 +77,17 @@ def sketch_partial(
     cols = group_cols + [input_col]
     if weight_col is not None:
         cols.append(weight_col)
+    # captured Spark-side type: a null-bearing Arrow batch of an
+    # integral column arrives float64 and must be coerced back (5 and
+    # 5.0 hash differently — families.coerce_value_batch)
+    kind = spark_value_kind(df.schema[input_col].dataType)
 
     def _update(sk, sub) -> None:
         if weight_col is not None:
-            sk.update_series(sub[input_col], weights=sub[weight_col])
+            v, w = coerce_value_batch(sub[input_col], kind, sub[weight_col])
+            sk.update_series(v, weights=w)
         else:
-            update_sketch(family, sk, sub[input_col])
+            update_sketch(family, sk, coerce_value_batch(sub[input_col], kind))
 
     # accumulate Arrow batches into larger chunks before grouping so the
     # pandas groupby + sketch-update cost is amortized (an Arrow batch is
@@ -99,16 +110,16 @@ def sketch_partial(
                     if not isinstance(key, tuple):
                         key = (key,)
                     sk = acc.get(key)
-                    series = sub[input_col]
                     if sk is None:
+                        series = coerce_value_batch(sub[input_col], kind)
                         sk = acc[key] = create_sketch(
                             family, build_params(family, k, series)
                         )
                     _update(sk, sub)
             else:
-                series = pdf[input_col]
                 sk = acc.get(())
                 if sk is None:
+                    series = coerce_value_batch(pdf[input_col], kind)
                     sk = acc[()] = create_sketch(family, build_params(family, k, series))
                 _update(sk, pdf)
 
@@ -234,6 +245,7 @@ def sketch_agg_multi(
     if len(set(out_cols)) != len(out_cols):
         raise ValueError("duplicate output_col in specs")
     in_cols = list(dict.fromkeys([s[0] for s in specs]))  # stable unique
+    kinds = [spark_value_kind(df.schema[s[0]].dataType) for s in specs]
 
     fields = [df.schema[c] for c in group_cols]
     schema = StructType(
@@ -264,7 +276,7 @@ def sketch_agg_multi(
             if sks is None:
                 sks = acc[key] = [None] * len(specs)
             for i, (col, family, k, _out) in enumerate(specs):
-                series = sub[col]
+                series = coerce_value_batch(sub[col], kinds[i])
                 if sks[i] is None:
                     sks[i] = create_sketch(family, build_params(family, k, series))
                 update_sketch(family, sks[i], series)
@@ -339,6 +351,7 @@ def tuple_sketch_partial(
     cols = group_cols + [key_col] + value_cols
     lgk = lg_k if lg_k is not None else DEFAULT_LG_K
     m = len(value_cols)
+    key_kind = spark_value_kind(df.schema[key_col].dataType)
     chunk_rows = 1 << 19
 
     def build(batches) -> "Iterator[pd.DataFrame]":
@@ -350,8 +363,15 @@ def tuple_sketch_partial(
             sk = acc.get(key)
             if sk is None:
                 sk = acc[key] = AodSketch(lgk, m)
+            keys = sub[key_col]
+            if key_kind == "int64" and keys.dtype.kind == "f":
+                # nullable-int upcast: drop NULL keys (update_batch
+                # skips them anyway) and restore int64 so the key
+                # hashes match the clean partitions'
+                sub = sub[keys.notna()]
+                keys = sub[key_col].astype("int64")
             sk.update_batch(
-                sub[key_col], sub[value_cols].to_numpy(dtype="float64", na_value=0.0)
+                keys, sub[value_cols].to_numpy(dtype="float64", na_value=0.0)
             )
 
         def flush() -> None:
@@ -474,6 +494,7 @@ def theta_partial_state(
         ]
     )
     chunk_rows = 1 << 19
+    kind = spark_value_kind(df.schema[input_col].dataType)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, ThetaSketch] = {}
@@ -484,7 +505,7 @@ def theta_partial_state(
             sk = acc.get(key)
             if sk is None:
                 sk = acc[key] = ThetaSketch(lg_k)
-            sk.update_values(series.dropna())
+            sk.update_values(coerce_value_batch(series.dropna(), kind))
 
         def flush() -> None:
             nonlocal buf, nbuf

@@ -55,6 +55,37 @@ FAMILY_CLASSES = {
 }
 
 
+def spark_value_kind(data_type) -> "str | None":
+    """'int64' for integral Spark column types, else None — the hint
+    :func:`coerce_value_batch` needs to undo pandas' nullable-int
+    upcast in Arrow workers."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if isinstance(data_type, (ByteType, ShortType, IntegerType, LongType)):
+        return "int64"
+    return None
+
+
+def coerce_value_batch(series: pd.Series, kind: "str | None", weights=None):
+    """Undo pandas' nullable-int rendering before sketch updates.
+
+    An integral Spark column whose Arrow batch contains NULLs arrives
+    as float64-with-NaN, and sketch semantics are dtype-sensitive:
+    5 (int) and 5.0 (double) murmur-hash DIFFERENTLY (reference
+    parity), quantile sketches are typed, and sampling families
+    stringify items.  Found live: with one null-bearing and one clean
+    partition, sketch_agg's theta path double-counted every
+    overlapping value (int-hashed in one partial, double-hashed in the
+    other).  Drops the NULL rows (aligned with ``weights`` when
+    given) and restores int64."""
+    if kind == "int64" and series.dtype.kind == "f":
+        keep = series.notna()
+        series = series[keep].astype(np.int64)
+        if weights is not None:
+            weights = weights[keep]
+    return (series, weights) if weights is not None else series
+
+
 def infer_value_dtype(series: pd.Series) -> str:
     kind = series.dtype.kind
     if kind in "iu" or series.dtype == object and isinstance(series.iloc[0], (int, np.integer)):

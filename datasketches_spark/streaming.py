@@ -30,6 +30,17 @@ from pyspark.sql import functions as F
 from .aggregation import sketch_agg, sketch_merge, sketch_partial
 
 
+def _value_kind(df: DataFrame, input_col: str) -> "str | None":
+    """Spark-side type hint for families.coerce_value_batch (nullable
+    integral batches arrive float64 in the Arrow workers)."""
+    from .families import spark_value_kind
+
+    try:
+        return spark_value_kind(df.schema[input_col].dataType)
+    except Exception:  # schema lookup can fail for expression inputs
+        return None
+
+
 class SketchStore:
     """Parquet-backed store of one sketch blob per group key."""
 
@@ -384,6 +395,7 @@ def stateful_sketch_stream(
             family, input_col, group_cols, k, idle_timeout_ms, metric,
             ts_col=ts_col if event_ttl_ms is not None else None,
             event_ttl_ms=event_ttl_ms,
+            value_kind=_value_kind(stream_df, input_col),
         )
         time_mode = (
             "EventTime"
@@ -404,6 +416,7 @@ def stateful_sketch_stream(
         family, input_col, group_cols, k, idle_timeout_ms, metric,
         ts_col=ts_col if event_ttl_ms is not None else None,
         event_ttl_ms=event_ttl_ms,
+        value_kind=_value_kind(stream_df, input_col),
     )
     if ts_col is not None:
         # Spark's FlatMapGroupsWithStateExec applies the late-event
@@ -445,6 +458,7 @@ def _make_stateful_fn(
     metric=None,
     ts_col: str | None = None,
     event_ttl_ms: int | None = None,
+    value_kind: str | None = None,
 ):
     """The applyInPandasWithState callback, factored out so the
     timeout-eviction branch is unit-testable with a fake GroupState.
@@ -453,7 +467,12 @@ def _make_stateful_fn(
     import pandas as pd
 
     from .families import FAMILY_CLASSES as _BY_NAME
-    from .families import build_params, create_sketch, update_sketch
+    from .families import (
+        build_params,
+        coerce_value_batch,
+        create_sketch,
+        update_sketch,
+    )
 
     cls = _BY_NAME[family]
     cols = group_cols + ["sketch", "rows_in_batch"]
@@ -483,7 +502,7 @@ def _make_stateful_fn(
         nrows = 0
         max_ts_ms = None
         for pdf in pdfs:
-            series = pdf[input_col]
+            series = coerce_value_batch(pdf[input_col], value_kind)
             if sk is None:
                 sk = create_sketch(family, build_params(family, k, series))
             update_sketch(family, sk, series)
@@ -519,6 +538,7 @@ def _make_tws_processor(
     metric=None,
     ts_col: str | None = None,
     event_ttl_ms: int | None = None,
+    value_kind: str | None = None,
 ):
     """StatefulProcessor twin of _make_stateful_fn for Spark 4.1's
     transformWithStateInPandas.  Two state variables: the sketch blob
@@ -529,7 +549,12 @@ def _make_tws_processor(
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     from .families import FAMILY_CLASSES as _BY_NAME
-    from .families import build_params, create_sketch, update_sketch
+    from .families import (
+        build_params,
+        coerce_value_batch,
+        create_sketch,
+        update_sketch,
+    )
 
     cls = _BY_NAME[family]
     cols = group_cols + ["sketch", "rows_in_batch"]
@@ -569,7 +594,7 @@ def _make_tws_processor(
             nrows = 0
             max_ts_ms = None
             for pdf in rows:
-                series = pdf[input_col]
+                series = coerce_value_batch(pdf[input_col], value_kind)
                 if sk is None:
                     sk = create_sketch(family, build_params(family, k, series))
                 update_sketch(family, sk, series)
