@@ -1176,6 +1176,41 @@ def q_fuzzy_dedup_kept_sigtable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring span detection (pipeline/spans.duplicate_spans
+    — the exact-substring dedup step of Lee et al. 2021 at token
+    granularity): 8-gram occurrences counted corpus-wide (xxhash64
+    keys, map-side combine — the shuffle carries (hash, count), never
+    text), duplicated starts merged gaps-and-islands into maximal
+    (span_start, span_end) token intervals per doc.  The oracle
+    replays string-keyed counting + nested-window islands in DuckDB;
+    hash vs string keys agree barring ~2^-64 collisions
+    (tests/test_spans.py pins that parity)."""
+    from datasketches_spark.pipeline.spans import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", n=8, min_count=2).select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+    )
+
+
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strip_duplicate_spans end-to-end: every duplicated 8-gram span's
+    tokens removed from the ORIGINAL-case token stream (positions are
+    case-insensitive, surviving text keeps its casing, whitespace
+    canonicalized to single spaces).  Full cleaned texts hash-match
+    the DuckDB replay value-for-value."""
+    from datasketches_spark.pipeline.spans import strip_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = strip_duplicate_spans(
+        docs, "doc_id", "text", n=8, min_count=2, out_col="clean"
+    )
+    return out.select("doc_id", "clean")
+
+
 def q_quantity_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-powered winsorization (binning.quantile_clip): per-flag
     KLL bounds at p05/p95 (k=32768 — exact mode at gate SFs, inclusive
@@ -3932,6 +3967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_drift_ks": q_streaming_drift_ks,
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
         "fuzzy_dedup_kept_sigtable": q_fuzzy_dedup_kept_sigtable,
+        "duplicate_ngram_spans": q_duplicate_ngram_spans,
+        "strip_dup_spans": q_strip_dup_spans,
         "quantity_quantile_clip": q_quantity_quantile_clip,
         "semantic_dedup_kept": q_semantic_dedup_kept,
         "semantic_dedup_kept_hard": q_semantic_dedup_kept_hard,
@@ -4668,6 +4705,8 @@ def oracle_sql() -> dict[str, str]:
                      GROUP BY src)
             SELECT doc_id FROM comp WHERE c = doc_id
         """,
+        "duplicate_ngram_spans": _spans_oracle("spans"),
+        "strip_dup_spans": _spans_oracle("strip"),
         "quantity_quantile_clip": """
             WITH c AS (SELECT l_returnflag AS g, l_quantity AS v,
                               cume_dist() OVER (PARTITION BY l_returnflag
@@ -5308,6 +5347,21 @@ def _token_budget_oracle() -> str:
               FROM t WHERE n_tok > 0)
         SELECT lang, doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= 20000
     """
+
+
+def _spans_oracle(which: str) -> str:
+    """DuckDB mirrors of the spans gate queries (8-grams, min_count=2),
+    built by the module's own oracle-SQL emitters."""
+    from datasketches_spark.pipeline.spans import (
+        oracle_duplicate_spans_sql,
+        oracle_strip_spans_sql,
+    )
+
+    if which == "spans":
+        return oracle_duplicate_spans_sql("documents", "doc_id", "text", 8, 2)
+    return oracle_strip_spans_sql(
+        "documents", "doc_id", "text", 8, 2, out_col="clean"
+    )
 
 
 def _decontam_oracle() -> str:

@@ -1,0 +1,133 @@
+"""duplicate_spans / strip_duplicate_spans — repeated n-gram span
+detection (the exact-substring dedup step, Lee et al. 2021 style).
+Semantics pinned here; corpus-scale hash-match runs in the oracle gate
+(`duplicate_ngram_spans` / `strip_dup_spans_stats` pairs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_spark.pipeline.spans import (
+    duplicate_spans,
+    strip_duplicate_spans,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _spans(df, **kw):
+    out = duplicate_spans(df, "doc_id", "text", **kw).orderBy(
+        "doc_id", "span_start"
+    )
+    return [(r.doc_id, r.span_start, r.span_end) for r in out.collect()]
+
+
+def test_cross_doc_duplicate_span(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "intro words then the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text with no overlap at all here now"),
+        ],
+    )
+    got = _spans(df, n=8, min_count=2)
+    # doc1 tokens 1-9 duplicated (two 8-gram starts merge), doc2 4-12
+    assert got == [(1, 1, 9), (2, 4, 12)]
+
+
+def test_within_doc_self_repeat_counts(spark):
+    df = _docs(spark, [(1, "a b c d a b c d x y"), (2, "unrelated words")])
+    # "a b c d" occurs twice inside doc 1 -> min_count=2 catches it
+    assert _spans(df, n=4, min_count=2) == [(1, 1, 8)]
+    # but min_docs=2 requires cross-document evidence -> nothing
+    assert _spans(df, n=4, min_count=2, min_docs=2) == []
+
+
+def test_adjacent_and_gap_semantics(spark):
+    # overlapping-or-adjacent intervals merge; a gap > n starts anew
+    df = _docs(
+        spark,
+        [
+            (1, "p q r s junk1 junkA junkB junkC junkD junkE p q r s"),
+            (2, "p q r s zz p q r s"),
+        ],
+    )
+    got = _spans(df, n=4, min_count=2)
+    # doc1: starts 1 and 11, gap 10 > 4 -> two spans
+    assert got == [(1, 1, 4), (1, 11, 14), (2, 1, 4), (2, 6, 9)]
+
+
+def test_case_insensitive_and_short_docs(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "Hello World Foo Bar"),
+            (2, "hello world foo bar"),
+            (3, "tiny"),  # shorter than n -> no n-grams
+            (4, ""),
+            (5, None),
+        ],
+    )
+    assert _spans(df, n=4, min_count=2) == [(1, 1, 4), (2, 1, 4)]
+
+
+def test_strip_preserves_case_and_survivors(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "KEEP Me the quick brown fox jumps END"),
+            (2, "the quick brown fox jumps"),
+            (3, "Nothing   duplicated    here"),
+        ],
+    )
+    out = {
+        r.doc_id: r.text
+        for r in strip_duplicate_spans(
+            df, "doc_id", "text", n=5, min_count=2
+        ).collect()
+    }
+    assert out[1] == "KEEP Me END"  # original casing survives
+    assert out[2] == ""  # fully covered
+    assert out[3] == "Nothing duplicated here"  # whitespace canonicalized
+
+
+def test_strip_out_col(spark):
+    df = _docs(spark, [(1, "a b c a b c"), (2, "x y z w v u")])
+    out = strip_duplicate_spans(
+        df, "doc_id", "text", n=3, min_count=2, out_col="clean"
+    )
+    row = {r.doc_id: r for r in out.collect()}
+    assert row[1].text == "a b c a b c" and row[1].clean == ""
+    assert row[2].clean == "x y z w v u"
+
+
+def test_hash_and_string_keys_agree(spark):
+    df = _docs(
+        spark,
+        [(i, f"shared prefix tokens here tail{i} alpha beta") for i in range(6)],
+    )
+    assert _spans(df, n=4, min_count=2) == _spans(
+        df, n=4, min_count=2, hash_join=False
+    )
+
+
+def test_validation_errors(spark):
+    df = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="n must be"):
+        duplicate_spans(df, "doc_id", "text", n=0)
+    with pytest.raises(ValueError, match="min_count or min_docs"):
+        duplicate_spans(df, "doc_id", "text", n=3, min_count=1, min_docs=1)
+
+
+def test_plan_has_no_python_nodes(spark):
+    df = _docs(spark, [(1, "a b c d e f g h")])
+    plan = (
+        strip_duplicate_spans(df, "doc_id", "text", n=4, min_count=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
