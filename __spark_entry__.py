@@ -2321,6 +2321,56 @@ def q_range_partition_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_items_priority_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mode STRING-items KLL (sketches/kll_items.py — Apache
+    KllItemsSketch + ArrayOfStringsSerDe wire, live-java differential
+    in tests/test_kll_items_wire.py; k=32768 > group size at gate
+    SFs): per-status quantiles of o_orderpriority under the inclusive
+    convention.  The Apache wire round-trip is IN the plan (to_wire →
+    from_wire before the p50 probe).  DuckDB mirrors via cume_dist
+    over the binary string order both engines share."""
+    _ensure(spark)
+    sk = sketch_agg(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "kll_items",
+        group_cols=["o_orderstatus"], k=32768,
+    )
+    return sk.selectExpr(
+        "o_orderstatus",
+        "datasketch_kll_items_n(sketch) AS n_items",
+        "datasketch_kll_items_min_item(sketch) AS lo",
+        "datasketch_kll_items_max_item(sketch) AS hi",
+        "datasketch_kll_items_quantile(datasketch_kll_items_from_wire("
+        "datasketch_kll_items_to_wire(sketch)), 0.5) AS p50",
+        "round(datasketch_kll_items_rank(sketch, '3-MEDIUM'), 9) AS rank_med",
+    )
+
+
+def q_string_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition planning on a STRING sort key (the kll_items
+    extension of range_partition_cells): 3 balanced c_name cuts from
+    one exact-mode string-items KLL blob, then the deterministic
+    pid = #{bounds <= v} assignment — codegen comparison chain, no
+    shuffle, no sampling."""
+    _ensure(spark)
+    from datasketches_spark.pipeline.rangepart import (
+        assign_range_partition,
+        partition_bounds,
+    )
+
+    cu = _t(spark, sf_dir, "customer")
+    bounds = partition_bounds(cu, "c_name", 4, k=8192)
+    return (
+        assign_range_partition(cu, "c_name", bounds, "pid")
+        .groupBy("pid")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("c_name").alias("lo"),
+            F.max("c_name").alias("hi"),
+        )
+        .select(F.col("pid").cast("int").alias("pid"), "n_rows", "lo", "hi")
+    )
+
+
 def q_fdt_null_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FDT over tuples with NULL dimensions (round 12): NULL elements
     hash as the string "null" — java Util.stringConcat parity
@@ -3854,6 +3904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aod_set_ops": q_aod_set_ops,
         "bloomfilter_members": q_bloomfilter_members,
         "range_partition_cells": q_range_partition_cells,
+        "kll_items_priority_quantiles": q_kll_items_priority_quantiles,
+        "string_range_partition": q_string_range_partition,
         "fdt_null_dims": q_fdt_null_dims,
         "fdt_top_groups": q_fdt_top_groups,
         "bloom_contains_customers": q_bloom_contains_customers,
@@ -4027,6 +4079,32 @@ def oracle_sql() -> dict[str, str]:
             + _CUME.format(g="l_returnflag", v="l_quantity", t="lineitem")
             + ") GROUP BY g"
         ),
+        "kll_items_priority_quantiles": (
+            "SELECT g AS o_orderstatus, CAST(count(*) AS BIGINT) AS n_items, "
+            "min(v) AS lo, max(v) AS hi, "
+            "min(CASE WHEN cd >= 0.5 THEN v END) AS p50, "
+            "round(CAST(count(CASE WHEN v <= '3-MEDIUM' THEN 1 END) AS DOUBLE)"
+            " / count(*), 9) AS rank_med FROM ("
+            + _CUME.format(g="o_orderstatus", v="o_orderpriority", t="orders")
+            + ") GROUP BY g"
+        ),
+        "string_range_partition": """
+            WITH c AS (
+              SELECT c_name AS v,
+                     cume_dist() OVER (ORDER BY c_name) AS cd
+              FROM customer
+            ), b AS (
+              SELECT min(CASE WHEN cd >= 0.25 THEN v END) AS b1,
+                     min(CASE WHEN cd >= 0.5 THEN v END) AS b2,
+                     min(CASE WHEN cd >= 0.75 THEN v END) AS b3
+              FROM c
+            )
+            SELECT CAST((v >= b1)::INT + (v >= b2)::INT + (v >= b3)::INT
+                        AS INTEGER) AS pid,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(v) AS lo, max(v) AS hi
+            FROM c, b GROUP BY 1
+        """,
         "kll_wire_roundtrip": (
             "SELECT g AS l_returnflag, count(*) AS n_items, "
             "min(CASE WHEN cd >= 0.5 THEN v END) AS median_qty, "

@@ -24,6 +24,7 @@ from .sketches import (
     EbppsSketch,
     FrequentItemsSketch,
     HllSketch,
+    KllItemsSketch,
     KllSketch,
     QuantilesSketch,
     ReqSketch,
@@ -38,6 +39,7 @@ QUANTILE_FAMILIES = {"quantiles": QuantilesSketch, "kll": KllSketch, "req": ReqS
 FAMILY_CLASSES = {
     "theta": ThetaSketch,
     "kll": KllSketch,
+    "kll_items": KllItemsSketch,
     "quantiles": QuantilesSketch,
     "req": ReqSketch,
     "tdigest": TDigestSketch,
@@ -103,6 +105,8 @@ def create_sketch(family: str, params: dict):
         return QUANTILE_FAMILIES[family](
             int(params.get("k", 200)), params.get("dtype", "float64")
         )
+    if family == "kll_items":
+        return KllItemsSketch(int(params.get("k", 200)))
     if family == "tdigest":
         return TDigestSketch(int(params.get("k", 100)))
     if family == "hll":
@@ -219,7 +223,7 @@ def update_sketch(family: str, sk, series: pd.Series, merge: bool = False) -> No
                 "You might need to add explicit type casts."
             )
         sk.update(s.to_numpy())
-    elif family in ("frequent_items", "reservoir", "cms", "ebpps", "fdt"):
+    elif family in ("frequent_items", "reservoir", "cms", "ebpps", "fdt", "kll_items"):
         sk.update_series(s)
     elif family == "aod":
         raise ValueError(

@@ -66,6 +66,10 @@ def build_aggregate_registry() -> dict[str, object]:
     # generated families: K is a required leading argument
     for fam in ("quantiles", "kll", "req", "tdigest", "hll", "cpc"):
         reg[f"datasketch_{fam}"] = _agg_with_k(fam)
+    # beyond-reference string-items KLL (Apache KllItemsSketch +
+    # ArrayOfStringsSerDe wire — sketches/kll_items.py): quantiles
+    # over ordered strings; same K-leading convention, blobs merge
+    reg["datasketch_kll_items"] = _agg_with_k("kll_items")
     # the union aggregates are the same machinery fed blobs
     # (DSHLLMergeOperation, codegen/generated.cpp.j2:429-450)
     reg["datasketch_hll_union"] = _agg_with_k("hll")

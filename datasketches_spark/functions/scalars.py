@@ -46,6 +46,7 @@ from ..sketches import (
     CpcSketch,
     FrequentItemsSketch,
     HllSketch,
+    KllItemsSketch,
     KllSketch,
     QuantilesSketch,
     ReqSketch,
@@ -309,6 +310,64 @@ def build_scalar_registry() -> dict[str, object]:
     p = "datasketch_req_"
     reg[p + "to_wire"] = _unary(ReqSketch, lambda sk: sk.to_wire(), "binary")
     reg[p + "from_wire"] = _unary(ReqSketch, lambda sk: sk.serialize(), "binary")
+
+    # beyond-reference string-items KLL (sketches/kll_items.py):
+    # quantiles over ORDERED STRINGS.  Same scalar surface as the
+    # numeric quantile families with string-typed item positions;
+    # to_wire/from_wire speak the Apache KllItemsSketch +
+    # ArrayOfStringsSerDe format (live-java differential,
+    # tests/test_kll_items_wire.py).
+    p = "datasketch_kll_items_"
+    ki = KllItemsSketch
+    reg[p + "is_empty"] = _unary(ki, lambda sk: bool(sk.is_empty), "boolean")
+    reg[p + "k"] = _unary(ki, lambda sk: int(sk.k), "int")
+    reg[p + "n"] = _unary(ki, lambda sk: int(sk.n), "long")
+    reg[p + "is_estimation_mode"] = _unary(
+        ki, lambda sk: bool(sk.is_estimation_mode), "boolean"
+    )
+    reg[p + "num_retained"] = _unary(ki, lambda sk: int(sk.num_retained), "long")
+    reg[p + "min_item"] = _unary(
+        ki, lambda sk: None if sk.is_empty else sk.get_min_item(), "string"
+    )
+    reg[p + "max_item"] = _unary(
+        ki, lambda sk: None if sk.is_empty else sk.get_max_item(), "string"
+    )
+    reg[p + "rank"] = _with_args(
+        ki, lambda sk, v, inc: float(sk.get_rank(str(v), bool(inc))),
+        "double", 2, opt=(True,),
+    )
+    reg[p + "quantile"] = _with_args(
+        ki,
+        lambda sk, q, inc: None
+        if sk.is_empty
+        else sk.get_quantile(float(q), bool(inc)),
+        "string",
+        2,
+        opt=(True,),
+    )
+    reg[p + "cdf"] = _with_args(
+        ki,
+        lambda sk, sp, inc: sk.get_cdf([str(x) for x in sp], bool(inc)),
+        "array<double>",
+        2,
+        opt=(True,),
+    )
+    reg[p + "pmf"] = _with_args(
+        ki,
+        lambda sk, sp, inc: sk.get_pmf([str(x) for x in sp], bool(inc)),
+        "array<double>",
+        2,
+        opt=(True,),
+    )
+    reg[p + "describe"] = _with_args(
+        ki, lambda sk, a, b: sk.describe(bool(a), bool(b)),
+        "string", 2, opt=(False, False),
+    )
+    reg[p + "normalized_rank_error"] = _with_args(
+        ki, lambda sk, pmf: float(sk.normalized_rank_error(bool(pmf))), "double", 1
+    )
+    reg[p + "to_wire"] = _unary(ki, lambda sk: sk.to_wire(), "binary")
+    reg[p + "from_wire"] = _unary(ki, lambda sk: sk.serialize(), "binary")
 
     # Integer-typed wire import (round 8): the reference registers
     # sketch_kll_bigint / sketch_kll_integer etc. per DuckDB type

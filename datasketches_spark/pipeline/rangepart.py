@@ -59,15 +59,29 @@ def partition_bounds(
     long at the same k (exactness threshold 2k rows vs k)."""
     if num_partitions < 2:
         raise ValueError("num_partitions must be >= 2")
-    if family not in ("kll", "quantiles", "req"):
+    from pyspark.sql.types import StringType
+
+    is_str = isinstance(df.schema[col].dataType, StringType)
+    if is_str:
+        # string sort keys plan through the string-items KLL
+        # (sketches/kll_items.py, Apache KllItemsSketch wire); the
+        # default "kll" silently routes there for convenience
+        if family not in ("kll", "kll_items"):
+            raise ValueError(
+                f"string columns use the kll_items family, got {family!r}"
+            )
+        family = "kll_items"
+    elif family not in ("kll", "quantiles", "req"):
         raise ValueError(f"family must be a quantile family, got {family!r}")
     ps = [i / num_partitions for i in range(1, num_partitions)]
+    cast = str if is_str else float
+    sql_t = "string" if is_str else "double"
     row = sketch_agg(
         df, col, family, k=k,
         finalize=lambda sk: {
-            f"b{i}": float(sk.get_quantile(p, True)) for i, p in enumerate(ps)
+            f"b{i}": cast(sk.get_quantile(p, True)) for i, p in enumerate(ps)
         },
-        finalize_schema=", ".join(f"b{i} double" for i in range(len(ps))),
+        finalize_schema=", ".join(f"b{i} {sql_t}" for i in range(len(ps))),
     ).first()
     return [row[f"b{i}"] for i in range(len(ps))]
 
@@ -87,13 +101,22 @@ def assign_range_partition(
     The bounds are plan literals — whole-stage-codegen comparisons up
     to _CASE_CHAIN_MAX boundaries, a broadcast-free Arrow searchsorted
     beyond — so the assignment adds NO shuffle and NO join."""
-    from pyspark.sql.types import DoubleType, FloatType
+    from pyspark.sql.types import DoubleType, FloatType, StringType
 
-    bs = sorted(float(b) for b in bounds)
+    is_str = isinstance(df.schema[col].dataType, StringType)
+    if is_str:
+        if any(not isinstance(b, str) for b in bounds):
+            raise ValueError("string column needs string bounds")
+        bs: list = sorted(bounds)
+    else:
+        bs = sorted(float(b) for b in bounds)
     c = F.col(col)
     is_float = isinstance(df.schema[col].dataType, (DoubleType, FloatType))
     if len(bs) <= _CASE_CHAIN_MAX:
         valid = c.isNotNull() & ~F.isnan(c) if is_float else c.isNotNull()
+        # string comparisons are byte-wise UTF-8 on the JVM, which
+        # equals code-point order — the same order Python str and the
+        # Arrow path below use
         pid: Column = reduce(
             lambda acc, b: acc + (c >= F.lit(b)).cast("int"),
             bs,
@@ -102,6 +125,22 @@ def assign_range_partition(
         return df.withColumn(output_col, pid)
 
     import numpy as np
+
+    if is_str:
+        sarr = np.asarray(bs, dtype=object)
+
+        @pandas_udf("int")
+        def _pid_s(v: pd.Series) -> pd.Series:
+            mask = v.notna()
+            out = pd.Series([pd.NA] * len(v), dtype="Int32")
+            if mask.any():
+                vals = np.asarray(v[mask], dtype=object)
+                out[mask] = np.searchsorted(sarr, vals, side="right").astype(
+                    "int32"
+                )
+            return out
+
+        return df.withColumn(output_col, _pid_s(c))
 
     arr = np.asarray(bs, dtype=np.float64)
 

@@ -17,6 +17,7 @@ from .base import (
     FAMILY_STATS,
     FAMILY_HLL,
     FAMILY_KLL,
+    FAMILY_KLL_ITEMS,
     FAMILY_QUANTILES,
     FAMILY_REQ,
     FAMILY_TDIGEST,
@@ -32,6 +33,7 @@ from .bloom_apache import (
 )
 from .cms import CountMinSketch
 from .compactor import KllSketch, QuantilesSketch, ReqSketch
+from .kll_items import KllItemsSketch
 from .ebpps import EbppsSketch
 from .reservoir import ReservoirSampleSketch
 from .stats import StatsSketch
@@ -54,6 +56,7 @@ FAMILY_CLASSES = {
     FAMILY_FDT: FdtSketch,
     FAMILY_THETA: ThetaSketch,
     FAMILY_KLL: KllSketch,
+    FAMILY_KLL_ITEMS: KllItemsSketch,
     FAMILY_QUANTILES: QuantilesSketch,
     FAMILY_REQ: ReqSketch,
     FAMILY_TDIGEST: TDigestSketch,
@@ -78,6 +81,7 @@ def deserialize_any(blob: bytes):
 __all__ = [
     "ThetaSketch",
     "KllSketch",
+    "KllItemsSketch",
     "QuantilesSketch",
     "ReqSketch",
     "TDigestSketch",

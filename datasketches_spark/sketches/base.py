@@ -46,6 +46,7 @@ FAMILY_STATS = 12
 FAMILY_EBPPS = 13
 FAMILY_AOD = 14
 FAMILY_FDT = 15
+FAMILY_KLL_ITEMS = 16
 
 # Reservoir v2 (round 10): payload gains a `weighted` flag byte so the
 # Apache wire exporter can refuse weighted (non-uniform) samples —
@@ -77,6 +78,7 @@ FAMILY_NAMES = {
     FAMILY_EBPPS: "EBPPS Sample",
     FAMILY_AOD: "Tuple",
     FAMILY_FDT: "FDT",
+    FAMILY_KLL_ITEMS: "KLL items",
 }
 
 # dtype codes for typed quantile sketches (sketch_kll_double etc.)

@@ -42,7 +42,16 @@ from .base import (
     unframe,
 )
 
-_NP_DTYPES = {"float64": np.float64, "float32": np.float32, "int64": np.int64}
+_NP_DTYPES = {
+    "float64": np.float64,
+    "float32": np.float32,
+    "int64": np.int64,
+    # generic-items state (KllItemsSketch): object arrays of str —
+    # every level/sort/searchsorted op below is comparison-only, so
+    # the core is item-type-agnostic; only (de)serialization and the
+    # float-casting queries are overridden by the items subclass
+    "str": np.object_,
+}
 
 # largest magnitude float64 represents exactly for integers
 _F64_EXACT = float(1 << 53)
@@ -83,9 +92,13 @@ class CompactorSketch:
         "_coin", "_sorted_cache",
     )
 
+    ITEMS_DTYPE_OK = False  # only the items subclass takes dtype="str"
+
     def __init__(self, k: int, dtype: str = "float64"):
         self.validate_k(k)
-        if dtype not in _NP_DTYPES:
+        if dtype not in _NP_DTYPES or (
+            dtype == "str" and not self.ITEMS_DTYPE_OK
+        ):
             raise ValueError(f"unsupported sketch dtype: {dtype}")
         self.k = int(k)
         self.dtype = dtype
@@ -141,6 +154,12 @@ class CompactorSketch:
             # bigint-with-nulls test)
             return
         if other.dtype != self.dtype:
+            if "str" in (self.dtype, other.dtype):
+                # string items never promote to/from numerics
+                raise ValueError(
+                    "cannot merge string-items and numeric quantile "
+                    "sketch state"
+                )
             if self.n == 0:
                 # an empty accumulator adopts the dtype of its first input
                 # (phase-2 merges start from a default-constructed sketch)

@@ -24,6 +24,7 @@ def ctx(spark):
         SELECT
           datasketch_theta(xi)               AS sk_theta,
           datasketch_kll(200, xd)            AS sk_kll,
+          datasketch_kll_items(200, xs)      AS sk_kll_items,
           datasketch_quantiles(128, xd)      AS sk_quantiles,
           datasketch_req(12, xd)             AS sk_req,
           datasketch_tdigest(100, xd)        AS sk_tdigest,
@@ -57,7 +58,7 @@ def _args_for(name: str) -> str | None:
     }
     if name in varopt_table:
         return varopt_table[name]
-    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll", "req", "hll", "cpc", "bloomfilter", "bloom", "reservoir", "cms", "ebpps", "stats", "aod", "fdt"):
+    for f in ("frequent_items", "quantiles", "tdigest", "theta", "kll_items", "kll", "req", "hll", "cpc", "bloomfilter", "bloom", "reservoir", "cms", "ebpps", "stats", "aod", "fdt"):
         if name.startswith(f"datasketch_{f}_"):
             fam = f
             suffix = name[len(f"datasketch_{f}_") :]
@@ -145,6 +146,16 @@ def _args_for(name: str) -> str | None:
         "column_means": f"{sk}",
         "top_groups": f"{sk}, array(0), 3",
     }
+    if fam == "kll_items":
+        # string-typed item positions: rank takes a string probe,
+        # cdf/pmf take ascending STRING split points ('12' < '5')
+        table.update(
+            {
+                "rank": f"{sk}, '5', true",
+                "cdf": f"{sk}, array('12', '5'), true",
+                "pmf": f"{sk}, array('12', '5'), true",
+            }
+        )
     return table.get(suffix)
 
 
@@ -171,6 +182,7 @@ def test_every_aggregate_executes(ctx):
     two_arg_k = {
         "datasketch_quantiles": 128,
         "datasketch_kll": 200,
+        "datasketch_kll_items": 200,
         "datasketch_req": 12,
         "datasketch_tdigest": 100,
         "datasketch_hll": 12,
@@ -211,7 +223,7 @@ def test_every_aggregate_executes(ctx):
             elif name == "datasketch_fdt_union_agg":
                 sql = f"SELECT {name}(12, sk_fdt) FROM smoke_sketches"
             elif name in two_arg_k:
-                col = "xs" if "frequent" in name else "xd" if name in (
+                col = "xs" if ("frequent" in name or "items" in name) else "xd" if name in (
                     "datasketch_kll", "datasketch_quantiles", "datasketch_req",
                     "datasketch_tdigest") else "xi"
                 sql = f"SELECT {name}({two_arg_k[name]}, {col}) FROM smoke_t"
