@@ -1211,6 +1211,56 @@ def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "clean")
 
 
+def _chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-rendered with newline 'lines' of 12 tokens each —
+    the synthetic corpus has no newlines, so the line-dedup gates
+    manufacture them identically in BOTH engines (pure Column exprs
+    here, list exprs in the oracle); the operator under test is the
+    corpus-wide line-frequency removal, not the chunking."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.ceil(F.size(toks) / F.lit(12.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), nl),
+        lambda i: F.array_join(F.slice(toks, (i - 1) * 12 + 1, 12), " "),
+    )
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+_CHUNK_SQL = """
+SELECT doc_id,
+       array_to_string(list_transform(
+         generate_series(1, CAST(ceil(len(t) / 12.0) AS BIGINT)),
+         i -> array_to_string(t[(i-1)*12+1:(i-1)*12+12], ' ')), chr(10)
+       ) AS text
+FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents)
+"""
+
+
+def q_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate signal
+    (pipeline/spans.common_lines): every trimmed+lower-cased line
+    occurring in >= 2 distinct documents, with its document
+    frequency.  Full (line, n_docs) hash-match."""
+    from datasketches_spark.pipeline.spans import common_lines
+
+    return common_lines(_chunked_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_remove_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal end-to-end
+    (pipeline/spans.remove_common_lines): corpus-common lines
+    stripped, survivors keep original text/order.  Cleaned texts
+    hash-match the DuckDB replay value-for-value."""
+    from datasketches_spark.pipeline.spans import remove_common_lines
+
+    out = remove_common_lines(
+        _chunked_docs(spark, sf_dir), "doc_id", "text", out_col="clean"
+    )
+    return out.select("doc_id", "clean")
+
+
 def q_quantity_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-powered winsorization (binning.quantile_clip): per-flag
     KLL bounds at p05/p95 (k=32768 — exact mode at gate SFs, inclusive
@@ -4021,6 +4071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup_kept_sigtable": q_fuzzy_dedup_kept_sigtable,
         "duplicate_ngram_spans": q_duplicate_ngram_spans,
         "strip_dup_spans": q_strip_dup_spans,
+        "common_lines": q_common_lines,
+        "remove_common_lines": q_remove_common_lines,
         "quantity_quantile_clip": q_quantity_quantile_clip,
         "semantic_dedup_kept": q_semantic_dedup_kept,
         "semantic_dedup_kept_hard": q_semantic_dedup_kept_hard,
@@ -4785,6 +4837,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "duplicate_ngram_spans": _spans_oracle("spans"),
         "strip_dup_spans": _spans_oracle("strip"),
+        "common_lines": _spans_oracle("common_lines"),
+        "remove_common_lines": _spans_oracle("remove_lines"),
         "quantity_quantile_clip": """
             WITH c AS (SELECT l_returnflag AS g, l_quantity AS v,
                               cume_dist() OVER (PARTITION BY l_returnflag
@@ -5435,10 +5489,31 @@ def _spans_oracle(which: str) -> str:
         oracle_strip_spans_sql,
     )
 
+    from datasketches_spark.pipeline.spans import (
+        oracle_common_lines_sql,
+        oracle_remove_common_lines_sql,
+    )
+
     if which == "spans":
         return oracle_duplicate_spans_sql("documents", "doc_id", "text", 8, 2)
-    return oracle_strip_spans_sql(
-        "documents", "doc_id", "text", 8, 2, out_col="clean"
+    if which == "strip":
+        return oracle_strip_spans_sql(
+            "documents", "doc_id", "text", 8, 2, out_col="clean"
+        )
+    # line gates run over the 12-token chunked view (_chunked_docs
+    # twin): splice the chunk CTE in front of the module's own
+    # oracle emitters pointed at it
+    if which == "common_lines":
+        return (
+            f"WITH chunkq AS ({_CHUNK_SQL}) "
+            + oracle_common_lines_sql("chunkq", "doc_id", "text")
+        )
+    assert which == "remove_lines"
+    inner = oracle_remove_common_lines_sql(
+        "chunkq", "doc_id", "text", out_col="clean"
+    )
+    return inner.replace(
+        "WITH sp AS", f"WITH chunkq AS ({_CHUNK_SQL}), sp AS", 1
     )
 
 

@@ -167,6 +167,167 @@ def strip_duplicate_spans(
     )
 
 
+# ------------------------------------------------- line-level boilerplate
+
+
+def _lines_exploded(df: DataFrame, id_col: str, text_col: str, delim: str):
+    import re as _re
+
+    parts = F.split(F.col(text_col), _re.escape(delim), -1)
+    return df.select(
+        F.col(id_col), F.posexplode(parts).alias("pos", "line")
+    )
+
+
+def common_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-common lines — the CCNet/RefinedWeb boilerplate signal.
+
+    Returns ``(line_key, n_docs)``: every trimmed+lower-cased line
+    occurring in at least ``min_docs`` DISTINCT documents (licence
+    headers, navigation chrome, templated footers).  Empty lines are
+    never counted.  One shuffle of (line_key, partial distinct) with
+    map-side combine; text shuffles only as its own lines.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    ln = _lines_exploded(df, id_col, text_col, delim)
+    key = F.trim(F.lower(F.col("line")))
+    return (
+        ln.select(key.alias("line_key"), id_col)
+        .filter(F.col("line_key") != "")
+        .groupBy("line_key")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_common_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    delim: str = "\n",
+    hash_join: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Strip corpus-common lines from every document (CCNet-style
+    boilerplate removal).
+
+    Matching is on the trimmed+lower-cased line; surviving lines keep
+    their ORIGINAL text and order and re-join on ``delim``.  A
+    document whose every line was common becomes ``''``; NULL text
+    stays NULL.  ``hash_join=True`` (default) anti-joins on
+    ``xxhash64`` of the key — 8-byte shuffle keys; a collision can
+    only over-remove, with probability ~|lines|^2/2^64.
+
+    Plan: the common-line set is counted once (map-side combined),
+    the line table anti-joins it (AQE broadcasts the set when small),
+    and documents reassemble via one groupBy on id — two line-level
+    shuffles total, never quadratic, no Python anywhere.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    ln = _lines_exploded(df, id_col, text_col, delim)
+    key = F.trim(F.lower(F.col("line")))
+    k = F.xxhash64(key) if hash_join else key
+    common = (
+        ln.select(k.alias("__ck"), id_col)
+        .filter(key != "")
+        .groupBy("__ck")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("__ck")
+    )
+    kept = (
+        ln.withColumn("__k", k)
+        .join(common, F.col("__k") == F.col("__ck"), "left_anti")
+        .drop("__k")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("__clean")
+    )
+    out = out_col or text_col
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(
+            out,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("__clean"), F.lit(""))),
+        )
+        .drop("__clean")
+    )
+
+
+def oracle_common_lines_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    delim: str = "\n",
+) -> str:
+    """DuckDB mirror of :func:`common_lines`."""
+    d = delim.replace("'", "''")
+    return f"""
+SELECT trim(lower(line)) AS line_key,
+       count(DISTINCT {id_col}) AS n_docs
+FROM (SELECT {id_col}, UNNEST(string_split({text_col}, '{d}')) AS line
+      FROM {table})
+WHERE trim(lower(line)) != ''
+GROUP BY 1 HAVING count(DISTINCT {id_col}) >= {min_docs}
+"""
+
+
+def oracle_remove_common_lines_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    delim: str = "\n",
+    out_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`remove_common_lines` (string keys)."""
+    d = delim.replace("'", "''")
+    return f"""
+WITH sp AS (
+  SELECT {id_col}, {text_col}, string_split({text_col}, '{d}') AS l
+  FROM {table}
+),
+ln AS (
+  SELECT {id_col}, i AS pos, l[i] AS line
+  FROM sp, UNNEST(generate_series(1, len(l))) AS u(i)
+),
+c AS (
+  SELECT trim(lower(line)) AS k FROM ln
+  WHERE trim(lower(line)) != ''
+  GROUP BY 1 HAVING count(DISTINCT {id_col}) >= {min_docs}
+),
+kept AS (
+  SELECT * FROM ln
+  WHERE trim(lower(line)) NOT IN (SELECT k FROM c)
+),
+re AS (
+  SELECT {id_col}, string_agg(line, '{d}' ORDER BY pos) AS clean
+  FROM kept GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       CASE WHEN d.{text_col} IS NULL THEN NULL
+            ELSE COALESCE(re.clean, '') END AS {out_col}
+FROM {table} d LEFT JOIN re USING ({id_col})
+"""
+
+
 def oracle_duplicate_spans_sql(
     table: str,
     id_col: str,

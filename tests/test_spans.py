@@ -131,3 +131,88 @@ def test_plan_has_no_python_nodes(spark):
     )
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+# ------------------------------------------------- line-level boilerplate
+
+
+def test_common_lines_and_removal(spark):
+    from datasketches_spark.pipeline.spans import (
+        common_lines,
+        remove_common_lines,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Header Line\nbody one\nFooter"),
+            (2, "header line\nbody two\nfooter"),
+            (3, "  header line  \nunique text"),
+            (4, "all common\nall common"),  # twice in ONE doc: n_docs=1
+            (5, "all common\nsolo"),
+            (6, None),
+            (7, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    cl = {r.line_key: r.n_docs for r in common_lines(df, "doc_id", "text").collect()}
+    assert cl == {"header line": 3, "footer": 2, "all common": 2}
+    out = {
+        r.doc_id: r.text
+        for r in remove_common_lines(df, "doc_id", "text").collect()
+    }
+    assert out[1] == "body one" and out[2] == "body two"  # original case kept
+    assert out[3] == "unique text"  # trim-matched, removed
+    assert out[4] == "" and out[5] == "solo"
+    assert out[6] is None and out[7] == ""
+    out2 = {
+        r.doc_id: r.text
+        for r in remove_common_lines(
+            df, "doc_id", "text", hash_join=False
+        ).collect()
+    }
+    assert out == out2
+
+
+def test_remove_common_lines_custom_delim_and_out_col(spark):
+    from datasketches_spark.pipeline.spans import remove_common_lines
+
+    df = spark.createDataFrame(
+        [(1, "dup|keep1"), (2, "dup|keep2"), (3, "solo only")],
+        "doc_id bigint, text string",
+    )
+    out = remove_common_lines(
+        df, "doc_id", "text", delim="|", out_col="clean"
+    )
+    rows = {r.doc_id: (r.text, r.clean) for r in out.collect()}
+    assert rows[1] == ("dup|keep1", "keep1")
+    assert rows[2] == ("dup|keep2", "keep2")
+    assert rows[3] == ("solo only", "solo only")
+
+
+def test_common_lines_min_docs_validation(spark):
+    from datasketches_spark.pipeline.spans import (
+        common_lines,
+        remove_common_lines,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_docs"):
+        common_lines(df, "doc_id", "text", min_docs=1)
+    with _pt.raises(ValueError, match="min_docs"):
+        remove_common_lines(df, "doc_id", "text", min_docs=0)
+
+
+def test_remove_common_lines_plan_is_jvm_only(spark):
+    from datasketches_spark.pipeline.spans import remove_common_lines
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id bigint, text string")
+    plan = (
+        remove_common_lines(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
