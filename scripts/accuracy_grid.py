@@ -108,6 +108,39 @@ def kll_cell(k: int):
     return _rank_err_max(sk, N), band, "2x published NRE"
 
 
+def _str_stream(seed: int) -> np.ndarray:
+    # fixed-width decimal render: lexicographic == numeric order, so
+    # the numeric rank-error harness applies to string items verbatim
+    return np.array(
+        [f"s{v:08d}" for v in _perm(N, seed)], dtype=object
+    )
+
+
+def _rank_err_max_str(sk, n: int, qs=(0.1, 0.25, 0.5, 0.75, 0.9)) -> float:
+    return max(
+        abs((int(sk.get_quantile(q, True)[1:]) + 1) / n - q) for q in qs
+    )
+
+
+def kll_items_cell(k: int):
+    from datasketches_spark.sketches import KllItemsSketch
+
+    sk = KllItemsSketch(k)
+    sk.update(_str_stream(2100 + k))
+    band = 2.0 * sk.normalized_rank_error(True)
+    return _rank_err_max_str(sk, N), band, "2x published NRE (string items)"
+
+
+def kll_items_merged_cell(k: int):
+    from datasketches_spark.sketches import KllItemsSketch
+
+    sk = _two_phase(
+        KllItemsSketch, k, _str_stream(2200 + k), lambda s, c: s.update(c)
+    )
+    band = 2.0 * sk.normalized_rank_error(True)
+    return _rank_err_max_str(sk, N), band, "2-phase, same band"
+
+
 def quantiles_cell(k: int):
     from datasketches_spark.sketches import QuantilesSketch
 
@@ -406,6 +439,8 @@ CELLS = [
     ("hll", "lg_k=12 merged x8", lambda: hll_merged_cell(12)),
     ("cpc", "lg_k=12 merged x8", lambda: cpc_merged_cell(12)),
     ("kll", "k=200 merged x8", lambda: kll_merged_cell(200)),
+    ("kll_items", "k=200", lambda: kll_items_cell(200)),
+    ("kll_items", "k=200 merged x8", lambda: kll_items_merged_cell(200)),
     ("req", "k=12 merged x8", lambda: req_merged_cell(12)),
     ("tdigest", "delta=100 merged x8", lambda: tdigest_merged_cell(100)),
     ("frequent_items", "lg_k=10 merged x8", lambda: fi_merged_cell(10)),

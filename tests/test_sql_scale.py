@@ -234,3 +234,35 @@ def test_partials_fdt_generic_family(spark):
     # id % 2 fixes the parity of id % 150 (150 is even): 75 distinct
     # (g, id%150) tuples per group
     assert {r.g: r.d for r in rows} == {0: 75.0, 1: 75.0}
+
+
+def test_kll_items_two_phase_sql_exact(spark):
+    """String-items KLL through the UDTF scale surface: exact-mode
+    (k > rows/group) per-group string medians equal the SQL-derived
+    inclusive quantile."""
+    got = {
+        r.g: r.p50
+        for r in spark.sql(
+            """
+            SELECT g, datasketch_kll_items_quantile(
+                       datasketch_kll_items(8192, sketch), 0.5) AS p50
+            FROM datasketch_partials(
+                   TABLE(SELECT g, format_string('v%04d', x) AS v
+                         FROM sql_scale_t), 'kll_items', 8192)
+            GROUP BY g
+            """
+        ).collect()
+    }
+    exact = {
+        r.g: r.p50
+        for r in spark.sql(
+            """
+            SELECT g, min(CASE WHEN cd >= 0.5 THEN v END) AS p50 FROM (
+              SELECT g, format_string('v%04d', x) AS v,
+                     cume_dist() OVER (PARTITION BY g ORDER BY
+                                       format_string('v%04d', x)) AS cd
+              FROM sql_scale_t) GROUP BY g
+            """
+        ).collect()
+    }
+    assert got == exact
