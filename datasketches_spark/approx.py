@@ -135,8 +135,29 @@ def quantiles(
     ``engine="native"`` uses Spark's built-in ``percentile_approx``
     (JVM QuantileSummaries, accuracy=10000) — fastest when you don't
     need mergeable/storable quantile state.
+
+    A STRING column routes to the string-items KLL
+    (``datasketch_kll_items`` — quantiles over the lexicographic
+    order; sketch engine only, Spark has no native string
+    percentile).
     """
+    from pyspark.sql.types import StringType
+
     by = list(by or [])
+    if isinstance(df.schema[col].dataType, StringType):
+        if engine == "native":
+            raise ValueError(
+                "percentile_approx has no string overload — use "
+                "engine='sketch' for string quantiles (kll_items)"
+            )
+        sk = sketch_agg(df, col, "kll_items", group_cols=by, k=k)
+        cols = [
+            F.expr(
+                f"datasketch_kll_items_quantile(sketch, {float(p)}D, true)"
+            ).alias(f"q_{str(p).replace('.', '_')}")
+            for p in probabilities
+        ]
+        return sk.select(*by, *cols)
     if engine == "native":
         cols = [
             F.percentile_approx(F.col(col), float(p), 10000).alias(

@@ -480,6 +480,26 @@ def test_approx_distinct_and_quantiles(spark):
     assert abs(q["q_0_5"] - 1499.0) < 40
 
 
+def test_approx_quantiles_string_routing(spark):
+    """A string column routes through the string-items KLL; exact
+    mode (k > n) makes the median deterministic."""
+    import pytest as _pt
+
+    from datasketches_spark import approx
+
+    df = spark.range(1000).selectExpr(
+        "id % 2 AS g", "format_string('w%04d', id) AS s"
+    )
+    q = {
+        r["g"]: r["q_0_5"]
+        for r in approx.quantiles(df, "s", [0.5], by=["g"], k=4096).collect()
+    }
+    # inclusive convention: smallest item with cumrank >= 0.5
+    assert q == {0: "w0498", 1: "w0499"}
+    with _pt.raises(ValueError, match="string quantiles"):
+        approx.quantiles(df, "s", [0.5], engine="native")
+
+
 def test_approx_top_items_and_sample(spark):
     from datasketches_spark import approx
 
