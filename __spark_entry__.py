@@ -1477,9 +1477,10 @@ def q_describe_surfaces_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     but the numeric fields it must carry are exact-mode deterministic
     — K/N/retained for the quantile families, compression/total
     weight for tdigest, lg-k/retained/seed-hash for theta, lg config
-    k for HLL/CPC.  regexp_extract pulls each number and the oracle
+    k for HLL/CPC — plus the beyond-reference string-items KLL
+    (K/N/retained, r14).  regexp_extract pulls each number and the oracle
     recomputes it from the data (counts) or pins the configured
-    literal.  Six sketches build in ONE customer scan
+    literal.  Seven sketches build in ONE customer scan
     (sketch_agg_multi) + one theta over nation."""
     from datasketches_spark.aggregation import sketch_agg_multi
 
@@ -1493,6 +1494,7 @@ def q_describe_surfaces_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c_acctbal", "tdigest", 100, "td_sk"),
             ("c_custkey", "hll", 13, "hll_sk"),
             ("c_custkey", "cpc", 12, "cpc_sk"),
+            ("c_mktsegment", "kll_items", 32768, "ki_sk"),
         ],
     )
     theta = sketch_agg(
@@ -1511,11 +1513,15 @@ def q_describe_surfaces_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("datasketch_tdigest_describe(td_sk)").alias("td_d"),
         F.expr("datasketch_hll_describe(hll_sk)").alias("hll_d"),
         F.expr("datasketch_cpc_describe(cpc_sk)").alias("cpc_d"),
+        F.expr("datasketch_kll_items_describe(ki_sk)").alias("ki_d"),
     ).crossJoin(theta)
     return d.select(
         ext(F.col("kll_d"), r"K\s+: (\d+)", "kll_k"),
         ext(F.col("kll_d"), r"N\s+: (\d+)", "kll_n"),
         ext(F.col("kll_d"), r"retained items : (\d+)", "kll_retained"),
+        ext(F.col("ki_d"), r"K\s+: (\d+)", "ki_k"),
+        ext(F.col("ki_d"), r"N\s+: (\d+)", "ki_n"),
+        ext(F.col("ki_d"), r"retained items : (\d+)", "ki_retained"),
         ext(F.col("q_d"), r"K\s+: (\d+)", "q_k"),
         ext(F.col("q_d"), r"N\s+: (\d+)", "q_n"),
         ext(F.col("q_d"), r"retained items : (\d+)", "q_retained"),
@@ -4916,6 +4922,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(32768 AS BIGINT) AS kll_k,
                    count(*) AS kll_n,
                    count(*) AS kll_retained,   -- exact mode: no compaction
+                   CAST(32768 AS BIGINT) AS ki_k,
+                   count(*) AS ki_n,
+                   count(*) AS ki_retained,
                    CAST(32768 AS BIGINT) AS q_k,
                    count(*) AS q_n,
                    count(*) AS q_retained,

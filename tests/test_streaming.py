@@ -932,3 +932,29 @@ def test_simhash_cross_near_ids(spark):
         r.doc_id for r in simhash_cross_near_ids(probe, ref, "doc_id", 3).collect()
     )
     assert got == [10, 11]
+
+
+def test_sketch_store_kll_items_strings(spark, tmpdir):
+    """String-items KLL through the store: two absorbed batches merge
+    into one exact-mode blob; the string median answers through SQL."""
+    dss.register(spark)
+    store = SketchStore(f"{tmpdir}/sstate", "kll_items", group_cols=["g"], k=4096)
+    b1 = spark.range(0, 500).selectExpr(
+        "id % 2 AS g", "format_string('w%04d', id) AS w"
+    )
+    b2 = spark.range(500, 1000).selectExpr(
+        "id % 2 AS g", "format_string('w%04d', id) AS w"
+    )
+    store.absorb(b1, "w")
+    store.absorb(b2, "w")
+    rows = {
+        r.g: (r.n, r.med)
+        for r in store.read(spark)
+        .selectExpr(
+            "g",
+            "datasketch_kll_items_n(sketch) AS n",
+            "datasketch_kll_items_quantile(sketch, 0.5) AS med",
+        )
+        .collect()
+    }
+    assert rows == {0: (500, "w0498"), 1: (500, "w0499")}
