@@ -1238,6 +1238,40 @@ FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
 """
 
 
+def q_duplicate_ngram_spans_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_spans through the STORED-COUNTS route incl. the
+    incremental upsert (spans.write_ngram_counts /
+    upsert_ngram_counts — additive partial counts, summed at read):
+    counts for doc_id < 250 are written once, the rest appended, and
+    the span pass runs against the stored table — only the probe
+    corpus explodes.  Must hash-match the direct-route oracle: the
+    summed partials equal the one-shot counts exactly."""
+    import os
+    import tempfile
+
+    from datasketches_spark.pipeline.spans import (
+        duplicate_spans,
+        upsert_ngram_counts,
+        write_ngram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="dsks_ngc_"), "counts")
+    write_ngram_counts(
+        docs.filter(F.col("doc_id") < 250), "doc_id", "text", path, n=8
+    )
+    upsert_ngram_counts(
+        docs.filter(F.col("doc_id") >= 250), "doc_id", "text", path, n=8
+    )
+    return duplicate_spans(
+        docs, "doc_id", "text", n=8, min_count=2, counts=path
+    ).select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+    )
+
+
 def q_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/RefinedWeb-style boilerplate signal
     (pipeline/spans.common_lines): every trimmed+lower-cased line
@@ -4077,6 +4111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup_kept_sigtable": q_fuzzy_dedup_kept_sigtable,
         "duplicate_ngram_spans": q_duplicate_ngram_spans,
         "strip_dup_spans": q_strip_dup_spans,
+        "duplicate_ngram_spans_counts": q_duplicate_ngram_spans_counts,
         "common_lines": q_common_lines,
         "remove_common_lines": q_remove_common_lines,
         "quantity_quantile_clip": q_quantity_quantile_clip,
@@ -4843,6 +4878,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "duplicate_ngram_spans": _spans_oracle("spans"),
         "strip_dup_spans": _spans_oracle("strip"),
+        "duplicate_ngram_spans_counts": _spans_oracle("spans"),
         "common_lines": _spans_oracle("common_lines"),
         "remove_common_lines": _spans_oracle("remove_lines"),
         "quantity_quantile_clip": """

@@ -50,6 +50,7 @@ HEADS = [
     "ann_topk",
     "doc_token_counts",
     "minhash_near_dups",
+    "duplicate_ngram_spans",
     "curation_sample",
     "decontam_overlap",
     "asof_latest_error",

@@ -36,6 +36,91 @@ from pyspark.sql import functions as F
 from .decontam import _fan_out_if_narrow, word_ngrams
 
 
+def _exploded_starts(
+    df: DataFrame, id_col: str, text_col: str, n: int, hash_join: bool
+) -> DataFrame:
+    """(id, start, g): 1-based n-gram start positions keyed by the
+    (optionally xxhash64'd) n-gram."""
+    key = F.xxhash64("ng") if hash_join else F.col("ng")
+    return (
+        _fan_out_if_narrow(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos", "ng"),
+        )
+        .select(id_col, (F.col("pos") + 1).alias("start"), key.alias("g"))
+    )
+
+
+# column-metadata tag on stored n-gram count tables (the same
+# footer-survives-parquet mechanism io.write_wire_table uses)
+NGRAM_META_KEY = "dsks_ngram_counts"
+
+
+def write_ngram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n: int = 10,
+    mode: str = "overwrite",
+) -> None:
+    """Persist corpus n-gram occurrence counts — the stored route for
+    :func:`duplicate_spans`/:func:`strip_duplicate_spans` (the
+    spans analog of r13's MinHash signature tables).
+
+    Schema ``(g BIGINT, c BIGINT)``: ``g`` = xxhash64 of the
+    space-joined lower-cased word n-gram, ``c`` = total occurrences.
+    Column metadata records ``n`` and the hash convention; readers
+    validate it (a table written at n=8 read at n=10 would silently
+    mark nothing).  Rows are PARTIAL counts — the reader sums per
+    hash — so :func:`upsert_ngram_counts` appends the new documents'
+    counts in O(new docs) with no read-modify-write of the corpus
+    table.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    counts = (
+        _exploded_starts(df, id_col, text_col, n, True)
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .withMetadata(
+            "g", {NGRAM_META_KEY: {"n": n, "hash": "xxhash64", "format_version": 1}}
+        )
+    )
+    counts.write.mode(mode).parquet(path)
+
+
+def upsert_ngram_counts(
+    df: DataFrame, id_col: str, text_col: str, path: str, n: int = 10
+) -> None:
+    """Append the NEW documents' n-gram counts to a stored table —
+    additive partials, summed at read time."""
+    write_ngram_counts(df, id_col, text_col, path, n=n, mode="append")
+
+
+def _resolve_counts(df: DataFrame, counts, n: int) -> DataFrame:
+    cdf = (
+        df.sparkSession.read.parquet(counts)
+        if isinstance(counts, str)
+        else counts
+    )
+    meta = next(
+        (
+            (f.metadata or {}).get(NGRAM_META_KEY)
+            for f in cdf.schema.fields
+            if f.name == "g"
+        ),
+        None,
+    )
+    if meta is not None and int(meta.get("n", n)) != n:
+        raise ValueError(
+            f"stored n-gram counts were written at n={meta['n']}, "
+            f"requested n={n} — the keys cannot match"
+        )
+    return cdf
+
+
 def _duplicated_starts(
     df: DataFrame,
     id_col: str,
@@ -44,6 +129,7 @@ def _duplicated_starts(
     min_count: int,
     min_docs: int,
     hash_join: bool,
+    counts=None,
 ) -> DataFrame:
     """(id_col, start) pairs — 1-based token index of every n-gram
     occurrence whose n-gram recurs per the thresholds."""
@@ -54,15 +140,28 @@ def _duplicated_starts(
             "min_count or min_docs must be >= 2 — with both at 1 every "
             "n-gram is 'duplicated' and the whole corpus is one span"
         )
-    key = F.xxhash64("ng") if hash_join else F.col("ng")
-    exploded = (
-        _fan_out_if_narrow(df)
-        .select(
-            F.col(id_col),
-            F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos", "ng"),
+    if counts is not None:
+        # stored-counts route: the counting scan already ran at write
+        # time; only the positional explode of THIS df runs here
+        if min_docs > 1:
+            raise ValueError(
+                "stored counts carry occurrence totals only — "
+                "distinct-document thresholds need the direct route "
+                "(doc counts are not additive across upserts)"
+            )
+        if not hash_join:
+            raise ValueError("stored counts are xxhash64-keyed — "
+                             "hash_join=False cannot use them")
+        cdf = _resolve_counts(df, counts, n)
+        dup = (
+            cdf.groupBy("g")
+            .agg(F.sum("c").alias("c"))
+            .filter(F.col("c") >= min_count)
+            .select("g")
         )
-        .select(id_col, (F.col("pos") + 1).alias("start"), key.alias("g"))
-    )
+        exploded = _exploded_starts(df, id_col, text_col, n, True)
+        return exploded.join(dup, "g").select(id_col, "start")
+    exploded = _exploded_starts(df, id_col, text_col, n, hash_join)
     # occurrence counts only; add the per-doc distinct count only when
     # the threshold needs it (count_distinct forces a wider partial)
     aggs = [F.count("*").alias("c")]
@@ -82,6 +181,7 @@ def duplicate_spans(
     min_count: int = 2,
     min_docs: int = 1,
     hash_join: bool = True,
+    counts=None,
 ) -> DataFrame:
     """Maximal duplicated token spans per document.
 
@@ -99,9 +199,16 @@ def duplicate_spans(
     64-bit collision can merge two distinct n-grams' counts
     (probability ~|ngrams|^2/2^64), over-marking only.  Set
     ``hash_join=False`` for exact string keys.
+
+    ``counts=`` (path or DataFrame from :func:`write_ngram_counts`)
+    switches to the STORED route: the corpus counting scan ran once
+    at write time, so this call only explodes ``df`` itself —
+    incremental daily batches mark spans against global history in
+    O(new docs).  Occurrence thresholds only (``min_docs`` needs the
+    direct route).
     """
     marked = _duplicated_starts(
-        df, id_col, text_col, n, min_count, min_docs, hash_join
+        df, id_col, text_col, n, min_count, min_docs, hash_join, counts
     )
     w = Window.partitionBy(id_col).orderBy("start")
     # equal-length intervals: the running max end is lag(start)+n-1,
@@ -127,6 +234,7 @@ def strip_duplicate_spans(
     min_docs: int = 1,
     hash_join: bool = True,
     out_col: str | None = None,
+    counts=None,
 ) -> DataFrame:
     """Remove every duplicated span's tokens from the text.
 
@@ -143,7 +251,7 @@ def strip_duplicate_spans(
     is small by construction (maximal merged intervals).
     """
     spans = duplicate_spans(
-        df, id_col, text_col, n, min_count, min_docs, hash_join
+        df, id_col, text_col, n, min_count, min_docs, hash_join, counts
     )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")

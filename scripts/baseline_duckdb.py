@@ -125,12 +125,15 @@ def build_queries() -> dict[str, str]:
         # exactly, except scalar_over_2k_stored (stored mergeable
         # sketch state has no DuckDB-native equivalent; documented
         # omission above).
+        # duplicate_ngram_spans: the oracle's unnest + count + window
+        # islands IS the DuckDB-native exact-substring span pass
         for k in (
             "quantity_equi_depth",
             "doc_chunk_pack",
             "skew_join_revenue",
             "table_profile",
             "minhash_near_dups",
+            "duplicate_ngram_spans",
         ):
             queries[k] = _entry.oracle_sql()[k]
     except Exception:  # noqa: BLE001 -- keep the baseline runnable standalone

@@ -216,3 +216,62 @@ def test_remove_common_lines_plan_is_jvm_only(spark):
     )
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+# --------------------------------------------------- stored counts route
+
+
+def test_counts_table_route_matches_direct(spark, tmp_path):
+    from datasketches_spark.pipeline.spans import (
+        duplicate_spans,
+        strip_duplicate_spans,
+        upsert_ngram_counts,
+        write_ngram_counts,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "intro words then the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text with no overlap at all here now"),
+            (4, "the quick brown fox jumps over the lazy dog again ok"),
+        ],
+    )
+    path = str(tmp_path / "ngc")
+    # incremental: docs 1-2 at write time, 3-4 arrive later
+    write_ngram_counts(df.filter("doc_id <= 2"), "doc_id", "text", path, n=8)
+    upsert_ngram_counts(df.filter("doc_id > 2"), "doc_id", "text", path, n=8)
+
+    direct = duplicate_spans(df, "doc_id", "text", n=8, min_count=2)
+    stored = duplicate_spans(df, "doc_id", "text", n=8, min_count=2, counts=path)
+    key = lambda r: (r.doc_id, r.span_start)  # noqa: E731
+    assert sorted(map(tuple, direct.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, stored.collect()), key=lambda t: t[:2]
+    )
+    s1 = strip_duplicate_spans(df, "doc_id", "text", n=8, min_count=2)
+    s2 = strip_duplicate_spans(
+        df, "doc_id", "text", n=8, min_count=2, counts=path
+    )
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_counts_table_validation(spark, tmp_path):
+    from datasketches_spark.pipeline.spans import (
+        duplicate_spans,
+        write_ngram_counts,
+    )
+
+    df = _docs(spark, [(1, "a b c d e f g h i j")])
+    path = str(tmp_path / "ngc2")
+    write_ngram_counts(df, "doc_id", "text", path, n=8)
+    with pytest.raises(ValueError, match="written at n=8"):
+        duplicate_spans(df, "doc_id", "text", n=10, counts=path)
+    with pytest.raises(ValueError, match="distinct-document"):
+        duplicate_spans(
+            df, "doc_id", "text", n=8, min_docs=2, counts=path
+        )
+    with pytest.raises(ValueError, match="xxhash64-keyed"):
+        duplicate_spans(
+            df, "doc_id", "text", n=8, hash_join=False, counts=path
+        )
