@@ -28,6 +28,7 @@ _FAMILY_BYTES = {
     "ebpps": 13,
     "aod": 14,
     "fdt": 15,
+    "kll_items": 16,
     # Apache BloomFilter blobs ARE the wire format (no DSKS frame);
     # None = wire-native, validated by sniffing the Apache preamble
     "bloomfilter": None,
@@ -170,6 +171,9 @@ def merge_bucketed_sketch_tables(
 _WIRE_FAMILIES = frozenset(
     ["theta", "hll", "cpc", "kll", "quantiles", "req", "tdigest",
      "frequent_items", "reservoir", "varopt", "ebpps", "aod", "fdt",
+     # string-items KLL: Apache KllItemsSketch + ArrayOfStringsSerDe;
+     # implicitly string-typed, so no dtype routing is needed
+     "kll_items",
      # bloomfilter blobs ARE the Apache wire (self-describing); the
      # to/from_wire projections are identities, kept for uniformity
      "bloomfilter"]

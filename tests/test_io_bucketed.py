@@ -269,3 +269,40 @@ def test_string_sampling_wire_tables_roundtrip(spark, tmp_path):
         .first()
     )
     assert got.tot == sum(range(1, 11))
+
+
+def test_kll_items_wire_table_roundtrip(spark, tmp_path):
+    """String-items KLL blobs publish as Apache KllItemsSketch wire
+    tables and re-ingest losslessly (implicitly string-typed — no
+    dtype routing)."""
+    import datasketches_spark as dss
+
+    dss.register(spark)
+    from datasketches_spark.aggregation import sketch_agg
+
+    df = spark.range(600).selectExpr(
+        "id % 3 AS g", "format_string('v%04d', id) AS v"
+    )
+    sk = sketch_agg(df, "v", "kll_items", group_cols=["g"], k=1024)
+    want = {
+        r["g"]: (r["n"], r["med"])
+        for r in sk.selectExpr(
+            "g",
+            "datasketch_kll_items_n(sketch) AS n",
+            "datasketch_kll_items_quantile(sketch, 0.5) AS med",
+        ).collect()
+    }
+    path = str(tmp_path / "ki_wire")
+    dio.write_wire_table(sk, path, "sketch", "kll_items", k=1024)
+    back = dio.read_wire_table(spark, path)
+    info = dio.sketch_column_info(back, "sketch")
+    assert info["family"] == "kll_items" and info["k"] == 1024
+    got = {
+        r["g"]: (r["n"], r["med"])
+        for r in back.selectExpr(
+            "g",
+            "datasketch_kll_items_n(sketch) AS n",
+            "datasketch_kll_items_quantile(sketch, 0.5) AS med",
+        ).collect()
+    }
+    assert got == want

@@ -589,3 +589,52 @@ def test_bloomfilter_differential(jvm):
         jq = [jf.query(int(p)) for p in probes]
         oq = sk.query_series(pd.Series(probes, dtype=np.int64))
         assert jq == [bool(x) for x in oq]
+
+
+def test_kll_items_differential(jvm):
+    """String-items KLL (sketches/kll_items.py): seeded random
+    (k, n, duplication profile, chunked merge order) — our wire must
+    heapify in java's KllItemsSketch<String>, answer identically to
+    our reader of the same blob, and survive java's re-serialization.
+    Item strings are fixed-width renders of the shared int64 value
+    generator, so every duplication profile carries over and
+    lexicographic == numeric order."""
+    from datasketches_spark.sketches import KllItemsSketch
+
+    rng = np.random.default_rng(9024)
+    K = jvm.org.apache.datasketches.kll.KllItemsSketch
+    comp = jvm.java.util.Comparator.naturalOrder()
+    serde = jvm.org.apache.datasketches.common.ArrayOfStringsSerDe()
+
+    for _case in range(N_CASES):
+        k = int(rng.integers(8, 201))
+        n = int(rng.integers(1, 2000))
+        vals = np.array(
+            [f"s{int(v):012d}" for v in _values(rng, n)], dtype=object
+        )
+        merged, _parts, _m2 = _chunk_merge(
+            lambda: KllItemsSketch(k), lambda sk, v: sk.update(v), vals, rng
+        )
+        wire = merged.to_wire()
+        view = KllItemsSketch.from_wire(wire)
+        assert view.n == merged.n
+        assert view.min_item == merged.min_item
+        assert view.max_item == merged.max_item
+        jsk = K.heapify(_mem(jvm, wire), comp, serde)
+        assert jsk.getN() == merged.n
+        tol = 3.0 / n + 1e-12
+        probes = np.unique(vals[rng.integers(0, n, size=5)])
+        for p in probes:
+            # java's sorted view docks unretained min/max at weight 1
+            # (~1/n at the extremes); 3/n covers it uniformly
+            assert jsk.getRank(str(p)) == pytest.approx(
+                view.get_rank(str(p)), abs=tol
+            )
+        back = KllItemsSketch.from_wire(bytes(jsk.toByteArray()))
+        assert back.n == merged.n
+        assert back.min_item == merged.min_item
+        assert back.max_item == merged.max_item
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+            assert back.get_quantile(q) == view.get_quantile(q)
+        for p in probes:
+            assert back.get_rank(str(p)) == view.get_rank(str(p))
