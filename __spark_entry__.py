@@ -1238,6 +1238,33 @@ FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
 """
 
 
+def q_minhash_cross_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus near-dup (dedup.
+    minhash_cross_near_duplicates): new docs (doc_id >= 300) against a
+    STORED signature table of the history (doc_id < 300; the r14
+    metadata tag carries num_hashes/shingle/seed so the new side's
+    signatures are compatible by construction).  Banded NEW x HISTORY
+    candidates, estimate pre-filter, exact char-5-gram verify — at
+    0.8 the banding is high-recall (miss <= 2.2e-4/pair), so the
+    brute-force cross-join oracle hash-matches."""
+    import os
+    import tempfile
+
+    from datasketches_spark.pipeline import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") < 300)
+    new = docs.filter(F.col("doc_id") >= 300)
+    path = os.path.join(tempfile.mkdtemp(prefix="dsks_xsig_"), "hist_sigs")
+    D.write_minhash_signatures(hist, "doc_id", "text", path, buckets=8)
+    pairs = D.minhash_cross_near_duplicates(
+        new, "doc_id", "text", path, history_docs=hist, threshold=0.8
+    )
+    return pairs.select(
+        "new_id", "hist_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_duplicate_ngram_spans_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """duplicate_spans through the STORED-COUNTS route incl. the
     incremental upsert (spans.write_ngram_counts /
@@ -4111,6 +4138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup_kept_sigtable": q_fuzzy_dedup_kept_sigtable,
         "duplicate_ngram_spans": q_duplicate_ngram_spans,
         "strip_dup_spans": q_strip_dup_spans,
+        "minhash_cross_near_dups": q_minhash_cross_near_dups,
         "duplicate_ngram_spans_counts": q_duplicate_ngram_spans_counts,
         "common_lines": q_common_lines,
         "remove_common_lines": q_remove_common_lines,
@@ -4817,6 +4845,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+        """,
+        "minhash_cross_near_dups": """
+            WITH h AS (SELECT doc_id, lower(text) AS t FROM documents
+                       WHERE doc_id < 300),
+            nn AS (SELECT doc_id, lower(text) AS t FROM documents
+                   WHERE doc_id >= 300),
+            gh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(length(t) - 4, 1)),
+                       i -> substr(t, CAST(i AS INT), 5))) AS sh
+                   FROM h),
+            gn AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(length(t) - 4, 1)),
+                       i -> substr(t, CAST(i AS INT), 5))) AS sh
+                   FROM nn),
+            szh AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+            szn AS (SELECT doc_id, count(*) AS n FROM gn GROUP BY doc_id),
+            inter AS (SELECT n.doc_id AS new_id, h.doc_id AS hist_id,
+                             count(*) AS i
+                      FROM gn n JOIN gh h ON n.sh = h.sh
+                      GROUP BY 1, 2)
+            SELECT new_id, hist_id,
+                   round(i::DOUBLE / (szn.n + szh.n - i), 6) AS jaccard
+            FROM inter
+            JOIN szn ON szn.doc_id = new_id
+            JOIN szh ON szh.doc_id = hist_id
+            WHERE i::DOUBLE / (szn.n + szh.n - i) >= 0.8
         """,
         "fuzzy_dedup_kept": """
             WITH RECURSIVE

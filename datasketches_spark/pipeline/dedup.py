@@ -331,6 +331,22 @@ def write_minhash_signatures(
         sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
     else:
         raise ValueError(f"unknown engine: {engine!r} (want 'jvm' or 'pandas')")
+    # record the hash-family parameters in the column metadata
+    # (survives parquet footers AND catalog schemas) so cross-corpus
+    # consumers can rebuild COMPATIBLE signatures for their new side
+    # without the caller re-threading the write-time arguments
+    sigs = sigs.withMetadata(
+        "sig",
+        {
+            MINHASH_META_KEY: {
+                "num_hashes": num_hashes,
+                "shingle": shingle,
+                "seed": seed,
+                "engine": engine,
+                "format_version": 1,
+            }
+        },
+    )
     sigs = sigs.repartition(buckets, F.col(id_col))
     if table is not None:
         (
@@ -346,6 +362,16 @@ def write_minhash_signatures(
 
 
 _TABLE_NAME_RE = re.compile(r"^\w+(\.\w+){0,2}$")
+
+# column-metadata tag on stored signature tables (r14)
+MINHASH_META_KEY = "dsks_minhash_signatures"
+
+
+def _signature_meta(sigs: DataFrame) -> dict | None:
+    for f in sigs.schema.fields:
+        if f.name == "sig":
+            return (f.metadata or {}).get(MINHASH_META_KEY)
+    return None
 
 
 def read_minhash_signatures(spark: SparkSession, source: str) -> DataFrame:
@@ -634,6 +660,117 @@ def lsh_verified_near_duplicates(
         .select(
             "id_a",
             "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_cross_near_duplicates(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    history: "DataFrame | str",
+    history_docs: DataFrame | None = None,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    shingle: int = 5,
+    seed: int = 1,
+    bands: int = 16,
+    rows: int = 4,
+    ngram: int = 5,
+    engine: str = "pandas",
+    persist: bool = True,
+) -> DataFrame:
+    """Near-duplicates of NEW documents against a STORED corpus — the
+    daily-incremental dedup shape: the history side never recomputes
+    anything (its signature pass ran at write time, r13
+    :func:`write_minhash_signatures`); only the incoming batch runs a
+    signature pass here.
+
+    ``history`` is the stored signature table (DataFrame, parquet
+    path, or catalog name).  When the table carries the r14 metadata
+    tag the hash-family parameters (``num_hashes``/``shingle``/
+    ``seed``/``engine``) are taken FROM it — the new side's
+    signatures are then compatible by construction; for pre-r14
+    tables pass the same values used at write time.
+
+    ``history_docs`` (an ``(id_col, text_col)`` DataFrame of the
+    historical text) enables the EXACT char-ngram verify — output
+    ``(new_id, hist_id, jaccard)`` with ``jaccard >= threshold``.
+    Without it the output is the signature ESTIMATE
+    ``(new_id, hist_id, est_jaccard)`` (±~1/sqrt(num_hashes) band) —
+    still banding-complete, but approximate.
+
+    Scale shape: candidates are a banded equi-join NEW × HISTORY on
+    ``(band_idx, band_hash)`` — never all-pairs — and with
+    |new| ≪ |history| AQE broadcasts the new side's bucket table, so
+    the stored corpus is touched by one scan of its slim (id, sig)
+    rows.  The exact verify joins text for CANDIDATE ids only.
+    Same-id pairs (a re-submitted document) are kept — deciding what
+    to do with an exact resubmission is the caller's policy.
+    """
+    hist_sigs = _resolve_signatures(history, new_df)
+    _check_sig_width(hist_sigs, bands, rows)
+    meta = _signature_meta(hist_sigs)
+    if meta is not None:
+        num_hashes = int(meta.get("num_hashes", num_hashes))
+        shingle = int(meta.get("shingle", shingle))
+        seed = int(meta.get("seed", seed))
+        engine = meta.get("engine", engine)
+    if engine == "jvm":
+        new_sigs = minhash_signatures_jvm(
+            new_df, id_col, text_col, num_hashes, shingle
+        )
+    elif engine == "pandas":
+        new_sigs = minhash_signatures(
+            new_df, id_col, text_col, num_hashes, shingle, seed
+        )
+    else:
+        raise ValueError(f"unknown engine: {engine!r} (want 'jvm' or 'pandas')")
+    if persist:
+        # the new-side signatures feed the bucket join AND the
+        # estimate filter — without caching the Python pass re-runs
+        # per plan branch (r13 lesson)
+        new_sigs = new_sigs.persist()
+    nb = minhash_band_buckets(new_sigs, id_col, bands, rows).select(
+        F.col(id_col).alias("new_id"), "band_idx", "band_hash"
+    )
+    hb = minhash_band_buckets(hist_sigs, id_col, bands, rows).select(
+        F.col(id_col).alias("hist_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        nb.join(hb, ["band_idx", "band_hash"])
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    sa = new_sigs.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"))
+    sb = hist_sigs.select(F.col(id_col).alias("hist_id"), F.col("sig").alias("sig_b"))
+    est = estimated_jaccard(F.col("sig_a"), F.col("sig_b"))
+    scored = cand.join(sa, "new_id").join(sb, "hist_id")
+    if history_docs is None:
+        return scored.select(
+            "new_id", "hist_id", est.alias("est_jaccard")
+        ).filter(F.col("est_jaccard") >= threshold)
+    # estimate pre-filter before the exact verify (same Hoeffding
+    # margin as the self-join operator: the miss term is the same
+    # order as the banding miss)
+    cand = scored.filter(est >= threshold - 0.25).select("new_id", "hist_id")
+    ga = new_df.select(
+        F.col(id_col).alias("new_id"), char_ngrams(F.col(text_col), ngram).alias("g_a")
+    )
+    gb = history_docs.select(
+        F.col(id_col).alias("hist_id"),
+        char_ngrams(F.col(text_col), ngram).alias("g_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        cand.join(ga, "new_id")
+        .join(gb, "hist_id")
+        .select(
+            "new_id",
+            "hist_id",
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

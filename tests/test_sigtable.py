@@ -281,3 +281,82 @@ class TestReadDisambiguation:
                 spark, "definitely_not_a_table_or_dir"
             ).collect()
         assert "TABLE_OR_VIEW_NOT_FOUND" not in str(ei.value)
+
+
+class TestCrossCorpus:
+    """minhash_cross_near_duplicates — the daily-incremental shape:
+    new batch vs stored history, history never recomputed."""
+
+    @pytest.fixture(scope="class")
+    def split(self, spark, tmp_path_factory):
+        docs = read_table(spark, SF, "documents")
+        hist = docs.filter(F.col("doc_id") < 300)
+        new = docs.filter(F.col("doc_id") >= 300)
+        path = str(tmp_path_factory.mktemp("xsigs") / "hist_sigs")
+        D.write_minhash_signatures(
+            hist, "doc_id", "text", path, buckets=4, num_hashes=64, seed=1
+        )
+        return hist, new, path
+
+    def test_exact_verify_matches_bruteforce(self, spark, split):
+        hist, new, path = split
+        got = {
+            (r.new_id, r.hist_id)
+            for r in D.minhash_cross_near_duplicates(
+                new, "doc_id", "text", path, history_docs=hist, threshold=0.8
+            ).collect()
+        }
+        # brute force: exact char-5-gram jaccard over the full cross
+        ga = new.select(
+            F.col("doc_id").alias("new_id"),
+            D.char_ngrams(F.col("text"), 5).alias("g_a"),
+        )
+        gb = hist.select(
+            F.col("doc_id").alias("hist_id"),
+            D.char_ngrams(F.col("text"), 5).alias("g_b"),
+        )
+        inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+        union = F.size("g_a") + F.size("g_b") - inter
+        want = {
+            (r.new_id, r.hist_id)
+            for r in ga.crossJoin(gb)
+            .select(
+                "new_id", "hist_id",
+                (inter.cast("double") / union.cast("double")).alias("j"),
+            )
+            .filter(F.col("j") >= 0.8)
+            .collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_metadata_drives_new_side_params(self, spark, split):
+        hist, new, path = split
+        # deliberately pass WRONG params: the stored metadata tag must
+        # override them, so the result still matches
+        base = D.minhash_cross_near_duplicates(
+            new, "doc_id", "text", path, history_docs=hist, threshold=0.8
+        )
+        skewed = D.minhash_cross_near_duplicates(
+            new, "doc_id", "text", path, history_docs=hist, threshold=0.8,
+            num_hashes=16, seed=99, shingle=3,
+        )
+        assert sorted(map(tuple, base.collect())) == sorted(
+            map(tuple, skewed.collect())
+        )
+
+    def test_estimate_only_superset_at_margin(self, spark, split):
+        hist, new, path = split
+        est = D.minhash_cross_near_duplicates(
+            new, "doc_id", "text", path, threshold=0.5
+        )
+        assert est.columns == ["new_id", "hist_id", "est_jaccard"]
+        exact = {
+            (r.new_id, r.hist_id)
+            for r in D.minhash_cross_near_duplicates(
+                new, "doc_id", "text", path, history_docs=hist, threshold=0.8
+            ).collect()
+        }
+        # every exact pair at J>=0.8 appears in the 0.5-estimate set
+        # (estimate error << 0.3 margin at 64 hashes)
+        got = {(r.new_id, r.hist_id) for r in est.collect()}
+        assert exact <= got
