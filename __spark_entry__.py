@@ -3762,6 +3762,48 @@ def q_streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     ).select("o_orderpriority", "distinct_customers")
 
 
+def q_streaming_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming span-dedup history gate (streaming.NgramCountStore):
+    documents replayed availableNow in 3 file micro-batches, each
+    appending additive partial (hash, count) rows; the accumulated
+    store then answers duplicate_spans(counts=store) for the SAME
+    corpus.  Counts are additive, so ANY batching sums to the one-shot
+    table — the direct-route duplicate_ngram_spans oracle hash-matches
+    with no batch-boundary caveat."""
+    import os as _os
+
+    from datasketches_spark.streaming import NgramCountStore
+
+    base = _gate_dir(sf_dir, "stream_ngc_gate")
+    src = _os.path.join(base, "src")
+    docs = _t(spark, sf_dir, "documents")
+    for lo, hi in ((0, 150), (150, 350), (350, 500)):
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    store = NgramCountStore(_os.path.join(base, "store"), "doc_id", "text", n=8)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(store.foreach_batch())
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return store.spans(docs, min_count=2).select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+    )
+
+
 def q_streaming_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming NEAR-dup dedup gate: documents (doc_id < 200) staged
     as 4 id-sliced, mtime-ordered files and replayed availableNow
@@ -4132,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_scale_two_phase": q_sql_scale_two_phase,
         "sql_scale_weighted": q_sql_scale_weighted,
         "streaming_simhash_dedup": q_streaming_simhash_dedup,
+        "streaming_ngram_counts": q_streaming_ngram_counts,
         "streaming_windowed_rollup": q_streaming_windowed_rollup,
         "streaming_drift_ks": q_streaming_drift_ks,
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
@@ -4935,6 +4978,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_ngram_spans": _spans_oracle("spans"),
         "strip_dup_spans": _spans_oracle("strip"),
         "duplicate_ngram_spans_counts": _spans_oracle("spans"),
+        "streaming_ngram_counts": _spans_oracle("spans"),
         "common_lines": _spans_oracle("common_lines"),
         "remove_common_lines": _spans_oracle("remove_lines"),
         "quantity_quantile_clip": """

@@ -946,3 +946,81 @@ class BloomDedupStore:
             self._record_epoch(epoch_id)
 
         return fn
+
+
+class NgramCountStore:
+    """Streaming corpus n-gram history for repeated-span dedup.
+
+    The streaming face of pipeline/spans' stored-counts route: each
+    micro-batch APPENDS its partial (xxhash64, count) rows
+    (:func:`~datasketches_spark.pipeline.spans.upsert_ngram_counts` —
+    additive, no read-modify-write), and :meth:`strip`/:meth:`spans`
+    answer against the accumulated history via ``counts=``.
+
+    Replay-invariant BY CONSTRUCTION: counts are additive, so any
+    batching of the same files yields the same summed table — unlike
+    per-batch pair emission, no batch-boundary semantics to pin.
+    At-least-once replays are dropped by the same epoch marker
+    :class:`SketchStore` uses.
+    """
+
+    def __init__(self, path: str, id_col: str, text_col: str, n: int = 10):
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+
+    # epoch guard (shared contract with SketchStore)
+    def _epoch_marker(self) -> str:
+        return self.path + "__last_epoch"
+
+    _last_epoch = SketchStore._last_epoch
+    _record_epoch = SketchStore._record_epoch
+
+    def exists(self, spark: SparkSession) -> bool:
+        from . import compat
+
+        return compat.fs_path_exists(spark, self.path)
+
+    def absorb(self, batch_df: DataFrame) -> None:
+        from .pipeline.spans import upsert_ngram_counts, write_ngram_counts
+
+        if self.exists(batch_df.sparkSession):
+            upsert_ngram_counts(
+                batch_df, self.id_col, self.text_col, self.path, n=self.n
+            )
+        else:
+            write_ngram_counts(
+                batch_df, self.id_col, self.text_col, self.path, n=self.n
+            )
+
+    def foreach_batch(self) -> "Callable[[DataFrame, int], None]":
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            if epoch_id <= self._last_epoch():
+                return
+            if batch_df.isEmpty():
+                return
+            self.absorb(batch_df)
+            self._record_epoch(epoch_id)
+
+        return fn
+
+    def spans(self, df: DataFrame, min_count: int = 2) -> DataFrame:
+        """Duplicated spans of ``df`` against the accumulated history."""
+        from .pipeline.spans import duplicate_spans
+
+        return duplicate_spans(
+            df, self.id_col, self.text_col, n=self.n,
+            min_count=min_count, counts=self.path,
+        )
+
+    def strip(
+        self, df: DataFrame, min_count: int = 2, out_col: "str | None" = None
+    ) -> DataFrame:
+        """``df`` with history-duplicated spans stripped."""
+        from .pipeline.spans import strip_duplicate_spans
+
+        return strip_duplicate_spans(
+            df, self.id_col, self.text_col, n=self.n,
+            min_count=min_count, out_col=out_col, counts=self.path,
+        )

@@ -958,3 +958,43 @@ def test_sketch_store_kll_items_strings(spark, tmpdir):
         .collect()
     }
     assert rows == {0: (500, "w0498"), 1: (500, "w0499")}
+
+
+def test_ngram_count_store_replay_matches_direct(spark, tmpdir):
+    """NgramCountStore through a deterministic file-source replay
+    (maxFilesPerTrigger=1, availableNow): the accumulated additive
+    counts answer the SAME spans as the one-shot direct route —
+    batching cannot matter because counts are additive."""
+    from datasketches_spark.pipeline.spans import duplicate_spans
+    from datasketches_spark.streaming import NgramCountStore
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = f"{tmpdir}/ngc_src"
+    # three separate files -> three micro-batches
+    for lo, hi in ((0, 150), (150, 350), (350, 500)):
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("append").parquet(src))
+    store = NgramCountStore(f"{tmpdir}/ngc_store", "doc_id", "text", n=8)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(store.foreach_batch())
+        .option("checkpointLocation", f"{tmpdir}/ngc_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, store.spans(docs, min_count=2).collect())
+    )
+    want = sorted(
+        map(tuple, duplicate_spans(docs, "doc_id", "text", n=8,
+                                   min_count=2).collect())
+    )
+    assert got == want and len(want) > 0
+    # replayed epoch is a no-op (at-least-once delivery)
+    fn = store.foreach_batch()
+    before = store.spans(docs).count()
+    fn(docs.limit(50), 0)   # epoch 0 <= last recorded -> dropped
+    assert store.spans(docs).count() == before

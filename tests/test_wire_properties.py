@@ -272,7 +272,7 @@ def test_fi_from_wire_purges_to_clamped_capacity():
 
 @settings(max_examples=120, deadline=None)
 @given(
-    st.sampled_from(["cpc", "quantiles", "req"]),
+    st.sampled_from(["cpc", "quantiles", "req", "kll_items"]),
     st.integers(min_value=0, max_value=10_000),
     st.integers(min_value=0, max_value=2**31),
 )
@@ -296,6 +296,14 @@ def test_bitflip_corruption_never_escapes(family, n, corrupt_seed):
         sk = C(16)
         if n:
             sk.update(rng.random(n))
+        blob = bytearray(sk.to_wire())
+        parse = C.from_wire
+    elif family == "kll_items":
+        from datasketches_spark.sketches import KllItemsSketch as C
+
+        sk = C(16)
+        if n:
+            sk.update([f"s{int(v):06d}" for v in rng.integers(0, 1 << 20, n)])
         blob = bytearray(sk.to_wire())
         parse = C.from_wire
     else:
@@ -342,12 +350,12 @@ def test_reservoir_garbage_never_parses_silently():
     st.sampled_from(
         ["theta", "kll", "quantiles", "req", "tdigest", "hll", "cpc",
          "frequent_items", "bloom", "reservoir", "cms", "stats", "ebpps",
-         "aod", "fdt"]
+         "aod", "fdt", "kll_items"]
     ),
     st.integers(min_value=0, max_value=2**31),
 )
 def test_dsks_frame_bitflip_never_escapes(family, seed):
-    """Round 10: one flipped byte in a VALID DSKS frame (ALL 15
+    """Round 10: one flipped byte in a VALID DSKS frame (ALL 16
     families, including the beyond-reference ones the Apache-wire
     fuzz can't reach) must either raise the reference's deserialize
     error or parse as a differently-valid sketch — never leak
@@ -379,6 +387,8 @@ def test_dsks_frame_bitflip_never_escapes(family, seed):
         if n:
             sk.update_tuples([(str(v % 7), str(v)) for v in s])
     else:
+        if family == "kll_items":
+            s = s.astype(str)
         sk = create_sketch(family, build_params(family, None, s))
         if n:
             update_sketch(family, sk, s)
