@@ -2868,6 +2868,25 @@ def q_psi_drift_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_table with ``string_quantiles=True`` (r14): quantiles
+    of STRING columns via the string-items KLL, folded into the SAME
+    single sketch_agg_multi scan as everything else.  Exact-mode
+    params keep every value deterministic; the oracle adds the string
+    cume_dist derivation per string column."""
+    from datasketches_spark.profile import profile_table
+
+    _ensure(spark)
+    cust = _t(spark, sf_dir, "customer")
+    return profile_table(
+        cust,
+        ["c_custkey", "c_mktsegment", "c_name"],
+        lg_k=16,
+        kll_k=32768,
+        string_quantiles=True,
+    )
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profiler (profile.py): exact counts/min/max (the
     mergeable stats family) + all distinct/quantile sketches folded in
@@ -4109,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_revenue": q_skew_join_revenue,
         "ks_drift_quantity": q_ks_drift_quantity,
         "table_profile": q_table_profile,
+        "table_profile_strings": q_table_profile_strings,
         # -- same-family variants / extended coverage (beyond 50) --
         "theta_distinct_by_flag": q_theta_distinct_by_flag,
         "theta_metadata": q_theta_metadata,
@@ -5200,6 +5220,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_scores": _repetition_oracle(),
         "customer_redaction": _redaction_oracle(),
         "table_profile": _profile_oracle(),
+        "table_profile_strings": _profile_strings_oracle(),
         "funnel_steps": """
             WITH e AS (SELECT * FROM events
                        WHERE epoch_ns(ts) < 1704153600000000000),
@@ -5529,6 +5550,47 @@ def _profile_oracle() -> str:
             stringy("c_mktsegment"),
             numeric("c_acctbal"),
         ]
+    )
+
+
+def _profile_strings_oracle() -> str:
+    """table_profile oracle variant with string-quantile columns."""
+
+    def q(col: str, p: float, cast: str) -> str:
+        return (
+            f"(SELECT min(v) FROM (SELECT {col} AS v, "
+            f"cume_dist() OVER (ORDER BY {col}) AS cd FROM customer "
+            f"WHERE {col} IS NOT NULL) WHERE cd >= {p}){cast}"
+        )
+
+    def numeric(col: str) -> str:
+        return (
+            f"SELECT '{col}' AS \"column\", count(*) AS n_rows, "
+            f"count({col}) AS n_nonnull, count(*) - count({col}) AS n_null, "
+            f"count(DISTINCT {col})::DOUBLE AS distinct_est, "
+            f"min({col})::DOUBLE AS min_num, max({col})::DOUBLE AS max_num, "
+            f"{q(col, 0.25, '::DOUBLE')} AS q_25, "
+            f"{q(col, 0.5, '::DOUBLE')} AS q_50, "
+            f"{q(col, 0.75, '::DOUBLE')} AS q_75, "
+            f"NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str, "
+            f"NULL::VARCHAR AS q_str_25, NULL::VARCHAR AS q_str_50, "
+            f"NULL::VARCHAR AS q_str_75 FROM customer"
+        )
+
+    def stringy(col: str) -> str:
+        return (
+            f"SELECT '{col}' AS \"column\", count(*) AS n_rows, "
+            f"count({col}) AS n_nonnull, count(*) - count({col}) AS n_null, "
+            f"count(DISTINCT {col})::DOUBLE AS distinct_est, "
+            f"NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, "
+            f"NULL::DOUBLE AS q_25, NULL::DOUBLE AS q_50, NULL::DOUBLE AS q_75, "
+            f"min({col}) AS min_str, max({col}) AS max_str, "
+            f"{q(col, 0.25, '')} AS q_str_25, {q(col, 0.5, '')} AS q_str_50, "
+            f"{q(col, 0.75, '')} AS q_str_75 FROM customer"
+        )
+
+    return " UNION ALL ".join(
+        [numeric("c_custkey"), stringy("c_mktsegment"), stringy("c_name")]
     )
 
 

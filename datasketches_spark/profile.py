@@ -57,6 +57,7 @@ def profile_table(
     lg_k: int = 16,
     kll_k: int = 32768,
     quantile_probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    string_quantiles: bool = False,
 ) -> DataFrame:
     """Profile ``columns`` (default: all string/numeric) in ONE scan.
 
@@ -65,6 +66,11 @@ def profile_table(
       distinct_est                               -- Theta estimate
       min_num, max_num, q_* (one per prob)       -- numeric cols only
       min_str, max_str                           -- string cols only
+      q_str_* (one per prob)                     -- with
+        ``string_quantiles=True``: quantiles of string columns via the
+        string-items KLL (sketches/kll_items.py), folded into the SAME
+        single scan; NULL for numeric columns.  Off by default (adds
+        columns to the output schema).
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     if columns is None:
@@ -90,9 +96,13 @@ def profile_table(
     specs = [(c, "stats", None, f"__s_{c}") for c in columns]
     specs += [(c, "theta", lg_k, f"__t_{c}") for c in columns]
     specs += [(c, "kll", kll_k, f"__q_{c}") for c in numeric]
+    strings = [c for c in columns if c not in numeric]
+    if string_quantiles:
+        specs += [(c, "kll_items", kll_k, f"__qs_{c}") for c in strings]
     probs = [float(p) for p in quantile_probs]
     pct = [int(round(p * 100)) for p in probs]
     cols_f, num_f = list(columns), list(numeric)
+    str_f = list(strings) if string_quantiles else []
 
     def _fin(sks):
         out = {}
@@ -115,6 +125,10 @@ def profile_table(
                 # surface NULL like the scalar SQL path does
                 q = sks[f"__q_{c}"].get_quantile(p, True)
                 out[f"q_{c}_{pp}"] = None if q is None else float(q)
+        for c in str_f:
+            for p, pp in zip(probs, pct):
+                q = sks[f"__qs_{c}"].get_quantile(p, True)
+                out[f"qs_{c}_{pp}"] = None if q is None else str(q)
         return out
 
     ddl = ", ".join(
@@ -127,6 +141,7 @@ def profile_table(
         ]
         + [f"`t_{c}` double" for c in columns]
         + [f"`q_{c}_{pp}` double" for c in numeric for pp in pct]
+        + [f"`qs_{c}_{pp}` string" for c in str_f for pp in pct]
     )
     joined = sketch_agg_multi(df, specs, finalize=_fin, finalize_schema=ddl)
 
@@ -151,6 +166,11 @@ def profile_table(
                 F.lit(None).cast("string").alias("min_str"),
                 F.lit(None).cast("string").alias("max_str"),
             ]
+            if string_quantiles:
+                parts += [
+                    F.lit(None).cast("string").alias(f"q_str_{pp}")
+                    for pp in pct
+                ]
         else:
             parts += [null_d.alias("min_num"), null_d.alias("max_num")]
             parts += [
@@ -160,6 +180,10 @@ def profile_table(
                 F.col(f"min_{c}").alias("min_str"),
                 F.col(f"max_{c}").alias("max_str"),
             ]
+            if string_quantiles:
+                parts += [
+                    F.col(f"qs_{c}_{pp}").alias(f"q_str_{pp}") for pp in pct
+                ]
         structs.append(F.struct(*parts))
 
     return joined.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
