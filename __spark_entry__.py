@@ -2868,6 +2868,33 @@ def q_psi_drift_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (decontam.semantic_contamination /
+    semantic_decontaminate): training vectors within cosine 0.35 of a
+    broadcast benchmark slice (vec_id < 8) are flagged; the clean set
+    is the broadcast anti-join.  Codegen cosine, no Python; the
+    oracle replays list_cosine_similarity.  (0.35 sits inside this
+    corpus's similarity range — the synthetic embeddings are
+    near-isotropic, max cross-sim ~0.49.)"""
+    from datasketches_spark.pipeline.decontam import (
+        semantic_contamination,
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") < 8)
+    train = emb.filter(F.col("vec_id") >= 8)
+    flagged = semantic_contamination(train, bench, threshold=0.35).select(
+        "train_id", "bench_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+    clean_n = semantic_decontaminate(train, bench, threshold=0.35).select(
+        F.count("*").cast("bigint").alias("n_clean")
+    )
+    return flagged.crossJoin(clean_n)
+
+
 def q_table_profile_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile_table with ``string_quantiles=True`` (r14): quantiles
     of STRING columns via the string-items KLL, folded into the SAME
@@ -4129,6 +4156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_quantity": q_ks_drift_quantity,
         "table_profile": q_table_profile,
         "table_profile_strings": q_table_profile_strings,
+        "semantic_decontam": q_semantic_decontam,
         # -- same-family variants / extended coverage (beyond 50) --
         "theta_distinct_by_flag": q_theta_distinct_by_flag,
         "theta_metadata": q_theta_metadata,
@@ -5221,6 +5249,25 @@ def oracle_sql() -> dict[str, str]:
         "customer_redaction": _redaction_oracle(),
         "table_profile": _profile_oracle(),
         "table_profile_strings": _profile_strings_oracle(),
+        "semantic_decontam": """
+            WITH pairs AS (
+              SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+                     round(list_cosine_similarity(t.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 6)
+                       AS cosine_sim
+              FROM embeddings t, embeddings b
+              WHERE t.vec_id >= 8 AND b.vec_id < 8
+                AND list_cosine_similarity(t.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) >= 0.35
+            ),
+            clean AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_clean FROM (
+                SELECT vec_id FROM embeddings WHERE vec_id >= 8
+                EXCEPT SELECT DISTINCT train_id FROM pairs)
+            )
+            SELECT train_id, bench_id, cosine_sim, n_clean
+            FROM pairs CROSS JOIN clean
+        """,
         "funnel_steps": """
             WITH e AS (SELECT * FROM events
                        WHERE epoch_ns(ts) < 1704153600000000000),

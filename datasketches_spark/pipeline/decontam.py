@@ -182,6 +182,69 @@ def decontaminate(
     return train.join(F.broadcast(dirty.select(id_col)), id_col, "left_anti")
 
 
+def semantic_contamination(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-level contamination: training vectors whose cosine
+    similarity to ANY benchmark vector reaches ``threshold``.
+
+    The lexical n-gram check (:func:`contamination`) misses
+    paraphrased eval leakage; this is the standard semantic
+    complement.  Returns ``(train_id, bench_id, cosine_sim)`` pairs.
+
+    Same scale shape as the n-gram path: the benchmark side is small
+    and **broadcast**; the training corpus is scanned once and the
+    cosine is a codegen Column expression — no Python, no shuffle of
+    training vectors.  (The cross product is |train| x |bench| cosine
+    evaluations — with |bench| in the thousands this is the honest
+    exact check; for very large eval sets compose
+    similarity.ivf_topk instead.)
+    """
+    from .similarity import cosine
+
+    pairs = train_emb.select(
+        F.col(id_col).alias("train_id"), F.col(vec_col).alias("__tv")
+    ).crossJoin(
+        F.broadcast(
+            bench_emb.select(
+                F.col(id_col).alias("bench_id"), F.col(vec_col).alias("__bv")
+            )
+        )
+    )
+    return (
+        pairs.select(
+            "train_id",
+            "bench_id",
+            cosine(F.col("__tv"), F.col("__bv")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_decontaminate(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Training rows with NO benchmark vector at cosine >= threshold
+    (broadcast anti-join on the flagged-id set, like
+    :func:`decontaminate`)."""
+    dirty = (
+        semantic_contamination(
+            train_emb, bench_emb, id_col, vec_col, threshold
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train_emb.join(F.broadcast(dirty), id_col, "left_anti")
+
+
 def oracle_ngrams_sql(text: str, n: int) -> str:
     """DuckDB mirror of :func:`word_ngrams` (list expression).
 

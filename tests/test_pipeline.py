@@ -1969,3 +1969,41 @@ class TestPyTokensTwin:
             assert exact == cms, fn.__name__
             for v in cms.values():
                 assert v[1] is None or math.isfinite(v[1])
+
+
+def test_semantic_decontam_flags_planted_match(spark):
+    """semantic_contamination flags an exact-duplicate embedding at
+    any threshold; semantic_decontaminate anti-joins it away."""
+    from datasketches_spark.pipeline.decontam import (
+        semantic_contamination,
+        semantic_decontaminate,
+    )
+    from pyspark.sql import functions as F
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),      # exact leak
+            (2, [0.9, 0.1, 0.0]),      # near leak
+            (3, [0.0, 1.0, 0.0]),      # orthogonal
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = {
+        (r.train_id, r.bench_id)
+        for r in semantic_contamination(train, bench, threshold=0.95).collect()
+    }
+    assert pairs == {(1, 100), (2, 100)}
+    clean = {
+        r.vec_id
+        for r in semantic_decontaminate(train, bench, threshold=0.95).collect()
+    }
+    assert clean == {3}
+    # the cosine expression stays JVM-side (no Python eval nodes)
+    plan = (
+        semantic_contamination(train, bench, threshold=0.95)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
