@@ -567,6 +567,63 @@ def dedup(
     return exact_dedup(df, text_col, id_col, keep_cols=keep_cols)
 
 
+def strip_repeats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_count: int = 2,
+    out_col: str | None = None,
+    counts=None,
+) -> DataFrame:
+    """Remove every corpus-repeated token span (the exact-substring
+    dedup step, Lee et al. 2021): n-grams occurring >= ``min_count``
+    times anywhere mark spans, merged maximal, stripped from the
+    ORIGINAL-case text.  ``counts=`` a stored table from
+    ``pipeline.spans.write_ngram_counts`` marks against history
+    without rescanning it (pipeline/spans.py for the knobs)."""
+    from .pipeline.spans import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        df, id_col, text_col, n=n, min_count=min_count,
+        out_col=out_col, counts=counts,
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    delim: str = "\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Strip lines appearing in >= ``min_docs`` distinct documents
+    (CCNet-style boilerplate: headers, navigation, licence footers).
+    Matching is trim+lower; surviving lines keep their original text
+    (pipeline/spans.py for the knobs)."""
+    from .pipeline.spans import remove_common_lines
+
+    return remove_common_lines(
+        df, id_col, text_col, min_docs=min_docs, delim=delim, out_col=out_col
+    )
+
+
+def semantic_decontaminate(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Training rows with no benchmark embedding at cosine >=
+    threshold — the paraphrase-leak complement of
+    :func:`decontaminate` (pipeline/decontam.py)."""
+    from .pipeline.decontam import semantic_decontaminate as _sd
+
+    return _sd(train_emb, bench_emb, id_col, vec_col, threshold)
+
+
 def media_metadata(df: DataFrame, bin_col: str) -> DataFrame:
     """Typed metadata struct (n_bytes, magic_hex, checksum) appended
     for an opaque binary media column — pure JVM expressions, no

@@ -275,3 +275,15 @@ def test_counts_table_validation(spark, tmp_path):
         duplicate_spans(
             df, "doc_id", "text", n=8, hash_join=False, counts=path
         )
+
+
+def test_approx_facade_span_wrappers(spark):
+    from datasketches_spark import approx
+
+    df = _docs(spark, [(1, "a b c d a b c d"), (2, "x\ny"), (3, "x\nz")])
+    out = {r.doc_id: r.text
+           for r in approx.strip_repeats(df, "doc_id", "text", n=4).collect()}
+    assert out[1] == ""
+    bp = {r.doc_id: r.text
+          for r in approx.remove_boilerplate(df, "doc_id", "text").collect()}
+    assert bp[2] == "y" and bp[3] == "z"
