@@ -99,6 +99,42 @@ def upsert_ngram_counts(
     write_ngram_counts(df, id_col, text_col, path, n=n, mode="append")
 
 
+def compact_ngram_counts(spark, path: str) -> None:
+    """Fold a stored count table's appended partials into one row per
+    hash.  Readers already sum partials, so compaction never changes
+    answers — it bounds the table's row count (and the reader's
+    aggregation input) after many :func:`upsert_ngram_counts` appends.
+
+    Writes the aggregated table beside the original and atomically
+    swaps the directories — LOCAL/NFS paths only (Spark cannot
+    overwrite a path it is reading).  On object stores, write to a
+    new path and repoint the consumer instead.
+    """
+    import os
+    import shutil
+
+    cdf = spark.read.parquet(path)
+    meta = next(
+        (
+            (f.metadata or {}).get(NGRAM_META_KEY)
+            for f in cdf.schema.fields
+            if f.name == "g"
+        ),
+        None,
+    )
+    out = cdf.groupBy("g").agg(F.sum("c").alias("c"))
+    if meta is not None:
+        out = out.withMetadata("g", {NGRAM_META_KEY: meta})
+    tmp = path.rstrip("/") + "__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.write.parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _resolve_counts(df: DataFrame, counts, n: int) -> DataFrame:
     cdf = (
         df.sparkSession.read.parquet(counts)

@@ -287,3 +287,43 @@ def test_approx_facade_span_wrappers(spark):
     bp = {r.doc_id: r.text
           for r in approx.remove_boilerplate(df, "doc_id", "text").collect()}
     assert bp[2] == "y" and bp[3] == "z"
+
+
+def test_compact_ngram_counts_preserves_answers(spark, tmp_path):
+    from datasketches_spark.pipeline.spans import (
+        compact_ngram_counts,
+        duplicate_spans,
+        upsert_ngram_counts,
+        write_ngram_counts,
+    )
+
+    df = _docs(
+        spark,
+        [(i, "shared span tokens here body alpha beta gamma "
+             f"tail{i} more words") for i in range(8)],
+    )
+    path = str(tmp_path / "ngc3")
+    write_ngram_counts(df.filter("doc_id < 3"), "doc_id", "text", path, n=6)
+    for lo in (3, 5):
+        upsert_ngram_counts(
+            df.filter(f"doc_id >= {lo} and doc_id < {lo + 2}"),
+            "doc_id", "text", path, n=6,
+        )
+    upsert_ngram_counts(df.filter("doc_id >= 7"), "doc_id", "text", path, n=6)
+    before = sorted(
+        map(tuple, duplicate_spans(df, "doc_id", "text", n=6,
+                                   min_count=2, counts=path).collect())
+    )
+    rows_before = spark.read.parquet(path).count()
+    compact_ngram_counts(spark, path)
+    rows_after = spark.read.parquet(path).count()
+    assert rows_after < rows_before          # partials folded
+    # distinct hashes unchanged, metadata survives, answers identical
+    after = sorted(
+        map(tuple, duplicate_spans(df, "doc_id", "text", n=6,
+                                   min_count=2, counts=path).collect())
+    )
+    assert after == before and len(before) > 0
+    # n mismatch still raises off the preserved metadata
+    with pytest.raises(ValueError, match="written at n=6"):
+        duplicate_spans(df, "doc_id", "text", n=8, counts=path)
