@@ -1299,6 +1299,17 @@ def q_duplicate_ngram_spans_counts(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_top_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate report (spans.top_duplicate_ngrams): 15
+    most-repeated 8-grams with occurrence + doc counts; the
+    (count desc, docs desc, ngram) total order makes the top-k SET
+    deterministic for the hash compare."""
+    from datasketches_spark.pipeline.spans import top_duplicate_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_duplicate_ngrams(docs, "doc_id", "text", n=8, k=15)
+
+
 def q_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/RefinedWeb-style boilerplate signal
     (pipeline/spans.common_lines): every trimmed+lower-cased line
@@ -4231,6 +4242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_spans": q_strip_dup_spans,
         "minhash_cross_near_dups": q_minhash_cross_near_dups,
         "duplicate_ngram_spans_counts": q_duplicate_ngram_spans_counts,
+        "top_duplicate_ngrams": q_top_duplicate_ngrams,
         "common_lines": q_common_lines,
         "remove_common_lines": q_remove_common_lines,
         "quantity_quantile_clip": q_quantity_quantile_clip,
@@ -5027,6 +5039,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": _spans_oracle("strip"),
         "duplicate_ngram_spans_counts": _spans_oracle("spans"),
         "streaming_ngram_counts": _spans_oracle("spans"),
+        "top_duplicate_ngrams": _spans_oracle("top_ngrams"),
         "common_lines": _spans_oracle("common_lines"),
         "remove_common_lines": _spans_oracle("remove_lines"),
         "quantity_quantile_clip": """
@@ -5757,6 +5770,14 @@ def _spans_oracle(which: str) -> str:
     # line gates run over the 12-token chunked view (_chunked_docs
     # twin): splice the chunk CTE in front of the module's own
     # oracle emitters pointed at it
+    if which == "top_ngrams":
+        from datasketches_spark.pipeline.spans import (
+            oracle_top_duplicate_ngrams_sql,
+        )
+
+        return oracle_top_duplicate_ngrams_sql(
+            "documents", "doc_id", "text", 8, 15
+        )
     if which == "common_lines":
         return (
             f"WITH chunkq AS ({_CHUNK_SQL}) "

@@ -311,6 +311,73 @@ def strip_duplicate_spans(
     )
 
 
+def top_duplicate_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """The ``k`` most-repeated word n-grams — the "what IS our
+    boilerplate?" report behind :func:`duplicate_spans`.
+
+    Returns ``(ngram, n_occurrences, n_docs)`` ordered by occurrence
+    count descending (ties: doc count desc, then the n-gram string —
+    a total order, so the top-k SET is deterministic).  String keys
+    (this is the human-readable reporting surface; the span operators
+    use 8-byte hashes).  Map-side combined count, then Spark's
+    TakeOrdered top-k — no full sort materializes.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    exploded = _fan_out_if_narrow(df).select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"),
+    )
+    return (
+        exploded.groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(
+            F.col("n_occurrences").desc(), F.col("n_docs").desc(), "ngram"
+        )
+        .limit(k)
+    )
+
+
+def oracle_top_duplicate_ngrams_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int,
+    k: int = 20,
+    min_count: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`top_duplicate_ngrams`."""
+    t = f"trim(lower({text_col}))"
+    toks = (
+        f"CASE WHEN length({t}) = 0 THEN [] "
+        f"ELSE string_split_regex({t}, '\\s+') END"
+    )
+    return f"""
+SELECT ngram, n_occurrences, n_docs FROM (
+  SELECT array_to_string(({toks})[i:i + {n - 1}], ' ') AS ngram,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT {id_col}) AS BIGINT) AS n_docs
+  FROM {table}, UNNEST(generate_series(1, len({toks}) - {n - 1})) AS u(i)
+  GROUP BY 1 HAVING count(*) >= {min_count}
+)
+ORDER BY n_occurrences DESC, n_docs DESC, ngram
+LIMIT {k}
+"""
+
+
 # ------------------------------------------------- line-level boilerplate
 
 

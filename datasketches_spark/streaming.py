@@ -1005,6 +1005,13 @@ class NgramCountStore:
 
         return fn
 
+    def compact(self, spark: SparkSession) -> None:
+        """Fold appended partial rows (answers unchanged; bounds the
+        table after many micro-batches — run periodically)."""
+        from .pipeline.spans import compact_ngram_counts
+
+        compact_ngram_counts(spark, self.path)
+
     def spans(self, df: DataFrame, min_count: int = 2) -> DataFrame:
         """Duplicated spans of ``df`` against the accumulated history."""
         from .pipeline.spans import duplicate_spans

@@ -327,3 +327,25 @@ def test_compact_ngram_counts_preserves_answers(spark, tmp_path):
     # n mismatch still raises off the preserved metadata
     with pytest.raises(ValueError, match="written at n=6"):
         duplicate_spans(df, "doc_id", "text", n=8, counts=path)
+
+
+def test_top_duplicate_ngrams_order_and_validation(spark):
+    from datasketches_spark.pipeline.spans import top_duplicate_ngrams
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b c x1 a b c x2 a b c"),   # "a b c" 3 times, 1 doc
+            (2, "d e f y1 d e f"),            # "d e f" 2 times
+            (3, "a b c once more here"),      # +1 occurrence, +1 doc
+        ],
+    )
+    rows = top_duplicate_ngrams(df, "doc_id", "text", n=3, k=2).collect()
+    assert [(r.ngram, r.n_occurrences, r.n_docs) for r in rows] == [
+        ("a b c", 4, 2),
+        ("d e f", 2, 1),
+    ]
+    with pytest.raises(ValueError, match="k must be"):
+        top_duplicate_ngrams(df, "doc_id", "text", n=3, k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        top_duplicate_ngrams(df, "doc_id", "text", n=3, min_count=1)
