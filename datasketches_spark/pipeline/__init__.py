@@ -1,7 +1,11 @@
 """Large-scale training-data pipeline operators (beyond reference parity):
 
 - :mod:`.dedup` -- exact, MinHash+LSH, SimHash, n-gram Jaccard,
-  connected-component duplicate clusters
+  connected-component duplicate clusters, incremental cross-corpus
+  near-dup against stored signature tables
+- :mod:`.spans` -- repeated n-gram span detection/removal (exact-
+  substring dedup), line-level boilerplate removal, stored n-gram
+  count tables with additive incremental upserts
 - :mod:`.similarity` -- brute-force + LSH cosine top-k, embedding
   near-duplicates
 - :mod:`.text` -- language ID, quality scoring, token counting,
@@ -19,9 +23,19 @@
 are imported directly by callers.)
 """
 
-from . import dedup, mixture, multimodal, sampling, sessions, similarity, text, tfidf
+from . import (
+    dedup,
+    mixture,
+    multimodal,
+    sampling,
+    sessions,
+    similarity,
+    spans,
+    text,
+    tfidf,
+)
 
 __all__ = [
-    "dedup", "mixture", "sampling", "sessions", "similarity",
+    "dedup", "mixture", "sampling", "sessions", "similarity", "spans",
     "text", "tfidf", "multimodal",
 ]
