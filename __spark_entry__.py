@@ -1299,6 +1299,26 @@ def q_duplicate_ngram_spans_counts(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_text (pipeline/text.py): URL masking + punctuation
+    strip + lower + whitespace collapse as ONE chained JVM regex
+    expression; the canonical pre-dedup step.  Both engines run the
+    identical regex chain in the identical fixed order, so the full
+    normalized texts hash-match."""
+    from datasketches_spark.pipeline.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_text(
+            F.col("text"), strip_urls=True, strip_punct=True
+        ).alias("norm"),
+        F.length(
+            normalize_text(F.col("text"), strip_punct=True)
+        ).cast("bigint").alias("norm_len"),
+    )
+
+
 def q_top_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The boilerplate report (spans.top_duplicate_ngrams): 15
     most-repeated 8-grams with occurrence + doc counts; the
@@ -4242,6 +4262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_spans": q_strip_dup_spans,
         "minhash_cross_near_dups": q_minhash_cross_near_dups,
         "duplicate_ngram_spans_counts": q_duplicate_ngram_spans_counts,
+        "doc_normalize": q_doc_normalize,
         "top_duplicate_ngrams": q_top_duplicate_ngrams,
         "common_lines": q_common_lines,
         "remove_common_lines": q_remove_common_lines,
@@ -5039,6 +5060,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": _spans_oracle("strip"),
         "duplicate_ngram_spans_counts": _spans_oracle("spans"),
         "streaming_ngram_counts": _spans_oracle("spans"),
+        "doc_normalize": _doc_normalize_oracle(),
         "top_duplicate_ngrams": _spans_oracle("top_ngrams"),
         "common_lines": _spans_oracle("common_lines"),
         "remove_common_lines": _spans_oracle("remove_lines"),
@@ -5610,6 +5632,17 @@ def _profile_oracle() -> str:
             stringy("c_mktsegment"),
             numeric("c_acctbal"),
         ]
+    )
+
+
+def _doc_normalize_oracle() -> str:
+    from datasketches_spark.pipeline.text import oracle_normalize_text_sql
+
+    full = oracle_normalize_text_sql("text", strip_urls=True, strip_punct=True)
+    nolinks = oracle_normalize_text_sql("text", strip_punct=True)
+    return (
+        f"SELECT doc_id, {full} AS norm, "
+        f"CAST(length({nolinks}) AS BIGINT) AS norm_len FROM documents"
     )
 
 

@@ -280,3 +280,61 @@ def oracle_redact_sql(
         f"regexp_replace({text}, '{EMAIL_RE}', '{email_token}', 'g')"
     )
     return f"regexp_replace({no_mail}, '{NUMBER_RE}', '{number_token}', 'g')"
+
+
+URL_RE = r"(https?|ftp)://[^\s]+"
+
+
+def normalize_text(
+    col,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_urls: bool = False,
+    url_token: str = "<URL>",
+    strip_punct: bool = False,
+) -> Column:
+    """Canonical text normalization as ONE chained Column expression
+    (JVM regexes, engine-portable — the DuckDB twin is
+    :func:`oracle_normalize_text_sql`): optional URL masking, optional
+    punctuation stripping (ASCII, keeps alphanumerics+space), optional
+    lower-casing, and whitespace collapse+trim.  The standard
+    pre-dedup canonicalization step — run it BEFORE fingerprinting /
+    shingling so cosmetic variants collapse.
+
+    Order matters and is fixed: URLs first (so their punctuation never
+    leaks into the stripped text), then punctuation, case, whitespace.
+    """
+    out = col
+    if strip_urls:
+        out = F.regexp_replace(out, URL_RE, url_token)
+    if strip_punct:
+        keep = "[^a-zA-Z0-9\\s<>]" if strip_urls else "[^a-zA-Z0-9\\s]"
+        out = F.regexp_replace(out, keep, " ")
+    if lowercase:
+        out = F.lower(out)
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
+def oracle_normalize_text_sql(
+    text: str,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_urls: bool = False,
+    url_token: str = "<URL>",
+    strip_punct: bool = False,
+) -> str:
+    """DuckDB mirror of :func:`normalize_text` (same regexes, same
+    fixed order)."""
+    out = text
+    if strip_urls:
+        out = f"regexp_replace({out}, '{URL_RE}', '{url_token}', 'g')"
+    if strip_punct:
+        keep = "[^a-zA-Z0-9\\s<>]" if strip_urls else "[^a-zA-Z0-9\\s]"
+        out = f"regexp_replace({out}, '{keep}', ' ', 'g')"
+    if lowercase:
+        out = f"lower({out})"
+    if collapse_whitespace:
+        out = f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+    return out

@@ -349,3 +349,22 @@ def test_top_duplicate_ngrams_order_and_validation(spark):
         top_duplicate_ngrams(df, "doc_id", "text", n=3, k=0)
     with pytest.raises(ValueError, match="min_count"):
         top_duplicate_ngrams(df, "doc_id", "text", n=3, min_count=1)
+
+
+def test_normalize_text_options(spark):
+    from datasketches_spark.pipeline.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Visit https://ex.com/a?b=1 NOW!!  it's   GREAT  ")],
+        "id bigint, t string",
+    )
+    full = df.select(
+        normalize_text(
+            F.col("t"), strip_urls=True, strip_punct=True
+        ).alias("x")
+    ).first().x
+    assert full == "visit <url> now it s great"
+    keep_case = df.select(
+        normalize_text(F.col("t"), lowercase=False).alias("x")
+    ).first().x
+    assert keep_case == "Visit https://ex.com/a?b=1 NOW!! it's GREAT"
