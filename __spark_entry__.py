@@ -2945,6 +2945,30 @@ def q_table_profile_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call drift report (profile.drift_report): KLL + stats blob
+    per column per corpus (one scan each side), every metric computed
+    from blobs by pair scalars.  Exact mode (k=32768 > per-flag rows
+    at gate SFs) makes the two-sample KS EXACT — the oracle recomputes
+    the classical stacked-ECDF KS per column."""
+    from datasketches_spark.profile import drift_report
+
+    _ensure(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    rep = drift_report(
+        li.filter(F.col("l_returnflag") == "A"),
+        li.filter(F.col("l_returnflag") == "R"),
+        ["l_quantity", "l_extendedprice"],
+        k=32768,
+    )
+    return rep.select(
+        "column", "n_a", "n_b",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("ks", 9).alias("ks"),
+    )
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profiler (profile.py): exact counts/min/max (the
     mergeable stats family) + all distinct/quantile sketches folded in
@@ -4187,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_quantity": q_ks_drift_quantity,
         "table_profile": q_table_profile,
         "table_profile_strings": q_table_profile_strings,
+        "corpus_drift": q_corpus_drift,
         "semantic_decontam": q_semantic_decontam,
         # -- same-family variants / extended coverage (beyond 50) --
         "theta_distinct_by_flag": q_theta_distinct_by_flag,
@@ -5284,6 +5309,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_redaction": _redaction_oracle(),
         "table_profile": _profile_oracle(),
         "table_profile_strings": _profile_strings_oracle(),
+        "corpus_drift": _corpus_drift_oracle(),
         "semantic_decontam": """
             WITH pairs AS (
               SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
@@ -5643,6 +5669,46 @@ def _doc_normalize_oracle() -> str:
     return (
         f"SELECT doc_id, {full} AS norm, "
         f"CAST(length({nolinks}) AS BIGINT) AS norm_len FROM documents"
+    )
+
+
+def _corpus_drift_oracle() -> str:
+    """Classical stacked-ECDF two-sample KS + exact stats per column
+    (A-flag vs R-flag lineitem)."""
+
+    def branch(col: str) -> str:
+        return f"""
+        SELECT '{col}' AS "column", na AS n_a, nb AS n_b,
+               round(sa / na, 4) AS mean_a, round(sb / nb, 4) AS mean_b,
+               round(ks, 9) AS ks
+        FROM (
+          WITH s AS (
+            SELECT {col} AS x, 0 AS src FROM lineitem WHERE l_returnflag = 'A'
+            UNION ALL
+            SELECT {col}, 1 FROM lineitem WHERE l_returnflag = 'R'
+          ),
+          cum AS (
+            SELECT x,
+              sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) OVER w AS ca,
+              sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) OVER w AS cb
+            FROM s WINDOW w AS (ORDER BY x
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ),
+          tot AS (
+            SELECT count(*) FILTER (src = 0)::BIGINT AS na,
+                   count(*) FILTER (src = 1)::BIGINT AS nb,
+                   sum(x) FILTER (src = 0) AS sa,
+                   sum(x) FILTER (src = 1) AS sb
+            FROM s
+          )
+          SELECT t.na, t.nb, t.sa::DOUBLE AS sa, t.sb::DOUBLE AS sb,
+                 max(abs(c.ca::DOUBLE / t.na - c.cb::DOUBLE / t.nb)) AS ks
+          FROM cum c, tot t GROUP BY t.na, t.nb, sa, sb
+        )
+        """
+
+    return (
+        branch("l_quantity") + " UNION ALL " + branch("l_extendedprice")
     )
 
 

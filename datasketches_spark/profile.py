@@ -187,3 +187,68 @@ def profile_table(
         structs.append(F.struct(*parts))
 
     return joined.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    columns: list[str],
+    k: int = 32768,
+) -> DataFrame:
+    """Per-column distribution drift between two corpora — the "did
+    this week's data move?" report.
+
+    One ``sketch_agg_multi`` scan per side builds a KLL + exact-stats
+    blob per numeric column; the two one-row blob sets CROSS JOIN
+    (blobs only — no raw rows meet) and every metric is a registered
+    pair scalar:
+
+      column, n_a, n_b, mean_a, mean_b, ks
+
+    ``ks`` is the two-sample Kolmogorov-Smirnov statistic
+    (``datasketch_kll_ks``) — EXACT while both sketches are in exact
+    mode (k > rows), within the KLL rank band otherwise.  Monitoring
+    convention: alert around ks > 0.1 for large samples, or feed the
+    stored blobs to :func:`datasketches_spark.streaming.streaming_drift_monitor`
+    for the continuous version.
+    """
+    for df in (df_a, df_b):
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        for c in columns:
+            if c not in fields:
+                raise ValueError(f"drift_report: no such column {c!r}")
+            if not isinstance(fields[c], _NUMERIC):
+                raise ValueError(
+                    f"drift_report: column {c!r} is not numeric "
+                    f"({fields[c]}) — KS needs an ordered numeric domain"
+                )
+    if not columns:
+        raise ValueError("drift_report: no columns")
+    _ensure_registered(df_a)
+    specs = [(c, "kll", k, f"q_{c}") for c in columns] + [
+        (c, "stats", None, f"s_{c}") for c in columns
+    ]
+    a = sketch_agg_multi(df_a, specs)
+    b = sketch_agg_multi(df_b, specs)
+    a2 = a.select([F.col(c).alias(f"a_{c}") for c in a.columns])
+    b2 = b.select([F.col(c).alias(f"b_{c}") for c in b.columns])
+    j = a2.crossJoin(b2)
+
+    def mean(side: str, c: str):
+        return (
+            F.expr(f"datasketch_stats_sum({side}_s_{c})")
+            / F.expr(f"datasketch_stats_nonnull({side}_s_{c})")
+        ).alias(f"mean_{side}")
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.expr(f"datasketch_stats_nonnull(a_s_{c})").alias("n_a"),
+            F.expr(f"datasketch_stats_nonnull(b_s_{c})").alias("n_b"),
+            mean("a", c),
+            mean("b", c),
+            F.expr(f"datasketch_kll_ks(a_q_{c}, b_q_{c})").alias("ks"),
+        )
+        for c in columns
+    ]
+    return j.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

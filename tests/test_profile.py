@@ -79,3 +79,25 @@ def test_profile_all_null_column(spark):
     assert (b["n_rows"], b["n_nonnull"], b["n_null"]) == (2, 0, 2)
     assert b["distinct_est"] == 0.0
     assert b["min_num"] is None and b["q_50"] is None
+
+
+def test_drift_report_exact_ks_and_validation(spark):
+    from datasketches_spark.profile import drift_report
+    from pyspark.sql import functions as F
+    import pytest as _pt
+
+    a = spark.range(1000).selectExpr("CAST(id % 100 AS double) AS x")
+    b = spark.range(1000).selectExpr("CAST(id % 100 + 50 AS double) AS x")
+    row = drift_report(a, b, ["x"], k=4096).first()
+    # shifted uniform by half the support: classical KS = 0.5 exactly
+    assert row.n_a == 1000 and row.n_b == 1000
+    assert abs(row.ks - 0.5) < 1e-12
+    assert abs(row.mean_b - row.mean_a - 50.0) < 1e-9
+    same = drift_report(a, a, ["x"], k=4096).first()
+    assert same.ks == 0.0
+    with _pt.raises(ValueError, match="not numeric"):
+        drift_report(
+            a.selectExpr("CAST(x AS STRING) AS x"), b, ["x"]
+        )
+    with _pt.raises(ValueError, match="no such column"):
+        drift_report(a, b, ["nope"])
