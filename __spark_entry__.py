@@ -1299,6 +1299,21 @@ def q_duplicate_ngram_spans_counts(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_duplication_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication summary (spans.duplication_stats): merged
+    span lengths never double-count overlapping repeats, so the token
+    fractions are exact and the whole row hash-matches the SQL
+    recomputation over the same islands."""
+    from datasketches_spark.pipeline.spans import duplication_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = duplication_stats(docs, "doc_id", "text", n=8, min_count=2)
+    return rep.select(
+        "n_docs", "docs_with_dups", "total_tokens", "dup_tokens",
+        F.round("dup_fraction", 9).alias("dup_fraction"),
+    )
+
+
 def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """normalize_text (pipeline/text.py): URL masking + punctuation
     strip + lower + whitespace collapse as ONE chained JVM regex
@@ -4288,6 +4303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_cross_near_dups": q_minhash_cross_near_dups,
         "duplicate_ngram_spans_counts": q_duplicate_ngram_spans_counts,
         "doc_normalize": q_doc_normalize,
+        "duplication_stats": q_duplication_stats,
         "top_duplicate_ngrams": q_top_duplicate_ngrams,
         "common_lines": q_common_lines,
         "remove_common_lines": q_remove_common_lines,
@@ -5086,6 +5102,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_ngram_spans_counts": _spans_oracle("spans"),
         "streaming_ngram_counts": _spans_oracle("spans"),
         "doc_normalize": _doc_normalize_oracle(),
+        "duplication_stats": _duplication_stats_oracle(),
         "top_duplicate_ngrams": _spans_oracle("top_ngrams"),
         "common_lines": _spans_oracle("common_lines"),
         "remove_common_lines": _spans_oracle("remove_lines"),
@@ -5659,6 +5676,30 @@ def _profile_oracle() -> str:
             numeric("c_acctbal"),
         ]
     )
+
+
+def _duplication_stats_oracle() -> str:
+    from datasketches_spark.pipeline.spans import oracle_duplicate_spans_sql
+    from datasketches_spark.pipeline.text import oracle_token_count_sql
+
+    spans = oracle_duplicate_spans_sql("documents", "doc_id", "text", 8, 2)
+    toks = oracle_token_count_sql("text")
+    return f"""
+        WITH agg AS (
+          SELECT count(DISTINCT doc_id) AS docs_with_dups,
+                 COALESCE(sum(span_end - span_start + 1), 0)::BIGINT
+                   AS dup_tokens
+          FROM ({spans})
+        ),
+        tot AS (
+          SELECT count(*)::BIGINT AS n_docs,
+                 sum(({toks}))::BIGINT AS total_tokens
+          FROM documents
+        )
+        SELECT n_docs, docs_with_dups, total_tokens, dup_tokens,
+               round(dup_tokens::DOUBLE / total_tokens, 9) AS dup_fraction
+        FROM tot, agg
+    """
 
 
 def _doc_normalize_oracle() -> str:

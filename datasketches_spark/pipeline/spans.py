@@ -311,6 +311,51 @@ def strip_duplicate_spans(
     )
 
 
+def duplication_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_count: int = 2,
+    min_docs: int = 1,
+    counts=None,
+) -> DataFrame:
+    """One-row corpus duplication summary — the number a curation run
+    reports before/after: how much of the corpus sits inside
+    repeated spans.
+
+    Returns ``(n_docs, docs_with_dups, total_tokens, dup_tokens,
+    dup_fraction)``.  ``dup_tokens`` sums MERGED span lengths, so
+    overlapping repeats never double-count; ``dup_fraction`` =
+    dup_tokens / total_tokens.  Same thresholds (and the same stored
+    ``counts=`` route) as :func:`duplicate_spans`.
+    """
+    from .text import token_count
+
+    spans = duplicate_spans(
+        df, id_col, text_col, n, min_count, min_docs, True, counts
+    )
+    dup = spans.agg(
+        F.count_distinct(id_col).alias("docs_with_dups"),
+        F.coalesce(
+            F.sum(F.col("span_end") - F.col("span_start") + 1), F.lit(0)
+        ).cast("bigint").alias("dup_tokens"),
+    )
+    tot = df.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias(
+            "total_tokens"
+        ),
+    )
+    return tot.crossJoin(dup).select(
+        "n_docs",
+        "docs_with_dups",
+        "total_tokens",
+        "dup_tokens",
+        (F.col("dup_tokens") / F.col("total_tokens")).alias("dup_fraction"),
+    )
+
+
 def top_duplicate_ngrams(
     df: DataFrame,
     id_col: str,

@@ -368,3 +368,29 @@ def test_normalize_text_options(spark):
         normalize_text(F.col("t"), lowercase=False).alias("x")
     ).first().x
     assert keep_case == "Visit https://ex.com/a?b=1 NOW!! it's GREAT"
+
+
+def test_duplication_stats_merged_spans_never_double_count(spark):
+    from datasketches_spark.pipeline.spans import duplication_stats
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d a b c d"),     # overlapping repeats -> one span
+            (2, "unique words only here"),
+        ],
+    )
+    row = duplication_stats(df, "doc_id", "text", n=4, min_count=2).first()
+    assert row.n_docs == 2 and row.docs_with_dups == 1
+    assert row.total_tokens == 12
+    assert row.dup_tokens == 8        # the merged [1,8] span, not 2x4+...
+    assert abs(row.dup_fraction - 8 / 12) < 1e-12
+
+
+def test_duplication_stats_zero_dups(spark):
+    from datasketches_spark.pipeline.spans import duplication_stats
+
+    df = _docs(spark, [(1, "w1 w2 w3 w4 w5"), (2, "x1 x2 x3 x4 x5")])
+    row = duplication_stats(df, "doc_id", "text", n=4, min_count=2).first()
+    assert row.docs_with_dups == 0 and row.dup_tokens == 0
+    assert row.dup_fraction == 0.0
