@@ -3920,6 +3920,47 @@ def q_streaming_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming boilerplate history (streaming.CommonLineStore —
+    sketch state MEETS the pipeline: one HLL blob per line key, doc
+    ids as values): the chunked docs replay availableNow in 3 file
+    micro-batches; the accumulated store's strip() must hash-match
+    the one-shot remove_common_lines oracle.  Equality holds because
+    the HLL doc counts are coupon-exact at these magnitudes (lg_k=14
+    exact to 1536 docs) and HLL union is batching-independent."""
+    import os as _os
+
+    from datasketches_spark.streaming import CommonLineStore
+
+    _ensure(spark)
+    base = _gate_dir(sf_dir, "stream_cls_gate")
+    src = _os.path.join(base, "src")
+    chunked = _chunked_docs(spark, sf_dir)
+    for lo, hi in ((0, 150), (150, 350), (350, 500)):
+        (
+            chunked.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    store = CommonLineStore(_os.path.join(base, "store"), "doc_id", "text")
+    stream = (
+        spark.readStream.schema(chunked.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(store.foreach_batch())
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return store.strip(chunked, out_col="clean").select("doc_id", "clean")
+
+
 def q_streaming_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming NEAR-dup dedup gate: documents (doc_id < 200) staged
     as 4 id-sliced, mtime-ordered files and replayed availableNow
@@ -4294,6 +4335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_scale_weighted": q_sql_scale_weighted,
         "streaming_simhash_dedup": q_streaming_simhash_dedup,
         "streaming_ngram_counts": q_streaming_ngram_counts,
+        "streaming_common_lines": q_streaming_common_lines,
         "streaming_windowed_rollup": q_streaming_windowed_rollup,
         "streaming_drift_ks": q_streaming_drift_ks,
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
@@ -5101,6 +5143,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": _spans_oracle("strip"),
         "duplicate_ngram_spans_counts": _spans_oracle("spans"),
         "streaming_ngram_counts": _spans_oracle("spans"),
+        "streaming_common_lines": _spans_oracle("remove_lines"),
         "doc_normalize": _doc_normalize_oracle(),
         "duplication_stats": _duplication_stats_oracle(),
         "top_duplicate_ngrams": _spans_oracle("top_ngrams"),

@@ -500,8 +500,26 @@ def remove_common_lines(
         .filter(F.col("n_docs") >= min_docs)
         .select("__ck")
     )
+    return _strip_lines_by_keys(
+        df, id_col, text_col, delim, common, k, out_col
+    )
+
+
+def _strip_lines_by_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str,
+    common: DataFrame,
+    key_expr,
+    out_col: str | None,
+) -> DataFrame:
+    """Anti-join ``df``'s lines against the ``common`` key set
+    (column ``__ck``, same key convention as ``key_expr``) and
+    reassemble surviving lines in order."""
+    ln = _lines_exploded(df, id_col, text_col, delim)
     kept = (
-        ln.withColumn("__k", k)
+        ln.withColumn("__k", key_expr)
         .join(common, F.col("__k") == F.col("__ck"), "left_anti")
         .drop("__k")
     )

@@ -1031,3 +1031,95 @@ class NgramCountStore:
             df, self.id_col, self.text_col, n=self.n,
             min_count=min_count, out_col=out_col, counts=self.path,
         )
+
+
+class CommonLineStore:
+    """Streaming line doc-frequency history for boilerplate removal —
+    the families meeting the pipeline: state is ONE HLL blob per
+    distinct line key, so the store IS a :class:`SketchStore`
+    (``group_cols=[line_key]``, values = doc ids) and every batch
+    absorbs through the standard blob-merge machinery.
+
+    Exactness envelope: Apache-style HLL is COUPON-EXACT until the
+    sparse set caps at 3/4 * 2^(lg_k-3) coupons (r9), so with the
+    default ``lg_k=14`` the per-line doc count is EXACT up to 1536
+    distinct docs — far above any sane ``min_docs`` boilerplate
+    threshold; beyond it the estimate's ~1% error only perturbs lines
+    whose df is already >> min_docs (they stay flagged).
+
+    Replay-invariant AND replay-idempotent: HLL union is
+    batching-order independent, and re-absorbing the same (line, doc)
+    pair re-inserts the same coupon — a no-op — so even at-least-once
+    redelivery cannot inflate a count.  The epoch guard is kept to
+    skip the wasted work.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str,
+        text_col: str,
+        delim: str = "\n",
+        lg_k: int = 14,
+    ):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.delim = delim
+        self.store = SketchStore(path, "hll", group_cols=["line_key"], k=lg_k)
+
+    def _lines(self, df: DataFrame) -> DataFrame:
+        from .pipeline.spans import _lines_exploded
+
+        ln = _lines_exploded(df, self.id_col, self.text_col, self.delim)
+        key = F.trim(F.lower(F.col("line")))
+        return ln.filter(key != "").select(
+            F.xxhash64(key).alias("line_key"), F.col(self.id_col)
+        )
+
+    def exists(self, spark: SparkSession) -> bool:
+        return self.store.exists(spark)
+
+    def absorb(self, batch_df: DataFrame) -> None:
+        self.store.absorb(self._lines(batch_df), self.id_col)
+
+    def foreach_batch(self) -> "Callable[[DataFrame, int], None]":
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            if epoch_id <= self.store._last_epoch():
+                return
+            if batch_df.isEmpty():
+                return
+            self.absorb(batch_df)
+            self.store._record_epoch(epoch_id)
+
+        return fn
+
+    def common_keys(self, spark: SparkSession, min_docs: int = 2) -> DataFrame:
+        """Line keys whose stored distinct-doc estimate reaches
+        ``min_docs`` (column ``__ck``)."""
+        if min_docs < 2:
+            raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+        return (
+            self.store.read(spark)
+            .filter(
+                F.expr("datasketch_hll_estimate(sketch)")
+                >= F.lit(float(min_docs)) - 0.5
+            )
+            .select(F.col("line_key").alias("__ck"))
+        )
+
+    def strip(
+        self,
+        df: DataFrame,
+        min_docs: int = 2,
+        out_col: "str | None" = None,
+    ) -> DataFrame:
+        """``df`` with history-common lines removed (same semantics as
+        pipeline/spans.remove_common_lines, against the accumulated
+        history)."""
+        from .pipeline.spans import _strip_lines_by_keys
+
+        key = F.xxhash64(F.trim(F.lower(F.col("line"))))
+        return _strip_lines_by_keys(
+            df, self.id_col, self.text_col, self.delim,
+            self.common_keys(df.sparkSession, min_docs), key, out_col,
+        )

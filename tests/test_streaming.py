@@ -998,3 +998,37 @@ def test_ngram_count_store_replay_matches_direct(spark, tmpdir):
     before = store.spans(docs).count()
     fn(docs.limit(50), 0)   # epoch 0 <= last recorded -> dropped
     assert store.spans(docs).count() == before
+
+
+def test_common_line_store_matches_batch_operator(spark, tmpdir):
+    """CommonLineStore (HLL doc-frequency per line key) absorbed in
+    two batches answers the SAME strip as the one-shot
+    remove_common_lines — coupon-exact counts at boilerplate
+    magnitudes, replay-idempotent by HLL set semantics."""
+    dss.register(spark)
+    from datasketches_spark.pipeline.spans import remove_common_lines
+    from datasketches_spark.streaming import CommonLineStore
+
+    rows = [
+        (1, "COMMON HEADER\nbody one\nshared footer"),
+        (2, "common header\nbody two"),
+        (3, "body three\nShared Footer  "),
+        (4, "all unique text"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    store = CommonLineStore(f"{tmpdir}/cls", "doc_id", "text")
+    store.absorb(df.filter("doc_id <= 2"))
+    store.absorb(df.filter("doc_id > 2"))
+    got = {r.doc_id: r.text for r in store.strip(df).collect()}
+    want = {
+        r.doc_id: r.text
+        for r in remove_common_lines(df, "doc_id", "text").collect()
+    }
+    assert got == want
+    assert got[1] == "body one" and got[3] == "body three"
+    assert got[5] is None
+    # replay idempotence: re-absorbing the same docs changes nothing
+    store.absorb(df.filter("doc_id <= 2"))
+    again = {r.doc_id: r.text for r in store.strip(df).collect()}
+    assert again == got
