@@ -3920,6 +3920,53 @@ def q_streaming_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_cms_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size streaming span history (streaming.NgramCmsStore —
+    ONE Count-Min blob IS the whole n-gram history, O(1) state at any
+    corpus size): documents replay availableNow in 3 micro-batches,
+    then spans() marks against the accumulated blob.  CMS counts are
+    upward-only; at lg_w=20 for this corpus the deterministic hash
+    layout produces ZERO phantom marks, so the exact direct-route
+    oracle hash-matches (the conservative-overmark contract is the
+    operator's; the equality here additionally pins the collision-free
+    regime)."""
+    import os as _os
+
+    from datasketches_spark.streaming import NgramCmsStore
+
+    _ensure(spark)
+    base = _gate_dir(sf_dir, "stream_cmsng_gate")
+    src = _os.path.join(base, "src")
+    docs = _t(spark, sf_dir, "documents")
+    for lo, hi in ((0, 150), (150, 350), (350, 500)):
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    store = NgramCmsStore(
+        _os.path.join(base, "store"), "doc_id", "text", n=8, lg_w=20
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(store.foreach_batch())
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return store.spans(docs, min_count=2).select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+    )
+
+
 def q_streaming_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming boilerplate history (streaming.CommonLineStore —
     sketch state MEETS the pipeline: one HLL blob per line key, doc
@@ -4336,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_simhash_dedup": q_streaming_simhash_dedup,
         "streaming_ngram_counts": q_streaming_ngram_counts,
         "streaming_common_lines": q_streaming_common_lines,
+        "streaming_cms_ngram_spans": q_streaming_cms_ngram_spans,
         "streaming_windowed_rollup": q_streaming_windowed_rollup,
         "streaming_drift_ks": q_streaming_drift_ks,
         "rollup_month_from_day_table": q_rollup_month_from_day_table,
@@ -5144,6 +5192,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_ngram_spans_counts": _spans_oracle("spans"),
         "streaming_ngram_counts": _spans_oracle("spans"),
         "streaming_common_lines": _spans_oracle("remove_lines"),
+        "streaming_cms_ngram_spans": _spans_oracle("spans"),
         "doc_normalize": _doc_normalize_oracle(),
         "duplication_stats": _duplication_stats_oracle(),
         "top_duplicate_ngrams": _spans_oracle("top_ngrams"),

@@ -246,6 +246,12 @@ def duplicate_spans(
     marked = _duplicated_starts(
         df, id_col, text_col, n, min_count, min_docs, hash_join, counts
     )
+    return _merge_starts_to_spans(marked, id_col, n)
+
+
+def _merge_starts_to_spans(marked: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Gaps-and-islands merge of (id, start) covered positions into
+    maximal [span_start, span_end] intervals."""
     w = Window.partitionBy(id_col).orderBy("start")
     # equal-length intervals: the running max end is lag(start)+n-1,
     # so "overlaps or touches the previous interval" is start-lag<=n
@@ -289,6 +295,18 @@ def strip_duplicate_spans(
     spans = duplicate_spans(
         df, id_col, text_col, n, min_count, min_docs, hash_join, counts
     )
+    return _strip_spans_from(df, id_col, text_col, spans, out_col)
+
+
+def _strip_spans_from(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    spans: DataFrame,
+    out_col: str | None,
+) -> DataFrame:
+    """Remove the tokens covered by ``spans`` (a
+    :func:`duplicate_spans`-shaped table) from ``df``'s text."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )

@@ -1123,3 +1123,132 @@ class CommonLineStore:
             df, self.id_col, self.text_col, self.delim,
             self.common_keys(df.sparkSession, min_docs), key, out_col,
         )
+
+
+class NgramCmsStore:
+    """FIXED-SIZE streaming n-gram history for repeated-span dedup —
+    ONE Count-Min blob counting word-n-gram occurrences, O(1) state
+    at ANY corpus size (:class:`NgramCountStore`'s exact table grows
+    with distinct n-grams; at the 100 TB tail that is billions of
+    rows, while this stays one ~depth*2^lg_w-counter blob).
+
+    CMS never under-counts, so span marking is CONSERVATIVE: every
+    true repeat is marked; a hash collision can only OVER-mark — the
+    right failure mode for a junk filter.  Collision rate per probe
+    is ~(distinct/2^lg_w)^depth; size ``lg_w`` to the corpus
+    (lg_w=20 keeps expected phantom marks << 1 for millions of
+    distinct n-grams).
+
+    Additive and replay-guarded like every store; the probe pass
+    broadcasts the blob bytes and scores each batch map-only (the
+    lm.py pattern), with n-grams built by the pinned Python twin of
+    the JVM tokenizer (lm._py_tokens — token-for-token parity,
+    tests/test_pipeline.py TestPyTokensTwin).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str,
+        text_col: str,
+        n: int = 10,
+        lg_w: int = 20,
+    ):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+        self.store = SketchStore(path, "cms", group_cols=[], k=lg_w)
+
+    def _ngrams(self, df: DataFrame) -> DataFrame:
+        from .pipeline.decontam import word_ngrams
+
+        return df.select(
+            F.explode(
+                word_ngrams(F.col(self.text_col), self.n)
+            ).alias("ng")
+        )
+
+    def exists(self, spark: SparkSession) -> bool:
+        return self.store.exists(spark)
+
+    def absorb(self, batch_df: DataFrame) -> None:
+        self.store.absorb(self._ngrams(batch_df), "ng")
+
+    def foreach_batch(self) -> "Callable[[DataFrame, int], None]":
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            if epoch_id <= self.store._last_epoch():
+                return
+            if batch_df.isEmpty():
+                return
+            self.absorb(batch_df)
+            self.store._record_epoch(epoch_id)
+
+        return fn
+
+    def _marked(self, df: DataFrame, min_count: int) -> DataFrame:
+        """(id, start) positions whose n-gram's CMS estimate reaches
+        ``min_count`` — broadcast blob, map-only Arrow probe."""
+        from typing import Iterator  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        from . import compat
+        from .pipeline.lm import _py_tokens
+        from .sketches import CountMinSketch
+
+        spark = df.sparkSession
+        blob = bytes(self.store.read(spark).first()["sketch"])
+        bc = compat.broadcast_value(spark, blob)
+        id_col, text_col, n = self.id_col, self.text_col, self.n
+        out_schema = f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, start int"
+
+        def probe(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            import numpy as np  # noqa: PLC0415
+
+            sk = CountMinSketch.deserialize(bc.value)
+            for pdf in batches:
+                ids_out, starts_out = [], []
+                grams_flat: list[str] = []
+                doc_bounds = []
+                for t in pdf[text_col]:
+                    toks = _py_tokens(t) if t is not None else []
+                    m = max(len(toks) - n + 1, 0)
+                    doc_bounds.append(m)
+                    grams_flat.extend(
+                        " ".join(toks[i : i + n]) for i in range(m)
+                    )
+                if grams_flat:
+                    est = np.asarray(
+                        sk.estimate_series(pd.Series(grams_flat)),
+                        dtype=np.int64,
+                    )
+                else:
+                    est = np.empty(0, dtype=np.int64)
+                off = 0
+                for doc_id, m in zip(pdf[id_col], doc_bounds):
+                    hits = np.nonzero(est[off : off + m] >= min_count)[0]
+                    ids_out.extend([doc_id] * len(hits))
+                    starts_out.extend((hits + 1).tolist())
+                    off += m
+                yield pd.DataFrame({id_col: ids_out, "start": starts_out})
+
+        return df.select(id_col, text_col).mapInPandas(probe, out_schema)
+
+    def spans(self, df: DataFrame, min_count: int = 2) -> DataFrame:
+        """Spans of ``df`` whose n-grams reach ``min_count`` in the
+        accumulated history (conservative: collisions over-mark)."""
+        from .pipeline.spans import _merge_starts_to_spans
+
+        return _merge_starts_to_spans(
+            self._marked(df, min_count), self.id_col, self.n
+        )
+
+    def strip(
+        self, df: DataFrame, min_count: int = 2, out_col: "str | None" = None
+    ) -> DataFrame:
+        from .pipeline.spans import _strip_spans_from
+
+        return _strip_spans_from(
+            df, self.id_col, self.text_col,
+            self.spans(df, min_count), out_col,
+        )

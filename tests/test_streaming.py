@@ -1032,3 +1032,38 @@ def test_common_line_store_matches_batch_operator(spark, tmpdir):
     store.absorb(df.filter("doc_id <= 2"))
     again = {r.doc_id: r.text for r in store.strip(df).collect()}
     assert again == got
+
+
+def test_ngram_cms_store_matches_exact_at_sized_width(spark, tmpdir):
+    """NgramCmsStore (ONE fixed-size CMS blob as the whole history):
+    at a width sized to the corpus the upward-only CMS counts equal
+    the exact table, so spans/strip match the direct route; replay
+    guard drops redelivered epochs."""
+    dss.register(spark)
+    from datasketches_spark.pipeline.spans import duplicate_spans
+    from datasketches_spark.streaming import NgramCmsStore
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter("doc_id < 200")
+    store = NgramCmsStore(f"{tmpdir}/cms_ng", "doc_id", "text", n=8, lg_w=20)
+    store.absorb(docs.filter("doc_id < 100"))
+    store.absorb(docs.filter("doc_id >= 100"))
+    got = sorted(map(tuple, store.spans(docs, min_count=2).collect()))
+    want = sorted(
+        map(
+            tuple,
+            duplicate_spans(docs, "doc_id", "text", n=8, min_count=2)
+            .select("doc_id", "span_start", "span_end").collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+    s1 = store.strip(docs, min_count=2, out_col="clean")
+    total = s1.select(F.sum(F.length("clean"))).first()[0]
+    before = docs.select(F.sum(F.length("text"))).first()[0]
+    assert total < before
+    # epoch guard: replaying epoch 0 via foreach_batch is a no-op
+    fn = store.foreach_batch()
+    store.store._record_epoch(5)
+    fn(docs.limit(10), 3)
+    assert sorted(map(tuple, store.spans(docs, min_count=2).collect())) == got
