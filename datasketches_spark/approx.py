@@ -624,6 +624,20 @@ def semantic_decontaminate(
     return _sd(train_emb, bench_emb, id_col, vec_col, threshold)
 
 
+def drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    columns: list[str],
+    k: int = 32768,
+) -> DataFrame:
+    """Per-column drift between two corpora: n/mean deltas + the
+    two-sample KS, computed entirely from blobs (one scan per side;
+    exact in exact mode — profile.drift_report)."""
+    from .profile import drift_report
+
+    return drift_report(df_a, df_b, columns, k=k)
+
+
 def media_metadata(df: DataFrame, bin_col: str) -> DataFrame:
     """Typed metadata struct (n_bytes, magic_hex, checksum) appended
     for an opaque binary media column — pure JVM expressions, no
