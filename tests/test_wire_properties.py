@@ -406,3 +406,28 @@ def test_dsks_frame_bitflip_never_escapes(family, seed):
             f"{family} byte-flip at {pos} leaked "
             f"{type(exc).__name__}: {exc}"
         )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.text(min_size=0, max_size=24), min_size=0, max_size=300),
+    st.integers(min_value=8, max_value=400),
+)
+def test_kll_items_roundtrip_property(values, k):
+    """Arbitrary unicode item streams: DSKS frame AND Apache wire
+    round trips preserve n/min/max and exact-mode quantiles."""
+    from datasketches_spark.sketches import KllItemsSketch
+
+    sk = KllItemsSketch(k)
+    if values:
+        sk.update(np.asarray(values, dtype=object))
+    for rt in (
+        KllItemsSketch.deserialize(sk.serialize()),
+        KllItemsSketch.from_wire(sk.to_wire()),
+    ):
+        assert rt.n == sk.n
+        assert rt.get_min_item() == sk.get_min_item()
+        assert rt.get_max_item() == sk.get_max_item()
+        if values and not sk.is_estimation_mode:
+            for q in (0.0, 0.37, 1.0):
+                assert rt.get_quantile(q) == sk.get_quantile(q)
