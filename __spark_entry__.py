@@ -3912,7 +3912,9 @@ def q_streaming_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming gate timed out after 300s")
     return store.spans(docs, min_count=2).select(
         "doc_id",
         F.col("span_start").cast("bigint").alias("span_start"),
@@ -3959,7 +3961,9 @@ def q_streaming_cms_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming gate timed out after 300s")
     return store.spans(docs, min_count=2).select(
         "doc_id",
         F.col("span_start").cast("bigint").alias("span_start"),
@@ -4004,7 +4008,9 @@ def q_streaming_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming gate timed out after 300s")
     return store.strip(chunked, out_col="clean").select("doc_id", "clean")
 
 

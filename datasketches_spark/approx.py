@@ -624,7 +624,7 @@ def semantic_decontaminate(
     return _sd(train_emb, bench_emb, id_col, vec_col, threshold)
 
 
-def drift(
+def drift_report(
     df_a: DataFrame,
     df_b: DataFrame,
     columns: list[str],
@@ -632,7 +632,8 @@ def drift(
 ) -> DataFrame:
     """Per-column drift between two corpora: n/mean deltas + the
     two-sample KS, computed entirely from blobs (one scan per side;
-    exact in exact mode — profile.drift_report)."""
+    exact in exact mode — profile.drift_report).  Distinct from
+    :func:`drift`, the single-column (optionally grouped) KS surface."""
     from .profile import drift_report
 
     return drift_report(df_a, df_b, columns, k=k)

@@ -103,10 +103,10 @@ def test_drift_report_exact_ks_and_validation(spark):
         drift_report(a, b, ["nope"])
 
 
-def test_approx_drift_facade(spark):
+def test_approx_drift_report_facade(spark):
     from datasketches_spark import approx
 
     a = spark.range(200).selectExpr("CAST(id AS double) AS x")
     b = spark.range(200).selectExpr("CAST(id + 100 AS double) AS x")
-    row = approx.drift(a, b, ["x"], k=1024).first()
+    row = approx.drift_report(a, b, ["x"], k=1024).first()
     assert row.column == "x" and abs(row.ks - 0.5) < 1e-12
