@@ -29,21 +29,56 @@ from .. import compat
 from datasketches_spark.pipeline.text import tokens
 
 
-def word_ngrams(col, n: int) -> Column:
-    """Array of space-joined word ``n``-grams of lower-cased text.
+def word_ngrams_from_tokens(toks_col: Column, n: int) -> Column:
+    """Array of space-joined ``n``-grams over an ALREADY-MATERIALIZED
+    token-array column.
 
-    Documents shorter than ``n`` tokens yield an empty array.
+    Callers should project ``tokens(text)`` into its own column first
+    and pass that attribute here: the token expression appears three
+    times in this tree (two sizes + the slice lambda), so an inlined
+    ``split(trim(lower(...)))`` is re-evaluated per reference, ~20%
+    of the whole n-gram stage measured at sf0.1 (round 14).  Catalyst
+    does not re-collapse the hoisting projection because the reference
+    is non-cheap and used more than once.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = tokens(col)
-    last_start = F.size(toks) - (n - 1)
+    last_start = F.size(toks_col) - (n - 1)
     return F.when(last_start <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), last_start),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.array_join(F.slice(toks_col, i, n), " "),
         )
     )
+
+
+def word_ngrams(col, n: int) -> Column:
+    """Array of space-joined word ``n``-grams of lower-cased text.
+
+    Documents shorter than ``n`` tokens yield an empty array.  Inline
+    form — the tokenizing split is embedded (and re-evaluated) at each
+    of its three references; hot paths should hoist the token array
+    into a projected column and use :func:`word_ngrams_from_tokens`.
+    """
+    return word_ngrams_from_tokens(tokens(col), n)
+
+
+def _ngrams_exploded(
+    df: DataFrame, id_cols: list[str], text_col: str, n: int,
+    with_pos: bool = False,
+) -> DataFrame:
+    """Explode a text column into word n-grams with the token array
+    hoisted into its own projection (split runs once per row)."""
+    base = df.select(
+        *[F.col(c) for c in id_cols],
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    ng = word_ngrams_from_tokens(F.col("__toks"), n)
+    if with_pos:
+        return base.select(
+            *id_cols, F.posexplode(ng).alias("pos", "ng")
+        )
+    return base.select(*id_cols, F.explode(ng).alias("ng"))
 
 
 def benchmark_ngrams(bench: DataFrame, text_col: str, n: int) -> DataFrame:
@@ -58,8 +93,7 @@ def benchmark_ngrams(bench: DataFrame, text_col: str, n: int) -> DataFrame:
     """
     par = compat.default_parallelism(bench.sparkSession)
     return (
-        bench.repartition(par)
-        .select(F.explode(word_ngrams(F.col(text_col), n)).alias("ng"))
+        _ngrams_exploded(bench.repartition(par), [], text_col, n)
         .distinct()
     )
 
@@ -91,18 +125,25 @@ def _fan_out_if_narrow(df: DataFrame) -> DataFrame:
     large enough that file splits spread the work on their own and a
     raw-text shuffle would be the real cost (cluster-scale behavior:
     with 1000 cores the per-core threshold alone would admit ~128 GB)."""
+    if _plan_is_narrow(df):
+        return df.repartition(compat.default_parallelism(df.sparkSession))
+    return df
+
+
+def _plan_is_narrow(df: DataFrame) -> bool:
+    """True when ``df``'s scan is small enough that small-corpus
+    optimizations (round-robin fan-out, persist-instead-of-rescan)
+    are worth their cost.  Reads plan BYTES, never partition counts
+    (hollow-split caveat above); False when planner stats are
+    unreachable (Spark Connect) — skipping the optimizations is
+    always correct."""
     spark = df.sparkSession
     par = compat.default_parallelism(spark)
     max_split = compat.files_max_partition_bytes(spark)
     plan_bytes = compat.plan_size_bytes(df)
     if plan_bytes is None:
-        # planner stats unreachable (Spark Connect): never shuffle raw
-        # text on a guess — the fan-out is an optimization for SMALL
-        # scans, and skipping it is always correct
-        return df
-    if plan_bytes < min(par * max_split, _FAN_OUT_BYTE_CAP):
-        return df.repartition(par)
-    return df
+        return False
+    return plan_bytes < min(par * max_split, _FAN_OUT_BYTE_CAP)
 
 
 def contamination(
@@ -141,8 +182,8 @@ def contamination(
     ``hash_join=False`` for exact string equality.
     """
     bng = benchmark_ngrams(bench, text_col, n)
-    exploded = _fan_out_if_narrow(train).select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("ng")
+    exploded = _ngrams_exploded(
+        _fan_out_if_narrow(train), [id_col], text_col, n
     )
     if hash_join:
         bng = bng.select(F.xxhash64("ng").alias("__ngh"))

@@ -33,23 +33,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .decontam import _fan_out_if_narrow, word_ngrams
+from .decontam import _fan_out_if_narrow, _ngrams_exploded
 
 
 def _exploded_starts(
     df: DataFrame, id_col: str, text_col: str, n: int, hash_join: bool
 ) -> DataFrame:
     """(id, start, g): 1-based n-gram start positions keyed by the
-    (optionally xxhash64'd) n-gram."""
+    (optionally xxhash64'd) n-gram.  The token array is hoisted into
+    its own projection so the split runs once per row (r14)."""
     key = F.xxhash64("ng") if hash_join else F.col("ng")
-    return (
-        _fan_out_if_narrow(df)
-        .select(
-            F.col(id_col),
-            F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos", "ng"),
-        )
-        .select(id_col, (F.col("pos") + 1).alias("start"), key.alias("g"))
-    )
+    return _ngrams_exploded(
+        _fan_out_if_narrow(df), [id_col], text_col, n, with_pos=True
+    ).select(id_col, (F.col("pos") + 1).alias("start"), key.alias("g"))
 
 
 # column-metadata tag on stored n-gram count tables (the same
@@ -198,6 +194,18 @@ def _duplicated_starts(
         exploded = _exploded_starts(df, id_col, text_col, n, True)
         return exploded.join(dup, "g").select(id_col, "start")
     exploded = _exploded_starts(df, id_col, text_col, n, hash_join)
+    # The direct route reads `exploded` TWICE (count branch + probe
+    # branch), re-running the scan and the n-gram build.  When the
+    # input is small enough that _fan_out_if_narrow would shuffle it
+    # anyway, persist the slim (id, start, g) table instead so the
+    # tokenize+n-gram work runs once; at corpus scale the gate is
+    # False and the two-scan design (never cache a corpus-sized
+    # intermediate) stands.  bench/gate sessions clearCache() between
+    # queries; long-lived sessions can unpersist via catalog.
+    from .decontam import _plan_is_narrow  # noqa: PLC0415
+
+    if _plan_is_narrow(df):
+        exploded = exploded.persist()
     # occurrence counts only; add the per-doc distinct count only when
     # the threshold needs it (count_distinct forces a wider partial)
     aggs = [F.count("*").alias("c")]
@@ -396,10 +404,9 @@ def top_duplicate_ngrams(
         raise ValueError(f"k must be >= 1, got {k}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    exploded = _fan_out_if_narrow(df).select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"),
-    )
+    exploded = _ngrams_exploded(
+        _fan_out_if_narrow(df), [id_col], text_col, n
+    ).withColumnRenamed("ng", "ngram")
     return (
         exploded.groupBy("ngram")
         .agg(

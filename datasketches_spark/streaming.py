@@ -1160,13 +1160,9 @@ class NgramCmsStore:
         self.store = SketchStore(path, "cms", group_cols=[], k=lg_w)
 
     def _ngrams(self, df: DataFrame) -> DataFrame:
-        from .pipeline.decontam import word_ngrams
+        from .pipeline.decontam import _ngrams_exploded
 
-        return df.select(
-            F.explode(
-                word_ngrams(F.col(self.text_col), self.n)
-            ).alias("ng")
-        )
+        return _ngrams_exploded(df, [], self.text_col, self.n)
 
     def exists(self, spark: SparkSession) -> bool:
         return self.store.exists(spark)
