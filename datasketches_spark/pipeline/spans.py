@@ -515,6 +515,15 @@ def remove_common_lines(
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     ln = _lines_exploded(df, id_col, text_col, delim)
+    # the count branch and the strip branch both explode the corpus;
+    # persist the slim (id, pos, line) table when the input is small
+    # enough that the fan-out gate would shuffle it anyway (one split+
+    # explode instead of two — measured 2.4 s -> 1.7 s at sf0.1).  At
+    # corpus scale the gate is False and both branches stream the scan.
+    from .decontam import _plan_is_narrow  # noqa: PLC0415
+
+    if _plan_is_narrow(df):
+        ln = ln.persist()
     key = F.trim(F.lower(F.col("line")))
     k = F.xxhash64(key) if hash_join else key
     common = (
@@ -526,7 +535,7 @@ def remove_common_lines(
         .select("__ck")
     )
     return _strip_lines_by_keys(
-        df, id_col, text_col, delim, common, k, out_col
+        df, id_col, text_col, delim, common, k, out_col, lines=ln
     )
 
 
@@ -538,11 +547,15 @@ def _strip_lines_by_keys(
     common: DataFrame,
     key_expr,
     out_col: str | None,
+    lines: DataFrame | None = None,
 ) -> DataFrame:
     """Anti-join ``df``'s lines against the ``common`` key set
     (column ``__ck``, same key convention as ``key_expr``) and
-    reassemble surviving lines in order."""
-    ln = _lines_exploded(df, id_col, text_col, delim)
+    reassemble surviving lines in order.  ``lines`` reuses an
+    already-built (possibly persisted) ``_lines_exploded`` table."""
+    ln = lines if lines is not None else _lines_exploded(
+        df, id_col, text_col, delim
+    )
     kept = (
         ln.withColumn("__k", key_expr)
         .join(common, F.col("__k") == F.col("__ck"), "left_anti")
