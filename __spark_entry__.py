@@ -1821,14 +1821,27 @@ def _curation_eligible(spark: SparkSession, sf_dir: str) -> DataFrame:
       wire (exact_dedup keep_cols).  Duplicate texts share a
       fingerprint AND a lang, so the kept set is unchanged."""
     from datasketches_spark.pipeline import dedup as _D
+    from datasketches_spark.pipeline.decontam import _plan_is_narrow
 
-    par = spark.sparkContext.defaultParallelism
-    docs = _t(spark, sf_dir, "documents").repartition(par).withColumn(
-        "quality", _T.quality_score(F.col("text"))
-    )
-    filt = docs.filter(F.col("quality") >= 0.5).withColumn(
-        "lang", _T.lang_id(F.col("text"))
-    )
+    docs = _t(spark, sf_dir, "documents")
+    quality = _T.quality_score(F.col("text"))
+    if _plan_is_narrow(docs):
+        # Small scan (often ONE productive split — parquet byte-range
+        # splits of a 1-row-group file are hollow): fan out first so
+        # the ~7 regex passes use every core.  The optimizer pushes a
+        # deterministic filter back through the exchange onto the
+        # serial scan side (measured r14: the whole quality pass ran
+        # on the scan split, 1.77 s -> 1.42 s min-of-5 when kept
+        # above), so the filter value is nondeterministic-tainted
+        # (+ rand()*0.0, value unchanged) to pin it above the
+        # exchange.  At corpus scale the gate is False and the filter
+        # stays at the scan where early filtering wins.
+        par = spark.sparkContext.defaultParallelism
+        docs = docs.repartition(par)
+        quality = quality + F.rand(7) * F.lit(0.0)
+    filt = docs.withColumn("quality", quality).filter(
+        F.col("quality") >= 0.5
+    ).withColumn("lang", _T.lang_id(F.col("text")))
     return _D.exact_dedup(filt, "text", "doc_id", keep_cols=["doc_id", "lang"])
 
 
