@@ -1216,7 +1216,14 @@ def _chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthetic corpus has no newlines, so the line-dedup gates
     manufacture them identically in BOTH engines (pure Column exprs
     here, list exprs in the oracle); the operator under test is the
-    corpus-wide line-frequency removal, not the chunking."""
+    corpus-wide line-frequency removal, not the chunking.
+
+    Hoisting the token array into its own projection was A/B'd r14
+    (min-of-5 interleaved, common_lines consumer): inline 2.53 s vs
+    hoisted 2.86 s — the chunk expression lives in a codegen'd
+    Project where subexpression elimination already shares the split,
+    unlike the interpreted Generate subtrees that did need the hoist.
+    Keep it inline."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     nl = F.ceil(F.size(toks) / F.lit(12.0)).cast("int")
