@@ -93,9 +93,32 @@ def _bench_scalar_over_stored(spark, sf_dir):
     return n, dt
 
 
+def _steal_ticks() -> int | None:
+    """Aggregate steal ticks from /proc/stat (column 8 of the `cpu` line).
+
+    Round-14 postmortem: the driver's 32-core bench window coincided
+    with an external hypervisor load burst (identical code measured
+    54.5 s there vs 16.2 s at 8 cores six minutes later) and nothing in
+    the JSON line recorded it, so PERF mechanically scored 22/22
+    regressions.  Emitting the per-run steal delta (additions-only)
+    lets any later reader audit whether a window was poisoned.
+    """
+    try:
+        with open("/proc/stat") as fh:
+            for line in fh:
+                if line.startswith("cpu "):
+                    parts = line.split()
+                    # fields: user nice system idle iowait irq softirq steal
+                    return int(parts[8]) if len(parts) > 8 else None
+    except OSError:
+        return None
+    return None
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    steal_before = _steal_ticks()
     sf = sf_dir.rstrip("/").split("sf")[-1]
     # make the package importable inside python workers (the fastworker
     # daemon module below is imported by `python -m` in a fresh process)
@@ -236,6 +259,7 @@ def main():
     deadline = time.monotonic() + float(
         os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "240")
     )
+    rounds_completed = 0
     for _round in range(6):
         if _round > 0 and time.monotonic() > deadline:
             print(
@@ -260,6 +284,7 @@ def main():
                 )
             finally:
                 spark.catalog.clearCache()
+        rounds_completed = _round + 1
 
     if "hll_native_distinct" in extra_heads:
         try:
@@ -286,13 +311,24 @@ def main():
             )
 
     total = round(sum(timings.values()), 3)
+    steal_after = _steal_ticks()
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # measurement-audit fields (ADDITIONS-only, round 15): how many
+        # of the 6 interleaved min-of-N rounds actually completed before
+        # the soft deadline (min-of-1 == warmup-contaminated), the run's
+        # /proc/stat steal-tick delta (1 tick = 10 ms of a stolen core;
+        # the r14 poisoned window measured ~hundreds of stolen
+        # core-seconds), and the core count the run honored.
+        "rounds_completed": rounds_completed,
+        "cpus": int(cpus) if str(cpus).isdigit() else cpus,
     }
+    if steal_before is not None and steal_after is not None:
+        payload["steal_ticks_delta"] = steal_after - steal_before
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))

@@ -177,6 +177,21 @@ def physical_plan_string(df: DataFrame) -> str:
         return buf.getvalue()
 
 
+def formatted_plan_string(df: DataFrame) -> str:
+    """``EXPLAIN FORMATTED`` text.  Classic asks PythonSQLUtils for the
+    string directly; under Spark Connect (no py4j bridge) the fallback
+    captures ``df.explain("formatted")`` stdout — same content."""
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+
 def fs_path_exists(spark: SparkSession, path: str) -> bool:
     """Does ``path`` exist, for any Hadoop-supported scheme?
 

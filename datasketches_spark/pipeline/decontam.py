@@ -106,7 +106,7 @@ def benchmark_ngrams(bench: DataFrame, text_col: str, n: int) -> DataFrame:
 _FAN_OUT_BYTE_CAP = 4 << 30
 
 
-def _fan_out_if_narrow(df: DataFrame) -> DataFrame:
+def _fan_out_if_narrow(df: DataFrame, narrow: bool | None = None) -> DataFrame:
     """Round-robin repartition a scan too small to spread the n-gram
     explode across the cluster's cores.  At 100 TB the scan has
     thousands of splits and this is a NO-OP (the check reads plan
@@ -124,8 +124,12 @@ def _fan_out_if_narrow(df: DataFrame) -> DataFrame:
     the shuffle — up to ``_FAN_OUT_BYTE_CAP``, above which the scan is
     large enough that file splits spread the work on their own and a
     raw-text shuffle would be the real cost (cluster-scale behavior:
-    with 1000 cores the per-core threshold alone would admit ~128 GB)."""
-    if _plan_is_narrow(df):
+    with 1000 cores the per-core threshold alone would admit ~128 GB).
+
+    ``narrow`` short-circuits the gate with a verdict the caller
+    already computed (planner stats are fetched once per query, not
+    once per helper — ADVICE r14)."""
+    if narrow if narrow is not None else _plan_is_narrow(df):
         return df.repartition(compat.default_parallelism(df.sparkSession))
     return df
 

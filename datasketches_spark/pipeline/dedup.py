@@ -106,8 +106,24 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle: int = 5,
     seed: int = 1,
+    fan_out: bool = False,
 ) -> DataFrame:
-    """(id, sig array<long>[num_hashes]) -- deterministic given seed."""
+    """(id, sig array<long>[num_hashes]) -- deterministic given seed.
+
+    ``fan_out=True`` round-robin repartitions the slim (id, text)
+    projection before the Python pass when the scan is narrow
+    (plan-bytes gate, no-op at corpus scale) — a small parquet is
+    often ONE productive split, serializing the shingle-hash pass onto
+    a single core.  MEASURED r15 (sf0.1, interleaved min-of-4,
+    noop sink): full 5000-doc corpus 1.88 s serial -> 1.12 s fanned
+    (1.68x); but a 200-doc FILTERED slice of the same file 0.54 s ->
+    1.19 s (2.2x LOSS — the exchange + 32-task overhead exceeds the
+    tiny parallel win, and plan stats cannot see the filter: both
+    plans report the identical scan estimate, so no automatic gate
+    can distinguish them).  Hence opt-in: pass ``fan_out=True`` when
+    the input is an unfiltered narrow corpus with real per-row work.
+    Per-row signatures are a pure function of the row, so results are
+    identical either way."""
     seeds = splitmix64(np.arange(num_hashes, dtype=np.uint64), seed=seed)
     schema = StructType(
         [
@@ -129,7 +145,12 @@ def minhash_signatures(
                 sigs.append(mixed.min(axis=0).astype(np.int64).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
+    slim = df.select(id_col, text_col)
+    if fan_out:
+        from .decontam import _fan_out_if_narrow  # noqa: PLC0415
+
+        slim = _fan_out_if_narrow(slim)
+    return slim.mapInPandas(compute, schema=schema)
 
 
 def minhash_signatures_jvm(
@@ -249,6 +270,7 @@ def minhash_near_duplicates(
     seed: int = 1,
     persist: bool = True,
     signatures: "DataFrame | str | None" = None,
+    fan_out: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) pairs with estimated jaccard >= threshold.
 
@@ -267,7 +289,9 @@ def minhash_near_duplicates(
         _check_sig_width(sigs, bands, rows)
         persist = False  # the stored table IS the materialization
     else:
-        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
+        sigs = minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle, seed, fan_out=fan_out
+        )
     if persist:
         sigs = sigs.persist()
     pairs = minhash_candidate_pairs(sigs, id_col, bands, rows)
@@ -309,6 +333,7 @@ def write_minhash_signatures(
     seed: int = 1,
     engine: str = "pandas",
     mode: str = "overwrite",
+    fan_out: bool = False,
 ) -> str:
     """Compute MinHash signatures once and persist them as a table.
 
@@ -328,7 +353,9 @@ def write_minhash_signatures(
     if engine == "jvm":  # note: the jvm hash family has no seed knob
         sigs = minhash_signatures_jvm(df, id_col, text_col, num_hashes, shingle)
     elif engine == "pandas":
-        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
+        sigs = minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle, seed, fan_out=fan_out
+        )
     else:
         raise ValueError(f"unknown engine: {engine!r} (want 'jvm' or 'pandas')")
     # record the hash-family parameters in the column metadata
@@ -523,6 +550,7 @@ def lsh_verified_near_duplicates(
     persist: bool = True,
     engine: str = "pandas",
     signatures: "DataFrame | str | None" = None,
+    fan_out: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) near-dup pairs with EXACT char-ngram
     Jaccard >= threshold, found via MinHash LSH.
@@ -813,7 +841,16 @@ def fuzzy_dedup(
     drop = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    kept = df.join(drop, id_col, "left_anti")
+    # the removed-id anti-join: `drop` is Python/checkpoint-derived, so
+    # at corpus scale the planner sort-merges the WHOLE corpus against
+    # it; anti_join_pruned splits the corpus with a Bloom filter over
+    # the dropped ids first (exact: Bloom negatives ship straight to
+    # the output, only possibly-dropped rows enter the join).  When
+    # the planner already broadcasts `drop` (toy inputs, known-small
+    # stats) the plain join is kept unchanged.
+    from ..runtime_filter import anti_join_pruned  # noqa: PLC0415
+
+    kept = anti_join_pruned(df, drop, id_col)
     return kept.select(*(keep_cols or df.columns))
 
 
@@ -821,7 +858,12 @@ def fuzzy_dedup(
 
 
 def simhash64(
-    df: DataFrame, id_col: str, text_col: str, seed: int = 7, hasher: str = "fast"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed: int = 7,
+    hasher: str = "fast",
+    fan_out: bool = False,
 ) -> DataFrame:
     """(id, simhash long): sign-sum of token-hash bits (deterministic).
 
@@ -899,7 +941,14 @@ def simhash64(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
-    return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
+    # same opt-in narrow-scan fan-out as minhash_signatures (see its
+    # docstring for the measured win/loss regimes)
+    slim = df.select(id_col, text_col)
+    if fan_out:
+        from .decontam import _fan_out_if_narrow  # noqa: PLC0415
+
+        slim = _fan_out_if_narrow(slim)
+    return slim.mapInPandas(compute, schema=schema)
 
 
 def _simhash_band_explode(sim_df: DataFrame, id_col: str) -> DataFrame:

@@ -1114,7 +1114,13 @@ def semantic_dedup(
         .select(F.col(f"a.{id_col}").alias(id_col))
         .distinct()
     )
-    kept = df.join(dropped, id_col, "left_anti")
+    # same anti-join prune as fuzzy_dedup: `dropped` is derived through
+    # a Python assignment pass, so corpus-scale plans sort-merge the
+    # whole corpus against it; the Bloom split shuffles only
+    # possibly-dropped rows (plain broadcast plans are kept unchanged)
+    from ..runtime_filter import anti_join_pruned  # noqa: PLC0415
+
+    kept = anti_join_pruned(df, dropped, id_col)
     if keep_cluster_col:
         kept = kept.join(assigned.select(id_col, cluster_col), id_col)
     return kept

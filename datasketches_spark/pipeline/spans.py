@@ -37,14 +37,21 @@ from .decontam import _fan_out_if_narrow, _ngrams_exploded
 
 
 def _exploded_starts(
-    df: DataFrame, id_col: str, text_col: str, n: int, hash_join: bool
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    hash_join: bool,
+    narrow: bool | None = None,
 ) -> DataFrame:
     """(id, start, g): 1-based n-gram start positions keyed by the
     (optionally xxhash64'd) n-gram.  The token array is hoisted into
-    its own projection so the split runs once per row (r14)."""
+    its own projection so the split runs once per row (r14).
+    ``narrow`` forwards a precomputed plan-width verdict so planner
+    stats are fetched once per query (ADVICE r14)."""
     key = F.xxhash64("ng") if hash_join else F.col("ng")
     return _ngrams_exploded(
-        _fan_out_if_narrow(df), [id_col], text_col, n, with_pos=True
+        _fan_out_if_narrow(df, narrow=narrow), [id_col], text_col, n, with_pos=True
     ).select(id_col, (F.col("pos") + 1).alias("start"), key.alias("g"))
 
 
@@ -193,7 +200,6 @@ def _duplicated_starts(
         )
         exploded = _exploded_starts(df, id_col, text_col, n, True)
         return exploded.join(dup, "g").select(id_col, "start")
-    exploded = _exploded_starts(df, id_col, text_col, n, hash_join)
     # The direct route reads `exploded` TWICE (count branch + probe
     # branch), re-running the scan and the n-gram build.  When the
     # input is small enough that _fan_out_if_narrow would shuffle it
@@ -202,9 +208,13 @@ def _duplicated_starts(
     # False and the two-scan design (never cache a corpus-sized
     # intermediate) stands.  bench/gate sessions clearCache() between
     # queries; long-lived sessions can unpersist via catalog.
+    # The verdict is computed ONCE and forwarded (ADVICE r14: planner
+    # stats were fetched twice per query here).
     from .decontam import _plan_is_narrow  # noqa: PLC0415
 
-    if _plan_is_narrow(df):
+    narrow = _plan_is_narrow(df)
+    exploded = _exploded_starts(df, id_col, text_col, n, hash_join, narrow=narrow)
+    if narrow:
         exploded = exploded.persist()
     # occurrence counts only; add the per-doc distinct count only when
     # the threshold needs it (count_distinct forces a wider partial)
@@ -243,6 +253,14 @@ def duplicate_spans(
     64-bit collision can merge two distinct n-grams' counts
     (probability ~|ngrams|^2/2^64), over-marking only.  Set
     ``hash_join=False`` for exact string keys.
+
+    Cache lifetime: on a narrow input (plan-bytes gate) the direct
+    route ``persist()``\\ s the slim exploded table so its two
+    consumers share one tokenize+explode; the cache lives until the
+    session drops it — long-lived sessions should
+    ``spark.catalog.clearCache()`` after materializing the result
+    (bench/gate sessions already do).  At corpus scale the gate is
+    off and nothing is cached.
 
     ``counts=`` (path or DataFrame from :func:`write_ngram_counts`)
     switches to the STORED route: the corpus counting scan ran once
@@ -503,7 +521,11 @@ def remove_common_lines(
     Matching is on the trimmed+lower-cased line; surviving lines keep
     their ORIGINAL text and order and re-join on ``delim``.  A
     document whose every line was common becomes ``''``; NULL text
-    stays NULL.  ``hash_join=True`` (default) anti-joins on
+    stays NULL.  Cache lifetime: on a narrow input the line explode is
+    ``persist()``\\ ed (shared by the count and strip branches) until
+    the session drops it — long-lived sessions should
+    ``spark.catalog.clearCache()`` after materializing the result.
+    ``hash_join=True`` (default) anti-joins on
     ``xxhash64`` of the key — 8-byte shuffle keys; a collision can
     only over-remove, with probability ~|lines|^2/2^64.
 

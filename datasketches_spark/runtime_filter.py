@@ -34,7 +34,26 @@ from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 from . import compat
 from .aggregation import sketch_agg
+from .families import coerce_value_batch
 from .sketches import BloomFilterSketch
+
+
+def _declared_kind(fact: DataFrame, fact_key) -> "str | None":
+    """``"int64"`` when the probe key is a DECLARED integral column —
+    the probe must undo pandas' null-driven float64 rendering (5 int
+    and 5.0 double hash differently) exactly like the build side's
+    :func:`~datasketches_spark.families.coerce_value_batch` does.
+    Column expressions (unresolvable here) keep the raw dtype."""
+    if isinstance(fact_key, Column):
+        return None
+    try:
+        return (
+            "int64"
+            if isinstance(fact.schema[fact_key].dataType, _INTEGRAL)
+            else None
+        )
+    except Exception:
+        return None
 
 
 def bloom_filter_of(
@@ -99,6 +118,7 @@ def bloom_prune_with(
     dropped either way.
     """
     key = fact_key if isinstance(fact_key, Column) else F.col(fact_key)
+    kind = _declared_kind(fact, fact_key)
     bc = compat.broadcast_value(fact.sparkSession, bytes(blob))
     holder: list[BloomFilterSketch] = []
 
@@ -110,7 +130,7 @@ def bloom_prune_with(
         out = pd.Series(False, index=keys.index)
         ok = keys.notna()
         if ok.any():
-            hits = sk.contains_values(keys[ok])
+            hits = sk.contains_values(coerce_value_batch(keys[ok], kind))
             out[ok] = ~hits if invert else hits
         return out
 
@@ -177,6 +197,7 @@ def bloomfilter_prune_with(
     from .sketches import ApacheBloomFilter  # noqa: PLC0415
 
     key = fact_key if isinstance(fact_key, Column) else F.col(fact_key)
+    kind = _declared_kind(fact, fact_key)
     bc = compat.broadcast_value(fact.sparkSession, bytes(blob))
     holder: list = []
 
@@ -188,7 +209,7 @@ def bloomfilter_prune_with(
         out = pd.Series(False, index=keys.index)
         ok = keys.notna()
         if ok.any():
-            hits = sk.query_series(keys[ok])
+            hits = sk.query_series(coerce_value_batch(keys[ok], kind))
             out[ok] = ~hits if invert else hits
         return out
 
@@ -389,3 +410,93 @@ def bloom_prune(
             fact, fact_key, bloomfilter_blob(dim, dim_key, lg_m=lg_m)
         )
     return bloom_prune_with(fact, fact_key, bloom_filter_blob(dim, dim_key, lg_m=lg_m))
+
+
+def bloom_pruned_anti_join(
+    fact: DataFrame,
+    drop: DataFrame,
+    key_col: str,
+    lg_m: int = 23,
+    engine: str = "auto",
+) -> DataFrame:
+    """``fact LEFT ANTI JOIN drop ON key_col`` with the fact side
+    pre-split by a Bloom filter over ``drop``'s keys — guide §3.2's
+    big-side reduction applied to the ANTI direction.
+
+    A plain anti-join against a Python-derived ``drop`` (unknown
+    planner stats) sort-merges the whole corpus: every fact row —
+    matching or not — is shuffled and sorted just to be checked
+    against a key set that is usually tiny.  Bloom NEGATIVES are
+    exact, so definitely-unseen rows (the overwhelming majority when
+    duplicates are sparse) ship straight to the output with NO
+    shuffle; only possibly-seen rows (true drops + the filter's false
+    positives) enter the exact anti-join.  NULL-key rows can never
+    match and are routed straight to the output, matching
+    ``left_anti`` semantics.  The result ROW SET is identical to the
+    plain anti-join for any filter contents — false positives only
+    send extra rows through the exact join.
+
+    Costs: the drop side is scanned twice (filter build + join side —
+    cheap: it is the small side, typically checkpointed/persisted by
+    callers), the fact side is scanned per branch instead of shuffled
+    once (scans with pushdown beat a corpus-wide shuffle at scale),
+    and the ``2^lg_m``-bit filter is broadcast.  Default ``lg_m=23``
+    (1 MB) holds ~1M dropped keys at <1% FPP; beyond that the prune
+    degrades gracefully (more rows re-checked exactly, never wrong) —
+    raise ``lg_m`` when billions of keys are dropped.  Engine
+    dispatch matches :func:`bloom_prune`.
+    """
+    if engine not in ("auto", "jvm", "python", "apache"):
+        raise ValueError(f"engine ({engine!r}) must be auto/jvm/python/apache")
+    if engine == "auto":
+        key_type = drop.schema[key_col].dataType
+        engine = (
+            "jvm"
+            if isinstance(key_type, _INTEGRAL) and compat.has_jvm(drop)
+            else "python"
+        )
+    drop_keys = drop.select(key_col).where(F.col(key_col).isNotNull())
+    # NULL keys are routed around the probes entirely (below): besides
+    # matching anti-join semantics, this keeps integral key batches
+    # int64 in pandas — ONE null in a batch renders the whole batch
+    # float64, and ints hash differently from doubles (the
+    # coerce_value_batch disease; the probes also coerce defensively)
+    fact_nn = fact.where(F.col(key_col).isNotNull())
+    if engine == "jvm":
+        blob = jvm_bloom_filter_bytes(drop_keys, key_col, lg_m=lg_m)
+        pos = jvm_bloom_prune_with(fact_nn, key_col, blob)
+        neg = jvm_bloom_prune_with(fact_nn, key_col, blob, invert=True)
+    elif engine == "apache":
+        blob = bloomfilter_blob(drop_keys, key_col, lg_m=lg_m)
+        pos = bloomfilter_prune_with(fact_nn, key_col, blob)
+        neg = bloomfilter_prune_with(fact_nn, key_col, blob, invert=True)
+    else:
+        blob = bloom_filter_blob(drop_keys, key_col, lg_m=lg_m)
+        pos = bloom_prune_with(fact_nn, key_col, blob)
+        neg = bloom_prune_with(fact_nn, key_col, blob, invert=True)
+    checked = pos.join(drop_keys, key_col, "left_anti")
+    out = neg.unionByName(checked)
+    if fact.schema[key_col].nullable:
+        # both probe branches drop NULL keys; anti-join keeps them
+        out = out.unionByName(fact.where(F.col(key_col).isNull()))
+    return out
+
+
+def anti_join_pruned(
+    fact: DataFrame, drop: DataFrame, key_col: str, lg_m: int = 23
+) -> DataFrame:
+    """``left_anti`` that bloom-prunes the fact side ONLY when the
+    planner would otherwise shuffle it (SortMergeJoin/ShuffledHashJoin
+    against a small-but-unknown-stats ``drop`` side).  When the plain
+    join already broadcasts ``drop`` — one corpus scan, no shuffle —
+    that plan is strictly better than the split and is kept; likewise
+    when the plan cannot be inspected (the prune is an optimization,
+    the plain join is always correct)."""
+    plain = fact.join(drop, key_col, "left_anti")
+    try:
+        plan = compat.physical_plan_string(plain)
+    except Exception:
+        return plain
+    if "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan:
+        return plain
+    return bloom_pruned_anti_join(fact, drop, key_col, lg_m=lg_m)

@@ -75,19 +75,30 @@ class KllItemsSketch(KllSketch):
     # -- building -------------------------------------------------------
     def update(self, values) -> None:
         arr = np.asarray(values, dtype=object).ravel()
-        keep = []
-        for v in arr:
-            if v is None or (isinstance(v, float) and np.isnan(v)):
-                continue
-            if not isinstance(v, str):
-                raise ValueError(
-                    "datasketch_kll_items accepts VARCHAR values only — "
-                    f"got {type(v).__name__}; cast explicitly to build "
-                    "string quantiles"
-                )
-            keep.append(v)
-        if keep:
-            super().update(np.asarray(keep, dtype=object))
+        if not arr.size:
+            return
+        # vectorized null-drop + type gate (r15): the old per-value
+        # Python loop (isinstance + list.append per row) was the
+        # table_profile_strings per-batch serde constant.  pd.isna and
+        # infer_dtype are C loops over the object array; the all-string
+        # common case never touches per-element Python.  The explicit
+        # loop survives only on the error path, to name the offender.
+        import pandas as pd  # noqa: PLC0415
+
+        mask = pd.isna(arr)
+        if mask.any():
+            arr = arr[~mask]
+        if not arr.size:
+            return
+        if pd.api.types.infer_dtype(arr, skipna=False) != "string":
+            for v in arr:
+                if not isinstance(v, str):
+                    raise ValueError(
+                        "datasketch_kll_items accepts VARCHAR values only — "
+                        f"got {type(v).__name__}; cast explicitly to build "
+                        "string quantiles"
+                    )
+        super().update(arr)
 
     def update_series(self, series) -> None:
         self.update(series)

@@ -61,10 +61,10 @@ def main() -> None:
             print(f"skip (not declared): {name}")
             continue
         try:
+            from datasketches_spark import compat
+
             df = q[name](spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            plan = compat.formatted_plan_string(df)
         except Exception as exc:  # noqa: BLE001
             plan = f"EXPLAIN FAILED: {type(exc).__name__}: {exc}"
         finally:

@@ -78,11 +78,26 @@ def jvm_hll(spark):
     HS = jvm.org.apache.datasketches.hll.HllSketch
     TT = jvm.org.apache.datasketches.hll.TgtHllType
 
+    # memoized builds (r15 suite-runtime fix): each java update is one
+    # py4j round trip, so a 100k build costs ~20 s — and the suite
+    # built the SAME (n, lg_k, HLL_8) state repeatedly.  States are
+    # deterministic given (n, lg_k, tgt); non-HLL_8 targets come from
+    # java's own copyAs conversion of the cached HLL_8 build (the
+    # converted image is produced entirely by java, so decode tests
+    # still verify OUR reader against java's writer).
+    _cache: dict = {}
+
     def build(n, lg_k=12, tgt="HLL_8"):
-        sk = HS(lg_k, getattr(TT, tgt))
-        for i in range(n):
-            sk.update(i)
-        return sk
+        key = (n, lg_k, tgt)
+        if key not in _cache:
+            if tgt != "HLL_8":
+                _cache[key] = build(n, lg_k).copyAs(getattr(TT, tgt))
+            else:
+                sk = HS(lg_k, getattr(TT, tgt))
+                for i in range(n):
+                    sk.update(i)
+                _cache[key] = sk
+        return _cache[key]
 
     def heapify(blob: bytes):
         mem = jvm.org.apache.datasketches.memory.Memory.wrap(blob)
@@ -195,7 +210,7 @@ def test_live_jvm_updatable_blobs_rejected_not_misparsed(jvm_hll):
     """java's toUpdatableByteArray SET/HLL_4 layouts interleave zero
     gaps / padded aux tables; a compact-shaped read would silently
     corrupt, so they must raise instead."""
-    jvm, _, _ = jvm_hll
+    jvm, build, _ = jvm_hll
     HS = jvm.org.apache.datasketches.hll.HllSketch
     TT = jvm.org.apache.datasketches.hll.TgtHllType
     jset = HS(12, TT.HLL_8)
@@ -203,15 +218,11 @@ def test_live_jvm_updatable_blobs_rejected_not_misparsed(jvm_hll):
         jset.update(i)
     with pytest.raises(SketchDeserializeError):
         HllSketch.from_wire(bytes(jset.toUpdatableByteArray()))
-    j4 = HS(12, TT.HLL_4)
-    for i in range(100_000):
-        j4.update(i)
+    j4 = build(100_000, tgt="HLL_4")
     with pytest.raises(SketchDeserializeError):
         HllSketch.from_wire(bytes(j4.toUpdatableByteArray()))
     # ...while HLL_8 updatable == compact layout and stays readable
-    j8 = HS(12, TT.HLL_8)
-    for i in range(100_000):
-        j8.update(i)
+    j8 = build(100_000)
     ours = HllSketch.from_wire(bytes(j8.toUpdatableByteArray()))
     truth = np.frombuffer(bytes(j8.toCompactByteArray())[40:], dtype=np.uint8)
     assert np.array_equal(ours.registers, truth)

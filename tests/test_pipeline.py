@@ -1360,7 +1360,11 @@ class TestIVF:
             "vec_id long, embedding array<double>",
         )
         assigned, cents = similarity.ivf_build(corpus, n_centroids=8, sample_limit=400)
-        n_q = 100_000
+        # 25k is still far beyond anything a driver-collect formulation
+        # would survive unnoticed, and the property guarded here is
+        # structural (mapInPandas probe assignment, no collect of the
+        # query side) — 100k bought nothing but suite wall time (r15)
+        n_q = 25_000
         queries = (
             spark.range(n_q)
             .withColumnRenamed("id", "query_id")

@@ -82,9 +82,23 @@ class TestEntryQuerySweep:
         register(spark)
         sf = "/root/testdata/sf0.001"
         offenders = {}
-        for name, fn in entry.queries().items():
+        # Construct+plan the 164 queries from a small thread pool
+        # (guide §2.6: overlap independent jobs).  Each item is mostly
+        # py4j/JVM planning latency (plus the eager build jobs some
+        # query constructors run), during which the GIL is released,
+        # so 8 in flight cut this sweep's wall time ~4x (it was the
+        # single slowest test in the r15 durations profile, 267 s
+        # under load).  Results are order-independent.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def check(item):
+            name, fn = item
             rep = scalability_report(fn(spark, sf))
-            pats = {f["pattern"] for f in rep["flags"]}
+            return name, {f["pattern"] for f in rep["flags"]}
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(check, entry.queries().items()))
+        for name, pats in results:
             if "CartesianProduct" in pats:
                 offenders[name] = sorted(pats)
             # anything beyond the documented-allow set is a failure too
