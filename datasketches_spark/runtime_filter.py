@@ -462,16 +462,26 @@ def bloom_pruned_anti_join(
     # float64, and ints hash differently from doubles (the
     # coerce_value_batch disease; the probes also coerce defensively)
     fact_nn = fact.where(F.col(key_col).isNotNull())
+    try:
+        if engine == "jvm":
+            blob = jvm_bloom_filter_bytes(drop_keys, key_col, lg_m=lg_m)
+        elif engine == "apache":
+            blob = bloomfilter_blob(drop_keys, key_col, lg_m=lg_m)
+        else:
+            blob = bloom_filter_blob(drop_keys, key_col, lg_m=lg_m)
+    except Exception:
+        # the prune is an optimization, the plain join is always
+        # correct.  Known case: Spark's DataFrameStatFunctions
+        # .bloomFilter throws on an EMPTY build side (zero dropped
+        # keys — e.g. a dedup threshold that keeps everything).
+        return fact.join(drop, key_col, "left_anti")
     if engine == "jvm":
-        blob = jvm_bloom_filter_bytes(drop_keys, key_col, lg_m=lg_m)
         pos = jvm_bloom_prune_with(fact_nn, key_col, blob)
         neg = jvm_bloom_prune_with(fact_nn, key_col, blob, invert=True)
     elif engine == "apache":
-        blob = bloomfilter_blob(drop_keys, key_col, lg_m=lg_m)
         pos = bloomfilter_prune_with(fact_nn, key_col, blob)
         neg = bloomfilter_prune_with(fact_nn, key_col, blob, invert=True)
     else:
-        blob = bloom_filter_blob(drop_keys, key_col, lg_m=lg_m)
         pos = bloom_prune_with(fact_nn, key_col, blob)
         neg = bloom_prune_with(fact_nn, key_col, blob, invert=True)
     checked = pos.join(drop_keys, key_col, "left_anti")

@@ -51,6 +51,16 @@ class TestBloomPrunedAntiJoin:
         plain = _rows(fact.join(drop, "doc_id", "left_anti"))
         assert _rows(bloom_pruned_anti_join(fact, drop, "doc_id", lg_m=6)) == plain
 
+    @pytest.mark.parametrize("engine", ["jvm", "python", "apache"])
+    def test_empty_drop_side_keeps_everything(self, spark, fact_drop, engine):
+        # regression: Spark's stat().bloomFilter THROWS on an empty
+        # build side (a dedup threshold that drops nothing) — the
+        # prune must fall back to the plain join, not crash
+        fact, drop = fact_drop
+        empty = drop.where("doc_id < 0")
+        out = bloom_pruned_anti_join(fact, empty, "doc_id", engine=engine)
+        assert _rows(out) == _rows(fact)
+
     def test_string_keys(self, spark):
         fact = spark.createDataFrame(
             [(f"k{i}", i) for i in range(50)], "k string, v long"
