@@ -236,17 +236,23 @@ def test_live_jvm_byte_parity(jvm_theta):
 
 def test_live_jvm_reads_our_estimation_blob(jvm_theta):
     """datasketches-java must accept and correctly union an
-    estimation-mode blob we wrote (policies differ; formats must not)."""
+    estimation-mode blob we wrote (policies differ; formats must not).
+    Our side is the full-scale 60k estimation blob (vectorized python
+    build); the java-authored side stays small because java updates
+    are one py4j round trip EACH (60k updates cost ~60s of suite
+    time) — the property under test is java READING our estimation
+    blob, not java's own build throughput.  The overlap range still
+    exercises cross-sketch hash dedup below our theta."""
     jvm, build = jvm_theta
     ours = _build(list(range(60_000))).to_wire()
     mem = jvm.org.apache.datasketches.memory.Memory.wrap(ours)
     u = jvm.org.apache.datasketches.theta.SetOperation.builder().buildUnion()
     u.union(jvm.org.apache.datasketches.theta.CompactSketch.wrap(mem))
-    other = build(list(range(50_000, 110_000)))
+    other = build(list(range(59_000, 61_000)))
     omem = jvm.org.apache.datasketches.memory.Memory.wrap(other)
     u.union(jvm.org.apache.datasketches.theta.CompactSketch.wrap(omem))
     est = u.getResult().getEstimate()
-    assert est == pytest.approx(110_000, rel=0.05)
+    assert est == pytest.approx(61_000, rel=0.05)
 
 
 def test_decimal_objects_hash_as_doubles():
